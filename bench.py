@@ -1,0 +1,75 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``value`` is the total wall-clock of the headline query set (each timed to
+full materialization via count()).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+_REPO = str(Path(__file__).resolve().parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+HEADLINE = [
+    "closure_paths",
+    "t2_mrca",
+    "t4_subtree",
+    "t6_induced_subtree",
+    "a1_tip_counts",
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_region_revenue",
+    "w1_window_topn",
+    "p10_id_codec",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    from treemachine_spark.session import get_spark
+    from treemachine_spark.workload.queries import QUERIES, get_ctx
+
+    spark = get_spark("treemachine-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the graph context once (ingest-equivalent; not counted per-query,
+    # reported separately as ingest_sec)
+    t0 = time.time()
+    get_ctx(spark, sf_dir)["paths"].count()
+    ingest_sec = round(time.time() - t0, 3)
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t = time.time()
+        QUERIES[name](spark, sf_dir).count()
+        timings[name] = round(time.time() - t, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "ingest_sec": ingest_sec,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,85 @@
+"""Ancestor-closure (transitive closure of child->parent edges) construction.
+
+This is the rebuild's workhorse: the reference answers every traversal
+question by pointer-chasing Neo4j relationships one hop at a time
+(opentree/GraphExplorer.java:795-814 getPathToRoot and friends). The Spark
+substitute is a precomputed ``paths(node_id, ancestor_id, depth)`` table,
+after which MRCA / subtree / induced-subtree are single joins + aggregations.
+
+Construction uses **binary path-doubling**: O(log depth) self-joins instead
+of O(depth) sequential hops. On a tree, a path of length d > k decomposes
+uniquely into (first k hops) + (remaining d-k hops), so extending only the
+max-depth frontier produces no duplicates and needs no ``distinct()`` — at
+100 TB that saves one full shuffle+dedup per iteration. Lineage is cut with
+localCheckpoint each round so the plan stays flat; on a cluster use
+``spark.sparkContext.setCheckpointDir`` + ``checkpoint()`` for fault
+tolerance instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def build_closure(edges: DataFrame, checkpoint: bool = True) -> DataFrame:
+    """paths(node_id, ancestor_id, depth>=1) for a child->parent edge table.
+
+    Replaces the reference's per-request rootward walks
+    (GraphExplorer.getPathToRoot, opentree/GraphExplorer.java:795-814) and its
+    precomputed long[] mrca arrays (opentree/GraphBase.java:28-43).
+
+    Invariant per iteration k (a power of two): ``full`` holds every path of
+    depth 1..k. ``top ⋈ full`` yields exactly the paths of depth k+1..2k.
+    """
+    paths = edges.select(
+        F.col("child_id").alias("node_id"),
+        F.col("parent_id").alias("ancestor_id"),
+        F.lit(1).alias("depth"),
+    )
+    full = paths.localCheckpoint(eager=True) if checkpoint else paths
+    k = 1
+    while True:
+        top = full.where(F.col("depth") == k)
+        ext = (
+            top.alias("a")
+            .join(full.alias("b"), F.col("a.ancestor_id") == F.col("b.node_id"))
+            .select(
+                F.col("a.node_id").alias("node_id"),
+                F.col("b.ancestor_id").alias("ancestor_id"),
+                (F.col("a.depth") + F.col("b.depth")).alias("depth"),
+            )
+        )
+        if ext.isEmpty():
+            return full
+        full = full.unionByName(ext)
+        if checkpoint:
+            full = full.localCheckpoint(eager=True)
+        k *= 2
+
+
+def with_self_paths(paths: DataFrame, nodes: DataFrame) -> DataFrame:
+    """Add (node, node, 0) self-paths — simplifies MRCA when one query tip is
+    an ancestor of another (reference handles this with index juggling in
+    GraphExplorer.getDraftTreeMRCA, opentree/GraphExplorer.java:617-650).
+    """
+    self_paths = nodes.select(
+        F.col("node_id"),
+        F.col("node_id").alias("ancestor_id"),
+        F.lit(0).alias("depth"),
+    )
+    return paths.unionByName(self_paths)
+
+
+def root_depths(paths: DataFrame, root_id: str = "root") -> DataFrame:
+    """(node_id, root_depth): each node's distance from the root.
+
+    Derived from the closure in one filtered scan; the root itself gets 0.
+    """
+    spark = paths.sparkSession
+    root_row = spark.createDataFrame([(root_id, 0)], "node_id string, root_depth int")
+    return (
+        paths.where(F.col("ancestor_id") == root_id)
+        .select("node_id", F.col("depth").alias("root_depth"))
+        .unionByName(root_row)
+    )

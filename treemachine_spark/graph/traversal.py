@@ -1,0 +1,215 @@
+"""Tree traversal operators (SURVEY.md §2.4 T1-T16) as join+aggregation
+recipes over the ancestor closure.
+
+Every routine here replaces a hand-coded Neo4j traversal in
+opentree/GraphExplorer.java with a declarative DataFrame plan so Catalyst
+picks the physical join strategy (broadcast for small tip sets, sort-merge
+for bulk) and the whole thing distributes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from treemachine_spark.graph.closure import root_depths
+
+
+def path_to_root(paths: DataFrame, node_id: str) -> DataFrame:
+    """T1 — ordered ancestor chain of one node.
+
+    Reference: GraphExplorer.getPathToRoot (opentree/GraphExplorer.java:
+    795-814) walks parent pointers one at a time; here it is one
+    partition-pruned filter over the closure.
+    """
+    return (
+        paths.where(F.col("node_id") == node_id)
+        .select("ancestor_id", "depth")
+        .orderBy("depth")
+    )
+
+
+def mrca(paths_self: DataFrame, tips: DataFrame, root_id: str = "root") -> DataFrame:
+    """T2 — most recent common ancestor of a set of tips.
+
+    Reference: GraphExplorer.getDraftTreeMRCA (opentree/GraphExplorer.java:
+    617-650) walks each tip rootward tracking the rootward-most intersection.
+    Spark recipe: an ancestor common to all n tips with maximum distance from
+    the root IS the MRCA — one join + one aggregation, no iteration.
+
+    ``paths_self`` must include depth-0 self paths so a tip that is itself an
+    ancestor of the others can win. Returns one row
+    (mrca_node_id, mrca_depth).
+    """
+    n_tips = tips.count()
+    covering = (
+        paths_self.join(F.broadcast(tips), "node_id")
+        .groupBy("ancestor_id")
+        .agg(F.countDistinct("node_id").alias("n_covered"))
+        .where(F.col("n_covered") == n_tips)
+    )
+    rd = root_depths(paths_self.where(F.col("depth") > 0), root_id)
+    return (
+        covering.join(rd, covering.ancestor_id == rd.node_id)
+        .select(F.col("ancestor_id").alias("mrca_node_id"), F.col("root_depth").alias("mrca_depth"))
+        .orderBy(F.desc("mrca_depth"), "mrca_node_id")
+        .limit(1)
+    )
+
+
+def mrta(paths: DataFrame, nodes: DataFrame, query: DataFrame, max_level: int) -> DataFrame:
+    """T3 — nearest 'taxonomic' ancestor: for each query node, the closest
+    ancestor whose level <= max_level (the analog of 'first ancestor with a
+    tax_uid', GraphExplorer.getDraftTreeMRTA, opentree/GraphExplorer.java:
+    654-664). Window over depth replaces the rootward walk.
+    """
+    named = nodes.where(F.col("level") <= max_level).select(
+        F.col("node_id").alias("ancestor_id"), F.col("level")
+    )
+    w = Window.partitionBy("node_id").orderBy("depth")
+    return (
+        paths.join(F.broadcast(query), "node_id")
+        .join(named, "ancestor_id")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("node_id", F.col("ancestor_id").alias("mrta_node_id"), "depth")
+    )
+
+
+def subtree(paths: DataFrame, root_node: str, max_depth: int | None = None) -> DataFrame:
+    """T4/T7 — (depth-limited) subtree: all descendants of ``root_node``.
+
+    Reference: depth-limited Neo4j traversal with Evaluators.toDepth
+    (GraphExplorer.reconstructDepthLimitedSubtree, opentree/GraphExplorer.
+    java:539-574). Here: one filter on the closure — partition-prunable and
+    O(|result|) regardless of tree size.
+    """
+    out = paths.where(F.col("ancestor_id") == root_node)
+    if max_depth is not None and max_depth >= 0:
+        out = out.where(F.col("depth") <= max_depth)
+    return out.select("node_id", "depth")
+
+
+def subtree_num_tips(paths: DataFrame, edges: DataFrame, root_node: str) -> DataFrame:
+    """T5 — pre-flight tip count of a subtree (the reference's result-size
+    guard before materializing, tree_of_life_v3.java:685-700 +
+    GraphExplorer.getSubtreeNumTips:501-530). Tips = descendants that never
+    appear as a parent (set difference, E1 at GraphExplorer.java:527).
+    """
+    desc = paths.where(F.col("ancestor_id") == root_node).select("node_id")
+    parents = edges.select(F.col("parent_id").alias("node_id")).distinct()
+    return desc.join(parents, "node_id", "left_anti").agg(
+        F.count("*").alias("num_tips")
+    )
+
+
+def tip_counts(paths: DataFrame, edges: DataFrame, max_level_nodes: DataFrame | None = None) -> DataFrame:
+    """A1 — tip_descendants per ancestor (precomputed at ingest in the
+    reference and stored on every edge, IngestSynthesisData.java:435-443).
+
+    One shuffle: join closure to the leaf set, count per ancestor. Leaves are
+    child ids that never appear as parents.
+    """
+    parents = edges.select(F.col("parent_id").alias("node_id")).distinct()
+    leaves = edges.select(F.col("child_id").alias("node_id")).join(
+        parents, "node_id", "left_anti"
+    )
+    counts = (
+        paths.join(leaves, "node_id")
+        .groupBy("ancestor_id")
+        .agg(F.count("*").alias("tip_descendants"))
+    )
+    if max_level_nodes is not None:
+        counts = counts.join(
+            max_level_nodes.select(F.col("node_id").alias("ancestor_id")), "ancestor_id"
+        )
+    return counts
+
+
+def induced_subtree(paths_self: DataFrame, tips: DataFrame) -> DataFrame:
+    """T6 — induced subtree of a tip set: the tips plus every ancestor that
+    is the MRCA of >= 2 tips, re-wired so each kept node's parent is its
+    nearest kept ancestor.
+
+    Reference: GraphExplorer.getInducedSubtree (opentree/GraphExplorer.java:
+    704-785) — per-tip path walks, pairwise first-intersections, retainAll
+    pruning. Spark recipe (pure joins/aggs, no iteration):
+
+      1. ``anc``  = closure rows for query tips (depth >= 1)
+      2. keep internal node a if countDistinct(tips under a) >= 2
+      3. kept set = tips ∪ kept internals
+      4. parent(x) = kept ancestor of x with min depth (row_number window)
+
+    Returns (child_id, parent_id) edges of the induced tree. Broadcast tip
+    set keeps this shuffle-light for request-sized inputs; for huge tip sets
+    Catalyst falls back to a shuffled join automatically.
+    """
+    tip_ids = tips.select("node_id")
+    anc = paths_self.where(F.col("depth") > 0).join(F.broadcast(tip_ids), "node_id")
+    kept_internal = (
+        anc.groupBy("ancestor_id")
+        .agg(F.countDistinct("node_id").alias("n_tips"))
+        .where(F.col("n_tips") >= 2)
+        .select(F.col("ancestor_id").alias("kept_id"))
+    )
+    kept = kept_internal.unionByName(tip_ids.select(F.col("node_id").alias("kept_id"))).distinct()
+
+    # nearest kept ancestor for every kept node (the root of the induced
+    # tree has none and drops out)
+    member_paths = paths_self.where(F.col("depth") > 0).join(
+        F.broadcast(kept.select(F.col("kept_id").alias("node_id"))), "node_id"
+    )
+    to_kept = member_paths.join(
+        F.broadcast(kept.select(F.col("kept_id").alias("ancestor_id"))), "ancestor_id"
+    )
+    w = Window.partitionBy("node_id").orderBy("depth")
+    return (
+        to_kept.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(F.col("node_id").alias("child_id"), F.col("ancestor_id").alias("parent_id"))
+    )
+
+
+def degree_prune_frontier(edges: DataFrame, threshold: int = 100) -> DataFrame:
+    """T12 — nodes whose child count >= threshold (the reference stops
+    expanding these during web-tree BFS, opentree/ChildNumberEvaluator.java:
+    15-40, threshold set at GraphExplorer.java:70-71).
+    """
+    return (
+        edges.groupBy(F.col("parent_id").alias("node_id"))
+        .agg(F.count("*").alias("n_children"))
+        .where(F.col("n_children") >= threshold)
+    )
+
+
+def bfs_capped(edges: DataFrame, start: str, max_nodes: int, max_depth: int = 20) -> DataFrame:
+    """T10/T11 — breadth-first expansion from ``start`` stopping once the
+    visited set reaches ``max_nodes`` (GraphExporter.buildSyntheticTreeForWeb,
+    opentree/GraphExporter.java:948-1036, cap check :952-958).
+
+    Driver-controlled iteration (Spark has no recursive SQL); each level is
+    one join. The frontier is broadcast — web-tree requests are small by
+    construction (the cap).
+    """
+    spark = edges.sparkSession
+    frontier = spark.createDataFrame([(start, 0)], "node_id string, depth int")
+    visited = frontier
+    total = 1
+    for d in range(1, max_depth + 1):
+        if total >= max_nodes:
+            break
+        nxt = (
+            edges.join(
+                F.broadcast(frontier.select(F.col("node_id").alias("parent_id"))),
+                "parent_id",
+            )
+            .select(F.col("child_id").alias("node_id"), F.lit(d).alias("depth"))
+            .limit(max_nodes - total)
+        )
+        n = nxt.count()
+        if n == 0:
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+        total += n
+    return visited

@@ -1,0 +1,46 @@
+"""Parquet table loading for the driver-provided synthetic tables.
+
+Replaces the reference's Neo4j store layer (opentree/GraphBase.java:60-118,
+graph open/close) with immutable columnar snapshots: Spark's vectorized
+parquet reader gives predicate pushdown + column pruning for free, which is
+the rebuild's substitute for the reference's Lucene exact indexes
+(opentree/GraphBase.java:431-448).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every synthetic table under ``sf_dir`` as a DataFrame.
+
+    Plain ``spark.read.parquet`` — filters/projections applied by callers are
+    pushed down into the scan by Catalyst (PushedFilters / ReadSchema), so at
+    100 TB a point lookup touches only matching row groups.
+
+    The testdata parquet carries TIMESTAMP(NANOS) columns, which Spark's
+    reader rejects by default; the legacy conf below makes them readable (as
+    timestamp_ntz, values intact). Set per-call so it also applies under the
+    driver-owned SparkSession.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return {
+        name: spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        for name in TABLE_NAMES
+    }

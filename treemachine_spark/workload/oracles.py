@@ -1,0 +1,246 @@
+"""DuckDB oracle SQL for every entry in workload/queries.py.
+
+The tree-operator oracles rebuild the same hierarchy with a recursive CTE
+(`paths`) and express MRCA / subtree / induced-subtree relationally — an
+independent second implementation of the reference semantics
+(opentree/GraphExplorer.java) used to cross-check the Spark plans.
+
+Column names, types and rounding are aligned 1:1 with the Spark side.
+"""
+
+from __future__ import annotations
+
+# Shared hierarchy + ancestor closure. The driver pre-registers the parquet
+# tables as DuckDB views with their plain names.
+_GRAPH_CTE = """
+WITH RECURSIVE edges_raw(child_id, parent_id) AS (
+    SELECT 'r' || CAST(r_regionkey AS VARCHAR), 'root' FROM region
+    UNION ALL
+    SELECT 'n' || CAST(n_nationkey AS VARCHAR), 'r' || CAST(n_regionkey AS VARCHAR) FROM nation
+    UNION ALL
+    SELECT 'c' || CAST(c_custkey AS VARCHAR), 'n' || CAST(c_nationkey AS VARCHAR) FROM customer
+    UNION ALL
+    SELECT 'o' || CAST(o_orderkey AS VARCHAR), 'c' || CAST(o_custkey AS VARCHAR) FROM orders
+    UNION ALL
+    SELECT 'l' || CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR),
+           'o' || CAST(l_orderkey AS VARCHAR) FROM lineitem
+),
+-- node-set semantics: colliding ids collapse to one node (matches Spark side)
+edges AS (SELECT DISTINCT child_id, parent_id FROM edges_raw),
+paths(node_id, ancestor_id, depth) AS (
+    SELECT child_id, parent_id, 1 FROM edges
+    UNION ALL
+    SELECT p.node_id, e.parent_id, p.depth + 1
+    FROM paths p JOIN edges e ON p.ancestor_id = e.child_id
+),
+allnodes(node_id) AS (
+    SELECT DISTINCT child_id FROM edges UNION SELECT 'root'
+),
+mcust AS (
+    SELECT o_custkey FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 2
+    ORDER BY o_custkey LIMIT 1
+),
+morders AS (
+    SELECT o_orderkey FROM orders WHERE o_custkey = (SELECT o_custkey FROM mcust)
+    ORDER BY o_orderkey LIMIT 2
+),
+mtips(node_id) AS (
+    SELECT 'l' || CAST(l_orderkey AS VARCHAR) || '_' || CAST(MIN(l_linenumber) AS VARCHAR)
+    FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM morders) GROUP BY l_orderkey
+),
+itips(node_id) AS (
+    SELECT 'l' || CAST(l_orderkey AS VARCHAR) || '_' || CAST(MIN(l_linenumber) AS VARCHAR)
+    FROM lineitem
+    WHERE l_orderkey IN (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 10)
+    GROUP BY l_orderkey
+)
+"""
+
+ORACLES: dict[str, str] = {}
+
+ORACLES["closure_paths"] = _GRAPH_CTE + """
+SELECT node_id, ancestor_id, depth FROM paths
+"""
+
+ORACLES["t1_path_to_root"] = _GRAPH_CTE + """
+SELECT ancestor_id, depth FROM paths WHERE node_id = 'c0' ORDER BY depth
+"""
+
+ORACLES["t2_mrca"] = _GRAPH_CTE + """
+, paths_self AS (
+    SELECT node_id, ancestor_id, depth FROM paths
+    UNION ALL SELECT node_id, node_id, 0 FROM allnodes
+),
+covering AS (
+    SELECT ancestor_id FROM paths_self JOIN mtips USING (node_id)
+    GROUP BY ancestor_id
+    HAVING COUNT(DISTINCT node_id) = (SELECT COUNT(*) FROM mtips)
+),
+rdepth AS (
+    SELECT node_id, depth AS root_depth FROM paths WHERE ancestor_id = 'root'
+    UNION ALL SELECT 'root', 0
+)
+SELECT c.ancestor_id AS mrca_node_id, r.root_depth AS mrca_depth
+FROM covering c JOIN rdepth r ON c.ancestor_id = r.node_id
+ORDER BY mrca_depth DESC, mrca_node_id LIMIT 1
+"""
+
+ORACLES["t3_mrta"] = _GRAPH_CTE + """
+SELECT node_id, ancestor_id AS mrta_node_id, depth FROM (
+    SELECT p.node_id, p.ancestor_id, p.depth,
+           ROW_NUMBER() OVER (PARTITION BY p.node_id ORDER BY p.depth) AS rn
+    FROM paths p JOIN mtips USING (node_id)
+    WHERE regexp_matches(p.ancestor_id, '^([rnc][0-9]+|root)$')
+) WHERE rn = 1
+"""
+
+ORACLES["t4_subtree"] = _GRAPH_CTE + """
+SELECT node_id, depth FROM paths WHERE ancestor_id = 'n0' AND depth <= 2
+"""
+
+ORACLES["t5_subtree_num_tips"] = _GRAPH_CTE + """
+SELECT COUNT(*) AS num_tips FROM (
+    SELECT node_id FROM paths WHERE ancestor_id = 'n0'
+    EXCEPT SELECT parent_id FROM edges
+)
+"""
+
+ORACLES["t6_induced_subtree"] = _GRAPH_CTE + """
+, ianc AS (
+    SELECT p.node_id, p.ancestor_id, p.depth FROM paths p JOIN itips USING (node_id)
+),
+ikept(kept_id) AS (
+    SELECT ancestor_id FROM ianc GROUP BY ancestor_id
+    HAVING COUNT(DISTINCT node_id) >= 2
+    UNION SELECT node_id FROM itips
+),
+icand AS (
+    SELECT p.node_id, p.ancestor_id,
+           ROW_NUMBER() OVER (PARTITION BY p.node_id ORDER BY p.depth) AS rn
+    FROM paths p
+    JOIN ikept k1 ON p.node_id = k1.kept_id
+    JOIN ikept k2 ON p.ancestor_id = k2.kept_id
+)
+SELECT node_id AS child_id, ancestor_id AS parent_id FROM icand WHERE rn = 1
+"""
+
+ORACLES["a1_tip_counts"] = _GRAPH_CTE + """
+, leaves(node_id) AS (
+    SELECT DISTINCT child_id FROM edges e
+    WHERE NOT EXISTS (SELECT 1 FROM edges p WHERE p.parent_id = e.child_id)
+)
+SELECT ancestor_id, COUNT(*) AS tip_descendants
+FROM paths JOIN leaves USING (node_id)
+WHERE ancestor_id = 'root' OR regexp_matches(ancestor_id, '^[rn][0-9]+$')
+GROUP BY ancestor_id
+"""
+
+ORACLES["t12_degree_prune"] = _GRAPH_CTE + """
+SELECT parent_id AS node_id, COUNT(*) AS n_children
+FROM edges GROUP BY parent_id HAVING COUNT(*) >= 5
+"""
+
+ORACLES["e1_leaf_set"] = _GRAPH_CTE + """
+SELECT node_id FROM (
+    SELECT child_id AS node_id FROM edges EXCEPT SELECT parent_id FROM edges
+) WHERE regexp_matches(node_id, '^o[0-9]+$')
+"""
+
+ORACLES["l4_batch_resolution"] = _GRAPH_CTE + """
+SELECT v.lookup_id, (n.node_id IS NOT NULL) AS found
+FROM (VALUES ('c0'), ('c1'), ('c2'), ('n0'), ('nope1'), ('nope2')) v(lookup_id)
+LEFT JOIN allnodes n ON v.lookup_id = n.node_id
+"""
+
+ORACLES["q1_pricing_summary"] = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       ROUND(AVG(l_quantity), 4) AS avg_qty,
+       ROUND(AVG(l_discount), 4) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+ORACLES["q3_top_orders"] = """
+SELECT o_orderkey, o_orderdate,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+ORACLES["q5_region_revenue"] = """
+SELECT r_name, n_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+ORACLES["l1_point_lookup"] = """
+SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+FROM customer WHERE c_name = 'Customer#000000042'
+"""
+
+ORACLES["l9_distinct_sorted"] = """
+SELECT DISTINCT event_type FROM events ORDER BY event_type
+"""
+
+ORACLES["o2_top1_latest"] = """
+SELECT event_id, event_type FROM events ORDER BY ts DESC, event_id LIMIT 1
+"""
+
+ORACLES["w1_window_topn"] = """
+SELECT o_custkey, o_orderkey, CAST(rnk AS INTEGER) AS rnk FROM (
+    SELECT o_custkey, o_orderkey,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+    FROM orders
+) WHERE rnk <= 2
+"""
+
+ORACLES["e4_anti_join"] = """
+SELECT o.o_orderkey, (l.l_orderkey IS NOT NULL) AS has_lineitems
+FROM orders o
+LEFT JOIN (SELECT DISTINCT l_orderkey FROM lineitem) l ON o.o_orderkey = l.l_orderkey
+"""
+
+ORACLES["p10_id_codec"] = r"""
+WITH ids AS (
+    SELECT CAST(o_orderkey * 4321 + 9999000 AS BIGINT) AS long_id FROM orders
+),
+enc AS (
+    SELECT long_id,
+           CASE WHEN long_id < 10000000 THEN 'ott' || CAST(long_id AS VARCHAR)
+                ELSE 'mrcaott' || CAST(long_id % 10000000 AS VARCHAR)
+                     || 'ott'
+                     || CAST(CAST((long_id - (long_id % 10000000)) / 10000000 AS BIGINT) AS VARCHAR)
+           END AS string_id
+    FROM ids
+)
+SELECT long_id, string_id,
+       CASE WHEN string_id NOT LIKE 'mrcaott%'
+            THEN CAST(regexp_extract(string_id, '^ott(\d+)$', 1) AS BIGINT)
+            ELSE CAST(regexp_extract(string_id, '^mrcaott(\d+)ott', 1) AS BIGINT)
+                 + CAST(regexp_extract(string_id, 'ott(\d+)$', 1) AS BIGINT) * 10000000
+       END AS decoded_id
+FROM enc
+"""
+
+ORACLES["p3_props_decode"] = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_value
+FROM events
+WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) > 90
+"""

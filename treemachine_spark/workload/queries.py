@@ -1,0 +1,380 @@
+"""The oracle-checkable query suite: every operator family from SURVEY.md §2
+expressed over the driver's synthetic tables.
+
+Tree operators (T/A/E families) run on the hierarchy derived from the star
+schema (root -> region -> nation -> customer -> orders -> lineitem, see
+graph/hierarchy.py) so that DuckDB can verify them with recursive CTEs.
+Relational operators (L/P/A/O families) run on the tables directly.
+
+Each entry is ``name -> callable(spark, sf_dir) -> DataFrame``; column names
+and types are aligned with the matching SQL in workload/oracles.py.
+
+Determinism notes: computed float aggregates are ROUNDed on both sides so
+engine-level summation-order noise (~1e-12 relative) cannot flip the value
+hash; stored doubles pass through exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from treemachine_spark.graph.closure import build_closure, with_self_paths
+from treemachine_spark.graph.hierarchy import hierarchy_edges, hierarchy_nodes
+from treemachine_spark.graph import traversal as T
+from treemachine_spark.io.tables import load_tables
+
+# ---------------------------------------------------------------------------
+# cached per-(session, sf_dir) graph artifacts — the rebuild's equivalent of
+# the reference's ingest step (IngestSynthesisData.buildDB). The closure is
+# built once and cached; every tree query below is then a join/agg over it.
+# ---------------------------------------------------------------------------
+_CTX: dict[tuple[int, str], dict] = {}
+
+
+def get_ctx(spark: SparkSession, sf_dir: str) -> dict:
+    key = (id(spark._jsparkSession) if hasattr(spark, "_jsparkSession") else id(spark), sf_dir)
+    if key not in _CTX:
+        tables = load_tables(spark, sf_dir)
+        edges = hierarchy_edges(tables).cache()
+        nodes = hierarchy_nodes(tables).cache()
+        paths = build_closure(edges).cache()
+        paths_self = with_self_paths(paths, nodes).cache()
+        _CTX[key] = {
+            "tables": tables,
+            "edges": edges,
+            "nodes": nodes,
+            "paths": paths,
+            "paths_self": paths_self,
+        }
+    return _CTX[key]
+
+
+# ---------------------------------------------------------------------------
+# deterministic parameter selection (mirrored exactly in oracles.py)
+# ---------------------------------------------------------------------------
+
+
+def _mrca_tips(tables) -> DataFrame:
+    """Tips for t2_mrca: first lineitem of each of the 2 smallest orders of
+    the smallest customer having >= 2 orders. Expected MRCA = that customer.
+    """
+    orders = tables["orders"]
+    li = tables["lineitem"]
+    cust = (
+        orders.groupBy("o_custkey")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") >= 2)
+        .orderBy("o_custkey")
+        .limit(1)
+        .select("o_custkey")
+    )
+    sel = (
+        orders.join(F.broadcast(cust), "o_custkey")
+        .orderBy("o_orderkey")
+        .limit(2)
+        .select("o_orderkey")
+    )
+    return (
+        li.join(F.broadcast(sel), li.l_orderkey == sel.o_orderkey)
+        .groupBy("l_orderkey")
+        .agg(F.min("l_linenumber").alias("ln"))
+        .select(
+            F.concat(
+                F.lit("l"), F.col("l_orderkey").cast("string"), F.lit("_"), F.col("ln").cast("string")
+            ).alias("node_id")
+        )
+    )
+
+
+def _induced_tips(tables) -> DataFrame:
+    """Tips for t6_induced_subtree: first lineitem of the 10 smallest orders."""
+    orders = tables["orders"]
+    li = tables["lineitem"]
+    sel = orders.orderBy("o_orderkey").limit(10).select("o_orderkey")
+    return (
+        li.join(F.broadcast(sel), li.l_orderkey == sel.o_orderkey)
+        .groupBy("l_orderkey")
+        .agg(F.min("l_linenumber").alias("ln"))
+        .select(
+            F.concat(
+                F.lit("l"), F.col("l_orderkey").cast("string"), F.lit("_"), F.col("ln").cast("string")
+            ).alias("node_id")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# tree operator queries (SURVEY.md §2.4-2.7)
+# ---------------------------------------------------------------------------
+
+
+def q_closure_paths(spark, sf_dir):
+    """The ancestor closure itself — the rebuild's core materialization
+    (replaces pointer-chasing traversals, GraphExplorer.java:795-814)."""
+    return get_ctx(spark, sf_dir)["paths"].select("node_id", "ancestor_id", "depth")
+
+
+def q_t1_path_to_root(spark, sf_dir):
+    """T1 — ancestor chain of customer node 'c0'."""
+    ctx = get_ctx(spark, sf_dir)
+    return T.path_to_root(ctx["paths"], "c0")
+
+
+def q_t2_mrca(spark, sf_dir):
+    """T2 — MRCA of a deterministic tip set (GraphExplorer.java:617-650)."""
+    ctx = get_ctx(spark, sf_dir)
+    tips = _mrca_tips(ctx["tables"])
+    return T.mrca(ctx["paths_self"], tips)
+
+
+def q_t3_mrta(spark, sf_dir):
+    """T3 — nearest customer-or-above ancestor for the mrca tip set
+    (analog of first-taxonomy-ancestor, GraphExplorer.java:654-664)."""
+    ctx = get_ctx(spark, sf_dir)
+    tips = _mrca_tips(ctx["tables"])
+    return T.mrta(ctx["paths"], ctx["nodes"], tips, max_level=3).select(
+        "node_id", "mrta_node_id", "depth"
+    )
+
+
+def q_t4_subtree(spark, sf_dir):
+    """T4 — depth-limited subtree under nation 'n0' (GraphExplorer.java:539-574)."""
+    ctx = get_ctx(spark, sf_dir)
+    return T.subtree(ctx["paths"], "n0", max_depth=2)
+
+
+def q_t5_subtree_num_tips(spark, sf_dir):
+    """T5 — pre-flight tip count under 'n0' (GraphExplorer.java:501-530)."""
+    ctx = get_ctx(spark, sf_dir)
+    return T.subtree_num_tips(ctx["paths"], ctx["edges"], "n0")
+
+
+def q_t6_induced_subtree(spark, sf_dir):
+    """T6 — induced subtree edges for 10 deterministic tips
+    (GraphExplorer.java:704-785)."""
+    ctx = get_ctx(spark, sf_dir)
+    tips = _induced_tips(ctx["tables"])
+    return T.induced_subtree(ctx["paths_self"], tips)
+
+
+def q_a1_tip_counts(spark, sf_dir):
+    """A1 — tip_descendants per region/nation ancestor
+    (IngestSynthesisData.java:435-443)."""
+    ctx = get_ctx(spark, sf_dir)
+    counts = T.tip_counts(ctx["paths"], ctx["edges"])
+    return counts.where(
+        (F.col("ancestor_id") == "root") | F.col("ancestor_id").rlike("^[rn][0-9]+$")
+    )
+
+
+def q_t12_degree_prune(spark, sf_dir):
+    """T12 — high-degree frontier (ChildNumberEvaluator.java:15-40), with a
+    threshold scaled to the synthetic tree (>= 5 children)."""
+    ctx = get_ctx(spark, sf_dir)
+    return T.degree_prune_frontier(ctx["edges"], threshold=5)
+
+
+def q_e1_leaf_set(spark, sf_dir):
+    """E1 — set difference: leaves = children EXCEPT parents
+    (GraphExplorer.java:527)."""
+    ctx = get_ctx(spark, sf_dir)
+    edges = ctx["edges"]
+    parents = edges.select(F.col("parent_id").alias("node_id")).distinct()
+    leaves = edges.select(F.col("child_id").alias("node_id")).join(
+        parents, "node_id", "left_anti"
+    )
+    # level-4 leaves only (orders with no lineitems) — small deterministic set
+    return leaves.where(F.col("node_id").rlike("^o[0-9]+$"))
+
+
+def q_l4_batch_resolution(spark, sf_dir):
+    """L4/E4 — batch id resolution partitioned into found / not-in-tree
+    (tree_of_life_v3.java:292-330): one join pass, no per-id loop."""
+    ctx = get_ctx(spark, sf_dir)
+    lookup = spark.createDataFrame(
+        [("c0",), ("c1",), ("c2",), ("n0",), ("nope1",), ("nope2",)], "lookup_id string"
+    )
+    nodes = ctx["nodes"].select(F.col("node_id").alias("lookup_id"), F.lit(True).alias("hit"))
+    return (
+        lookup.join(nodes, "lookup_id", "left")
+        .select("lookup_id", F.coalesce(F.col("hit"), F.lit(False)).alias("found"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# relational operator queries (SURVEY.md §2.2/2.3/2.5/2.7/2.8/2.9)
+# ---------------------------------------------------------------------------
+
+
+def q_q1_pricing_summary(spark, sf_dir):
+    """A-family — grouped aggregation (TPC-H Q1 shape): map-side partial agg,
+    one shuffle on (returnflag, linestatus)."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_q3_top_orders(spark, sf_dir):
+    """Join + agg + top-k (TPC-H Q3 shape). Customer dim is broadcast;
+    revenue agg is partial-aggregated before the shuffle."""
+    t = load_tables(spark, sf_dir)
+    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(t["customer"].where(F.col("c_mktsegment") == "BUILDING")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.round(rev, 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+def q_q5_region_revenue(spark, sf_dir):
+    """Dimension-join chain (§2.8): region ⋈ nation ⋈ customer ⋈ orders ⋈
+    lineitem. All dims broadcast; single shuffle for the final agg."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q_l1_point_lookup(spark, sf_dir):
+    """L1 — point lookup by unique name (GraphBase.findTaxNodeByName,
+    GraphBase.java:145-159). Predicate pushes down to the parquet scan."""
+    c = load_tables(spark, sf_dir)["customer"]
+    return c.where(F.col("c_name") == "Customer#000000042").select(
+        "c_custkey", "c_name", "c_mktsegment", "c_acctbal"
+    )
+
+
+def q_l9_distinct_sorted(spark, sf_dir):
+    """L9 — wildcard scan + dedup + sort (GraphExplorer.getSynthTreeIDs,
+    GraphExplorer.java:95-107)."""
+    e = load_tables(spark, sf_dir)["events"]
+    return e.select("event_type").distinct().orderBy("event_type")
+
+
+def q_o2_top1_latest(spark, sf_dir):
+    """O2 — top-1 by sort (most-recent-tree lookup,
+    GraphExplorer.java:110-114)."""
+    e = load_tables(spark, sf_dir)["events"]
+    return e.orderBy(F.desc("ts"), "event_id").limit(1).select("event_id", "event_type")
+
+
+def q_w1_window_topn(spark, sf_dir):
+    """Window function (§2.9): top-2 orders per customer by totalprice —
+    the same partition/order window shape used internally by T3/T6."""
+    o = load_tables(spark, sf_dir)["orders"]
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 2)
+        .select("o_custkey", "o_orderkey", "rnk")
+    )
+
+
+def q_e4_anti_join(spark, sf_dir):
+    """E4 — membership partition (found vs not-in-tree,
+    tree_of_life_v3.java:292-330): every order node flagged by whether it has
+    lineitem children — semi/anti join pair in one pass."""
+    t = load_tables(spark, sf_dir)
+    with_kids = (
+        t["lineitem"].select(F.col("l_orderkey").alias("o_orderkey")).distinct()
+        .withColumn("hit", F.lit(True))
+    )
+    return (
+        t["orders"]
+        .join(with_kids, "o_orderkey", "left")
+        .select("o_orderkey", F.coalesce(F.col("hit"), F.lit(False)).alias("has_lineitems"))
+    )
+
+
+def q_p10_id_codec(spark, sf_dir):
+    """P10 — v2<->v3 id codec (tree_of_life.longIdToStringId /
+    stringIdToLongId, tree_of_life.java:385-422): long id < 10^7 -> 'ottN',
+    else 'mrcaott{id mod 10^7}ott{id div 10^7}'; verified by round-trip."""
+    o = load_tables(spark, sf_dir)["orders"]
+    id_limit = 10_000_000
+    long_id = (F.col("o_orderkey") * F.lit(4321) + F.lit(9_999_000)).cast("long")
+    low = long_id % id_limit
+    high = ((long_id - low) / id_limit).cast("long")
+    string_id = F.when(long_id < id_limit, F.concat(F.lit("ott"), long_id.cast("string"))).otherwise(
+        F.concat(
+            F.lit("mrcaott"), low.cast("string"), F.lit("ott"), high.cast("string")
+        )
+    )
+    df = o.select(long_id.alias("long_id"), string_id.alias("string_id"))
+    decoded = F.when(
+        ~F.col("string_id").startswith("mrcaott"),
+        F.regexp_extract("string_id", r"^ott(\d+)$", 1).cast("long"),
+    ).otherwise(
+        F.regexp_extract("string_id", r"^mrcaott(\d+)ott", 1).cast("long")
+        + F.regexp_extract("string_id", r"ott(\d+)$", 1).cast("long") * id_limit
+    )
+    return df.select("long_id", "string_id", decoded.alias("decoded_id"))
+
+
+def q_p3_props_decode(spark, sf_dir):
+    """P3-analog — packed-value decode at query time (the reference re-parses
+    packed strings via stringToMap, GraphExplorer.java:601-612; here JSON
+    props on the events table)."""
+    e = load_tables(spark, sf_dir)["events"]
+    return (
+        e.select(
+            "event_id", F.get_json_object("props", "$.k").cast("int").alias("k_value")
+        )
+        .where(F.col("k_value") > 90)
+    )
+
+
+QUERIES = {
+    "closure_paths": q_closure_paths,
+    "t1_path_to_root": q_t1_path_to_root,
+    "t2_mrca": q_t2_mrca,
+    "t3_mrta": q_t3_mrta,
+    "t4_subtree": q_t4_subtree,
+    "t5_subtree_num_tips": q_t5_subtree_num_tips,
+    "t6_induced_subtree": q_t6_induced_subtree,
+    "a1_tip_counts": q_a1_tip_counts,
+    "t12_degree_prune": q_t12_degree_prune,
+    "e1_leaf_set": q_e1_leaf_set,
+    "l4_batch_resolution": q_l4_batch_resolution,
+    "q1_pricing_summary": q_q1_pricing_summary,
+    "q3_top_orders": q_q3_top_orders,
+    "q5_region_revenue": q_q5_region_revenue,
+    "l1_point_lookup": q_l1_point_lookup,
+    "l9_distinct_sorted": q_l9_distinct_sorted,
+    "o2_top1_latest": q_o2_top1_latest,
+    "w1_window_topn": q_w1_window_topn,
+    "e4_anti_join": q_e4_anti_join,
+    "p10_id_codec": q_p10_id_codec,
+    "p3_props_decode": q_p3_props_decode,
+}
