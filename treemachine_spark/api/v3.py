@@ -1,0 +1,480 @@
+"""tree_of_life v3 API — the reference's five REST endpoints rebuilt over
+the Spark GraphStore (opentree/plugins/tree_of_life_v3.java).
+
+Each method returns the response dict with the reference's exact field
+semantics (validated by the ported ws-tests combinators in tests/):
+
+  about            tree_of_life_v3.java:63-122  (doAbout)
+  node_info        tree_of_life_v3.java:125-230 (doNodeInfo)
+  mrca             tree_of_life_v3.java:258-363 (doMrca)
+  subtree          tree_of_life_v3.java:522-722 (doSubtree)
+  induced_subtree  tree_of_life_v3.java:411-518 (doInducedSubtree)
+
+Execution model: all heavy lifting (resolution joins, MRCA aggregation,
+closure filters) is distributed DataFrame work; only request-sized results
+are collected for response assembly, so each endpoint scales with its
+*answer*, not the tree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from treemachine_spark.api.errors import BadIdsError, BadInputError, TreeTooBigError
+from treemachine_spark.exporters.newick_sink import assemble_newick, newick_escape
+from treemachine_spark.graph import traversal as T
+from treemachine_spark.ingest import GraphStore
+
+_ANN_FIELDS = [
+    "supported_by",
+    "conflicts_with",
+    "resolves",
+    "resolved_by",
+    "partial_path_of",
+    "terminal",
+]
+
+LABEL_FORMATS = ("name", "id", "name_and_id")
+
+
+class TreeOfLifeV3:
+    def __init__(
+        self,
+        store: GraphStore,
+        max_tips_newick: int | None = 100_000,
+        max_tips_arguson: int | None = 25_000,
+        enforce_caps: bool = False,
+    ):
+        """``enforce_caps=False`` by default: Spark removes the reason for
+        the reference's hard 100k/25k caps (tree_of_life_v3.java:591-592);
+        set True for byte-level API parity."""
+        self.store = store
+        self.max_tips_newick = max_tips_newick
+        self.max_tips_arguson = max_tips_arguson
+        self.enforce_caps = enforce_caps
+        # tiny dimension tables, kept driver-side (broadcast-equivalent)
+        self._source_map = {
+            r["source_id"]: {
+                k: r[k] for k in ("study_id", "tree_id", "git_sha") if r[k] is not None
+            }
+            for r in store.source_map.collect()
+        }
+
+    # ------------------------------------------------------------------
+    # resolution (L1-L4)
+    # ------------------------------------------------------------------
+
+    def _resolve_many(self, node_ids, ott_ids):
+        """L4 — one join pass instead of the reference's per-id index loop
+        (tree_of_life_v3.java:292-330). Returns (found_node_ids ordered,
+        node_ids_not_in_tree, ott_ids_not_in_tree)."""
+        spark = self.store.nodes.sparkSession
+        node_ids = list(node_ids or [])
+        ott_ids = [int(o) for o in (ott_ids or [])]
+        found: list[str] = []
+        bad_nodes: list[str] = []
+        bad_otts: list[int] = []
+        if node_ids:
+            req = spark.createDataFrame([(i,) for i in node_ids], "node_id string")
+            hits = {
+                r["node_id"]
+                for r in self.store.nodes.join(
+                    F.broadcast(req), "node_id", "left_semi"
+                ).collect()
+            }
+            for i in node_ids:
+                (found if i in hits else bad_nodes).append(i)
+        if ott_ids:
+            req = spark.createDataFrame([(i,) for i in ott_ids], "ott_id long")
+            hits = {
+                r["ott_id"]: r["node_id"]
+                for r in self.store.nodes.join(
+                    F.broadcast(req), "ott_id", "left_semi"
+                ).select("ott_id", "node_id").collect()
+            }
+            for i in ott_ids:
+                if i in hits:
+                    found.append(hits[i])
+                else:
+                    bad_otts.append(i)
+        return found, bad_nodes, bad_otts
+
+    def _resolve_one(self, node_id=None, ott_id=None) -> dict:
+        """L2/L3 — single lookup; errors per badOTTIDError/badNodeIDError
+        (tree_of_life_v3.java:733-745)."""
+        if node_id is None and ott_id is None:
+            raise BadInputError('Must provide a "node_id" or "ott_id" argument.')
+        if node_id is not None and ott_id is not None:
+            raise BadInputError('Provide only one "node_id" or "ott_id" argument.')
+        if ott_id is not None:
+            rows = self.store.nodes.where(F.col("ott_id") == int(ott_id)).collect()
+            if not rows:
+                raise BadInputError(f"Could not find any synthetic tree node corresponding to the 'ott_id' arg: '{ott_id}'.")
+        else:
+            rows = self.store.nodes.where(F.col("node_id") == node_id).collect()
+            if not rows:
+                raise BadInputError(f"Could not find any synthetic tree node corresponding to the 'node_id' arg: '{node_id}'.")
+        return rows[0].asDict()
+
+    # ------------------------------------------------------------------
+    # blobs (P1/P2, A3)
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def _taxon_blob(row: dict) -> dict:
+        """P1 — GraphExplorer.getTaxonBlob (GraphExplorer.java:180-193)."""
+        return {
+            "name": row["name"],
+            "unique_name": row["unique_name"],
+            "rank": row["rank"],
+            "ott_id": int(row["ott_id"]),
+            "tax_sources": list(row["tax_sources"] or []),
+        }
+
+    def _node_blobs(self, node_ids: list[str], unique_sources: set | None = None) -> dict[str, dict]:
+        """P2 — GraphExplorer.getNodeBlob (GraphExplorer.java:203-214) for a
+        batch of nodes in ONE join (the reference loops per node)."""
+        spark = self.store.nodes.sparkSession
+        req = spark.createDataFrame([(i,) for i in node_ids], "node_id string")
+        rows = (
+            req.join(self.store.nodes, "node_id", "left")
+            .join(self.store.node_annotations, "node_id", "left")
+            .join(
+                self.store.edges.select(
+                    F.col("child_id").alias("node_id"), "tip_descendants"
+                ),
+                "node_id",
+                "left",
+            )
+            .collect()
+        )
+        blobs: dict[str, dict] = {}
+        for r in rows:
+            d = r.asDict()
+            blob: dict = {"node_id": d["node_id"]}
+            if d.get("name") is not None:
+                blob["taxon"] = self._taxon_blob(d)
+            # root has no outgoing edge: num_tips from metadata
+            # (GraphExplorer.getNumTipDescendants:245-260)
+            if d.get("tip_descendants") is None:
+                blob["num_tips"] = int(self.store.tree_meta.get("num_tips", 0))
+            else:
+                blob["num_tips"] = int(d["tip_descendants"])
+            # leaf num_tips: the reference stores tip_descendants of the
+            # subtree below the edge; a leaf's own count reads 1 in storage —
+            # normalize to 0 tips below a leaf? No: reference reports the
+            # stored edge value. Keep stored semantics (leaves -> 1? see
+            # ingest A1: a leaf's edge stores count of leaves under the leaf
+            # node itself = 1 in reference's getDescendantLeavesNumbers).
+            for f in _ANN_FIELDS:
+                v = d.get(f)
+                if v:
+                    blob[f] = {k: list(x) if isinstance(x, list) else x for k, x in v.items()}
+                    if unique_sources is not None:
+                        unique_sources.update(v.keys())
+            blobs[d["node_id"]] = blob
+        return blobs
+
+    def _source_id_map(self, sources: set) -> dict:
+        """A3/getSourceIDMap (GraphExplorer.java:217-224): map each source id
+        through the source-map table; taxonomy sources (e.g. 'ott2.9draft12')
+        get a taxonomy blob."""
+        out = {}
+        for s in sorted(sources):
+            if s in self._source_map:
+                out[s] = self._source_map[s]
+            elif s.startswith("ott"):
+                out[s] = {"taxonomy": "ott", "version": s[3:]}
+            else:
+                out[s] = {}
+        return out
+
+    def _supporting_studies(self, sources: set) -> list[str]:
+        """A2 — GraphExplorer.getSupportingStudies (GraphExplorer.java:
+        356-399): supported_by source keys → study ids, deduped."""
+        out = set()
+        for s in sources:
+            sid = self._source_map.get(s, {}).get("study_id")
+            if sid and sid != "null":
+                out.add(sid)
+        return sorted(out)
+
+    # ------------------------------------------------------------------
+    # labels (P8)
+    # ------------------------------------------------------------------
+
+    def _labels(self, node_rows, label_format: str, ids_for_unnamed: bool) -> dict[str, str]:
+        """P8 — GraphExplorer.getNodeLabel (GraphExplorer.java:673-694)."""
+        labels = {}
+        for r in node_rows:
+            name = r["name"]
+            if name is not None:
+                if label_format == "name":
+                    lab = name
+                elif label_format == "id":
+                    lab = r["node_id"]
+                else:  # name_and_id
+                    lab = f"{name}_ott{r['ott_id']}"
+            elif ids_for_unnamed:
+                lab = r["node_id"]
+            else:
+                lab = ""
+            labels[r["node_id"]] = lab
+        return labels
+
+    @staticmethod
+    def _check_label_format(label_format: str | None) -> str:
+        if label_format is None:
+            return "name_and_id"
+        if label_format not in LABEL_FORMATS:
+            raise BadInputError(
+                f"Invalid 'label_format' arg: '{label_format}'. "
+                'Valid formats: "name", "id", or "name_and_id" (default).'
+            )
+        return label_format
+
+    # ------------------------------------------------------------------
+    # endpoints
+    # ------------------------------------------------------------------
+
+    def about(self, include_source_list: bool = False) -> dict:
+        """A10 — doAbout (tree_of_life_v3.java:63-122)."""
+        meta = self.store.tree_meta
+        res = {
+            "synth_id": self.store.tree_id,
+            "date_created": meta.get("date_completed"),
+            "taxonomy_version": meta.get("taxonomy_version"),
+            "num_source_studies": meta.get("num_source_studies"),
+            "num_source_trees": meta.get("num_source_trees"),
+            "filtered_flags": list(meta.get("filtered_flags", [])),
+            "root": self._node_blobs([self.store.root_id])[self.store.root_id],
+        }
+        if include_source_list:
+            res["source_list"] = list(meta.get("sources", []))
+            res["source_id_map"] = self._source_id_map(set(self._source_map))
+        return res
+
+    def node_info(self, node_id=None, ott_id=None, include_lineage: bool = False) -> dict:
+        """doNodeInfo (tree_of_life_v3.java:157-230); lineage is T8
+        (GraphExplorer.getLineage:228-236), parent-first ordering."""
+        row = self._resolve_one(node_id, ott_id)
+        qid = row["node_id"]
+        sources: set = set()
+        res = dict(self._node_blobs([qid], sources)[qid])
+        if include_lineage:
+            anc = [
+                r["ancestor_id"]
+                for r in T.path_to_root(self.store.paths, qid).collect()
+            ]
+            blobs = self._node_blobs(anc, sources) if anc else {}
+            res["lineage"] = [blobs[a] for a in anc]
+        res["source_id_map"] = self._source_id_map(sources)
+        return res
+
+    def mrca(self, node_ids=None, ott_ids=None) -> dict:
+        """doMrca (tree_of_life_v3.java:258-363): T2 over the closure, T3
+        nearest taxon when the MRCA is unnamed, 400-with-payload on bad ids."""
+        if not node_ids and not ott_ids:
+            raise BadInputError("You must supply at least one node_id or ott_id.")
+        found, bad_nodes, bad_otts = self._resolve_many(node_ids, ott_ids)
+        if not found:
+            raise BadIdsError(
+                "No valid ids provided.",
+                {"ott_ids_not_in_tree": bad_otts, "node_ids_not_in_tree": bad_nodes},
+            )
+        spark = self.store.nodes.sparkSession
+        tips = spark.createDataFrame([(i,) for i in found], "node_id string")
+        mrca_row = T.mrca(self.store.paths_with_self(), tips).collect()[0]
+        mrca_id = mrca_row["mrca_node_id"]
+
+        res: dict = {}
+        sources: set = set()
+        res["mrca"] = self._node_blobs([mrca_id], sources)[mrca_id]
+        res["source_id_map"] = self._source_id_map(sources)
+        if bad_otts:
+            res["ott_ids_not_in_tree"] = bad_otts
+        if bad_nodes:
+            res["node_ids_not_in_tree"] = bad_nodes
+
+        if "taxon" not in res["mrca"]:
+            # T3 — nearest taxonomic ancestor (GraphExplorer.java:654-664)
+            named = self.store.nodes.where(F.col("ott_id").isNotNull()).select(
+                F.col("node_id").alias("ancestor_id")
+            )
+            mrta_row = (
+                self.store.paths.where(F.col("node_id") == mrca_id)
+                .join(named, "ancestor_id")
+                .orderBy("depth")
+                .limit(1)
+                .collect()
+            )
+            if mrta_row:
+                trow = self.store.nodes.where(
+                    F.col("node_id") == mrta_row[0]["ancestor_id"]
+                ).collect()[0]
+                res["nearest_taxon"] = self._taxon_blob(trow.asDict())
+
+        if bad_otts or bad_nodes:
+            raise BadIdsError("Some ids not found or not in tree.", res)
+        return res
+
+    def subtree(
+        self,
+        node_id=None,
+        ott_id=None,
+        tree_format: str | None = None,
+        label_format: str | None = None,
+        height_limit: int | None = None,
+        include_all_node_labels: bool = False,
+    ) -> dict:
+        """doSubtree (tree_of_life_v3.java:566-722): newick (full or
+        depth-limited, T4/T7) or arguson (S9, default depth 5)."""
+        tree_format = tree_format or "newick"
+        if tree_format not in ("newick", "arguson"):
+            raise BadInputError(
+                f"Invalid 'format' arg: '{tree_format}'. "
+                'Valid formats: "newick" (default) or "arguson".'
+            )
+        label_format = self._check_label_format(label_format)
+        row = self._resolve_one(node_id, ott_id)
+        qid = row["node_id"]
+
+        if tree_format == "newick":
+            depth = height_limit if height_limit is not None else -1
+            cap = self.max_tips_newick if self.enforce_caps else None
+            return self._subtree_newick(qid, depth, label_format, include_all_node_labels, cap)
+        depth = height_limit if height_limit is not None else 5
+        cap = self.max_tips_arguson if self.enforce_caps else None
+        return {"arguson": self._arguson(qid, depth, cap)}
+
+    def _subtree_edges(self, qid: str, depth: int):
+        sub = self.store.paths.where(F.col("ancestor_id") == qid)
+        if depth >= 0:
+            sub = sub.where(F.col("depth") <= depth)
+        member = sub.select("node_id")
+        return (
+            self.store.edges.join(
+                member.withColumnRenamed("node_id", "child_id"), "child_id", "left_semi"
+            )
+            # keep only edges whose parent is inside the subtree or is qid
+            .join(
+                member.unionByName(
+                    member.sparkSession.createDataFrame([(qid,)], "node_id string")
+                ).withColumnRenamed("node_id", "parent_id"),
+                "parent_id",
+                "left_semi",
+            )
+        )
+
+    def _guard(self, qid: str, depth: int, cap: int | None) -> None:
+        """O3 — pre-flight size guard (tree_of_life_v3.java:685-700):
+        O(1) stored tip_descendants when unbounded, T5 count when bounded."""
+        if cap is None:
+            return
+        if depth < 0:
+            edge = self.store.edges.where(F.col("child_id") == qid).collect()
+            n = (
+                int(edge[0]["tip_descendants"])
+                if edge
+                else int(self.store.tree_meta.get("num_tips", 0))
+            )
+        else:
+            sub = self._subtree_edges(qid, depth)
+            n = (
+                sub.select(F.col("child_id").alias("node_id"))
+                .join(
+                    sub.select(F.col("parent_id").alias("node_id")).distinct(),
+                    "node_id",
+                    "left_anti",
+                )
+                .count()
+            )
+        if n > cap:
+            raise TreeTooBigError(
+                f"Requested tree ({n} tips) is larger than currently allowed ({cap} tips)."
+            )
+
+    def _subtree_newick(self, qid, depth, label_format, ids_for_unnamed, cap) -> dict:
+        self._guard(qid, depth, cap)
+        edges = self._subtree_edges(qid, depth)
+        rows = edges.select("child_id", "parent_id", "branch_length", "child_index").collect()
+        member_ids = {r["child_id"] for r in rows} | {qid}
+        spark = self.store.nodes.sparkSession
+        mdf = spark.createDataFrame([(i,) for i in member_ids], "node_id string")
+        node_rows = self.store.nodes.join(F.broadcast(mdf), "node_id", "left_semi").collect()
+        labels = self._labels(node_rows, label_format, ids_for_unnamed)
+
+        sources: set = set()
+        ann = self.store.node_annotations.join(F.broadcast(mdf), "node_id", "left_semi")
+        for r in ann.select(F.explode(F.map_keys("supported_by")).alias("s")).collect():
+            sources.add(r["s"])
+        return {
+            "newick": assemble_newick(
+                [(r["child_id"], r["parent_id"], r["branch_length"], r["child_index"]) for r in rows],
+                qid,
+                labels,
+            ),
+            "supporting_studies": self._supporting_studies(sources),
+        }
+
+    def _arguson(self, qid: str, depth: int, cap: int | None) -> dict:
+        """S9 — getArgusonData (GraphExplorer.java:342-354,434-447): nested
+        node blobs with children (depth-limited) + lineage + source_id_map."""
+        self._guard(qid, depth, cap)
+        edges = self._subtree_edges(qid, depth)
+        rows = edges.select("child_id", "parent_id", "child_index").collect()
+        member = [r["child_id"] for r in rows] + [qid]
+        sources: set = set()
+        blobs = self._node_blobs(member, sources)
+        kids: dict[str, list] = {}
+        for r in sorted(rows, key=lambda r: (r["parent_id"], r["child_index"] or 0)):
+            kids.setdefault(r["parent_id"], []).append(r["child_id"])
+        def build(nid: str) -> dict:
+            blob = dict(blobs[nid])
+            if nid in kids:
+                blob["children"] = [build(c) for c in kids[nid]]
+            return blob
+        top = build(qid)
+        anc = [r["ancestor_id"] for r in T.path_to_root(self.store.paths, qid).collect()]
+        lineage_blobs = self._node_blobs(anc, sources) if anc else {}
+        top["lineage"] = [lineage_blobs[a] for a in anc]
+        top["source_id_map"] = self._source_id_map(sources)
+        return top
+
+    def induced_subtree(self, node_ids=None, ott_ids=None, label_format=None) -> dict:
+        """doInducedSubtree (tree_of_life_v3.java:411-518): T6 over the
+        closure; 400-with-payload when ids are bad (BadIdsException)."""
+        label_format = self._check_label_format(label_format)
+        found, bad_nodes, bad_otts = self._resolve_many(node_ids, ott_ids)
+        if len(found) < 2:
+            raise BadInputError(
+                "Not enough valid node ids provided to construct a subtree "
+                "(there must be at least two)."
+            )
+        spark = self.store.nodes.sparkSession
+        tips = spark.createDataFrame([(i,) for i in found], "node_id string")
+        ind_edges = T.induced_subtree(self.store.paths_with_self(), tips)
+        rows = [(r["child_id"], r["parent_id"]) for r in ind_edges.collect()]
+        members = {c for c, _ in rows} | {p for _, p in rows}
+        root_candidates = {p for _, p in rows} - {c for c, _ in rows}
+        root_id = root_candidates.pop() if root_candidates else found[0]
+
+        mdf = spark.createDataFrame([(i,) for i in members], "node_id string")
+        node_rows = self.store.nodes.join(F.broadcast(mdf), "node_id", "left_semi").collect()
+        labels = self._labels(node_rows, label_format, ids_for_unnamed=True)
+
+        sources: set = set()
+        ann = self.store.node_annotations.join(F.broadcast(mdf), "node_id", "left_semi")
+        for r in ann.select(F.explode(F.map_keys("supported_by")).alias("s")).collect():
+            sources.add(r["s"])
+
+        res: dict = {}
+        if bad_otts:
+            res["ott_ids_not_in_tree"] = bad_otts
+        if bad_nodes:
+            res["node_ids_not_in_tree"] = bad_nodes
+        res["newick"] = assemble_newick(rows, root_id, labels)
+        res["supporting_studies"] = self._supporting_studies(sources)
+        if bad_otts or bad_nodes:
+            raise BadIdsError("Some ids not found or not in tree.", res)
+        return res

@@ -1,0 +1,130 @@
+"""CLI — command-for-command parity with the reference's MainRunner
+(opentree/MainRunner.java:483-539, command table :500-519).
+
+Usage: python -m treemachine_spark.cli <command> [args...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="treemachine-spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    s = sub.add_parser("ingestsynth", help="newick + json + tsv -> parquet store (MainRunner.java:502)")
+    s.add_argument("newick")
+    s.add_argument("annotations")
+    s.add_argument("taxonomy")
+    s.add_argument("dbname")
+
+    s = sub.add_parser("listsynthtrees", help="list synth tree ids (MainRunner.java:505)")
+    s.add_argument("dbname")
+
+    s = sub.add_parser("extractdrafttree_name", help="full tree -> newick file (MainRunner.java:160-203)")
+    s.add_argument("dbname")
+    s.add_argument("outfile")
+
+    s = sub.add_parser("nodeinfo", help="node blob by ot node id (MainRunner.java:507)")
+    s.add_argument("dbname")
+    s.add_argument("node_id")
+
+    s = sub.add_parser("converttaxonomy", help="taxonomy tsv -> newick (MainRunner.java:250-367)")
+    s.add_argument("taxonomy")
+    s.add_argument("outfile")
+
+    s = sub.add_parser("nexson2newick", help="NexSON -> newick (MainRunner.java:374-429)")
+    s.add_argument("nexson")
+    s.add_argument("outfile")
+
+    s = sub.add_parser("exporttodot", help="DOT export (MainRunner.java:502 exporttodot)")
+    s.add_argument("dbname")
+    s.add_argument("outfile")
+    s.add_argument("--start-node", default=None)
+
+    s = sub.add_parser("exporttocsv", help="CSV edge dump (GraphExporter.dumpCSV)")
+    s.add_argument("dbname")
+    s.add_argument("outdir")
+    s.add_argument("--start-node", default=None)
+
+    s = sub.add_parser("mrpdump", help="MRP matrix (GraphExporter.getMRPDump)")
+    s.add_argument("dbname")
+    s.add_argument("outfile")
+
+    args = p.parse_args(argv)
+
+    from treemachine_spark.session import get_spark
+
+    spark = get_spark(f"treemachine-cli-{args.cmd}")
+
+    if args.cmd == "ingestsynth":
+        from treemachine_spark.ingest import ingest_synthesis_data
+
+        store = ingest_synthesis_data(
+            spark, args.newick, args.annotations, args.taxonomy, out_dir=args.dbname
+        )
+        print(f"ingested tree '{store.tree_id}' -> {args.dbname}")
+        return 0
+
+    if args.cmd == "converttaxonomy":
+        from treemachine_spark.exporters.exports import taxonomy_to_newick
+
+        out = taxonomy_to_newick(spark, args.taxonomy)
+        with open(args.outfile, "w") as fh:
+            fh.write(out + "\n")
+        return 0
+
+    if args.cmd == "nexson2newick":
+        from treemachine_spark.exporters.newick_sink import assemble_newick
+        from treemachine_spark.sources.nexson import read_nexson_trees
+
+        trees = read_nexson_trees(args.nexson)
+        with open(args.outfile, "w") as fh:
+            for t in trees:
+                labels = {n.node_id: (n.label or "") for n in t.nodes}
+                fh.write(assemble_newick(t.edges(), t.root_id, labels) + "\n")
+        return 0
+
+    # remaining commands need a store
+    from treemachine_spark.ingest import load_store
+
+    store = load_store(spark, args.dbname)
+
+    if args.cmd == "listsynthtrees":
+        # L9 (GraphExplorer.getSynthTreeIDs:95-107)
+        for t in sorted({store.tree_id}):
+            print(t)
+    elif args.cmd == "extractdrafttree_name":
+        from treemachine_spark.api.v3 import TreeOfLifeV3
+
+        api = TreeOfLifeV3(store)
+        res = api.subtree(node_id=store.root_id, label_format="name")
+        with open(args.outfile, "w") as fh:
+            fh.write(res["newick"] + "\n")
+    elif args.cmd == "nodeinfo":
+        from treemachine_spark.api.v3 import TreeOfLifeV3
+
+        api = TreeOfLifeV3(store)
+        print(json.dumps(api.node_info(node_id=args.node_id), indent=2, sort_keys=True))
+    elif args.cmd == "exporttodot":
+        from treemachine_spark.exporters.exports import export_dot
+
+        with open(args.outfile, "w") as fh:
+            fh.write(export_dot(store, args.start_node) + "\n")
+    elif args.cmd == "exporttocsv":
+        from treemachine_spark.exporters.exports import dump_csv
+
+        dump_csv(store, args.outdir, args.start_node)
+    elif args.cmd == "mrpdump":
+        from treemachine_spark.exporters.exports import mrp_text
+
+        with open(args.outfile, "w") as fh:
+            fh.write(mrp_text(store) + "\n")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

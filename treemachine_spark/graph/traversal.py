@@ -29,13 +29,15 @@ def path_to_root(paths: DataFrame, node_id: str) -> DataFrame:
     )
 
 
-def mrca(paths_self: DataFrame, tips: DataFrame, root_id: str = "root") -> DataFrame:
+def mrca(paths_self: DataFrame, tips: DataFrame) -> DataFrame:
     """T2 — most recent common ancestor of a set of tips.
 
     Reference: GraphExplorer.getDraftTreeMRCA (opentree/GraphExplorer.java:
     617-650) walks each tip rootward tracking the rootward-most intersection.
     Spark recipe: an ancestor common to all n tips with maximum distance from
-    the root IS the MRCA — one join + one aggregation, no iteration.
+    the root IS the MRCA — one join + one aggregation, no iteration. Distance
+    from root needs no root lookup: in a rooted tree it equals max(depth)
+    over a node's ancestor paths.
 
     ``paths_self`` must include depth-0 self paths so a tip that is itself an
     ancestor of the others can win. Returns one row
@@ -48,7 +50,7 @@ def mrca(paths_self: DataFrame, tips: DataFrame, root_id: str = "root") -> DataF
         .agg(F.countDistinct("node_id").alias("n_covered"))
         .where(F.col("n_covered") == n_tips)
     )
-    rd = root_depths(paths_self.where(F.col("depth") > 0), root_id)
+    rd = paths_self.groupBy("node_id").agg(F.max("depth").alias("root_depth"))
     return (
         covering.join(rd, covering.ancestor_id == rd.node_id)
         .select(F.col("ancestor_id").alias("mrca_node_id"), F.col("root_depth").alias("mrca_depth"))

@@ -1,0 +1,187 @@
+"""Ingest pipeline (S6 + A1 + closure build) — the Spark rebuild of
+IngestSynthesisData.buildDB (opentree/IngestSynthesisData.java:92-143):
+
+  reference: newick → JadeTree (heap) → postorder per-node Neo4j writes with
+  50k-row transactions (:30-31, :367-457)
+  rebuild:   newick → edge/node DataFrames → taxonomy semi-join → annotation
+             decode → ancestor closure + tip_descendants → immutable parquet
+             snapshot (no transactions needed)
+
+Every per-node loop in the reference becomes a set-oriented job; the only
+driver-side stage is parsing the newick string itself.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from treemachine_spark.graph.closure import build_closure, with_self_paths
+from treemachine_spark.sources.annotations import read_annotations, with_taxonomy_support
+from treemachine_spark.sources.newick import newick_to_dataframes
+from treemachine_spark.sources.taxonomy import filter_to_tree, read_taxonomy_tsv
+
+
+@dataclass
+class GraphStore:
+    """The engine's table set (FIXTURES.md §2). All DataFrames; immutable.
+
+    nodes: (tree_id, node_id, ott_id, name, unique_name, rank, tax_sources,
+            is_leaf)
+    edges: (tree_id, child_id, parent_id, branch_length, child_index,
+            tip_descendants)
+    paths: (node_id, ancestor_id, depth)   -- ancestor closure
+    node_annotations: (node_id, supported_by, conflicts_with, resolves,
+            resolved_by, partial_path_of, terminal)
+    source_map: (source_id, study_id, tree_id, git_sha)
+    tree_meta: dict (driver-side; tiny)
+    """
+
+    tree_id: str
+    root_id: str
+    nodes: DataFrame
+    edges: DataFrame
+    paths: DataFrame
+    node_annotations: DataFrame
+    source_map: DataFrame
+    tree_meta: dict
+
+    def cache(self) -> "GraphStore":
+        for df in (self.nodes, self.edges, self.paths, self.node_annotations, self.source_map):
+            df.cache()
+        return self
+
+    def paths_with_self(self) -> DataFrame:
+        return with_self_paths(self.paths, self.nodes)
+
+
+def ingest_synthesis_data(
+    spark: SparkSession,
+    newick_path: str,
+    annotations_path: str,
+    taxonomy_path: str,
+    out_dir: str | None = None,
+) -> GraphStore:
+    """CLI ``ingestsynth`` equivalent (MainRunner.java:35-81 →
+    IngestSynthesisData.buildDB:92-143)."""
+    with open(newick_path) as fh:
+        newick_text = fh.read()
+
+    meta, ann_raw, source_map = read_annotations(spark, annotations_path)
+    tree_id = str(meta.get("tree_id", "synth"))
+
+    nodes_raw, edges_raw = newick_to_dataframes(spark, newick_text, tree_id)
+
+    # taxonomy join — labels 'ott<uid>' carry the taxon id
+    # (IngestSynthesisData.java:161-180 collectOTTIDs + :184-274 TSV filter)
+    ott_uid = F.regexp_extract("node_id", r"^ott([0-9]+)$", 1)
+    used_uids = nodes_raw.select(ott_uid.alias("uid")).where(F.col("uid") != "")
+    taxonomy = filter_to_tree(read_taxonomy_tsv(spark, taxonomy_path), used_uids)
+
+    # the newick label IS the ot_node_id; the human 'name' comes from the
+    # taxonomy row (unnamed internals keep NULL name —
+    # IngestSynthesisData.java:383-402)
+    nodes = (
+        nodes_raw.drop("name")
+        .withColumn("uid", ott_uid)
+        .join(F.broadcast(taxonomy), "uid", "left")
+        .select(
+            "tree_id",
+            "node_id",
+            F.when(F.col("uid") != "", F.col("uid").cast("long")).alias("ott_id"),
+            F.col("name"),
+            F.col("uniqname").alias("unique_name"),
+            F.col("rank"),
+            F.split(F.col("sourceinfo"), ",").alias("tax_sources"),
+            "is_leaf",
+        )
+    )
+
+    paths = build_closure(edges_raw.select("child_id", "parent_id"))
+
+    # A1 — tip_descendants stored per edge (IngestSynthesisData.java:435-443)
+    leaves = nodes_raw.where(F.col("is_leaf")).select("node_id")
+    tipc = (
+        paths.join(F.broadcast(leaves), "node_id")
+        .groupBy("ancestor_id")
+        .agg(F.count("*").alias("tip_descendants"))
+    )
+    edges = (
+        edges_raw.join(
+            tipc.withColumnRenamed("ancestor_id", "child_id"), "child_id", "left"
+        )
+        .withColumn("tip_descendants", F.coalesce("tip_descendants", F.lit(1)))
+    )
+
+    ann = with_taxonomy_support(
+        ann_raw, nodes_raw, str(meta.get("taxonomy_version", ""))
+    )
+
+    tree = parse_root(nodes_raw, edges_raw)
+    store = GraphStore(
+        tree_id=tree_id,
+        root_id=tree,
+        nodes=nodes,
+        edges=edges,
+        paths=paths,
+        node_annotations=ann,
+        source_map=source_map,
+        tree_meta=meta,
+    ).cache()
+
+    if out_dir:
+        write_store(store, out_dir)
+    return store
+
+
+def parse_root(nodes_raw: DataFrame, edges_raw: DataFrame) -> str:
+    """Root = the node that is never a child (graph-root lookup, L7 —
+    GraphBase.getGraphRootNode, opentree/GraphBase.java:198-200)."""
+    root = (
+        nodes_raw.select("node_id")
+        .join(edges_raw.select(F.col("child_id").alias("node_id")), "node_id", "left_anti")
+        .collect()
+    )
+    assert len(root) == 1, f"expected 1 root, got {root}"
+    return root[0]["node_id"]
+
+
+def write_store(store: GraphStore, out_dir: str) -> None:
+    """Immutable parquet snapshot, partitioned by tree_id so multi-tree
+    stores prune partitions (the reference hides multi-tree support;
+    we keep tree_id first-class — SURVEY.md §7 risk 5)."""
+    store.nodes.write.mode("overwrite").partitionBy("tree_id").parquet(
+        os.path.join(out_dir, "nodes")
+    )
+    store.edges.write.mode("overwrite").partitionBy("tree_id").parquet(
+        os.path.join(out_dir, "edges")
+    )
+    store.paths.write.mode("overwrite").parquet(os.path.join(out_dir, "paths"))
+    store.node_annotations.write.mode("overwrite").parquet(
+        os.path.join(out_dir, "node_annotations")
+    )
+    store.source_map.write.mode("overwrite").parquet(os.path.join(out_dir, "source_map"))
+    import json as _json
+
+    with open(os.path.join(out_dir, "tree_meta.json"), "w") as fh:
+        _json.dump({**store.tree_meta, "root_id": store.root_id}, fh)
+
+
+def load_store(spark: SparkSession, out_dir: str) -> GraphStore:
+    import json as _json
+
+    with open(os.path.join(out_dir, "tree_meta.json")) as fh:
+        meta = _json.load(fh)
+    return GraphStore(
+        tree_id=str(meta.get("tree_id", "synth")),
+        root_id=meta["root_id"],
+        nodes=spark.read.parquet(os.path.join(out_dir, "nodes")),
+        edges=spark.read.parquet(os.path.join(out_dir, "edges")),
+        paths=spark.read.parquet(os.path.join(out_dir, "paths")),
+        node_annotations=spark.read.parquet(os.path.join(out_dir, "node_annotations")),
+        source_map=spark.read.parquet(os.path.join(out_dir, "source_map")),
+        tree_meta=meta,
+    ).cache()
