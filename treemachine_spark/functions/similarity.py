@@ -1,0 +1,140 @@
+"""Similarity search over embedding columns (array<float>): brute-force
+top-k as the exact baseline, LSH-bucketed ANN as the scale path.
+
+Determinism contract with the DuckDB oracle: scores are integer dot
+products of quantized vectors (round(x*1000) per dimension). Integer
+arithmetic is exact in IEEE doubles up to 2^53, so both engines produce
+identical scores regardless of summation order — float cosine would differ
+in the last ulp and break value-hash comparison. Real-valued cosine is also
+provided for library use.
+
+Scale design: brute-force is one broadcast of the (small) query set against
+a scan of the corpus — no shuffle except the final per-query top-k
+(window). The LSH variant buckets by sign-bit sketches so each query probes
+only its bucket; at 100 TB the bucket join replaces the full scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from treemachine_spark.functions.hashing import h32
+
+
+def quantize(vec: Column, scale: int = 1000) -> Column:
+    return F.transform(vec, lambda x: F.round(x.cast("double") * scale))
+
+
+def int_dot(a: Column, b: Column) -> Column:
+    """Exact integer dot product of quantized vectors."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """True cosine similarity (library use; not oracle-gated)."""
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, v: s + v))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda s, v: s + v))
+    return dot / (na * nb)
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by quantized dot product:
+    (query_id, neighbor_id, score, rank). Query set is broadcast; ranking is
+    a per-query window (tie-break on neighbor id for determinism)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), quantize(F.col(vec_col)).alias("qv")
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), quantize(F.col(vec_col)).alias("cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            int_dot(F.col("qv"), F.col("cv")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
+def signbit_sketch(vec: Column, n_planes: int = 8) -> Column:
+    """Random-hyperplane LSH sketch without storing planes: plane j's
+    component for dimension i is a deterministic ±1 derived from
+    h32(j||':'||i). The sketch is the sign-bit integer of the projections.
+
+    Equivalent to signed random projections, but reproducible on any engine
+    (and in the DuckDB oracle) with no side data to ship. Projections run on
+    the QUANTIZED vector so the sum is exact integer arithmetic — the sign
+    bit can never flip between engines. At 100 TB scale, precompute the
+    plane matrix once and broadcast instead of rehashing (j,i) per row.
+    """
+    qv = quantize(vec)
+    out = F.lit(0).cast("long")
+    for j in range(n_planes):
+        proj = F.aggregate(
+            F.zip_with(
+                qv,
+                F.sequence(F.lit(0), F.size(qv) - 1),
+                lambda x, i: x
+                * F.when(
+                    h32(F.concat(F.lit(f"{j}:"), i.cast("string"))) % 2 == 0,
+                    F.lit(1.0),
+                ).otherwise(F.lit(-1.0)),
+            ),
+            F.lit(0.0),
+            lambda s, v: s + v,
+        )
+        out = out + F.when(proj > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return out
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN: candidates share the sign-bit bucket, then exact re-rank within
+    the bucket. Trades recall for a candidate set ~n/2^planes per query."""
+    emb = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        quantize(F.col(vec_col)).alias("cv"),
+        signbit_sketch(F.col(vec_col), n_planes).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        quantize(F.col(vec_col)).alias("qv"),
+        signbit_sketch(F.col(vec_col), n_planes).alias("bucket"),
+    )
+    scored = (
+        emb.join(F.broadcast(q), "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id", int_dot(F.col("qv"), F.col("cv")).alias("score")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )

@@ -1,0 +1,105 @@
+"""Text-analysis operators for large-scale training-data pipelines
+(beyond-reference scope per BASELINE.json north star): token counting,
+quality scoring, language ID, document fingerprinting.
+
+All pure built-in column expressions — whole-stage-codegen'd, no Python in
+the hot path; each scales linearly over document partitions with zero
+shuffles (per-row transforms).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from treemachine_spark.functions.hashing import MERSENNE31, h32
+
+# tiny stopword lists for the n-gram/stopword language heuristic; shared
+# verbatim with the DuckDB oracles
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is"],
+    "es": ["el", "la", "de", "que", "y", "los"],
+    "de": ["der", "die", "das", "und", "ist", "von"],
+    "fr": ["le", "la", "les", "de", "et", "est"],
+}
+
+
+def words(text: Column) -> Column:
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(words(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Sub-word-ish token proxy: alphanumeric runs + each punctuation char
+    count as one token (a cheap regex stand-in for BPE)."""
+    return F.size(F.regexp_extract_all(text, F.lit(r"[a-zA-Z0-9]+|[^a-zA-Z0-9\s]"), 0))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality ∈ [0,1]: length saturation + stopword ratio.
+
+    score = round(0.5*min(n_tokens/100, 1) + 0.5*stop_ratio, 4)
+    """
+    w = words(text)
+    n = F.size(w)
+    stops = [s for lst in STOPWORDS.values() for s in lst]
+    n_stop = F.size(F.filter(w, lambda x: x.isin(stops)))
+    return F.round(
+        0.5 * F.least(n / F.lit(100.0), F.lit(1.0)) + 0.5 * (n_stop / n), 4
+    )
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    w = words(text)
+    return {
+        lang: F.size(F.filter(w, lambda x: x.isin(lst)))
+        for lang, lst in STOPWORDS.items()
+    }
+
+
+def lang_id(text: Column) -> Column:
+    """Stopword-hit language heuristic; deterministic tie-break by language
+    code order, 'und' (undetermined) when nothing matches."""
+    scores = lang_scores(text)
+    pairs = sorted(scores.items())  # deterministic tie-break: lang asc
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    for lang, score in pairs:
+        is_better = score > best_score
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(is_better, score).otherwise(best_score)
+    return best_lang
+
+
+def fingerprint(text: Column) -> Column:
+    """Rolling (Horner) document fingerprint over word hashes mod 2^31-1:
+
+        f = h(w1); f = (f*31 + h(wi)) % p
+
+    Matches DuckDB ``list_reduce`` fold-left semantics (first element is the
+    initial accumulator), hence the slice+aggregate shape.
+    """
+    hs = F.transform(words(text), lambda w: h32(w) % MERSENNE31)
+    return F.when(F.size(hs) == 1, hs[0]).otherwise(
+        F.aggregate(
+            F.slice(hs, 2, F.greatest(F.size(hs) - 1, F.lit(1))),
+            hs[0],
+            lambda acc, h: (acc * 31 + h) % MERSENNE31,
+        )
+    )
+
+
+def text_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-pass profile: tokens, quality, predicted language, fingerprint."""
+    t = F.col(text_col)
+    return docs.select(
+        "doc_id",
+        token_count(t).alias("n_tokens"),
+        quality_score(t).alias("quality"),
+        lang_id(t).alias("pred_lang"),
+        fingerprint(t).alias("fingerprint"),
+    )

@@ -12,6 +12,9 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_NANO_TS_COLS = {"ts", "o_orderdate", "l_shipdate"}
 
 TABLE_NAMES = [
     "region",
@@ -40,7 +43,20 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     driver-owned SparkSession.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return {
-        name: spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-        for name in TABLE_NAMES
-    }
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    out = {}
+    for name in TABLE_NAMES:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        # UTC-adjusted TIMESTAMP(NANOS) columns (events.ts) come back as
+        # BIGINT nanos under the legacy conf; rebuild a naive-UTC
+        # timestamp_ntz so values match DuckDB's read of the same file.
+        for field in df.schema.fields:
+            if field.name in _NANO_TS_COLS and field.dataType.simpleString() == "bigint":
+                df = df.withColumn(
+                    field.name,
+                    F.timestamp_micros(F.expr(f"`{field.name}` div 1000")).cast(
+                        "timestamp_ntz"
+                    ),
+                )
+        out[name] = df
+    return out

@@ -1,0 +1,199 @@
+"""Structured Streaming analytics over the events table (beyond-reference:
+the reference is batch-ingest + read-only serving, SURVEY.md §2.9).
+
+Jobs:
+- windowed_counts: tumbling 1h windows with a watermark for late data; the
+  streaming twin of workload s1_event_windows (same results once all data
+  is processed — verified in tests with trigger(availableNow)).
+- streaming_dedup: dropDuplicates within the watermark on event_id.
+- sessionize: gap-based sessions per user via applyInPandasWithState.
+
+Scale notes: state (window aggs, dedup keys, sessions) is bounded by the
+watermark; at production scale back the source with Kafka and the sink with
+partitioned parquet/Delta, both straight swaps of format().
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+
+def read_event_stream(spark, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (for tests, processed with
+    trigger(availableNow); swap .parquet for .format('kafka') in prod).
+
+    The file source requires a directory, so the single events.parquet is
+    exposed through a symlink staging dir (read-only testdata is untouched).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    import hashlib
+    import os
+    import tempfile
+
+    src = os.path.join(sf_dir, "events.parquet")
+    tag = hashlib.md5(src.encode()).hexdigest()[:8]
+    stage = os.path.join(tempfile.gettempdir(), f"tm_stream_{tag}")
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+
+    raw = spark.readStream.schema(
+        StructType(
+            [
+                StructField("event_id", LongType()),
+                StructField("ts", LongType()),
+                StructField("user_id", LongType()),
+                StructField("event_type", StringType()),
+                StructField("value", DoubleType()),
+                StructField("props", StringType()),
+            ]
+        )
+    ).parquet(stage)
+    return raw.withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+    )
+
+
+def windowed_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Tumbling 1h window counts + value sums with late-data watermark."""
+    return (
+        events.withColumn("ts_t", F.col("ts").cast("timestamp"))
+        .withWatermark("ts_t", watermark)
+        .groupBy(F.window("ts_t", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("win.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def streaming_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Exactly-once-per-key within the watermark horizon."""
+    return (
+        events.withColumn("ts_t", F.col("ts").cast("timestamp"))
+        .withWatermark("ts_t", watermark)
+        .dropDuplicates(["event_id"])
+    )
+
+
+SESSION_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", IntegerType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+
+_STATE_SCHEMA = StructType(
+    [
+        StructField("start_us", LongType()),
+        StructField("end_us", LongType()),
+        StructField("n", IntegerType()),
+        StructField("total", DoubleType()),
+    ]
+)
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessionization with applyInPandasWithState: a session closes
+    when no event arrives for `gap_minutes` (event-time via watermark +
+    processing-time timeout as the closer)."""
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def fn(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            (start_us, end_us, n, total) = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "session_start": [pd.Timestamp(start_us, unit="us")],
+                    "session_end": [pd.Timestamp(end_us, unit="us")],
+                    "n_events": [n],
+                    "total_value": [total],
+                }
+            )
+            return
+        rows = pd.concat(list(pdfs))
+        ts_us = (rows["ts_t"].astype("int64") // 1000).sort_values()
+        vals = rows["value"]
+        if state.exists:
+            start_us, end_us, n, total = state.get
+        else:
+            start_us, end_us, n, total = int(ts_us.iloc[0]), int(ts_us.iloc[0]), 0, 0.0
+        out = []
+        for t, v in zip(ts_us, vals.loc[ts_us.index]):
+            if n > 0 and t - end_us > gap_us:
+                out.append((key[0], start_us, end_us, n, total))
+                start_us, end_us, n, total = int(t), int(t), 1, float(v)
+            else:
+                end_us = int(t)
+                n += 1
+                total += float(v)
+        state.update((start_us, end_us, n, total))
+        state.setTimeoutDuration(60_000)
+        if out:
+            yield pd.DataFrame(
+                {
+                    "user_id": [o[0] for o in out],
+                    "session_start": [pd.Timestamp(o[1], unit="us") for o in out],
+                    "session_end": [pd.Timestamp(o[2], unit="us") for o in out],
+                    "n_events": [o[3] for o in out],
+                    "total_value": [o[4] for o in out],
+                }
+            )
+
+    return (
+        events.withColumn("ts_t", F.col("ts").cast("timestamp"))
+        .withWatermark("ts_t", "2 hours")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            SESSION_SCHEMA,
+            _STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
+def run_to_memory(
+    stream_df: DataFrame, name: str, output_mode: str = "append", await_seconds: int = 120
+):
+    """Run a streaming query to completion (availableNow) into an in-memory
+    sink; returns the result DataFrame. Test/bench helper."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(await_seconds)
+    return stream_df.sparkSession.table(name)

@@ -244,3 +244,7 @@ SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_value
 FROM events
 WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) > 90
 """
+
+from treemachine_spark.workload.pipeline_oracles import PIPELINE_ORACLES  # noqa: E402
+
+ORACLES.update(PIPELINE_ORACLES)

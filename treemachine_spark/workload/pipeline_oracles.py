@@ -1,0 +1,204 @@
+"""DuckDB oracles for the training-data pipeline queries. The hashing
+constants and word/shingle logic mirror treemachine_spark/functions/
+(hashing.py text.py dedup.py similarity.py) expression for expression.
+"""
+
+from __future__ import annotations
+
+from treemachine_spark.functions.hashing import BAND_SIZE, MERSENNE31, MINHASH_PERMS
+from treemachine_spark.functions.text import STOPWORDS
+
+P = MERSENNE31
+
+
+def _sql_list(xs) -> str:
+    return ", ".join(f"'{x}'" for x in xs)
+
+
+_WORDS_CTE = r"""
+WITH w AS (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents
+)
+"""
+
+_SHINGLES_CTE = _WORDS_CTE + r"""
+, sh AS (
+    SELECT doc_id,
+           list_distinct(
+               CASE WHEN len(ws) >= 3
+                    THEN [array_to_string(ws[i:i+2], ' ') FOR i IN range(1, len(ws) - 1)]
+                    ELSE [array_to_string(ws, ' ')]
+               END
+           ) AS sh
+    FROM w
+)
+, hh AS (
+    SELECT doc_id, sh,
+           list_transform(sh, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS hh
+    FROM sh
+)
+"""
+
+PIPELINE_ORACLES: dict[str, str] = {}
+
+# ---------------------------------------------------------------------------
+# text profile
+# ---------------------------------------------------------------------------
+
+_langs = sorted(STOPWORDS)  # tie-break: alphabetical, first max wins
+_scores = {
+    lang: f"len(list_filter(ws, x -> x IN ({_sql_list(STOPWORDS[lang])})))"
+    for lang in _langs
+}
+_gm = "GREATEST(" + ", ".join(f"s_{lang}" for lang in _langs) + ")"
+_lang_case = (
+    "CASE WHEN " + _gm + " = 0 THEN 'und' "
+    + " ".join(f"WHEN s_{lang} = {_gm} THEN '{lang}'" for lang in _langs[:-1])
+    + f" ELSE '{_langs[-1]}' END"
+)
+_all_stops = _sql_list([s for lst in STOPWORDS.values() for s in lst])
+
+PIPELINE_ORACLES["x1_text_profile"] = _WORDS_CTE + f"""
+, scored AS (
+    SELECT doc_id, ws,
+           {", ".join(f"{expr} AS s_{lang}" for lang, expr in _scores.items())},
+           list_transform(ws, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT % {P}) AS hs
+    FROM w
+)
+SELECT doc_id,
+       len(ws) AS n_tokens,
+       ROUND(0.5 * LEAST(len(ws) / 100.0, 1.0)
+             + 0.5 * (len(list_filter(ws, x -> x IN ({_all_stops}))) / len(ws)), 4) AS quality,
+       {_lang_case} AS pred_lang,
+       list_reduce(hs, (a, b) -> (a * 31 + b) % {P}) AS fingerprint
+FROM scored
+"""
+
+PIPELINE_ORACLES["x2_bpe_tokens"] = r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\s]')) AS n_bpe_tokens
+FROM documents
+"""
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+PIPELINE_ORACLES["d1_exact_dedup"] = """
+SELECT md5(text) AS text_hash, MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+_sigs = ", ".join(
+    f"list_aggregate(list_transform(hh, h -> ({a} * h + {b}) % {P}), 'min') AS s{i}"
+    for i, (a, b) in enumerate(MINHASH_PERMS)
+)
+_n_bands = len(MINHASH_PERMS) // BAND_SIZE
+_band_rows = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band_idx, "
+    f"CAST(s{b * BAND_SIZE} AS VARCHAR) || ':' || CAST(s{b * BAND_SIZE + 1} AS VARCHAR) AS band_key "
+    "FROM sig"
+    for b in range(_n_bands)
+)
+
+PIPELINE_ORACLES["d2_minhash_pairs"] = _SHINGLES_CTE + f"""
+, sig AS (SELECT doc_id, {_sigs} FROM hh)
+, bands AS ({_band_rows})
+, cand AS (
+    SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+    FROM bands x JOIN bands y
+      ON x.band_idx = y.band_idx AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+)
+SELECT doc_a, doc_b,
+       ROUND(len(list_intersect(a.sh, b.sh))
+             / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+FROM cand
+JOIN sh a ON cand.doc_a = a.doc_id
+JOIN sh b ON cand.doc_b = b.doc_id
+WHERE len(list_intersect(a.sh, b.sh))
+      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.3
+"""
+
+_simhash_bits = " + ".join(
+    f"(CASE WHEN len(list_filter(hh, h -> (h & {1 << i}) != 0)) * 2 > len(hh) "
+    f"THEN {1 << i} ELSE 0 END)"
+    for i in range(32)
+)
+PIPELINE_ORACLES["d3_simhash"] = _WORDS_CTE + f"""
+, hh AS (
+    SELECT doc_id,
+           list_transform(ws, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT) AS hh
+    FROM w
+)
+SELECT doc_id, CAST({_simhash_bits} AS BIGINT) AS simhash FROM hh
+"""
+
+PIPELINE_ORACLES["d4_ngram_jaccard"] = _SHINGLES_CTE + """
+, ex AS (SELECT doc_id, unnest(sh) AS s FROM sh)
+, sizes AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id)
+, inter AS (
+    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS n_inter
+    FROM ex x JOIN ex y ON x.s = y.s AND x.doc_id < y.doc_id
+    GROUP BY x.doc_id, y.doc_id
+)
+SELECT doc_a, doc_b,
+       ROUND(n_inter / (sa.n + sb.n - n_inter), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE n_inter / (sa.n + sb.n - n_inter) >= 0.3
+"""
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+_QUANT = "list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000))"
+
+PIPELINE_ORACLES["v1_ann_brute"] = f"""
+WITH q AS (SELECT vec_id AS query_id, {_QUANT} AS qv FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS neighbor_id, {_QUANT} AS cv FROM embeddings),
+s AS (
+    SELECT query_id, neighbor_id, list_dot_product(qv, cv) AS score
+    FROM c CROSS JOIN q WHERE query_id != neighbor_id
+),
+r AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rk
+    FROM s
+)
+SELECT query_id, neighbor_id, score, CAST(rk AS INTEGER) AS rank FROM r WHERE rk <= 10
+"""
+
+_n_planes = 8
+_proj = " , ".join(
+    "list_sum([qv[i] * (CASE WHEN ('0x' || substr(md5('{j}:' || CAST(i - 1 AS VARCHAR)), 1, 8))::BIGINT % 2 = 0 "
+    "THEN 1.0 ELSE -1.0 END) FOR i IN range(1, len(qv) + 1)]) AS p{j}".format(j=j)
+    for j in range(_n_planes)
+)
+_bucket = " + ".join(f"(CASE WHEN p{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(_n_planes))
+
+PIPELINE_ORACLES["v2_ann_lsh"] = f"""
+WITH base AS (SELECT vec_id, {_QUANT} AS qv FROM embeddings),
+proj AS (SELECT vec_id, qv, {_proj} FROM base),
+sk AS (SELECT vec_id, qv, CAST({_bucket} AS BIGINT) AS bucket FROM proj),
+q AS (SELECT vec_id AS query_id, qv AS qqv, bucket FROM sk WHERE vec_id < 5),
+s AS (
+    SELECT query_id, c.vec_id AS neighbor_id, list_dot_product(qqv, c.qv) AS score
+    FROM sk c JOIN q USING (bucket) WHERE query_id != c.vec_id
+),
+r AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rk
+    FROM s
+)
+SELECT query_id, neighbor_id, score, CAST(rk AS INTEGER) AS rank FROM r WHERE rk <= 10
+"""
+
+# ---------------------------------------------------------------------------
+# streaming (batch-equivalent)
+# ---------------------------------------------------------------------------
+
+PIPELINE_ORACLES["s1_event_windows"] = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+FROM events GROUP BY 1, 2
+"""

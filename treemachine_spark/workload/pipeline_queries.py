@@ -1,0 +1,89 @@
+"""Training-data pipeline queries (dedup / similarity / text analysis /
+streaming-batch) over the documents, embeddings and events tables — the
+beyond-reference operator families (BASELINE.json north star), each with a
+DuckDB oracle in pipeline_oracles.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from treemachine_spark.functions import dedup, similarity, text
+from treemachine_spark.io.tables import load_tables
+
+
+def q_x1_text_profile(spark, sf_dir):
+    """Token count + quality + language ID + fingerprint in one pass."""
+    return text.text_profile(load_tables(spark, sf_dir)["documents"])
+
+
+def q_x2_bpe_tokens(spark, sf_dir):
+    """Regex sub-word token counting."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return d.select(
+        "doc_id", text.bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens")
+    )
+
+
+def q_d1_exact_dedup(spark, sf_dir):
+    """Exact dedup groups (hash-groupBy)."""
+    return dedup.exact_dedup_groups(load_tables(spark, sf_dir)["documents"])
+
+
+def q_d2_minhash_pairs(spark, sf_dir):
+    """MinHash+LSH near-dup candidate pairs with exact Jaccard verify."""
+    return dedup.minhash_near_dup_pairs(
+        load_tables(spark, sf_dir)["documents"], threshold=0.3
+    )
+
+
+def q_d3_simhash(spark, sf_dir):
+    """32-bit SimHash signature per document."""
+    return dedup.simhash_profile(load_tables(spark, sf_dir)["documents"])
+
+
+def q_d4_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard near-dups via inverted shingle index."""
+    return dedup.ngram_jaccard_pairs(
+        load_tables(spark, sf_dir)["documents"], threshold=0.3
+    )
+
+
+def q_v1_ann_brute(spark, sf_dir):
+    """Exact top-10 neighbors (quantized dot product) for query vecs id<5."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return similarity.brute_force_topk(emb, emb.where(F.col("vec_id") < 5), k=10)
+
+
+def q_v2_ann_lsh(spark, sf_dir):
+    """LSH-bucketed ANN (sign-bit sketch) for query vecs id<5."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return similarity.lsh_topk(emb, emb.where(F.col("vec_id") < 5), k=10)
+
+
+def q_s1_event_windows(spark, sf_dir):
+    """Tumbling 1h windowed aggregation over the events stream table (batch
+    form of the Structured Streaming job in streaming/events.py)."""
+    e = load_tables(spark, sf_dir)["events"]
+    return (
+        e.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("window_start"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+PIPELINE_QUERIES = {
+    "x1_text_profile": q_x1_text_profile,
+    "x2_bpe_tokens": q_x2_bpe_tokens,
+    "d1_exact_dedup": q_d1_exact_dedup,
+    "d2_minhash_pairs": q_d2_minhash_pairs,
+    "d3_simhash": q_d3_simhash,
+    "d4_ngram_jaccard": q_d4_ngram_jaccard,
+    "v1_ann_brute": q_v1_ann_brute,
+    "v2_ann_lsh": q_v2_ann_lsh,
+    "s1_event_windows": q_s1_event_windows,
+}

@@ -355,7 +355,10 @@ def q_p3_props_decode(spark, sf_dir):
     )
 
 
+from treemachine_spark.workload.pipeline_queries import PIPELINE_QUERIES  # noqa: E402
+
 QUERIES = {
+    **PIPELINE_QUERIES,
     "closure_paths": q_closure_paths,
     "t1_path_to_root": q_t1_path_to_root,
     "t2_mrca": q_t2_mrca,
