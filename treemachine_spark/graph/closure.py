@@ -50,11 +50,15 @@ def build_closure(edges: DataFrame, checkpoint: bool = True) -> DataFrame:
                 (F.col("a.depth") + F.col("b.depth")).alias("depth"),
             )
         )
+        if checkpoint:
+            # materialize the (small) extension once; isEmpty and the union
+            # below then reuse it instead of re-running the join, and `full`
+            # stays a shallow union of checkpointed segments — the whole
+            # closure is never re-materialized per iteration.
+            ext = ext.localCheckpoint(eager=True)
         if ext.isEmpty():
             return full
         full = full.unionByName(ext)
-        if checkpoint:
-            full = full.localCheckpoint(eager=True)
         k *= 2
 
 

@@ -43,17 +43,33 @@ def mrca(paths_self: DataFrame, tips: DataFrame) -> DataFrame:
     ancestor of the others can win. Returns one row
     (mrca_node_id, mrca_depth).
     """
-    n_tips = tips.count()
+    # tip sets are request-scale: evaluate the (possibly expensive) tips
+    # subplan ONCE and re-literalize, instead of re-executing it under every
+    # downstream action
+    tip_ids = [r["node_id"] for r in tips.select("node_id").collect()]
+    n_tips = len(tip_ids)
+    spark = paths_self.sparkSession
+    tips = spark.createDataFrame([(t,) for t in tip_ids], "node_id string")
     covering = (
         paths_self.join(F.broadcast(tips), "node_id")
         .groupBy("ancestor_id")
         .agg(F.countDistinct("node_id").alias("n_covered"))
         .where(F.col("n_covered") == n_tips)
     )
-    rd = paths_self.groupBy("node_id").agg(F.max("depth").alias("root_depth"))
+    # The covering ancestors form a single root chain (<= tree depth rows):
+    # request-scale, so collect the ids and run ONE pushed-down filtered
+    # aggregation for their root depths instead of a full-table agg or a
+    # broadcast of the agg subplan (which Spark would re-execute).
+    cov_ids = [r["ancestor_id"] for r in covering.collect()]
+    rd = (
+        paths_self.where(F.col("node_id").isin(cov_ids))
+        .groupBy("node_id")
+        .agg(F.max("depth").alias("root_depth"))
+    )
     return (
-        covering.join(rd, covering.ancestor_id == rd.node_id)
-        .select(F.col("ancestor_id").alias("mrca_node_id"), F.col("root_depth").alias("mrca_depth"))
+        rd.select(
+            F.col("node_id").alias("mrca_node_id"), F.col("root_depth").alias("mrca_depth")
+        )
         .orderBy(F.desc("mrca_depth"), "mrca_node_id")
         .limit(1)
     )
@@ -146,23 +162,26 @@ def induced_subtree(paths_self: DataFrame, tips: DataFrame) -> DataFrame:
     set keeps this shuffle-light for request-sized inputs; for huge tip sets
     Catalyst falls back to a shuffled join automatically.
     """
-    tip_ids = tips.select("node_id")
-    anc = paths_self.where(F.col("depth") > 0).join(F.broadcast(tip_ids), "node_id")
+    # tips and the kept set are request-scale: evaluate each once and push
+    # them back as literal IN-filters so the big closure is scanned exactly
+    # twice (once for MRCA counting, once for the rewire), never re-executed
+    # per downstream action.
+    tip_ids = [r["node_id"] for r in tips.select("node_id").collect()]
+    anc = paths_self.where(F.col("depth") > 0).where(F.col("node_id").isin(tip_ids))
     kept_internal = (
         anc.groupBy("ancestor_id")
         .agg(F.countDistinct("node_id").alias("n_tips"))
         .where(F.col("n_tips") >= 2)
-        .select(F.col("ancestor_id").alias("kept_id"))
     )
-    kept = kept_internal.unionByName(tip_ids.select(F.col("node_id").alias("kept_id"))).distinct()
+    kept = sorted(
+        {r["ancestor_id"] for r in kept_internal.collect()} | set(tip_ids)
+    )
 
     # nearest kept ancestor for every kept node (the root of the induced
     # tree has none and drops out)
-    member_paths = paths_self.where(F.col("depth") > 0).join(
-        F.broadcast(kept.select(F.col("kept_id").alias("node_id"))), "node_id"
-    )
-    to_kept = member_paths.join(
-        F.broadcast(kept.select(F.col("kept_id").alias("ancestor_id"))), "ancestor_id"
+    to_kept = (
+        paths_self.where(F.col("depth") > 0)
+        .where(F.col("node_id").isin(kept) & F.col("ancestor_id").isin(kept))
     )
     w = Window.partitionBy("node_id").orderBy("depth")
     return (
