@@ -1,0 +1,116 @@
+"""Tree-operator benchmark at reference scale (BASELINE.md):
+
+  - newick subtree extraction: reference = 100,000 tips in ~40 s
+    (~2,500 tips/s, tree_of_life_v3.java:591) with a hard cap; we must beat
+    the rate and remove the cap.
+  - mrca / induced_subtree over 2-160 ids (the curl_tests.py:44 stressor).
+  - ingest (closure build) throughput vs the 50k-rows/tx Neo4j writer.
+
+Builds a synthetic balanced tree of --tips tips (default 100k), runs the
+operators, prints one JSON line. Not driver-run; evidence for BENCH notes.
+"""
+
+from __future__ import annotations
+
+import json
+import random
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+
+def synthetic_tree_edges(spark, n_tips: int, fanout: int = 10):
+    """Balanced fanout tree: ids are 'n<k>' in breadth-first order;
+    ~n_tips/(fanout-1) internal nodes above the tips."""
+    rows = []
+    next_id = 1
+    frontier = [0]
+    total_leaves = 0
+    while total_leaves < n_tips:
+        nxt = []
+        for p in frontier:
+            for _ in range(fanout):
+                rows.append((f"n{next_id}", f"n{p}"))
+                nxt.append(next_id)
+                next_id += 1
+                if len(nxt) * (len(frontier) > 0) and next_id > 10**9:
+                    raise RuntimeError("runaway")
+        total_leaves = len(nxt)
+        frontier = nxt
+    return (
+        spark.createDataFrame(rows, "child_id string, parent_id string"),
+        [f"n{i}" for i in frontier],
+    )
+
+
+def main() -> None:
+    n_tips = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    from treemachine_spark.exporters.newick_sink import assemble_newick
+    from treemachine_spark.graph import traversal as T
+    from treemachine_spark.graph.closure import build_closure, with_self_paths
+    from treemachine_spark.session import get_spark
+
+    spark = get_spark("treemachine-tree-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    t0 = time.time()
+    edges, tips = synthetic_tree_edges(spark, n_tips)
+    edges = edges.cache()
+    n_edges = edges.count()
+    gen_sec = round(time.time() - t0, 2)
+
+    # ingest: closure build (the reference's whole-graph write pass)
+    t0 = time.time()
+    paths = build_closure(edges).cache()
+    n_paths = paths.count()
+    ingest_sec = round(time.time() - t0, 2)
+
+    nodes = edges.select(F.col("child_id").alias("node_id")).unionByName(
+        spark.createDataFrame([("n0",)], "node_id string")
+    )
+    paths_self = with_self_paths(paths, nodes).cache()
+    paths_self.count()
+
+    # full-tree newick (subtree at root, unbounded depth) — the reference
+    # caps this at 100k tips / ~40s
+    t0 = time.time()
+    rows = edges.collect()
+    newick = assemble_newick([(r["child_id"], r["parent_id"]) for r in rows], "n0")
+    newick_sec = round(time.time() - t0, 2)
+    tips_per_sec = int(n_tips / newick_sec) if newick_sec else None
+
+    rng = random.Random(42)
+    mrca_secs = {}
+    induced_secs = {}
+    for n_ids in (2, 16, 160):
+        sample = rng.sample(tips, n_ids)
+        tdf = spark.createDataFrame([(t,) for t in sample], "node_id string")
+        t0 = time.time()
+        T.mrca(paths_self, tdf).collect()
+        mrca_secs[n_ids] = round(time.time() - t0, 2)
+        t0 = time.time()
+        T.induced_subtree(paths_self, tdf).count()
+        induced_secs[n_ids] = round(time.time() - t0, 2)
+
+    print(
+        json.dumps(
+            {
+                "n_tips": n_tips,
+                "n_edges": n_edges,
+                "n_paths": n_paths,
+                "gen_sec": gen_sec,
+                "closure_ingest_sec": ingest_sec,
+                "ingest_rows_per_sec": int(n_paths / ingest_sec),
+                "newick_sec": newick_sec,
+                "newick_tips_per_sec": tips_per_sec,
+                "reference_tips_per_sec": 2500,
+                "mrca_sec": mrca_secs,
+                "induced_subtree_sec": induced_secs,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

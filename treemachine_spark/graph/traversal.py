@@ -191,6 +191,27 @@ def induced_subtree(paths_self: DataFrame, tips: DataFrame) -> DataFrame:
     )
 
 
+def representative_names(paths: DataFrame, nodes: DataFrame) -> DataFrame:
+    """T9 — representative descendant names: for each internal node, a
+    deterministic first/last named descendant.
+
+    Reference: GraphExplorer.getNamesOfRepresentativeDescendants
+    (opentree/GraphExplorer.java:451-490) recursively walks first/last child
+    until a named node is found. Relational form: min/max named descendant
+    per ancestor — one join + one aggregation (O6 deterministic first/last
+    via min/max, GraphExplorer.java:455-468).
+    """
+    named = nodes.where(F.col("name").isNotNull()).select("node_id", "name")
+    return (
+        paths.join(named, "node_id")
+        .groupBy("ancestor_id")
+        .agg(
+            F.min("name").alias("first_name"),
+            F.max("name").alias("last_name"),
+        )
+    )
+
+
 def degree_prune_frontier(edges: DataFrame, threshold: int = 100) -> DataFrame:
     """T12 — nodes whose child count >= threshold (the reference stops
     expanding these during web-tree BFS, opentree/ChildNumberEvaluator.java:

@@ -152,6 +152,46 @@ FROM (VALUES ('c0'), ('c1'), ('c2'), ('n0'), ('nope1'), ('nope2')) v(lookup_id)
 LEFT JOIN allnodes n ON v.lookup_id = n.node_id
 """
 
+ORACLES["t9_repr_descendants"] = _GRAPH_CTE + """
+, named(node_id, name) AS (
+    SELECT 'r' || CAST(r_regionkey AS VARCHAR), r_name FROM region
+    UNION ALL SELECT 'n' || CAST(n_nationkey AS VARCHAR), n_name FROM nation
+    UNION ALL SELECT 'c' || CAST(c_custkey AS VARCHAR), c_name FROM customer
+)
+SELECT ancestor_id, MIN(name) AS first_name, MAX(name) AS last_name
+FROM paths JOIN named USING (node_id)
+WHERE regexp_matches(ancestor_id, '^n[0-9]+$')
+GROUP BY ancestor_id
+"""
+
+ORACLES["e2_intersect"] = """
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+INTERSECT
+SELECT DISTINCT o_custkey FROM orders
+"""
+
+ORACLES["a11_rollup"] = """
+SELECT r_name, n_name, COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total_price
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+JOIN orders ON o_custkey = c_custkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+ORACLES["p4_packed_map_roundtrip"] = """
+WITH packed AS (
+    SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS packed
+    FROM nation GROUP BY n_regionkey
+)
+SELECT n_regionkey, packed,
+       len(string_split(packed, ',')) AS n_decoded,
+       string_split(packed, ',')[1] AS first_decoded
+FROM packed
+"""
+
 ORACLES["q1_pricing_summary"] = """
 SELECT l_returnflag, l_linestatus,
        ROUND(SUM(l_quantity), 2) AS sum_qty,

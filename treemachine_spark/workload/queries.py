@@ -212,6 +212,62 @@ def q_l4_batch_resolution(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+def q_t9_repr_descendants(spark, sf_dir):
+    """T9 — deterministic first/last named descendant per nation node
+    (GraphExplorer.java:451-490)."""
+    ctx = get_ctx(spark, sf_dir)
+    return T.representative_names(ctx["paths"], ctx["nodes"]).where(
+        F.col("ancestor_id").rlike("^n[0-9]+$")
+    )
+
+
+def q_e2_intersect(spark, sf_dir):
+    """E2 — set intersection (retainAll prune, GraphExplorer.java:751-753):
+    customers in the BUILDING segment ∩ customers with >= 1 order."""
+    t = load_tables(spark, sf_dir)
+    building = t["customer"].where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    with_orders = t["orders"].select(F.col("o_custkey").alias("c_custkey")).distinct()
+    return building.intersect(with_orders)
+
+
+def q_a11_rollup(spark, sf_dir):
+    """Rollup aggregation (beyond-reference §2.9: the reference has no
+    grouping sets at all): revenue by region, region+nation, grand total."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(t["orders"], F.col("o_custkey") == F.col("c_custkey"))
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+def q_p4_packed_map_roundtrip(spark, sf_dir):
+    """P4/P5 — packed-string encode + decode (the reference's workaround for
+    Neo4j's flat property model: IngestSynthesisData.java:462-498 flatten,
+    GraphExplorer.stringToMapArray:586-597 re-parse). Here: pack nation
+    names per region, then decode and count via higher-order functions."""
+    t = load_tables(spark, sf_dir)
+    packed = (
+        t["nation"]
+        .groupBy("n_regionkey")
+        .agg(
+            F.concat_ws(",", F.sort_array(F.collect_list("n_name"))).alias("packed")
+        )
+    )
+    return packed.select(
+        "n_regionkey",
+        "packed",
+        F.size(F.split("packed", ",")).alias("n_decoded"),
+        F.element_at(F.split("packed", ","), 1).alias("first_decoded"),
+    )
+
+
 def q_q1_pricing_summary(spark, sf_dir):
     """A-family — grouped aggregation (TPC-H Q1 shape): map-side partial agg,
     one shuffle on (returnflag, linestatus)."""
@@ -371,6 +427,10 @@ QUERIES = {
     "t4_subtree": q_t4_subtree,
     "t5_subtree_num_tips": q_t5_subtree_num_tips,
     "t6_induced_subtree": q_t6_induced_subtree,
+    "t9_repr_descendants": q_t9_repr_descendants,
+    "e2_intersect": q_e2_intersect,
+    "a11_rollup": q_a11_rollup,
+    "p4_packed_map_roundtrip": q_p4_packed_map_roundtrip,
     "a1_tip_counts": q_a1_tip_counts,
     "t12_degree_prune": q_t12_degree_prune,
     "e1_leaf_set": q_e1_leaf_set,
