@@ -1,0 +1,57 @@
+"""Physical-plan regression tests: the optimizations that matter at 100 TB
+must be visible in the plan (predicate pushdown, column pruning, broadcast
+joins, map-side partial aggregation, whole-stage codegen)."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_CORRECT
+from treemachine_spark.workload.queries import QUERIES
+
+
+def plan_of(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF_CORRECT)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def test_point_lookup_pushdown(spark):
+    s = plan_of(spark, "l1_point_lookup")
+    assert "EqualTo(c_name,Customer#000000042)" in s  # filter reached the scan
+    assert "c_comment" not in s  # column pruning
+    assert "codegen id" in s  # whole-stage codegen covers filter+project
+
+
+def test_q1_partial_aggregation_and_pushdown(spark):
+    s = plan_of(spark, "q1_pricing_summary")
+    assert "LessThanOrEqual(l_shipdate" in s  # date filter pushed to parquet
+    # map-side combine: HashAggregate appears before AND after the Exchange
+    pre_exchange = s.split("Exchange")[0]
+    assert "HashAggregate" in pre_exchange
+    # scan reads only needed columns (no l_partkey/l_suppkey)
+    assert "l_partkey" not in s and "l_suppkey" not in s
+
+
+def test_q5_broadcasts_all_dimensions(spark):
+    s = plan_of(spark, "q5_region_revenue")
+    assert s.count("BroadcastHashJoin") >= 3  # customer, nation, region (+orders small)
+    assert "SortMergeJoin" not in s or s.count("BroadcastHashJoin") >= 3
+    # lineitem scan pruned to 3 columns
+    assert "struct<l_orderkey:bigint,l_extendedprice:double,l_discount:double>" in s
+
+
+def test_subtree_uses_cached_closure(spark):
+    s = plan_of(spark, "t4_subtree")
+    assert "InMemoryTableScan" in s  # served from the cached closure
+
+
+def test_text_profile_no_shuffle(spark):
+    # per-row transforms must not shuffle
+    s = plan_of(spark, "x1_text_profile")
+    assert "Exchange" not in s
+
+
+def test_ann_brute_broadcasts_queries(spark):
+    s = plan_of(spark, "v1_ann_brute")
+    assert "BroadcastNestedLoopJoin" in s or "BroadcastExchange" in s
