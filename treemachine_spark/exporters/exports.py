@@ -143,7 +143,7 @@ def node_support_metrics(store: GraphStore) -> DataFrame:
         .withColumnRenamed("parent_id", "node_id")
     )
     is_tip = store.nodes.select("node_id", "is_leaf")
-    return (
+    base = (
         is_tip.join(own, "node_id", "left")
         .join(sub_src, "node_id", "left")
         .join(par, "node_id", "left")
@@ -159,6 +159,60 @@ def node_support_metrics(store: GraphStore) -> DataFrame:
             F.coalesce("effective_parents", F.lit(0.0)).alias("effective_parents"),
             F.coalesce("effective_children", F.lit(0.0)).alias("effective_children"),
         )
+    )
+    # A7 — support-weighted average of effective_parents over each node's
+    # subtree (incl. itself), propagated through the closure
+    # (GraphExporter.getGraphML:434-480): one join + one grouped agg.
+    weighted = (
+        store.paths.select("node_id", "ancestor_id")
+        .unionByName(self_paths)
+        .join(
+            base.select(
+                "node_id",
+                (F.col("effective_parents") * F.col("node_support")).alias("wep"),
+                F.col("node_support").alias("wsup"),
+            ),
+            "node_id",
+        )
+        .groupBy("ancestor_id")
+        .agg(
+            (F.sum("wep") / F.greatest(F.sum("wsup"), F.lit(1e-12))).alias(
+                "subtree_weighted_effpar"
+            )
+        )
+        .withColumnRenamed("ancestor_id", "node_id")
+    )
+    return base.join(weighted, "node_id", "left")
+
+
+def edge_support(store: GraphStore) -> DataFrame:
+    """A8 — per-edge support (GraphExporter.getGraphML:427-433): parallel
+    edge count over the distinct source count of the child's subtree."""
+    parallel = store.edges.groupBy("child_id", "parent_id").agg(
+        F.count("*").alias("n_parallel")
+    )
+    src = store.node_annotations.select(
+        "node_id", F.map_keys(F.coalesce("supported_by", F.create_map())).alias("srcs")
+    )
+    self_paths = store.nodes.select(
+        F.col("node_id"), F.col("node_id").alias("ancestor_id")
+    )
+    denom = (
+        store.paths.select("node_id", "ancestor_id")
+        .unionByName(self_paths)
+        .join(src, "node_id")
+        .select("ancestor_id", F.explode_outer("srcs").alias("s"))
+        .groupBy("ancestor_id")
+        .agg(F.countDistinct("s").alias("n_subtree_sources"))
+        .withColumnRenamed("ancestor_id", "child_id")
+    )
+    return parallel.join(denom, "child_id", "left").select(
+        "child_id",
+        "parent_id",
+        (
+            F.col("n_parallel")
+            / F.greatest(F.coalesce("n_subtree_sources", F.lit(0)), F.lit(1))
+        ).alias("edge_support"),
     )
 
 

@@ -230,6 +230,66 @@ JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name, n_name
 """
 
+ORACLES["q4_order_priority"] = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+GROUP BY o_orderpriority
+"""
+
+ORACLES["q13_customer_distribution"] = """
+SELECT c_count, COUNT(*) AS custdist FROM (
+    SELECT c_custkey, COUNT(o_orderkey) AS c_count
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+) GROUP BY c_count
+"""
+
+ORACLES["q16_supplier_part_types"] = """
+SELECT p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_type, p_size
+"""
+
+ORACLES["q18_large_orders"] = """
+WITH big AS (
+    SELECT l_orderkey, ROUND(SUM(l_quantity), 2) AS total_qty
+    FROM lineitem GROUP BY l_orderkey HAVING ROUND(SUM(l_quantity), 2) > 150
+)
+SELECT o_orderkey, c_name, o_totalprice, total_qty
+FROM big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+ORACLES["q22_idle_customers"] = """
+SELECT c_custkey, ROUND(c_acctbal, 2) AS acctbal,
+       COALESCE(n.n, 0) AS n_orders
+FROM customer
+LEFT JOIN (SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey) n
+       ON c_custkey = n.o_custkey
+WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+"""
+
+ORACLES["s2_sessions_batch"] = """
+WITH gapped AS (
+    SELECT user_id, ts, event_id, value,
+           CASE WHEN epoch(ts) - COALESCE(
+                    LAG(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id), 0)
+                > 30 * 60 THEN 1 ELSE 0 END AS new_session
+    FROM events
+),
+sessions AS (
+    SELECT *, SUM(new_session) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+    FROM gapped
+)
+SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+       COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+FROM sessions GROUP BY user_id, session_no
+"""
+
 ORACLES["l1_point_lookup"] = """
 SELECT c_custkey, c_name, c_mktsegment, c_acctbal
 FROM customer WHERE c_name = 'Customer#000000042'

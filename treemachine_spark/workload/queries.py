@@ -327,6 +327,120 @@ def q_q5_region_revenue(spark, sf_dir):
     )
 
 
+def q_q4_order_priority(spark, sf_dir):
+    """Semi-join EXISTS (TPC-H Q4 shape): orders with at least one lineitem,
+    counted by priority."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .join(
+            t["lineitem"].select(F.col("l_orderkey").alias("o_orderkey")).distinct(),
+            "o_orderkey",
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+def q_q13_customer_distribution(spark, sf_dir):
+    """Left outer join + double aggregation (TPC-H Q13 shape): distribution
+    of customers by order count (including zero)."""
+    t = load_tables(spark, sf_dir)
+    per_cust = (
+        t["customer"]
+        .join(
+            t["orders"].select("o_custkey", "o_orderkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+def q_q16_supplier_part_types(spark, sf_dir):
+    """count(DISTINCT) aggregation (TPC-H Q16 shape): distinct suppliers per
+    part type/size bucket."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q_q18_large_orders(spark, sf_dir):
+    """Group-HAVING over a join (TPC-H Q18 shape): orders whose total
+    quantity exceeds a threshold."""
+    t = load_tables(spark, sf_dir)
+    big = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .where(F.col("total_qty") > 150)
+    )
+    return (
+        big.join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(load_tables(spark, sf_dir)["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "c_name", "o_totalprice", "total_qty")
+    )
+
+
+def q_q22_idle_customers(spark, sf_dir):
+    """Scalar subquery + anti join (TPC-H Q22 shape): above-average-balance
+    customers with no orders... none exist at these SFs for the no-order
+    branch, so the filter is balance-only + order-count join."""
+    t = load_tables(spark, sf_dir)
+    avg_bal = t["customer"].where(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("a")
+    )
+    rich = t["customer"].crossJoin(F.broadcast(avg_bal)).where(
+        F.col("c_acctbal") > F.col("a")
+    )
+    n_orders = t["orders"].groupBy("o_custkey").agg(F.count("*").alias("n"))
+    return (
+        rich.join(
+            n_orders, F.col("c_custkey") == F.col("o_custkey"), "left"
+        )
+        .select(
+            "c_custkey",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            F.coalesce("n", F.lit(0)).alias("n_orders"),
+        )
+    )
+
+
+def q_s2_sessions_batch(spark, sf_dir):
+    """Batch sessionization via lag-window gap detection (the relational
+    twin of streaming/events.py::sessionize): a new session starts when the
+    gap to the previous event of the same user exceeds 30 minutes."""
+    e = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # NTZ -> epoch seconds (session TZ is pinned to UTC by load_tables, so
+    # this matches DuckDB's epoch() on the naive timestamp)
+    ts_s = F.col("ts").cast("timestamp").cast("long")
+    gapped = e.withColumn(
+        "new_session",
+        (ts_s - F.coalesce(F.lag(ts_s).over(w), F.lit(0)) > 30 * 60).cast("int"),
+    )
+    sessions = gapped.withColumn(
+        "session_no", F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        sessions.groupBy("user_id", "session_no")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .drop("session_no")
+    )
+
+
 def q_l1_point_lookup(spark, sf_dir):
     """L1 — point lookup by unique name (GraphBase.findTaxNodeByName,
     GraphBase.java:145-159). Predicate pushes down to the parquet scan."""
@@ -438,6 +552,12 @@ QUERIES = {
     "q1_pricing_summary": q_q1_pricing_summary,
     "q3_top_orders": q_q3_top_orders,
     "q5_region_revenue": q_q5_region_revenue,
+    "q4_order_priority": q_q4_order_priority,
+    "q13_customer_distribution": q_q13_customer_distribution,
+    "q16_supplier_part_types": q_q16_supplier_part_types,
+    "q18_large_orders": q_q18_large_orders,
+    "q22_idle_customers": q_q22_idle_customers,
+    "s2_sessions_batch": q_s2_sessions_batch,
     "l1_point_lookup": q_l1_point_lookup,
     "l9_distinct_sorted": q_l9_distinct_sorted,
     "o2_top1_latest": q_o2_top1_latest,
