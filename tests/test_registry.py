@@ -1,0 +1,84 @@
+"""Multi-tree registry: L9/L10 semantics, synth_id resolution, store
+save/load roundtrip, arguson descendant_name_list."""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import pytest
+
+from treemachine_spark.api.errors import BadInputError
+from treemachine_spark.ingest import ingest_synthesis_data, load_store, write_store
+from treemachine_spark.registry import TreeOfLifeService, TreeRegistry
+
+FIX = Path(__file__).parent / "fixtures"
+
+
+@pytest.fixture(scope="module")
+def registry(spark, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("multi")
+    ann2 = json.loads((FIX / "annotations.json").read_text())
+    ann2["tree_id"] = "opentree_test2"
+    p2 = tmp / "annotations2.json"
+    p2.write_text(json.dumps(ann2))
+
+    s1 = ingest_synthesis_data(
+        spark,
+        str(FIX / "labelled_supertree.tre"),
+        str(FIX / "annotations.json"),
+        str(FIX / "taxonomy.tsv"),
+    )
+    s2 = ingest_synthesis_data(
+        spark,
+        str(FIX / "labelled_supertree.tre"),
+        str(p2),
+        str(FIX / "taxonomy.tsv"),
+    )
+    reg = TreeRegistry({})
+    reg.add(s1)
+    reg.add(s2)
+    return reg
+
+
+def test_l9_l10_semantics(registry):
+    assert registry.tree_ids() == ["opentree_test1", "opentree_test2"]
+    assert registry.most_recent() == "opentree_test2"
+
+
+def test_synth_id_resolution(registry):
+    assert registry.get().tree_id == "opentree_test2"  # default = most recent
+    assert registry.get("opentree_test1").tree_id == "opentree_test1"
+    with pytest.raises(BadInputError, match="synth_id"):
+        registry.get("nope")
+
+
+def test_service_endpoints(registry):
+    svc = TreeOfLifeService(registry)
+    assert svc.about()["synth_id"] == "opentree_test2"
+    assert svc.about(synth_id="opentree_test1")["synth_id"] == "opentree_test1"
+    res = svc.mrca(ott_ids=[316878, 102710], synth_id="opentree_test1")
+    assert res["mrca"]["node_id"] == "ott5839486"
+
+
+def test_store_roundtrip(spark, registry, tmp_path):
+    out = tmp_path / "db1"
+    write_store(registry.get("opentree_test1"), str(out))
+    back = load_store(spark, str(out))
+    assert back.tree_id == "opentree_test1"
+    assert back.nodes.count() == 7
+    assert back.paths.count() == 10
+    reg2 = TreeRegistry.load(spark, str(tmp_path))
+    assert reg2.tree_ids() == ["opentree_test1"]
+
+
+def test_arguson_descendant_name_list(registry):
+    svc = TreeOfLifeService(registry)
+    res = svc.subtree(
+        synth_id="opentree_test1", ott_id=81461, tree_format="arguson"
+    )
+    arg = res["arguson"]
+    unnamed = [c for c in arg["children"] if "taxon" not in c]
+    assert unnamed, "fixture has one unnamed internal child"
+    # T9: [first, last] named descendants (GraphExplorer.java:415-429)
+    assert unnamed[0]["descendant_name_list"] == ["Apteryx", "Struthio"]

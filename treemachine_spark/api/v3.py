@@ -419,13 +419,31 @@ class TreeOfLifeV3:
 
     def _arguson(self, qid: str, depth: int, cap: int | None) -> dict:
         """S9 — getArgusonData (GraphExplorer.java:342-354,434-447): nested
-        node blobs with children (depth-limited) + lineage + source_id_map."""
+        node blobs with children (depth-limited) + lineage + source_id_map.
+        Unnamed nodes get descendant_name_list (getNodeBlobArguson,
+        GraphExplorer.java:415-429) via the T9 min/max-named-descendant
+        recipe — one batched aggregation instead of per-node recursion."""
         self._guard(qid, depth, cap)
         edges = self._subtree_edges(qid, depth)
         rows = edges.select("child_id", "parent_id", "child_index").collect()
         member = [r["child_id"] for r in rows] + [qid]
         sources: set = set()
         blobs = self._node_blobs(member, sources)
+        from treemachine_spark.graph.traversal import representative_names
+
+        unnamed = [nid for nid, b in blobs.items() if "taxon" not in b]
+        if unnamed:
+            reps = (
+                representative_names(self.store.paths, self.store.nodes)
+                .where(F.col("ancestor_id").isin(unnamed))
+                .collect()
+            )
+            rep_map = {
+                r["ancestor_id"]: [r["first_name"], r["last_name"]] for r in reps
+            }
+            for nid in unnamed:
+                if nid in rep_map:
+                    blobs[nid]["descendant_name_list"] = rep_map[nid]
         kids: dict[str, list] = {}
         for r in sorted(rows, key=lambda r: (r["parent_id"], r["child_index"] or 0)):
             kids.setdefault(r["parent_id"], []).append(r["child_id"])
