@@ -31,6 +31,10 @@ HEADLINE = [
     "q5_region_revenue",
     "w1_window_topn",
     "p10_id_codec",
+    "d2_minhash_pairs",
+    "v1_ann_brute",
+    "x1_text_profile",
+    "s2_sessions_batch",
 ]
 
 

@@ -57,7 +57,9 @@ def shingle_hashes(text: Column, k: int = 3) -> Column:
 
 def minhash_signature(text: Column, k: int = 3) -> list[Column]:
     """One min over the shingle-hash array per fixed affine permutation —
-    standard (a*h + b) mod p minwise hashing."""
+    standard (a*h + b) mod p minwise hashing. Array-expression form (each
+    permutation re-evaluates the md5 array); prefer ``minhash_signatures``
+    for whole-table signatures."""
     hs = shingle_hashes(text, k)
     return [
         F.array_min(F.transform(hs, lambda h: (F.lit(a) * h + F.lit(b)) % MERSENNE31))
@@ -65,19 +67,40 @@ def minhash_signature(text: Column, k: int = 3) -> list[Column]:
     ]
 
 
+def minhash_signatures(docs: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
+    """(doc_id, s0..s7): whole-table minhash via explode + one grouped
+    aggregation. The shingle md5 is computed ONCE per shingle (the array
+    form would inline it once per permutation — 8x the hashing), and the
+    per-doc state is 8 running minima instead of materialized hash arrays —
+    the shape that survives 100 TB document tables.
+    """
+    ex = docs.select("doc_id", F.explode(shingles(F.col(text_col), k)).alias("s")).select(
+        "doc_id", h32(F.col("s")).alias("h")
+    )
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MERSENNE31).alias(f"s{i}")
+        for i, (a, b) in enumerate(MINHASH_PERMS)
+    ]
+    return ex.groupBy("doc_id").agg(*aggs)
+
+
 def minhash_bands(docs: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
     """(doc_id, band_idx, band_key): LSH banding of the minhash signature."""
-    sig = minhash_signature(F.col(text_col), k)
-    n_bands = len(sig) // BAND_SIZE
+    sig = minhash_signatures(docs, text_col, k)
+    n_bands = len(MINHASH_PERMS) // BAND_SIZE
     bands = F.array(
         *[
             F.concat_ws(
-                ":", *[c.cast("string") for c in sig[b * BAND_SIZE : (b + 1) * BAND_SIZE]]
+                ":",
+                *[
+                    F.col(f"s{j}").cast("string")
+                    for j in range(b * BAND_SIZE, (b + 1) * BAND_SIZE)
+                ],
             )
             for b in range(n_bands)
         ]
     )
-    return docs.select("doc_id", F.posexplode(bands).alias("band_idx", "band_key"))
+    return sig.select("doc_id", F.posexplode(bands).alias("band_idx", "band_key"))
 
 
 def minhash_near_dup_pairs(
@@ -90,7 +113,9 @@ def minhash_near_dup_pairs(
     join); verification joins the distinct shingle sets back for the exact
     |A∩B|/|A∪B|.
     """
-    bands = minhash_bands(docs, text_col, k)
+    # the band table feeds both sides of the self-join: cache it so the
+    # shingle+minhash pipeline runs once
+    bands = minhash_bands(docs, text_col, k).cache()
     cand = (
         bands.alias("x")
         .join(
@@ -102,7 +127,19 @@ def minhash_near_dup_pairs(
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
     )
-    sh = docs.select("doc_id", shingles(F.col(text_col), k).alias("sh"))
+    # verification touches only candidate docs: collect the (request-scale)
+    # candidate id set and compute shingle arrays for those rows alone
+    cand = cand.cache()
+    cand_ids = [
+        r["doc_id"]
+        for r in cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .collect()
+    ]
+    sh = docs.where(F.col("doc_id").isin(cand_ids)).select(
+        "doc_id", shingles(F.col(text_col), k).alias("sh")
+    )
     return (
         cand.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
         .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")

@@ -74,6 +74,108 @@ def brute_force_topk(
     )
 
 
+def quantized_cosine(a: Column, b: Column) -> Column:
+    """Cosine over quantized vectors: exact integer dots + correctly-rounded
+    sqrt/div — bit-identical across engines (unlike float32 cosine)."""
+    return int_dot(a, b) / (
+        F.sqrt(int_dot(a, a)) * F.sqrt(int_dot(b, b))
+    )
+
+
+def cosine_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact, all-pairs):
+    (id_a, id_b, cos) with id_a < id_b and cos >= threshold.
+
+    Quadratic — the exactness baseline for moderate corpora; at 100 TB use
+    the sign-bit LSH buckets (lsh_topk) or IVF cells to bound candidates.
+    """
+    q = embeddings.select(
+        F.col(id_col).alias("id_a"), quantize(F.col(vec_col)).alias("va")
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("id_b"), quantize(F.col(vec_col)).alias("vb")
+    )
+    return (
+        q.join(c, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(quantized_cosine(F.col("va"), F.col("vb")), 4).alias("cos"),
+        )
+        .where(F.col("cos") >= threshold)
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: vectors are assigned to their max-dot centroid cell;
+    each query exhaustively re-ranks only its n_probe best cells.
+
+    Centroids are the vectors with the n_centroids smallest ids —
+    deterministic and engine-independent (a production build would run
+    k-means and broadcast the learned centroids; the cell-assignment and
+    probe plumbing is identical).
+    """
+    cent = (
+        embeddings.orderBy(id_col)
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("cent_id"), quantize(F.col(vec_col)).alias("cvec"))
+    )
+    emb = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), quantize(F.col(vec_col)).alias("cv")
+    )
+    w_assign = Window.partitionBy("neighbor_id").orderBy(
+        F.desc("cscore"), "cent_id"
+    )
+    assigned = (
+        emb.crossJoin(F.broadcast(cent))
+        .select(
+            "neighbor_id", "cv", "cent_id", int_dot(F.col("cv"), F.col("cvec")).alias("cscore")
+        )
+        .withColumn("arn", F.row_number().over(w_assign))
+        .where(F.col("arn") == 1)
+        .select("neighbor_id", "cv", "cent_id")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), quantize(F.col(vec_col)).alias("qv")
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(F.desc("qscore"), "cent_id")
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .select(
+            "query_id", "qv", "cent_id", int_dot(F.col("qv"), F.col("cvec")).alias("qscore")
+        )
+        .withColumn("prn", F.row_number().over(w_probe))
+        .where(F.col("prn") <= n_probe)
+        .select("query_id", "qv", "cent_id")
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "cent_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id", int_dot(F.col("qv"), F.col("cv")).alias("score")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
 def signbit_sketch(vec: Column, n_planes: int = 8) -> Column:
     """Random-hyperplane LSH sketch without storing planes: plane j's
     component for dimension i is a deterministic ±1 derived from

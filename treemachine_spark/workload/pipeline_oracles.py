@@ -193,6 +193,50 @@ r AS (
 SELECT query_id, neighbor_id, score, CAST(rk AS INTEGER) AS rank FROM r WHERE rk <= 10
 """
 
+PIPELINE_ORACLES["v3_ivf_topk"] = f"""
+WITH base AS (SELECT vec_id, {_QUANT} AS v FROM embeddings),
+cent AS (SELECT vec_id AS cent_id, v AS cvec FROM base ORDER BY vec_id LIMIT 8),
+assigned AS (
+    SELECT neighbor_id, cv, cent_id FROM (
+        SELECT b.vec_id AS neighbor_id, b.v AS cv, c.cent_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY b.vec_id
+                   ORDER BY list_dot_product(b.v, c.cvec) DESC, c.cent_id) AS arn
+        FROM base b CROSS JOIN cent c
+    ) WHERE arn = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM base WHERE vec_id < 5),
+probes AS (
+    SELECT query_id, qv, cent_id FROM (
+        SELECT q.query_id, q.qv, c.cent_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY list_dot_product(q.qv, c.cvec) DESC, c.cent_id) AS prn
+        FROM q CROSS JOIN cent c
+    ) WHERE prn <= 2
+),
+s AS (
+    SELECT query_id, neighbor_id, list_dot_product(qv, cv) AS score
+    FROM assigned JOIN probes USING (cent_id)
+    WHERE query_id != neighbor_id
+),
+r AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rk
+    FROM s
+)
+SELECT query_id, neighbor_id, score, CAST(rk AS INTEGER) AS rank FROM r WHERE rk <= 10
+"""
+
+PIPELINE_ORACLES["v4_cosine_pairs"] = f"""
+WITH base AS (SELECT vec_id, {_QUANT} AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cos
+FROM base a JOIN base b ON a.vec_id < b.vec_id
+WHERE ROUND(list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.4
+"""
+
 # ---------------------------------------------------------------------------
 # streaming (batch-equivalent)
 # ---------------------------------------------------------------------------

@@ -61,6 +61,18 @@ def q_v2_ann_lsh(spark, sf_dir):
     return similarity.lsh_topk(emb, emb.where(F.col("vec_id") < 5), k=10)
 
 
+def q_v3_ivf_topk(spark, sf_dir):
+    """IVF-cell ANN (deterministic centroids, nprobe=2) for query vecs id<5."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return similarity.ivf_topk(emb, emb.where(F.col("vec_id") < 5), k=10)
+
+
+def q_v4_cosine_pairs(spark, sf_dir):
+    """Exact embedding-cosine near-dup pairs (cos >= 0.4)."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return similarity.cosine_near_dup_pairs(emb, threshold=0.4)
+
+
 def q_s1_event_windows(spark, sf_dir):
     """Tumbling 1h windowed aggregation over the events stream table (batch
     form of the Structured Streaming job in streaming/events.py)."""
@@ -85,5 +97,7 @@ PIPELINE_QUERIES = {
     "d4_ngram_jaccard": q_d4_ngram_jaccard,
     "v1_ann_brute": q_v1_ann_brute,
     "v2_ann_lsh": q_v2_ann_lsh,
+    "v3_ivf_topk": q_v3_ivf_topk,
+    "v4_cosine_pairs": q_v4_cosine_pairs,
     "s1_event_windows": q_s1_event_windows,
 }
