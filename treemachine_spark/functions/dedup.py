@@ -193,6 +193,59 @@ def ngram_jaccard_pairs(
     )
 
 
+def connected_components(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b") -> DataFrame:
+    """Duplicate-cluster assignment: connected components over the near-dup
+    pair graph, component id = min member id.
+
+    Iterative min-label propagation (each round a node adopts the smallest
+    label in its neighborhood incl. itself); converges in O(component
+    diameter) rounds — tiny for near-dup clusters. This is the
+    aggregate-messages/Pregel shape from GraphX expressed in DataFrames —
+    at 100 TB each round is one shuffle keyed by node id, checkpointed to
+    keep lineage flat (large-star/small-star is the upgrade path for
+    long-chain graphs).
+
+    Returns (node_id, component).
+    """
+    und = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        und.select(F.col("src").alias("node_id"))
+        .distinct()
+        .withColumn("component", F.col("node_id"))
+        .localCheckpoint(eager=True)
+    )
+    while True:
+        nbr_min = (
+            und.join(labels, und.dst == labels.node_id)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.node_id == nbr_min.src, "left")
+            .select(
+                "node_id",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_component", F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        converged = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node_id")
+            .where(F.col("n.component") != F.col("o.component"))
+            .isEmpty()
+        )
+        labels = new_labels
+        if converged:
+            return labels
+
+
 def simhash32(text: Column) -> Column:
     """32-bit SimHash over word hashes: bit i of the signature is 1 iff the
     sum over words of (+1 if bit i of h(word) else -1) is positive.

@@ -193,6 +193,34 @@ r AS (
 SELECT query_id, neighbor_id, score, CAST(rk AS INTEGER) AS rank FROM r WHERE rk <= 10
 """
 
+PIPELINE_ORACLES["d5_dup_clusters"] = _SHINGLES_CTE.replace(
+    "WITH w AS", "WITH RECURSIVE w AS", 1
+) + """
+, ex AS (SELECT doc_id, unnest(sh) AS s FROM sh)
+, sizes AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id)
+, inter AS (
+    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS n_inter
+    FROM ex x JOIN ex y ON x.s = y.s AND x.doc_id < y.doc_id
+    GROUP BY x.doc_id, y.doc_id
+)
+, pairs AS (
+    SELECT doc_a, doc_b FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE n_inter / (sa.n + sb.n - n_inter) >= 0.3
+)
+, und AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION SELECT doc_b, doc_a FROM pairs
+)
+, reach(a, b) AS (
+    SELECT src, src FROM und
+    UNION
+    SELECT r.a, u.dst FROM reach r JOIN und u ON r.b = u.src
+)
+SELECT a AS node_id, MIN(b) AS component FROM reach GROUP BY a
+"""
+
 PIPELINE_ORACLES["v3_ivf_topk"] = f"""
 WITH base AS (SELECT vec_id, {_QUANT} AS v FROM embeddings),
 cent AS (SELECT vec_id AS cent_id, v AS cvec FROM base ORDER BY vec_id LIMIT 8),
@@ -246,3 +274,6 @@ SELECT date_trunc('hour', ts) AS window_start, event_type,
        COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
 FROM events GROUP BY 1, 2
 """
+
+# the real streaming job must equal its batch twin
+PIPELINE_ORACLES["s3_streaming_windows"] = PIPELINE_ORACLES["s1_event_windows"]

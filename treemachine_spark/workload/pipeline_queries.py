@@ -49,6 +49,30 @@ def q_d4_ngram_jaccard(spark, sf_dir):
     )
 
 
+def q_d5_dup_clusters(spark, sf_dir):
+    """Duplicate clusters: connected components (iterative min-label
+    propagation) over the exact n-gram-Jaccard near-dup pair graph."""
+    pairs = dedup.ngram_jaccard_pairs(
+        load_tables(spark, sf_dir)["documents"], threshold=0.3
+    )
+    return dedup.connected_components(pairs)
+
+
+_STREAM_RUN = {"n": 0}
+
+
+def q_s3_streaming_windows(spark, sf_dir):
+    """The ACTUAL Structured Streaming windowed aggregation (watermark +
+    tumbling windows, availableNow trigger) — gated against the same batch
+    oracle as s1: stream results must equal the batch ones."""
+    from treemachine_spark.streaming import events as se
+
+    _STREAM_RUN["n"] += 1
+    name = f"wl_stream_windows_{_STREAM_RUN['n']}"
+    stream = se.read_event_stream(spark, sf_dir)
+    return se.run_to_memory(se.windowed_counts(stream), name, output_mode="complete")
+
+
 def q_v1_ann_brute(spark, sf_dir):
     """Exact top-10 neighbors (quantized dot product) for query vecs id<5."""
     emb = load_tables(spark, sf_dir)["embeddings"]
@@ -95,6 +119,8 @@ PIPELINE_QUERIES = {
     "d2_minhash_pairs": q_d2_minhash_pairs,
     "d3_simhash": q_d3_simhash,
     "d4_ngram_jaccard": q_d4_ngram_jaccard,
+    "d5_dup_clusters": q_d5_dup_clusters,
+    "s3_streaming_windows": q_s3_streaming_windows,
     "v1_ann_brute": q_v1_ann_brute,
     "v2_ann_lsh": q_v2_ann_lsh,
     "v3_ivf_topk": q_v3_ivf_topk,
