@@ -1,0 +1,81 @@
+"""The no-cap claim end-to-end: v3.subtree over a synthetic tree larger than
+the reference's 100k-tip limit, exercising the distributed newick path, and
+equality of both assembly paths."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def big_api(spark):
+    """GraphStore over a synthetic ~111k-node tree (100k tips)."""
+    from bench_tree import synthetic_tree_edges
+    from treemachine_spark.graph.closure import build_closure
+    from treemachine_spark.ingest import GraphStore
+    from treemachine_spark.api.v3 import TreeOfLifeV3
+
+    edges_raw, tips = synthetic_tree_edges(spark, 100_000)
+    edges = (
+        edges_raw.withColumn("tree_id", F.lit("big"))
+        .withColumn("branch_length", F.lit(None).cast("double"))
+        .withColumn("child_index", F.lit(0))
+        .withColumn("tip_descendants", F.lit(1))
+        .cache()
+    )
+    paths = build_closure(edges.select("child_id", "parent_id")).cache()
+    nodes = (
+        edges.select(F.col("child_id").alias("node_id"))
+        .unionByName(spark.createDataFrame([("n0",)], "node_id string"))
+        .select(
+            F.lit("big").alias("tree_id"),
+            "node_id",
+            F.lit(None).cast("long").alias("ott_id"),
+            F.col("node_id").alias("name"),
+            F.col("node_id").alias("unique_name"),
+            F.lit("species").alias("rank"),
+            F.array().cast("array<string>").alias("tax_sources"),
+            F.lit(True).alias("is_leaf"),
+        )
+        .cache()
+    )
+    ann = spark.createDataFrame(
+        [],
+        "node_id string, supported_by map<string,string>, "
+        "conflicts_with map<string,array<string>>, resolves map<string,string>, "
+        "resolved_by map<string,array<string>>, partial_path_of map<string,string>, "
+        "terminal map<string,string>",
+    )
+    smap = spark.createDataFrame([], "source_id string, study_id string, tree_id string, git_sha string")
+    store = GraphStore(
+        tree_id="big",
+        root_id="n0",
+        nodes=nodes,
+        edges=edges,
+        paths=paths,
+        node_annotations=ann,
+        source_map=smap,
+        tree_meta={"num_tips": 100_000},
+    )
+    api = TreeOfLifeV3(store)
+    return api
+
+
+def test_no_cap_beyond_reference_limit(big_api):
+    """The reference 400s any subtree over 100k tips; we serve it."""
+    res = big_api.subtree(node_id="n0", label_format="id")
+    nwk = res["newick"]
+    assert nwk.endswith("n0;")
+    assert nwk.count(",") >= 99_000  # ~100k tips present
+
+
+def test_distributed_equals_driver_assembly(big_api):
+    api = big_api
+    try:
+        api.DISTRIBUTED_NEWICK_THRESHOLD = 10  # force distributed path
+        dist = api.subtree(node_id="n1", label_format="id")["newick"]
+    finally:
+        api.DISTRIBUTED_NEWICK_THRESHOLD = 200_000
+    driver = api.subtree(node_id="n1", label_format="id")["newick"]
+    assert dist == driver

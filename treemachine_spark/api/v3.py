@@ -394,28 +394,72 @@ class TreeOfLifeV3:
                 f"Requested tree ({n} tips) is larger than currently allowed ({cap} tips)."
             )
 
+    # above this many subtree edges, newick assembly shifts to the
+    # distributed fragment path (exporters.newick_sink.distributed_newick) —
+    # the reference instead refuses requests over 100k tips
+    DISTRIBUTED_NEWICK_THRESHOLD = 200_000
+
     def _subtree_newick(self, qid, depth, label_format, ids_for_unnamed, cap) -> dict:
         self._guard(qid, depth, cap)
         edges = self._subtree_edges(qid, depth)
-        rows = edges.select("child_id", "parent_id", "branch_length", "child_index").collect()
-        member_ids = {r["child_id"] for r in rows} | {qid}
-        spark = self.store.nodes.sparkSession
-        mdf = spark.createDataFrame([(i,) for i in member_ids], "node_id string")
-        node_rows = self.store.nodes.join(F.broadcast(mdf), "node_id", "left_semi").collect()
-        labels = self._labels(node_rows, label_format, ids_for_unnamed)
+        n_edges = edges.count()
 
         sources: set = set()
-        ann = self.store.node_annotations.join(F.broadcast(mdf), "node_id", "left_semi")
+        member = edges.select(F.col("child_id").alias("node_id"))
+        ann = self.store.node_annotations.join(member, "node_id", "left_semi")
         for r in ann.select(F.explode(F.map_keys("supported_by")).alias("s")).collect():
             sources.add(r["s"])
-        return {
-            "newick": assemble_newick(
-                [(r["child_id"], r["parent_id"], r["branch_length"], r["child_index"]) for r in rows],
+
+        if n_edges > self.DISTRIBUTED_NEWICK_THRESHOLD:
+            from treemachine_spark.exporters.newick_sink import distributed_newick
+
+            spark = self.store.nodes.sparkSession
+            member_plus = member.unionByName(
+                spark.createDataFrame([(qid,)], "node_id string")
+            )
+            labels_df = self._labels_df(member_plus, label_format, ids_for_unnamed)
+            newick = distributed_newick(
+                edges, self.store.paths, qid, labels_df, anchor_depth=2
+            )
+        else:
+            rows = edges.select(
+                "child_id", "parent_id", "branch_length", "child_index"
+            ).collect()
+            member_ids = {r["child_id"] for r in rows} | {qid}
+            spark = self.store.nodes.sparkSession
+            mdf = spark.createDataFrame([(i,) for i in member_ids], "node_id string")
+            node_rows = self.store.nodes.join(
+                F.broadcast(mdf), "node_id", "left_semi"
+            ).collect()
+            labels = self._labels(node_rows, label_format, ids_for_unnamed)
+            newick = assemble_newick(
+                [
+                    (r["child_id"], r["parent_id"], r["branch_length"], r["child_index"])
+                    for r in rows
+                ],
                 qid,
                 labels,
-            ),
+            )
+        return {
+            "newick": newick,
             "supporting_studies": self._supporting_studies(sources),
         }
+
+    def _labels_df(self, member, label_format: str, ids_for_unnamed: bool):
+        """Column-expression twin of _labels (P8) for the distributed path —
+        labels computed executor-side, never collected."""
+        nodes = self.store.nodes.join(member, "node_id", "left_semi")
+        if label_format == "name":
+            named = F.col("name")
+        elif label_format == "id":
+            named = F.col("node_id")
+        else:
+            named = F.concat(F.col("name"), F.lit("_ott"), F.col("ott_id").cast("string"))
+        unnamed = F.col("node_id") if ids_for_unnamed else F.lit("")
+        return nodes.select(
+            "node_id",
+            F.when(F.col("name").isNotNull(), named).otherwise(unnamed).alias("label"),
+        )
 
     def _arguson(self, qid: str, depth: int, cap: int | None) -> dict:
         """S9 — getArgusonData (GraphExplorer.java:342-354,434-447): nested
