@@ -98,3 +98,18 @@ def test_sessionize(spark):
     for r in rows:
         assert r["session_end"] >= r["session_start"]
         assert r["n_events"] >= 1
+
+
+def test_stream_stream_join_matches_batch(spark):
+    stream = stream_events.read_event_stream(spark, SF_SMOKE)
+    joined = stream_events.stream_stream_click_purchase_join(stream)
+    result = stream_events.run_to_memory(joined, "ss_join")
+    got = {(r["p_event"], r["c_event"]) for r in result.collect()}
+
+    from treemachine_spark.workload.queries import q_j4_range_join
+
+    want = {
+        (r["p_event"], r["c_event"])
+        for r in q_j4_range_join(spark, SF_SMOKE).collect()
+    }
+    assert got == want

@@ -98,6 +98,40 @@ def streaming_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     )
 
 
+def stream_stream_click_purchase_join(
+    events: DataFrame, window_seconds: int = 3600, watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream interval join: purchases matched to the same user's
+    clicks from the preceding hour. Both sides carry watermarks so the
+    join state is bounded; the time-range predicate lets Spark expire
+    buffered rows (the canonical Structured Streaming join pattern).
+    """
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("p_event"),
+            F.col("ts").cast("timestamp").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    clicks = (
+        events.where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("c_event"),
+            F.col("ts").cast("timestamp").alias("c_ts"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    return purchases.join(
+        clicks,
+        (purchases.user_id == clicks.user_id)
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {window_seconds} SECONDS"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    ).select("p_event", "c_event")
+
+
 SESSION_SCHEMA = StructType(
     [
         StructField("user_id", LongType()),

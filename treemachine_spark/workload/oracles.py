@@ -290,6 +290,30 @@ SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
 FROM sessions GROUP BY user_id, session_no
 """
 
+ORACLES["j3_asof_join"] = """
+WITH clicks AS (
+    SELECT user_id, ts,
+           arg_max(event_id, event_id) AS event_id,
+           arg_max(value, event_id) AS value
+    FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+),
+purchases AS (
+    SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id, p.ts,
+       c.event_id AS asof_event_id, c.value AS asof_value
+FROM purchases p
+ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+ORACLES["j4_range_join"] = """
+SELECT p.event_id AS p_event, c.event_id AS c_event
+FROM events p JOIN events c ON p.user_id = c.user_id
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+  AND epoch(c.ts) >= epoch(p.ts) - 3600
+  AND epoch(c.ts) <= epoch(p.ts)
+"""
+
 ORACLES["l1_point_lookup"] = """
 SELECT c_custkey, c_name, c_mktsegment, c_acctbal
 FROM customer WHERE c_name = 'Customer#000000042'

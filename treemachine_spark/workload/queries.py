@@ -441,6 +441,42 @@ def q_s2_sessions_batch(spark, sf_dir):
     )
 
 
+def q_j3_asof_join(spark, sf_dir):
+    """As-of join (custom operator; union + last-value window, no interval
+    explosion): each purchase event gets the user's most recent prior-or-
+    simultaneous click. Verified against DuckDB's native ASOF JOIN."""
+    from treemachine_spark.operators.temporal import asof_join, latest_per_ts
+
+    e = load_tables(spark, sf_dir)["events"]
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = latest_per_ts(
+        e.where(F.col("event_type") == "click").select("event_id", "user_id", "ts", "value"),
+        "user_id",
+        "ts",
+        "event_id",
+    )
+    return asof_join(purchases, clicks, "user_id", "ts", "ts", ["event_id", "value"])
+
+
+def q_j4_range_join(spark, sf_dir):
+    """Range (interval) join: clicks within the hour before each purchase
+    by the same user."""
+    from treemachine_spark.operators.temporal import range_join
+
+    e = load_tables(spark, sf_dir)["events"]
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("p_event"), F.col("ts").alias("p_ts")
+    )
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("c_event"), F.col("ts").alias("c_ts")
+    )
+    return range_join(
+        purchases, clicks, "user_id", "p_ts", "c_ts", lower_seconds=3600
+    ).select("p_event", "c_event")
+
+
 def q_l1_point_lookup(spark, sf_dir):
     """L1 — point lookup by unique name (GraphBase.findTaxNodeByName,
     GraphBase.java:145-159). Predicate pushes down to the parquet scan."""
@@ -558,6 +594,8 @@ QUERIES = {
     "q18_large_orders": q_q18_large_orders,
     "q22_idle_customers": q_q22_idle_customers,
     "s2_sessions_batch": q_s2_sessions_batch,
+    "j3_asof_join": q_j3_asof_join,
+    "j4_range_join": q_j4_range_join,
     "l1_point_lookup": q_l1_point_lookup,
     "l9_distinct_sorted": q_l9_distinct_sorted,
     "o2_top1_latest": q_o2_top1_latest,
