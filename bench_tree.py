@@ -21,8 +21,9 @@ from pyspark.sql import functions as F
 
 
 def synthetic_tree_edges(spark, n_tips: int, fanout: int = 10):
-    """Balanced fanout tree: ids are 'n<k>' in breadth-first order;
-    ~n_tips/(fanout-1) internal nodes above the tips."""
+    """Balanced fanout tree: ids are 'n<k>' in breadth-first order. The last
+    level is truncated so the tip count lands on ~n_tips instead of the next
+    full power of fanout (unexpanded parents become tips themselves)."""
     rows = []
     next_id = 1
     frontier = [0]
@@ -30,12 +31,12 @@ def synthetic_tree_edges(spark, n_tips: int, fanout: int = 10):
     while total_leaves < n_tips:
         nxt = []
         for p in frontier:
+            if len(nxt) >= n_tips:
+                break
             for _ in range(fanout):
                 rows.append((f"n{next_id}", f"n{p}"))
                 nxt.append(next_id)
                 next_id += 1
-                if len(nxt) * (len(frontier) > 0) and next_id > 10**9:
-                    raise RuntimeError("runaway")
         total_leaves = len(nxt)
         frontier = nxt
     return (

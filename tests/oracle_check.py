@@ -19,9 +19,43 @@ def run_oracle(sql: str, sf_dir: str):
     for name in TABLE_NAMES:
         path = os.path.join(sf_dir, f"{name}.parquet")
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{path}')")
-    cur = con.execute(sql)
-    cols = [d[0] for d in cur.description]
-    return cols, cur.fetchall()
+    rel = con.sql(sql)
+    cols = list(rel.columns)
+    types = [str(t) for t in rel.types]
+    return cols, types, rel.fetchall()
+
+
+# normalized type vocabulary for the cross-engine schema check
+_DUCK_TYPES = {
+    "INTEGER": "int32",
+    "BIGINT": "int64",
+    "DOUBLE": "double",
+    "FLOAT": "float",
+    "VARCHAR": "string",
+    "BOOLEAN": "bool",
+    "TIMESTAMP": "timestamp",
+    "TIMESTAMP_NS": "timestamp",
+    "HUGEINT": "int128",
+    "DECIMAL": "decimal",
+}
+_SPARK_TYPES = {
+    "int": "int32",
+    "bigint": "int64",
+    "double": "double",
+    "float": "float",
+    "string": "string",
+    "boolean": "bool",
+    "timestamp": "timestamp",
+    "timestamp_ntz": "timestamp",
+}
+
+
+def _norm_duck_type(t: str) -> str:
+    return _DUCK_TYPES.get(t.split("(")[0], t.lower())
+
+
+def _norm_spark_type(t: str) -> str:
+    return _SPARK_TYPES.get(t, t.lower())
 
 
 def _norm(v):
@@ -39,12 +73,19 @@ def _norm(v):
 def compare(spark_df, oracle_sql: str, sf_dir: str, float_tol: bool = True):
     """Return (ok, message). Order-insensitive multiset compare on
     name-sorted columns, floats rounded."""
-    ocols, orows = run_oracle(oracle_sql, sf_dir)
+    ocols, otypes, orows = run_oracle(oracle_sql, sf_dir)
     srows_raw = spark_df.collect()
     scols = spark_df.columns
 
     if sorted(c.lower() for c in scols) != sorted(c.lower() for c in ocols):
         return False, f"column mismatch: spark={sorted(scols)} oracle={sorted(ocols)}"
+
+    stypes = dict(spark_df.dtypes)
+    o_by_col = {c.lower(): _norm_duck_type(t) for c, t in zip(ocols, otypes)}
+    for c, t in stypes.items():
+        st, ot = _norm_spark_type(t), o_by_col[c.lower()]
+        if st != ot:
+            return False, f"dtype mismatch on {c!r}: spark={st} oracle={ot}"
     if len(srows_raw) != len(orows):
         return False, f"row count mismatch: spark={len(srows_raw)} oracle={len(orows)}"
 

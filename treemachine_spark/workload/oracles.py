@@ -187,7 +187,7 @@ WITH packed AS (
     FROM nation GROUP BY n_regionkey
 )
 SELECT n_regionkey, packed,
-       len(string_split(packed, ',')) AS n_decoded,
+       CAST(len(string_split(packed, ',')) AS INTEGER) AS n_decoded,
        string_split(packed, ',')[1] AS first_decoded
 FROM packed
 """

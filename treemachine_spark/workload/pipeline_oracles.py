@@ -66,7 +66,7 @@ PIPELINE_ORACLES["x1_text_profile"] = _WORDS_CTE + f"""
     FROM w
 )
 SELECT doc_id,
-       len(ws) AS n_tokens,
+       CAST(len(ws) AS INTEGER) AS n_tokens,
        ROUND(0.5 * LEAST(len(ws) / 100.0, 1.0)
              + 0.5 * (len(list_filter(ws, x -> x IN ({_all_stops}))) / len(ws)), 4) AS quality,
        {_lang_case} AS pred_lang,
@@ -76,7 +76,7 @@ FROM scored
 
 PIPELINE_ORACLES["x2_bpe_tokens"] = r"""
 SELECT doc_id,
-       len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\s]')) AS n_bpe_tokens
+       CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\s]')) AS INTEGER) AS n_bpe_tokens
 FROM documents
 """
 
