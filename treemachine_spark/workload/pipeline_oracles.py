@@ -80,6 +80,14 @@ SELECT doc_id,
 FROM documents
 """
 
+PIPELINE_ORACLES["x4_lang_stats"] = _WORDS_CTE + """
+SELECT d.lang,
+       CAST(median(len(w.ws)) AS DOUBLE) AS median_tokens,
+       COUNT(*) AS n_docs
+FROM documents d JOIN w ON d.doc_id = w.doc_id
+GROUP BY d.lang
+"""
+
 # ---------------------------------------------------------------------------
 # dedup
 # ---------------------------------------------------------------------------

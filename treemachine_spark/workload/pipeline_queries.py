@@ -25,6 +25,32 @@ def q_x2_bpe_tokens(spark, sf_dir):
     )
 
 
+def q_x4_lang_stats(spark, sf_dir):
+    """Per-language corpus stats with an Arrow-batched GROUPED_AGG pandas
+    UDF (exact median — Spark's built-in percentile is approximate):
+    the UDAF member of the engine's Python UDF surface."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit functionType: `from __future__ import annotations` turns type
+    # hints into strings, which pandas_udf's hint inference can't read
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def exact_median(v):
+        return float(v.median())
+
+    # GROUPED_AGG UDFs can't mix with JVM aggregates in one agg — count
+    # goes through pandas too
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def n_rows(v):
+        return len(v)
+
+    d = load_tables(spark, sf_dir)["documents"]
+    toks = d.select("lang", text.token_count(F.col("text")).alias("n"))
+    return toks.groupBy("lang").agg(
+        exact_median("n").alias("median_tokens"),
+        n_rows("n").alias("n_docs"),
+    )
+
+
 def q_d1_exact_dedup(spark, sf_dir):
     """Exact dedup groups (hash-groupBy)."""
     return dedup.exact_dedup_groups(load_tables(spark, sf_dir)["documents"])
@@ -115,6 +141,7 @@ def q_s1_event_windows(spark, sf_dir):
 PIPELINE_QUERIES = {
     "x1_text_profile": q_x1_text_profile,
     "x2_bpe_tokens": q_x2_bpe_tokens,
+    "x4_lang_stats": q_x4_lang_stats,
     "d1_exact_dedup": q_d1_exact_dedup,
     "d2_minhash_pairs": q_d2_minhash_pairs,
     "d3_simhash": q_d3_simhash,
