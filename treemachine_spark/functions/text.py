@@ -93,6 +93,24 @@ def fingerprint(text: Column) -> Column:
     )
 
 
+REDACTION_PATTERNS = [
+    # (pattern, replacement) — applied in order; shared with the oracles
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"https?://[^\s]+", "<URL>"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    (r"\b\d{13,19}\b", "<CARD>"),
+]
+
+
+def redact(text: Column) -> Column:
+    """PII-style redaction: ordered regexp_replace chain (emails, URLs,
+    SSN-shaped, long digit runs). Pure JVM regex — no UDF."""
+    out = text
+    for pat, rep in REDACTION_PATTERNS:
+        out = F.regexp_replace(out, pat, rep)
+    return out
+
+
 def text_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """One-pass profile: tokens, quality, predicted language, fingerprint."""
     t = F.col(text_col)

@@ -88,6 +88,29 @@ FROM documents d JOIN w ON d.doc_id = w.doc_id
 GROUP BY d.lang
 """
 
+from treemachine_spark.functions.text import REDACTION_PATTERNS  # noqa: E402
+
+_red_expr = "text"
+for _pat, _rep in REDACTION_PATTERNS:
+    # DuckDB regexp_replace needs the 'g' flag to match Spark's replace-all
+    _red_expr = f"regexp_replace({_red_expr}, '{_pat}', '{_rep}', 'g')"
+
+PIPELINE_ORACLES["x5_redaction"] = f"""
+WITH red AS (SELECT doc_id, {_red_expr} AS red FROM documents)
+SELECT doc_id, md5(red) AS red_hash, CAST(length(red) AS INTEGER) AS red_len
+FROM red
+"""
+
+PIPELINE_ORACLES["f1_funnel"] = """
+SELECT 'click' AS stage, COUNT(DISTINCT user_id) AS n_users
+FROM events WHERE event_type = 'click'
+UNION ALL
+SELECT 'click_to_purchase_1h', COUNT(DISTINCT c.user_id)
+FROM events c JOIN events p ON c.user_id = p.user_id
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+  AND epoch(p.ts) >= epoch(c.ts) AND epoch(p.ts) <= epoch(c.ts) + 3600
+"""
+
 # ---------------------------------------------------------------------------
 # dedup
 # ---------------------------------------------------------------------------
@@ -228,6 +251,11 @@ PIPELINE_ORACLES["d5_dup_clusters"] = _SHINGLES_CTE.replace(
 )
 SELECT a AS node_id, MIN(b) AS component FROM reach GROUP BY a
 """
+
+PIPELINE_ORACLES["d6_purge_list"] = PIPELINE_ORACLES["d5_dup_clusters"].replace(
+    "SELECT a AS node_id, MIN(b) AS component FROM reach GROUP BY a",
+    "SELECT a AS purge_doc_id, MIN(b) AS keeper_doc_id FROM reach GROUP BY a HAVING MIN(b) != a",
+)
 
 PIPELINE_ORACLES["v3_ivf_topk"] = f"""
 WITH base AS (SELECT vec_id, {_QUANT} AS v FROM embeddings),

@@ -51,6 +51,57 @@ def q_x4_lang_stats(spark, sf_dir):
     )
 
 
+def q_x5_redaction(spark, sf_dir):
+    """PII-style redaction pass; returns docs whose text changed (the
+    synthetic corpus has none — determinism of the no-op is still gated)
+    plus a checksum column over the redacted text for all docs."""
+    d = load_tables(spark, sf_dir)["documents"]
+    red = d.select("doc_id", text.redact(F.col("text")).alias("red"))
+    return red.select(
+        "doc_id", F.md5("red").alias("red_hash"), (F.length("red")).alias("red_len")
+    )
+
+
+def q_d6_purge_list(spark, sf_dir):
+    """End-to-end dedup outcome: per duplicate cluster keep min doc_id,
+    emit the purge list (cluster members that are not the keeper)."""
+    pairs = dedup.ngram_jaccard_pairs(
+        load_tables(spark, sf_dir)["documents"], threshold=0.3
+    )
+    comp = dedup.connected_components(pairs)
+    return comp.where(F.col("node_id") != F.col("component")).select(
+        F.col("node_id").alias("purge_doc_id"), F.col("component").alias("keeper_doc_id")
+    )
+
+
+def q_f1_funnel(spark, sf_dir):
+    """Funnel analysis over the event stream: users with a click, and users
+    whose click converted to a purchase within the following hour."""
+    e = load_tables(spark, sf_dir)["events"]
+    clickers = e.where(F.col("event_type") == "click").select("user_id").distinct()
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts")
+    )
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts")
+    )
+    pt = F.col("p_ts").cast("timestamp").cast("long")
+    ct = F.col("c_ts").cast("timestamp").cast("long")
+    converted = (
+        clicks.join(purchases, "user_id")
+        .where((pt >= ct) & (pt <= ct + 3600))
+        .select("user_id")
+        .distinct()
+    )
+    return clickers.select(F.lit("click").alias("stage")).groupBy("stage").agg(
+        F.count("*").alias("n_users")
+    ).unionByName(
+        converted.select(F.lit("click_to_purchase_1h").alias("stage"))
+        .groupBy("stage")
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
 def q_d1_exact_dedup(spark, sf_dir):
     """Exact dedup groups (hash-groupBy)."""
     return dedup.exact_dedup_groups(load_tables(spark, sf_dir)["documents"])
@@ -142,7 +193,10 @@ PIPELINE_QUERIES = {
     "x1_text_profile": q_x1_text_profile,
     "x2_bpe_tokens": q_x2_bpe_tokens,
     "x4_lang_stats": q_x4_lang_stats,
+    "x5_redaction": q_x5_redaction,
     "d1_exact_dedup": q_d1_exact_dedup,
+    "d6_purge_list": q_d6_purge_list,
+    "f1_funnel": q_f1_funnel,
     "d2_minhash_pairs": q_d2_minhash_pairs,
     "d3_simhash": q_d3_simhash,
     "d4_ngram_jaccard": q_d4_ngram_jaccard,
