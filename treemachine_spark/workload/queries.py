@@ -37,8 +37,15 @@ def get_ctx(spark: SparkSession, sf_dir: str) -> dict:
     if key not in _CTX:
         tables = load_tables(spark, sf_dir)
         edges = hierarchy_edges(tables).cache()
+        # size-adaptive parallelism for the iterative closure build: tiny
+        # tasks are overhead-dominated, so target ~500k edges/partition
+        # (at cluster scale this grows into thousands of partitions)
+        n_edges = edges.count()
+        nparts = max(8, n_edges // 500_000)
+        build_edges = edges.repartition(nparts).cache()
         nodes = hierarchy_nodes(tables).cache()
-        paths = build_closure(edges).cache()
+        # build at low task count, serve at full parallelism
+        paths = build_closure(build_edges).repartition(32).cache()
         paths_self = with_self_paths(paths, nodes).cache()
         # eager materialization: ingest-time cost, so request-shaped queries
         # run against warm caches (the reference equivalently pays this in
