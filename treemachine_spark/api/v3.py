@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from treemachine_spark.api.errors import BadIdsError, BadInputError, TreeTooBigError
-from treemachine_spark.exporters.newick_sink import assemble_newick, newick_escape
+from treemachine_spark.exporters.newick_sink import assemble_newick
 from treemachine_spark.graph import traversal as T
 from treemachine_spark.ingest import GraphStore
 

@@ -12,7 +12,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from treemachine_spark.graph.closure import root_depths
 
 
 def path_to_root(paths: DataFrame, node_id: str) -> DataFrame:
