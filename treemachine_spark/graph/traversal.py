@@ -120,17 +120,28 @@ def subtree_num_tips(paths: DataFrame, edges: DataFrame, root_node: str) -> Data
     )
 
 
-def tip_counts(paths: DataFrame, edges: DataFrame, max_level_nodes: DataFrame | None = None) -> DataFrame:
+def leaf_set(edges: DataFrame) -> DataFrame:
+    """Leaves = child ids that never appear as parents (E1 set difference)."""
+    parents = edges.select(F.col("parent_id").alias("node_id")).distinct()
+    return edges.select(F.col("child_id").alias("node_id")).join(
+        parents, "node_id", "left_anti"
+    )
+
+
+def tip_counts(
+    paths: DataFrame,
+    edges: DataFrame,
+    max_level_nodes: DataFrame | None = None,
+    leaves: DataFrame | None = None,
+) -> DataFrame:
     """A1 — tip_descendants per ancestor (precomputed at ingest in the
     reference and stored on every edge, IngestSynthesisData.java:435-443).
 
-    One shuffle: join closure to the leaf set, count per ancestor. Leaves are
-    child ids that never appear as parents.
+    One shuffle: join closure to the leaf set, count per ancestor. Pass a
+    cached ``leaves`` (leaf_set) to skip recomputing the anti-join per call.
     """
-    parents = edges.select(F.col("parent_id").alias("node_id")).distinct()
-    leaves = edges.select(F.col("child_id").alias("node_id")).join(
-        parents, "node_id", "left_anti"
-    )
+    if leaves is None:
+        leaves = leaf_set(edges)
     counts = (
         paths.join(leaves, "node_id")
         .groupBy("ancestor_id")

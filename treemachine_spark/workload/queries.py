@@ -47,10 +47,11 @@ def get_ctx(spark: SparkSession, sf_dir: str) -> dict:
         # build at low task count, serve at full parallelism
         paths = build_closure(build_edges).repartition(32).cache()
         paths_self = with_self_paths(paths, nodes).cache()
+        leaves = T.leaf_set(edges).cache()
         # eager materialization: ingest-time cost, so request-shaped queries
         # run against warm caches (the reference equivalently pays this in
         # its batch ingest + Lucene index build)
-        for df in (edges, nodes, paths, paths_self):
+        for df in (edges, nodes, paths, paths_self, leaves):
             df.count()
         _CTX[key] = {
             "tables": tables,
@@ -58,6 +59,7 @@ def get_ctx(spark: SparkSession, sf_dir: str) -> dict:
             "nodes": nodes,
             "paths": paths,
             "paths_self": paths_self,
+            "leaves": leaves,
         }
     return _CTX[key]
 
@@ -174,7 +176,7 @@ def q_a1_tip_counts(spark, sf_dir):
     """A1 — tip_descendants per region/nation ancestor
     (IngestSynthesisData.java:435-443)."""
     ctx = get_ctx(spark, sf_dir)
-    counts = T.tip_counts(ctx["paths"], ctx["edges"])
+    counts = T.tip_counts(ctx["paths"], ctx["edges"], leaves=ctx["leaves"])
     return counts.where(
         (F.col("ancestor_id") == "root") | F.col("ancestor_id").rlike("^[rn][0-9]+$")
     )
