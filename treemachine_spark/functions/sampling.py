@@ -1,0 +1,51 @@
+"""Deterministic sampling / split assignment for training-data pipelines.
+
+At 100 TB you cannot re-toss coins per run: train/val/test membership must be
+a pure function of the record key so every job (and every re-run after a
+failure) agrees. Standard practice is hash-mod bucketing on the key — a
+narrow, shuffle-free projection that Catalyst fuses into the scan, and the
+md5-derived ``h32`` makes it bit-identical in the DuckDB oracle.
+
+(The reference has no sampling surface — this is part of the beyond-reference
+pipeline family, like dedup/ANN; see COVERAGE.md "Beyond-reference".)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from treemachine_spark.functions.hashing import h32
+
+
+def hash_bucket(key: Column, n_buckets: int = 100, salt: str = "") -> Column:
+    """Stable bucket in [0, n_buckets) from the record key (+ optional salt
+    so independent samples of the same table don't correlate)."""
+    return h32(F.concat(key.cast("string"), F.lit(salt))) % n_buckets
+
+
+def hash_sample(df: DataFrame, key_col: str, rate_pct: int, salt: str = "") -> DataFrame:
+    """Keep ~rate_pct%% of rows, deterministically by key."""
+    return df.where(hash_bucket(F.col(key_col), 100, salt) < rate_pct)
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    weights: dict[str, int] | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Add a ``split`` column ('train'/'val'/'test' by default) from
+    cumulative hash-bucket ranges. ``weights`` maps split name -> percent and
+    must sum to 100; dict order defines the bucket ranges.
+    """
+    weights = weights or {"train": 80, "val": 10, "test": 10}
+    assert sum(weights.values()) == 100, "split weights must sum to 100"
+    b = hash_bucket(F.col(key_col), 100, salt)
+    expr = None
+    lo = 0
+    for name, pct in weights.items():
+        cond = (b >= lo) & (b < lo + pct)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+        lo += pct
+    return df.withColumn("split", expr)

@@ -111,6 +111,44 @@ def redact(text: Column) -> Column:
     return out
 
 
+def chunk_words(text: Column, size: int = 64, overlap: int = 16) -> Column:
+    """Sliding word-window chunks: array of chunk strings starting every
+    ``size - overlap`` words (the standard long-document → training-sample
+    segmentation). Pure higher-order array ops — executor-side, no UDF, no
+    shuffle; at 100 TB this is a flatMap-shaped projection fused into the
+    scan."""
+    assert 0 <= overlap < size
+    w = words(text)
+    step = size - overlap
+    starts = F.sequence(F.lit(1), F.greatest(F.size(w), F.lit(1)), F.lit(step))
+    return F.transform(starts, lambda s: F.concat_ws(" ", F.slice(w, s, size)))
+
+
+def chunk_documents(
+    docs: DataFrame, text_col: str = "text", size: int = 64, overlap: int = 16
+) -> DataFrame:
+    """Explode docs into (doc_id, chunk_index, n_tokens, chunk_hash) rows.
+    The hash (md5-derived h32) stands in for the chunk payload so the result
+    stays narrow while remaining value-checkable cross-engine."""
+    from treemachine_spark.functions.hashing import h32
+
+    # build the chunk array in its own projection, persist, THEN explode:
+    # a generator over a nested higher-order expression runs interpreted
+    # (and re-evaluates per reference) — measured 10-20x slower than
+    # exploding a materialized plain column (see dedup.minhash_bands)
+    arr = docs.select(
+        "doc_id", chunk_words(F.col(text_col), size, overlap).alias("chunks")
+    ).persist()
+    return arr.select(
+        "doc_id", F.posexplode("chunks").alias("chunk_index", "chunk")
+    ).select(
+        "doc_id",
+        F.col("chunk_index").cast("int").alias("chunk_index"),
+        F.size(words(F.col("chunk"))).alias("n_tokens"),
+        h32(F.col("chunk")).alias("chunk_hash"),
+    )
+
+
 def text_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """One-pass profile: tokens, quality, predicted language, fingerprint."""
     t = F.col(text_col)

@@ -73,6 +73,225 @@ def hierarchy_edges(tables: dict[str, DataFrame]) -> DataFrame:
     return reduce(DataFrame.unionByName, parts).distinct()
 
 
+def hierarchy_closure(tables: dict[str, DataFrame]) -> DataFrame:
+    """Ancestor closure (node_id, ancestor_id, depth>=1) of the leveled
+    hierarchy, built WITHOUT iteration.
+
+    The generic ``graph/closure.build_closure`` (log-doubling self-joins)
+    handles arbitrary trees — newick ingest still uses it. But this hierarchy
+    has a statically known level structure, so its closure is exactly the
+    star-schema denormalization every warehouse does: prepend each level's
+    parent key to the parent level's ancestor array (a chain of dimension
+    joins), then ``posexplode`` the array into (ancestor, depth) rows.
+
+    Cost model vs doubling, at any scale:
+      - doubling: 4 iterations x (self-join over the growing closure +
+        materialization barrier) — the closure itself is shuffled repeatedly.
+      - here: region/nation ancestors need NO join (the parent key is in the
+        row); customer and orders join a strictly-smaller dimension (Catalyst
+        broadcasts under the threshold, AQE decides above it); the single
+        big-x-big join (lineitem x orders) shuffles on the natural key
+        l_orderkey/o_orderkey — the same key the source tables would already
+        be bucketed by at 100 TB, making it co-located there. Plus one
+        distinct() on lineitem node ids (the only level whose business key
+        collides — node-set semantics, see hierarchy_edges).
+
+    Replaces pointer-walk path construction (GraphExplorer.getPathToRoot,
+    opentree/GraphExplorer.java:795-814) just like build_closure, with the
+    physical plan a warehouse would pick for a fixed-depth hierarchy.
+    """
+    return _closure_from_frames(_level_frames(tables))
+
+
+def _id(pre: str, col: str):
+    return F.concat(F.lit(pre), F.col(col).cast("string"))
+
+
+def lineitem_ids(tables: dict[str, DataFrame]) -> DataFrame:
+    """Distinct lineitem node ids + their order key: (node_id, _pk).
+
+    (l_orderkey, l_linenumber) collides in the source data, so this
+    distinct() — on a 2-column projection only — is the one dedup shuffle
+    the whole hierarchy needs (node-set semantics; the dimension keys are
+    unique by construction). Cache it and pass to ``_level_frames`` /
+    ``hierarchy_artifacts`` so edges, nodes and closure all share one pass.
+    """
+    li = tables["lineitem"]
+    return li.select(
+        _lineitem_id(li).alias("node_id"), F.col("l_orderkey").alias("_pk")
+    ).distinct()
+
+
+def _level_frames(
+    tables: dict[str, DataFrame], li_ids: DataFrame | None = None
+) -> list[tuple[int, DataFrame]]:
+    """Per-level frames [(level, df(node_id, name, anc))]: each node with its
+    display name (NULL below customer) and its full root-ward ancestor array.
+    Everything downstream (edges, nodes, closure) is a narrow projection or
+    posexplode of these."""
+    root_arr = F.array(F.lit(ROOT_ID))
+    # level 1-2: ancestor arrays computable from the row itself (no join);
+    # frames carry the natural key so the next level joins on it
+    region_anc = tables["region"].select(
+        F.col("r_regionkey").alias("key"),
+        _id("r", "r_regionkey").alias("node_id"),
+        F.col("r_name").alias("name"),
+        root_arr.alias("anc"),
+    )
+    nation_anc = tables["nation"].select(
+        F.col("n_nationkey").alias("key"),
+        _id("n", "n_nationkey").alias("node_id"),
+        F.col("n_name").alias("name"),
+        F.concat(F.array(_id("r", "n_regionkey")), root_arr).alias("anc"),
+    )
+
+    def _extend(child, ckey, cpre, pkey, name_col, parent_anc):
+        """child level ⋈ parent ancestors on the natural key; ancestor array =
+        [parent] ++ parent's ancestors. Dimension join — broadcast under the
+        threshold, shuffle-on-key above it (AQE decides)."""
+        p = parent_anc.select(
+            F.col("key").alias("_pk"),
+            F.col("node_id").alias("_pid"),
+            F.col("anc").alias("_panc"),
+        )
+        name = F.col(name_col) if name_col else F.lit(None).cast("string")
+        return (
+            child.select(
+                F.col(ckey).alias("key"),
+                _id(cpre, ckey).alias("node_id"),
+                name.alias("name"),
+                F.col(pkey).alias("_pk"),
+            )
+            .join(p, "_pk")
+            .select(
+                "key",
+                "node_id",
+                "name",
+                F.concat(F.array("_pid"), F.col("_panc")).alias("anc"),
+            )
+        )
+
+    customer_anc = _extend(
+        tables["customer"], "c_custkey", "c", "c_nationkey", "c_name", nation_anc
+    )
+    orders_anc = _extend(
+        tables["orders"], "o_orderkey", "o", "o_custkey", None, customer_anc
+    )
+    # level 5: deduped lineitem ids ⋈ orders ancestors on the natural key
+    if li_ids is None:
+        li_ids = lineitem_ids(tables)
+    li_anc = li_ids.join(
+        orders_anc.select(
+            F.col("key").alias("_pk"),
+            F.col("node_id").alias("_pid"),
+            F.col("anc").alias("_panc"),
+        ),
+        "_pk",
+    ).select(
+        "node_id",
+        F.lit(None).cast("string").alias("name"),
+        F.concat(F.array("_pid"), F.col("_panc")).alias("anc"),
+    )
+    return [
+        (1, region_anc),
+        (2, nation_anc),
+        (3, customer_anc),
+        (4, orders_anc),
+        (5, li_anc),
+    ]
+
+
+def _closure_from_frames(frames: list[tuple[int, DataFrame]]) -> DataFrame:
+    exploded = [
+        lvl.select(
+            "node_id",
+            F.posexplode("anc").alias("pos", "ancestor_id"),
+        ).select(
+            "node_id",
+            "ancestor_id",
+            (F.col("pos") + F.lit(1)).cast("int").alias("depth"),
+        )
+        for _level, lvl in frames
+    ]
+    return reduce(DataFrame.unionByName, exploded)
+
+
+def hierarchy_artifacts(
+    tables: dict[str, DataFrame],
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(nodes, edges, paths) built from ONE set of level frames sharing ONE
+    lineitem dedup — the fused ingest path ``get_ctx`` uses.
+
+    Standalone ``hierarchy_edges`` / ``hierarchy_nodes`` (below) stay as the
+    generic derivation (global distinct over unioned projections); this fused
+    form relies on the verified invariants that dimension keys are unique and
+    every child key resolves to a parent row (checked for the driver's
+    testdata at all SFs), which make the global distinct redundant. Row sets
+    are identical; cost drops from 3 wide dedup shuffles to 1 narrow one.
+    """
+    spark = tables["region"].sparkSession
+    li_ids = lineitem_ids(tables).cache()
+
+    # edges + nodes are pure per-table projections (parent key is IN the
+    # child row — no join, no shuffle) with the shared li_ids standing in
+    # for the lineitem level; only the closure needs the ancestor-chain
+    # joins below.
+    dim_edges = [
+        tables["region"].select(
+            _id("r", "r_regionkey").alias("child_id"), F.lit(ROOT_ID).alias("parent_id")
+        ),
+        tables["nation"].select(
+            _id("n", "n_nationkey").alias("child_id"),
+            _id("r", "n_regionkey").alias("parent_id"),
+        ),
+        tables["customer"].select(
+            _id("c", "c_custkey").alias("child_id"),
+            _id("n", "c_nationkey").alias("parent_id"),
+        ),
+        tables["orders"].select(
+            _id("o", "o_orderkey").alias("child_id"),
+            _id("c", "o_custkey").alias("parent_id"),
+        ),
+        li_ids.select(
+            F.col("node_id").alias("child_id"),
+            F.concat(F.lit("o"), F.col("_pk").cast("string")).alias("parent_id"),
+        ),
+    ]
+    edges = reduce(DataFrame.unionByName, dim_edges)
+
+    root = spark.createDataFrame(
+        [(ROOT_ID, "root", 0, False)],
+        "node_id string, name string, level int, is_leaf boolean",
+    )
+    name_cols = {1: ("region", "r_regionkey", "r", "r_name"),
+                 2: ("nation", "n_nationkey", "n", "n_name"),
+                 3: ("customer", "c_custkey", "c", "c_name"),
+                 4: ("orders", "o_orderkey", "o", None)}
+    node_parts = [root]
+    for lvl, (table, key, pre, name_col) in name_cols.items():
+        name = F.col(name_col) if name_col else F.lit(None).cast("string")
+        node_parts.append(
+            tables[table].select(
+                _id(pre, key).alias("node_id"),
+                name.alias("name"),
+                F.lit(lvl).alias("level"),
+                F.lit(False).alias("is_leaf"),
+            )
+        )
+    node_parts.append(
+        li_ids.select(
+            "node_id",
+            F.lit(None).cast("string").alias("name"),
+            F.lit(5).alias("level"),
+            F.lit(True).alias("is_leaf"),
+        )
+    )
+    nodes = reduce(DataFrame.unionByName, node_parts)
+
+    paths = _closure_from_frames(_level_frames(tables, li_ids))
+    return nodes, edges, paths
+
+
 def hierarchy_nodes(tables: dict[str, DataFrame]) -> DataFrame:
     """Node DataFrame (node_id, name, level, is_leaf).
 

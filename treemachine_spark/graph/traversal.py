@@ -58,7 +58,7 @@ def mrca(paths_self: DataFrame, tips: DataFrame) -> DataFrame:
     # The covering ancestors form a single root chain (<= tree depth rows):
     # request-scale, so collect the ids and run ONE pushed-down filtered
     # aggregation for their root depths instead of a full-table agg or a
-    # broadcast of the agg subplan (which Spark would re-execute).
+    # broadcast of the agg subplan (measured slower as a broadcast build).
     cov_ids = [r["ancestor_id"] for r in covering.collect()]
     rd = (
         paths_self.where(F.col("node_id").isin(cov_ids))

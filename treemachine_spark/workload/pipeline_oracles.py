@@ -180,6 +180,57 @@ JOIN sizes sb ON doc_b = sb.doc_id
 WHERE n_inter / (sa.n + sb.n - n_inter) >= 0.3
 """
 
+PIPELINE_ORACLES["x6_hash_split"] = """
+WITH b AS (
+    SELECT n_chars,
+           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bk
+    FROM documents
+)
+SELECT CASE WHEN bk < 80 THEN 'train' WHEN bk < 90 THEN 'val' ELSE 'test' END AS split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM b GROUP BY 1
+"""
+
+PIPELINE_ORACLES["x7_chunking"] = r"""
+WITH w AS (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents
+)
+, c AS (
+    SELECT doc_id, ws,
+           unnest(range(1, greatest(len(ws), 1) + 1, 48)) AS s
+    FROM w
+)
+, chunks AS (
+    SELECT doc_id,
+           CAST((s - 1) / 48 AS INTEGER) AS chunk_index,
+           array_to_string(ws[s:s+63], ' ') AS chunk
+    FROM c
+)
+SELECT doc_id, chunk_index,
+       CAST(len(string_split_regex(chunk, '\s+')) AS INTEGER) AS n_tokens,
+       ('0x' || substr(md5(chunk), 1, 8))::BIGINT AS chunk_hash
+FROM chunks
+"""
+
+PIPELINE_ORACLES["d7_jaccard_capped"] = _SHINGLES_CTE + """
+, ex AS (SELECT doc_id, unnest(sh) AS s FROM sh)
+, rare AS (SELECT s FROM ex GROUP BY s HAVING COUNT(*) <= 20)
+, exf AS (SELECT ex.doc_id, ex.s FROM ex JOIN rare USING (s))
+, sizes AS (SELECT doc_id, COUNT(*) AS n FROM exf GROUP BY doc_id)
+, inter AS (
+    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS n_inter
+    FROM exf x JOIN exf y ON x.s = y.s AND x.doc_id < y.doc_id
+    GROUP BY x.doc_id, y.doc_id
+)
+SELECT doc_a, doc_b,
+       ROUND(n_inter / (sa.n + sb.n - n_inter), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE n_inter / (sa.n + sb.n - n_inter) >= 0.3
+"""
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------

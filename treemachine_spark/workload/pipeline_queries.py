@@ -8,7 +8,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from treemachine_spark.functions import dedup, similarity, text
+from treemachine_spark.functions import dedup, sampling, similarity, text
 from treemachine_spark.io.tables import load_tables
 
 
@@ -126,6 +126,32 @@ def q_d4_ngram_jaccard(spark, sf_dir):
     )
 
 
+def q_x6_hash_split(spark, sf_dir):
+    """Deterministic train/val/test assignment by key hash (80/10/10),
+    verified via per-split doc counts + char totals."""
+    docs = sampling.hash_split(load_tables(spark, sf_dir)["documents"], "doc_id")
+    return docs.groupBy("split").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("sum_chars")
+    )
+
+
+def q_x7_chunking(spark, sf_dir):
+    """Sliding-window document chunking (64-word windows, 16 overlap) —
+    flatMap-shaped array explode, value-checked via per-chunk h32."""
+    return text.chunk_documents(
+        load_tables(spark, sf_dir)["documents"], size=64, overlap=16
+    )
+
+
+def q_d7_jaccard_capped(spark, sf_dir):
+    """Frequency-capped n-gram Jaccard — the 100 TB scale path for d4: stop
+    shingles above the doc-frequency cap are dropped before the inverted-
+    index self-join, killing its quadratic hot-key fan-out."""
+    return dedup.ngram_jaccard_pairs(
+        load_tables(spark, sf_dir)["documents"], threshold=0.3, max_doc_freq=20
+    )
+
+
 def q_d5_dup_clusters(spark, sf_dir):
     """Duplicate clusters: connected components (iterative min-label
     propagation) over the exact n-gram-Jaccard near-dup pair graph."""
@@ -200,6 +226,9 @@ PIPELINE_QUERIES = {
     "d2_minhash_pairs": q_d2_minhash_pairs,
     "d3_simhash": q_d3_simhash,
     "d4_ngram_jaccard": q_d4_ngram_jaccard,
+    "d7_jaccard_capped": q_d7_jaccard_capped,
+    "x6_hash_split": q_x6_hash_split,
+    "x7_chunking": q_x7_chunking,
     "d5_dup_clusters": q_d5_dup_clusters,
     "s3_streaming_windows": q_s3_streaming_windows,
     "v1_ann_brute": q_v1_ann_brute,

@@ -19,8 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from treemachine_spark.graph.closure import build_closure, with_self_paths
-from treemachine_spark.graph.hierarchy import hierarchy_edges, hierarchy_nodes
+from treemachine_spark.graph.closure import with_self_paths
+from treemachine_spark.graph.hierarchy import hierarchy_artifacts
 from treemachine_spark.graph import traversal as T
 from treemachine_spark.io.tables import load_tables
 
@@ -36,22 +36,32 @@ def get_ctx(spark: SparkSession, sf_dir: str) -> dict:
     key = (id(spark._jsparkSession) if hasattr(spark, "_jsparkSession") else id(spark), sf_dir)
     if key not in _CTX:
         tables = load_tables(spark, sf_dir)
-        edges = hierarchy_edges(tables).cache()
-        # size-adaptive parallelism for the iterative closure build: tiny
-        # tasks are overhead-dominated, so target ~500k edges/partition
-        # (at cluster scale this grows into thousands of partitions)
-        n_edges = edges.count()
-        nparts = max(8, n_edges // 500_000)
-        build_edges = edges.repartition(nparts).cache()
-        nodes = hierarchy_nodes(tables).cache()
-        # build at low task count, serve at full parallelism
-        paths = build_closure(build_edges).repartition(32).cache()
-        paths_self = with_self_paths(paths, nodes).cache()
+        # the sf-scale parquet files land in ONE partition each (single files
+        # under maxPartitionBytes), which would serialize per-row-heavy
+        # compute (UDF shingling, vector math) on one core; re-spread just
+        # those tables at ingest — the local analog of the many-file layout
+        # the same tables have at 100 TB. The relational tables keep their
+        # natural scan layout: at this SF more tasks is pure scheduling
+        # overhead, and at real scale the scan parallelism comes from the
+        # file count anyway.
+        for name in ("documents", "embeddings"):
+            tables[name] = tables[name].repartition(8).cache()
+        # fused ingest: nodes/edges/closure share one set of level frames and
+        # one lineitem dedup (hierarchy_artifacts docstring has the cost
+        # model; build_closure remains the generic path for arbitrary-depth
+        # newick trees)
+        nodes, edges, paths = hierarchy_artifacts(tables)
+        nodes, edges = nodes.cache(), edges.cache()
+        paths = paths.repartition(32, "node_id").cache()
+        # paths_self stays a lazy union VIEW over the two cached inputs —
+        # caching it would duplicate the whole closure in memory for no
+        # speedup (both branches are already cached)
+        paths_self = with_self_paths(paths, nodes)
         leaves = T.leaf_set(edges).cache()
         # eager materialization: ingest-time cost, so request-shaped queries
         # run against warm caches (the reference equivalently pays this in
         # its batch ingest + Lucene index build)
-        for df in (edges, nodes, paths, paths_self, leaves):
+        for df in (edges, nodes, paths, leaves):
             df.count()
         _CTX[key] = {
             "tables": tables,
