@@ -201,9 +201,10 @@ def minhash_near_dup_pairs(
     join); verification joins the distinct shingle sets back for the exact
     |A∩B|/|A∪B|.
     """
-    # the band table feeds both sides of the self-join: cache it so the
-    # shingle+minhash pipeline runs once
-    bands = minhash_bands(docs, text_col, k).cache()
+    # the signature table is persisted inside minhash_bands; the band
+    # explode view is recomputed per join side from that cache (cheaper
+    # than materializing a second 4x-rows band table)
+    bands = minhash_bands(docs, text_col, k)
     cand = (
         bands.alias("x")
         .join(
@@ -215,17 +216,17 @@ def minhash_near_dup_pairs(
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
     )
-    # verification touches only candidate docs: collect the (request-scale)
-    # candidate id set and compute shingle arrays for those rows alone
+    # verification touches only candidate docs: semi-join the (request-scale)
+    # candidate id set — broadcast-built from the cached cand table, so no
+    # separate collect round-trip — and compute shingle arrays for those
+    # rows alone
     cand = cand.cache()
-    cand_ids = [
-        r["doc_id"]
-        for r in cand.select(F.col("doc_a").alias("doc_id"))
+    ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
         .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
         .distinct()
-        .collect()
-    ]
-    sh = docs.where(F.col("doc_id").isin(cand_ids)).select(
+    )
+    sh = docs.join(F.broadcast(ids), "doc_id", "left_semi").select(
         "doc_id", shingle_array_udf(k)(F.col(text_col)).alias("sh")
     )
     return (

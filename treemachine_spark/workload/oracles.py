@@ -262,6 +262,103 @@ JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
 """
 
+ORACLES["q6_forecast_revenue"] = """
+SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+ORACLES["q7_nation_volume"] = """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS l_year,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS volume
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+   OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+GROUP BY 1, 2, 3
+"""
+
+ORACLES["q8_market_share"] = """
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+       ROUND(SUM(CASE WHEN sn.n_name = 'NATION_3'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             / SUM(l_extendedprice * (1 - l_discount)), 4) AS mkt_share
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE o_custkey IN (
+    SELECT c_custkey FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA')
+  AND l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+GROUP BY 1
+"""
+
+ORACLES["q10_returned_items"] = """
+SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS acctbal, n_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+ORACLES["q14_promo_share"] = """
+SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+"""
+
+ORACLES["q15_top_supplier"] = """
+WITH rev AS (
+    SELECT l_suppkey AS supplier_no,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+    GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON supplier_no = s_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+"""
+
+ORACLES["q17_small_qty_revenue"] = """
+WITH li AS (
+    SELECT l.* FROM lineitem l
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_brand = 'Brand#1'
+), avg_qty AS (
+    SELECT l_partkey AS ap_partkey, 0.2 * AVG(l_quantity) AS qty_limit
+    FROM li GROUP BY l_partkey
+)
+SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM li JOIN avg_qty ON l_partkey = ap_partkey
+WHERE l_quantity < qty_limit
+"""
+
+ORACLES["q19_disjunctive_join"] = """
+SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 20 AND 30)
+"""
+
 ORACLES["q22_idle_customers"] = """
 SELECT c_custkey, ROUND(c_acctbal, 2) AS acctbal,
        COALESCE(n.n, 0) AS n_orders

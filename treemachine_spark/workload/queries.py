@@ -408,6 +408,238 @@ def q_q18_large_orders(spark, sf_dir):
     )
 
 
+def q_q6_forecast_revenue(spark, sf_dir):
+    """Selective scan aggregation (TPC-H Q6 shape): all three predicates
+    push down into the parquet scan; zero joins, one partial-agg reduce."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+def q_q7_nation_volume(spark, sf_dir):
+    """Two-role dimension join (TPC-H Q7 shape): nation joined once through
+    supplier and once through customer — both broadcast; the fact-side
+    shuffle is only the final (supp_nation, cust_nation, year) agg."""
+    t = load_tables(spark, sf_dir)
+    supp_n = t["supplier"].join(
+        F.broadcast(t["nation"].select("n_nationkey", F.col("n_name").alias("supp_nation"))),
+        t["supplier"].s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", "supp_nation")
+    cust_n = t["customer"].join(
+        F.broadcast(t["nation"].select("n_nationkey", F.col("n_name").alias("cust_nation"))),
+        t["customer"].c_nationkey == F.col("n_nationkey"),
+    ).select("c_custkey", "cust_nation")
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        t["lineitem"]
+        .join(t["orders"], t["lineitem"].l_orderkey == t["orders"].o_orderkey)
+        .join(F.broadcast(cust_n), t["orders"].o_custkey == cust_n.c_custkey)
+        .join(F.broadcast(supp_n), t["lineitem"].l_suppkey == supp_n.s_suppkey)
+        .where(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("volume")
+        )
+    )
+
+
+def q_q8_market_share(spark, sf_dir):
+    """Market share (TPC-H Q8 shape): conditional aggregation over a 5-way
+    star join; every dimension side is broadcast."""
+    t = load_tables(spark, sf_dir)
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    supp_n = t["supplier"].join(
+        F.broadcast(t["nation"].select("n_nationkey", F.col("n_name").alias("supp_nation"))),
+        t["supplier"].s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", "supp_nation")
+    cust_r = (
+        t["customer"]
+        .join(
+            F.broadcast(t["nation"].select("n_nationkey", "n_regionkey")),
+            t["customer"].c_nationkey == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(t["region"].where(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("c_custkey")
+    )
+    promo = t["part"].where(F.col("p_type") == "PROMO").select("p_partkey")
+    return (
+        t["lineitem"]
+        .join(t["orders"], t["lineitem"].l_orderkey == t["orders"].o_orderkey)
+        .join(F.broadcast(cust_r), t["orders"].o_custkey == cust_r.c_custkey, "left_semi")
+        .join(F.broadcast(promo), t["lineitem"].l_partkey == promo.p_partkey, "left_semi")
+        .join(F.broadcast(supp_n), t["lineitem"].l_suppkey == supp_n.s_suppkey)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(0.0))
+                / F.sum(vol),
+                4,
+            ).alias("mkt_share")
+        )
+    )
+
+
+def q_q10_returned_items(spark, sf_dir):
+    """Returned-item ranking (TPC-H Q10 shape): selective fact filter, star
+    join, top-20 with deterministic tie-break."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .where(F.col("l_returnflag") == "R")
+        .join(
+            t["orders"].where(
+                (F.col("o_orderdate") >= F.lit("1996-01-01"))
+                & (F.col("o_orderdate") < F.lit("1996-07-01"))
+            ),
+            t["lineitem"].l_orderkey == F.col("o_orderkey"),
+        )
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            "n_name",
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+def q_q14_promo_share(spark, sf_dir):
+    """Promo revenue share (TPC-H Q14 shape): conditional aggregation over a
+    broadcast part join within one ship-month."""
+    t = load_tables(spark, sf_dir)
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        t["lineitem"]
+        .where(
+            (F.col("l_shipdate") >= F.lit("1996-03-01"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01"))
+        )
+        .join(
+            F.broadcast(t["part"].select("p_partkey", "p_type")),
+            t["lineitem"].l_partkey == F.col("p_partkey"),
+        )
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(0.0))
+                / F.sum(vol),
+                4,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+def q_q15_top_supplier(spark, sf_dir):
+    """Top supplier (TPC-H Q15 shape): revenue 'view' + scalar max + equality
+    join back — the classic view/subquery composition."""
+    t = load_tables(spark, sf_dir)
+    rev = (
+        t["lineitem"]
+        .where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_revenue")
+        )
+    )
+    top = rev.agg(F.max("total_revenue").alias("total_revenue"))
+    return (
+        rev.join(F.broadcast(top), "total_revenue")
+        .join(
+            F.broadcast(t["supplier"]),
+            rev.supplier_no == t["supplier"].s_suppkey,
+        )
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+def q_q17_small_qty_revenue(spark, sf_dir):
+    """Small-quantity revenue (TPC-H Q17 shape): per-part correlated average
+    rewritten as an aggregate-then-join — the standard decorrelation."""
+    t = load_tables(spark, sf_dir)
+    brand_parts = t["part"].where(F.col("p_brand") == "Brand#1").select("p_partkey")
+    li = t["lineitem"].join(
+        F.broadcast(brand_parts), t["lineitem"].l_partkey == F.col("p_partkey")
+    )
+    avg_qty = li.groupBy("p_partkey").agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_limit")
+    ).withColumnRenamed("p_partkey", "ap_partkey")
+    return (
+        li.join(F.broadcast(avg_qty), li.p_partkey == F.col("ap_partkey"))
+        .where(F.col("l_quantity") < F.col("qty_limit"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly")
+        )
+    )
+
+
+def q_q19_disjunctive_join(spark, sf_dir):
+    """Disjunctive predicate join (TPC-H Q19 shape): OR of three
+    brand/size/quantity envelopes — Catalyst extracts the common join key so
+    this stays an equi-join with a residual filter, not a cross product."""
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].join(
+        F.broadcast(t["part"].select("p_partkey", "p_brand", "p_size")),
+        t["lineitem"].l_partkey == F.col("p_partkey"),
+    )
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & (F.col("p_size").between(1, 15))
+            & (F.col("l_quantity").between(1, 11))
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & (F.col("p_size").between(1, 20))
+            & (F.col("l_quantity").between(10, 20))
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & (F.col("p_size").between(1, 25))
+            & (F.col("l_quantity").between(20, 30))
+        )
+    )
+    return li.where(cond).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue")
+    )
+
+
 def q_q22_idle_customers(spark, sf_dir):
     """Scalar subquery + anti join (TPC-H Q22 shape): above-average-balance
     customers with no orders... none exist at these SFs for the no-order
@@ -612,6 +844,14 @@ QUERIES = {
     "q16_supplier_part_types": q_q16_supplier_part_types,
     "q18_large_orders": q_q18_large_orders,
     "q22_idle_customers": q_q22_idle_customers,
+    "q6_forecast_revenue": q_q6_forecast_revenue,
+    "q7_nation_volume": q_q7_nation_volume,
+    "q8_market_share": q_q8_market_share,
+    "q10_returned_items": q_q10_returned_items,
+    "q14_promo_share": q_q14_promo_share,
+    "q15_top_supplier": q_q15_top_supplier,
+    "q17_small_qty_revenue": q_q17_small_qty_revenue,
+    "q19_disjunctive_join": q_q19_disjunctive_join,
     "s2_sessions_batch": q_s2_sessions_batch,
     "j3_asof_join": q_j3_asof_join,
     "j4_range_join": q_j4_range_join,
