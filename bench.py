@@ -57,8 +57,15 @@ def main() -> None:
     t0 = time.time()
     ctx = get_ctx(spark, sf_dir)
     ctx["paths"].count()
-    for name in ("lineitem", "orders", "customer", "events", "documents", "embeddings"):
-        ctx["tables"][name].cache().count()
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=6) as pool:
+        list(
+            pool.map(
+                lambda name: ctx["tables"][name].cache().count(),
+                ("lineitem", "orders", "customer", "events", "documents", "embeddings"),
+            )
+        )
     # spin up the Arrow/pandas UDF workers once (steady-state serving keeps
     # them alive via spark.python.worker.reuse) so per-query times measure
     # the operator, not interpreter fork+import

@@ -44,8 +44,8 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    out = {}
-    for name in TABLE_NAMES:
+
+    def _load(name: str) -> DataFrame:
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
         # UTC-adjusted TIMESTAMP(NANOS) columns (events.ts) come back as
         # BIGINT nanos under the legacy conf; rebuild a naive-UTC
@@ -58,5 +58,12 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
                         "timestamp_ntz"
                     ),
                 )
-        out[name] = df
-    return out
+        return df
+
+    # footer/schema reads are independent driver-side I/O — run them
+    # concurrently (Py4J releases the GIL during JVM calls)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(TABLE_NAMES)) as pool:
+        dfs = list(pool.map(_load, TABLE_NAMES))
+    return dict(zip(TABLE_NAMES, dfs))

@@ -60,9 +60,14 @@ def get_ctx(spark: SparkSession, sf_dir: str) -> dict:
         leaves = T.leaf_set(edges).cache()
         # eager materialization: ingest-time cost, so request-shaped queries
         # run against warm caches (the reference equivalently pays this in
-        # its batch ingest + Lucene index build)
-        for df in (edges, nodes, paths, leaves):
-            df.count()
+        # its batch ingest + Lucene index build). The four materializations
+        # are independent jobs — submit them concurrently and let the
+        # scheduler pack the cluster (li_ids is cached, so the first job to
+        # need it computes it and the rest reuse it).
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            list(pool.map(lambda df: df.count(), (edges, nodes, paths, leaves)))
         _CTX[key] = {
             "tables": tables,
             "edges": edges,
