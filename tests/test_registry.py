@@ -72,6 +72,37 @@ def test_store_roundtrip(spark, registry, tmp_path):
     assert reg2.tree_ids() == ["opentree_test1"]
 
 
+def test_single_store_roundtrip(spark, registry, tmp_path):
+    """Multi-tree single-store layout: one partitioned table set, per-tree
+    GraphStore views with partition-pruned scans."""
+    from treemachine_spark.ingest import load_single_store, write_single_store
+
+    out = tmp_path / "single"
+    write_single_store([registry.get(t) for t in registry.tree_ids()], str(out))
+    reg2 = load_single_store(spark, str(out))
+    assert reg2.tree_ids() == registry.tree_ids()
+    for tid in registry.tree_ids():
+        a, b = registry.get(tid), reg2.get(tid)
+        assert b.root_id == a.root_id
+        assert b.nodes.count() == a.nodes.count()
+        assert sorted(r["node_id"] for r in b.paths.collect()) == sorted(
+            r["node_id"] for r in a.paths.collect()
+        )
+    # the per-tree view must prune to one partition directory of the shared
+    # table (PartitionFilters on tree_id in the scan)
+    plan = (
+        reg2.get("opentree_test1")
+        .nodes._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan and "synth_id" in plan
+    # API parity through the consolidated layout
+    svc = TreeOfLifeService(reg2)
+    res = svc.mrca(ott_ids=[316878, 102710], synth_id="opentree_test1")
+    assert res["mrca"]["node_id"] == "ott5839486"
+
+
 def test_arguson_descendant_name_list(registry):
     svc = TreeOfLifeService(registry)
     res = svc.subtree(

@@ -54,6 +54,13 @@ def main(argv=None) -> int:
     s.add_argument("dbname")
     s.add_argument("outfile")
 
+    s = sub.add_parser(
+        "consolidate",
+        help="merge per-tree stores into ONE synth_id-partitioned table set",
+    )
+    s.add_argument("store_dirs", nargs="+", help="per-tree store directories")
+    s.add_argument("outdir")
+
     args = p.parse_args(argv)
 
     from treemachine_spark.session import get_spark
@@ -86,6 +93,14 @@ def main(argv=None) -> int:
             for t in trees:
                 labels = {n.node_id: (n.label or "") for n in t.nodes}
                 fh.write(assemble_newick(t.edges(), t.root_id, labels) + "\n")
+        return 0
+
+    if args.cmd == "consolidate":
+        from treemachine_spark.ingest import load_store, write_single_store
+
+        stores = [load_store(spark, d) for d in args.store_dirs]
+        write_single_store(stores, args.outdir)
+        print(f"consolidated {len(stores)} tree(s) -> {args.outdir}")
         return 0
 
     # remaining commands need a store

@@ -170,6 +170,69 @@ def write_store(store: GraphStore, out_dir: str) -> None:
         _json.dump({**store.tree_meta, "root_id": store.root_id}, fh)
 
 
+_STORE_TABLES = ("nodes", "edges", "paths", "node_annotations", "source_map")
+
+
+def write_single_store(stores: list[GraphStore], out_dir: str) -> None:
+    """All trees in ONE partitioned table set (tree_id is the partition key
+    of every table) — the scale layout for serving many synthetic trees:
+    one metastore entry per table, partition pruning turns every per-tree
+    query into a scan of just that tree's files, and cross-tree analytics
+    become plain filters instead of unions of registries.
+
+    The reference hides its multi-tree support behind a hardcoded default
+    (tree_of_life_v3.java:75-89); here it is the storage layout itself.
+    """
+    import json as _json
+    from functools import reduce
+
+    metas = {}
+    parts: dict[str, list[DataFrame]] = {n: [] for n in _STORE_TABLES}
+    for s in stores:
+        # partition key is a dedicated `synth_id` column: source_map (and
+        # annotation blobs) legitimately carry a `tree_id` of the SOURCE
+        # study tree, which must not be clobbered by the synth tree id
+        for name in _STORE_TABLES:
+            parts[name].append(
+                getattr(s, name).withColumn("synth_id", F.lit(s.tree_id))
+            )
+        metas[s.tree_id] = {**s.tree_meta, "root_id": s.root_id}
+    for name, dfs in parts.items():
+        reduce(DataFrame.unionByName, dfs).write.mode("overwrite").partitionBy(
+            "synth_id"
+        ).parquet(os.path.join(out_dir, name))
+    with open(os.path.join(out_dir, "trees_meta.json"), "w") as fh:
+        _json.dump(metas, fh)
+
+
+def load_single_store(spark: SparkSession, out_dir: str):
+    """Load a write_single_store layout as a TreeRegistry of partition-pruned
+    GraphStore views (each per-tree DataFrame is a tree_id filter over the
+    shared table — the scan touches only that tree's partition directory)."""
+    import json as _json
+
+    from treemachine_spark.registry import TreeRegistry
+
+    with open(os.path.join(out_dir, "trees_meta.json")) as fh:
+        metas = _json.load(fh)
+    tables = {
+        name: spark.read.parquet(os.path.join(out_dir, name)) for name in _STORE_TABLES
+    }
+    stores = {}
+    for tid, meta in metas.items():
+        view = {
+            name: tables[name].where(F.col("synth_id") == tid).drop("synth_id")
+            for name in _STORE_TABLES
+        }
+        stores[tid] = GraphStore(
+            tree_id=tid,
+            root_id=meta["root_id"],
+            tree_meta=meta,
+            **view,
+        ).cache()
+    return TreeRegistry(stores)
+
+
 def load_store(spark: SparkSession, out_dir: str) -> GraphStore:
     import json as _json
 
