@@ -96,6 +96,19 @@ def export_graphml_simple(store: GraphStore, start_node: str | None = None) -> s
     return "\n".join(out)
 
 
+def tax_source_flags(nodes: DataFrame) -> DataFrame:
+    """P11 — per-node ``only_gbif`` flag: no entry of the packed tax-source
+    list names ncbi (GraphExporter.buildTaxonomyTreeForWeb,
+    opentree/GraphExporter.java:1108-1113 sets ``onlygbif`` on web-tree
+    nodes). One array predicate in the projection — fused into the scan."""
+    has_ncbi = F.exists("tax_sources", lambda s: s.contains("ncbi"))
+    # NULL source list (unnamed internal node) is never flagged — the
+    # reference only inspects taxonomy nodes
+    return nodes.select(
+        "node_id", F.coalesce(~has_ncbi, F.lit(False)).alias("only_gbif")
+    )
+
+
 def node_support_metrics(store: GraphStore) -> DataFrame:
     """A4/A5/A6 — per-node metrics for GraphML-with-metrics (S12,
     GraphExporter.getGraphML, GraphExporter.java:307-536):

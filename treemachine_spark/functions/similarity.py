@@ -111,6 +111,37 @@ def cosine_near_dup_pairs(
     )
 
 
+def centroid_assign(
+    embeddings: DataFrame,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """K-means assignment step (the E-step every embedding pipeline runs at
+    scale): each vector joins the BROADCAST centroid set and keeps its
+    max-dot cell — a map-side cross join with a per-row argmax, no shuffle
+    except the final consumer's. Returns (id_col, cent_id).
+
+    Centroids here are the n smallest-id vectors (deterministic and
+    engine-independent for the oracle); production swaps in learned
+    centroids without changing the plan shape.
+    """
+    cent = (
+        embeddings.orderBy(id_col)
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("cent_id"), quantize(F.col(vec_col)).alias("cvec"))
+    )
+    emb = embeddings.select(F.col(id_col), quantize(F.col(vec_col)).alias("_v"))
+    w = Window.partitionBy(id_col).orderBy(F.desc("_s"), "cent_id")
+    return (
+        emb.crossJoin(F.broadcast(cent))
+        .select(id_col, "cent_id", int_dot(F.col("_v"), F.col("cvec")).alias("_s"))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(id_col, "cent_id")
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,

@@ -201,6 +201,28 @@ def induced_subtree(paths_self: DataFrame, tips: DataFrame) -> DataFrame:
     )
 
 
+def adjacent_by_source(
+    edges: DataFrame,
+    node_id: str,
+    source: str,
+    source_col: str = "source",
+    direction: str = "out",
+) -> DataFrame:
+    """T16 — the adjacent node over the first edge carrying ``source``
+    (GraphBase.getAdjNodeFromFirstRelationshipBySource,
+    opentree/GraphBase.java:262-273). The reference takes Neo4j's storage
+    order for "first"; a distributed engine needs a STABLE order, so this
+    takes the min adjacent id — one pushed-down filter + TakeOrdered(1).
+    """
+    if direction == "out":
+        pred = (F.col("child_id") == node_id) & (F.col(source_col) == source)
+        adj = edges.where(pred).select(F.col("parent_id").alias("adjacent_id"))
+    else:
+        pred = (F.col("parent_id") == node_id) & (F.col(source_col) == source)
+        adj = edges.where(pred).select(F.col("child_id").alias("adjacent_id"))
+    return adj.orderBy("adjacent_id").limit(1)
+
+
 def representative_names(paths: DataFrame, nodes: DataFrame) -> DataFrame:
     """T9 — representative descendant names: for each internal node, a
     deterministic first/last named descendant.

@@ -89,6 +89,36 @@ def windowed_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     )
 
 
+def enriched_windowed_value(
+    events: DataFrame, customers: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-static dimension enrichment: the event stream joins the STATIC
+    customer dimension — Spark re-broadcasts the dimension per micro-batch,
+    so the join holds NO streaming state — then tumbling 1h windowed totals
+    per market segment with a late-data watermark. The canonical "enrich the
+    clickstream with the user table" production shape.
+    """
+    dim = F.broadcast(
+        customers.select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    )
+    return (
+        events.withColumn("ts_t", F.col("ts").cast("timestamp"))
+        .withWatermark("ts_t", watermark)
+        .join(dim, "user_id")
+        .groupBy(F.window("ts_t", "1 hour").alias("win"), "c_mktsegment")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("win.start").cast("timestamp_ntz").alias("window_start"),
+            F.col("c_mktsegment").alias("mktsegment"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def streaming_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Exactly-once-per-key within the watermark horizon."""
     return (

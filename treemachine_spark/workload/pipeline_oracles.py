@@ -180,6 +180,18 @@ JOIN sizes sb ON doc_b = sb.doc_id
 WHERE n_inter / (sa.n + sb.n - n_inter) >= 0.3
 """
 
+PIPELINE_ORACLES["x8_token_percentiles"] = r"""
+WITH n AS (
+    SELECT lang, len(string_split_regex(trim(text), '\s+')) AS n
+    FROM documents
+)
+SELECT lang,
+       ROUND(quantile_cont(n, 0.5), 4) AS p50,
+       ROUND(quantile_cont(n, 0.9), 4) AS p90,
+       COUNT(*) AS n_docs
+FROM n GROUP BY lang
+"""
+
 PIPELINE_ORACLES["x6_hash_split"] = """
 WITH b AS (
     SELECT n_chars,
@@ -308,6 +320,21 @@ PIPELINE_ORACLES["d6_purge_list"] = PIPELINE_ORACLES["d5_dup_clusters"].replace(
     "SELECT a AS purge_doc_id, MIN(b) AS keeper_doc_id FROM reach GROUP BY a HAVING MIN(b) != a",
 )
 
+PIPELINE_ORACLES["v5_centroid_cells"] = f"""
+WITH base AS (SELECT vec_id, {_QUANT} AS v FROM embeddings),
+cent AS (SELECT vec_id AS cent_id, v AS cvec FROM base ORDER BY vec_id LIMIT 8),
+assigned AS (
+    SELECT vec_id, cent_id FROM (
+        SELECT b.vec_id, c.cent_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY b.vec_id
+                   ORDER BY list_dot_product(b.v, c.cvec) DESC, c.cent_id) AS arn
+        FROM base b CROSS JOIN cent c
+    ) WHERE arn = 1
+)
+SELECT cent_id, COUNT(*) AS n_vectors FROM assigned GROUP BY cent_id
+"""
+
 PIPELINE_ORACLES["v3_ivf_topk"] = f"""
 WITH base AS (SELECT vec_id, {_QUANT} AS v FROM embeddings),
 cent AS (SELECT vec_id AS cent_id, v AS cvec FROM base ORDER BY vec_id LIMIT 8),
@@ -364,3 +391,11 @@ FROM events GROUP BY 1, 2
 
 # the real streaming job must equal its batch twin
 PIPELINE_ORACLES["s3_streaming_windows"] = PIPELINE_ORACLES["s1_event_windows"]
+
+# stream-static dimension join, again gated by the batch equivalent
+PIPELINE_ORACLES["s4_stream_enriched"] = """
+SELECT date_trunc('hour', ts) AS window_start, c_mktsegment AS mktsegment,
+       COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY 1, 2
+"""

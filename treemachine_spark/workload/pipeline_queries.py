@@ -126,6 +126,33 @@ def q_d4_ngram_jaccard(spark, sf_dir):
     )
 
 
+def q_v5_centroid_cells(spark, sf_dir):
+    """IVF cell histogram: k-means assignment step (broadcast centroid
+    cross join + per-row argmax) + per-cell count — the partition-balance
+    diagnostic every vector index build runs."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return (
+        similarity.centroid_assign(emb, n_centroids=8)
+        .groupBy("cent_id")
+        .agg(F.count("*").alias("n_vectors"))
+    )
+
+
+def q_x8_token_percentiles(spark, sf_dir):
+    """Exact per-language token-length percentiles (interpolated p50/p90) —
+    JVM-side percentile() so the whole profile stays codegen'd."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return (
+        docs.select("lang", text.token_count(F.col("text")).alias("n"))
+        .groupBy("lang")
+        .agg(
+            F.round(F.expr("percentile(n, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(n, 0.9)"), 4).alias("p90"),
+            F.count("*").alias("n_docs"),
+        )
+    )
+
+
 def q_x6_hash_split(spark, sf_dir):
     """Deterministic train/val/test assignment by key hash (80/10/10),
     verified via per-split doc counts + char totals."""
@@ -174,6 +201,21 @@ def q_s3_streaming_windows(spark, sf_dir):
     name = f"wl_stream_windows_{_STREAM_RUN['n']}"
     stream = se.read_event_stream(spark, sf_dir)
     return se.run_to_memory(se.windowed_counts(stream), name, output_mode="complete")
+
+
+def q_s4_stream_enriched(spark, sf_dir):
+    """REAL streaming run of the stream-static dimension join (events stream
+    ⋈ broadcast customer dimension → windowed per-segment totals), gated
+    against the equivalent batch SQL."""
+    from treemachine_spark.streaming import events as se
+
+    _STREAM_RUN["n"] += 1
+    name = f"wl_stream_enriched_{_STREAM_RUN['n']}"
+    stream = se.read_event_stream(spark, sf_dir)
+    customers = load_tables(spark, sf_dir)["customer"]
+    return se.run_to_memory(
+        se.enriched_windowed_value(stream, customers), name, output_mode="complete"
+    )
 
 
 def q_v1_ann_brute(spark, sf_dir):
@@ -229,8 +271,11 @@ PIPELINE_QUERIES = {
     "d7_jaccard_capped": q_d7_jaccard_capped,
     "x6_hash_split": q_x6_hash_split,
     "x7_chunking": q_x7_chunking,
+    "x8_token_percentiles": q_x8_token_percentiles,
+    "v5_centroid_cells": q_v5_centroid_cells,
     "d5_dup_clusters": q_d5_dup_clusters,
     "s3_streaming_windows": q_s3_streaming_windows,
+    "s4_stream_enriched": q_s4_stream_enriched,
     "v1_ann_brute": q_v1_ann_brute,
     "v2_ann_lsh": q_v2_ann_lsh,
     "v3_ivf_topk": q_v3_ivf_topk,
