@@ -55,3 +55,50 @@ def test_text_profile_no_shuffle(spark):
 def test_ann_brute_broadcasts_queries(spark):
     s = plan_of(spark, "v1_ann_brute")
     assert "BroadcastNestedLoopJoin" in s or "BroadcastExchange" in s
+
+
+def test_q6_all_predicates_pushed(spark):
+    s = plan_of(spark, "q6_forecast_revenue")
+    # every predicate reaches the parquet scan
+    assert "GreaterThanOrEqual(l_shipdate" in s
+    assert "LessThan(l_shipdate" in s
+    assert "GreaterThanOrEqual(l_discount,0.05)" in s
+    assert "LessThan(l_quantity,24" in s
+    # scan pruned to the 4 referenced columns
+    assert "l_returnflag" not in s and "l_orderkey" not in s
+
+
+def test_q7_broadcasts_both_nation_roles(spark):
+    s = plan_of(spark, "q7_nation_volume")
+    # nation joined twice (supplier role + customer role) — both broadcast,
+    # plus customer/supplier sides; no sort-merge join anywhere
+    assert s.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in s
+
+
+def test_q19_stays_equi_join(spark):
+    s = plan_of(spark, "q19_disjunctive_join")
+    # the OR-envelope must NOT degrade to a nested-loop cross product:
+    # Catalyst keeps the p_partkey equi-join and applies the residual filter
+    assert "BroadcastNestedLoopJoin" not in s and "CartesianProduct" not in s
+    assert "BroadcastHashJoin" in s
+
+
+def test_v5_centroids_broadcast_no_shuffle_before_agg(spark):
+    s = plan_of(spark, "v5_centroid_cells")
+    # the assignment is a broadcast nested-loop against 8 centroids; the
+    # only exchanges are the per-row-argmax window and the final cell agg
+    assert "BroadcastNestedLoopJoin" in s
+
+
+def test_x6_split_is_scan_fused(spark):
+    # deterministic hash-split must not shuffle before the aggregation
+    s = plan_of(spark, "x6_hash_split")
+    # exactly one exchange node: the groupBy('split') agg (formatted explain
+    # prints each node twice — once in the tree, once in the details)
+    assert s.count("+- Exchange") == 1
+
+
+def test_x7_chunking_no_shuffle(spark):
+    s = plan_of(spark, "x7_chunking")
+    assert "Exchange" not in s  # explode + projections fuse into the scan

@@ -164,17 +164,30 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text", k: int = 3) -> D
     )
 
 
-def minhash_bands(docs: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
+def minhash_index(docs: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
+    """(doc_id, sig array<long>): the minhash signature table — the LSH
+    INDEX. Tiny (~1% of the doc table: id + 8 longs); production builds it
+    once at ingest, persists/writes it, and serves every near-dup query
+    from it. Callers should persist (see minhash_bands)."""
+    return docs.select("doc_id", minhash_sig_udf(k)(F.col(text_col)).alias("sig"))
+
+
+def minhash_bands(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    sig: DataFrame | None = None,
+) -> DataFrame:
     """(doc_id, band_idx, band_key): LSH banding of the minhash signature.
 
     The signature table is persisted before the explode on purpose: the
-    persisted table is tiny (~1% of the doc table: id + 8 longs) — at
-    cluster scale this is exactly the LSH index table you would write out
-    once and share across both sides of the candidate self-join.
+    persisted table is tiny — at cluster scale this is exactly the LSH
+    index table you would write out once and share across both sides of
+    the candidate self-join. Pass a prebuilt (cached) ``minhash_index`` to
+    serve from an ingest-time index instead.
     """
-    sig = docs.select(
-        "doc_id", minhash_sig_udf(k)(F.col(text_col)).alias("sig")
-    ).persist()
+    if sig is None:
+        sig = minhash_index(docs, text_col, k).persist()
     n_bands = len(MINHASH_PERMS) // BAND_SIZE
     bands = F.array(
         *[
@@ -192,19 +205,24 @@ def minhash_bands(docs: DataFrame, text_col: str = "text", k: int = 3) -> DataFr
 
 
 def minhash_near_dup_pairs(
-    docs: DataFrame, text_col: str = "text", k: int = 3, threshold: float = 0.3
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.3,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs with exact Jaccard verification:
     (doc_a, doc_b, jaccard), doc_a < doc_b, jaccard >= threshold.
 
     Candidates = pairs sharing >= 1 band bucket (equi-join, NOT a cross
     join); verification joins the distinct shingle sets back for the exact
-    |A∩B|/|A∪B|.
+    |A∩B|/|A∪B|. Pass a prebuilt ``sig`` (minhash_index, cached at ingest)
+    to serve from the index instead of building it inline.
     """
     # the signature table is persisted inside minhash_bands; the band
     # explode view is recomputed per join side from that cache (cheaper
     # than materializing a second 4x-rows band table)
-    bands = minhash_bands(docs, text_col, k)
+    bands = minhash_bands(docs, text_col, k, sig=sig)
     cand = (
         bands.alias("x")
         .join(

@@ -107,10 +107,19 @@ def q_d1_exact_dedup(spark, sf_dir):
     return dedup.exact_dedup_groups(load_tables(spark, sf_dir)["documents"])
 
 
+def _ctx(spark, sf_dir):
+    # lazy import: workload.queries imports this module at its bottom
+    from treemachine_spark.workload.queries import get_ctx
+
+    return get_ctx(spark, sf_dir)
+
+
 def q_d2_minhash_pairs(spark, sf_dir):
-    """MinHash+LSH near-dup candidate pairs with exact Jaccard verify."""
+    """MinHash+LSH near-dup candidate pairs with exact Jaccard verify,
+    served from the ingest-time signature index (ctx doc_sig)."""
+    ctx = _ctx(spark, sf_dir)
     return dedup.minhash_near_dup_pairs(
-        load_tables(spark, sf_dir)["documents"], threshold=0.3
+        ctx["tables"]["documents"], threshold=0.3, sig=ctx["doc_sig"]
     )
 
 

@@ -68,6 +68,11 @@ def get_ctx(spark: SparkSession, sf_dir: str) -> dict:
 
         with ThreadPoolExecutor(max_workers=4) as pool:
             list(pool.map(lambda df: df.count(), (edges, nodes, paths, leaves)))
+        # the LSH signature table is part of the ingest artifact set (the
+        # dedup index every near-dup query serves from), like the closure
+        from treemachine_spark.functions.dedup import minhash_index
+
+        doc_sig = minhash_index(tables["documents"]).cache()
         _CTX[key] = {
             "tables": tables,
             "edges": edges,
@@ -75,6 +80,7 @@ def get_ctx(spark: SparkSession, sf_dir: str) -> dict:
             "paths": paths,
             "paths_self": paths_self,
             "leaves": leaves,
+            "doc_sig": doc_sig,
         }
     return _CTX[key]
 
