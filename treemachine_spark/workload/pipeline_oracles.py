@@ -180,6 +180,26 @@ JOIN sizes sb ON doc_b = sb.doc_id
 WHERE n_inter / (sa.n + sb.n - n_inter) >= 0.3
 """
 
+# multimodal: the fake decoder is pure byte arithmetic, so DuckDB can
+# re-derive it (text is ASCII: unicode(char) == byte value)
+PIPELINE_ORACLES["m1_media_features"] = """
+WITH d AS (
+    SELECT doc_id AS media_id,
+           [ (unicode(substr(text, i, 1)) * 31 + (i - 1)) % 256
+             FOR i IN range(1, least(length(text), 64) + 1) ] AS dec,
+           octet_length(encode(text)) AS nb
+    FROM documents
+)
+SELECT media_id,
+       'image' AS media_type,
+       CAST(nb AS INTEGER) AS n_bytes,
+       CAST(COALESCE(list_sum(dec), 0) % 2147483647 AS BIGINT) AS checksum,
+       CAST(CASE WHEN len(dec) > 0
+                 THEN FLOOR(list_sum(dec) / len(dec)) ELSE 0 END AS INTEGER)
+           AS feat_mean
+FROM d
+"""
+
 PIPELINE_ORACLES["x8_token_percentiles"] = r"""
 WITH n AS (
     SELECT lang, len(string_split_regex(trim(text), '\s+')) AS n

@@ -135,6 +135,16 @@ def q_d4_ngram_jaccard(spark, sf_dir):
     )
 
 
+def q_m1_media_features(spark, sf_dir):
+    """Multimodal plumbing under the oracle: binary media column (encoded
+    payload + typed metadata) -> mapInPandas feature extraction over Arrow
+    batches (deterministic fake decoder; real codecs are a drop-in)."""
+    from treemachine_spark.functions import multimodal as mm
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return mm.extract_features(mm.attach_media(docs), fake_decoder=True)
+
+
 def q_v5_centroid_cells(spark, sf_dir):
     """IVF cell histogram: k-means assignment step (broadcast centroid
     cross join + per-row argmax) + per-cell count — the partition-balance
@@ -282,6 +292,7 @@ PIPELINE_QUERIES = {
     "x7_chunking": q_x7_chunking,
     "x8_token_percentiles": q_x8_token_percentiles,
     "v5_centroid_cells": q_v5_centroid_cells,
+    "m1_media_features": q_m1_media_features,
     "d5_dup_clusters": q_d5_dup_clusters,
     "s3_streaming_windows": q_s3_streaming_windows,
     "s4_stream_enriched": q_s4_stream_enriched,
