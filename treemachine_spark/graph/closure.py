@@ -62,6 +62,37 @@ def build_closure(edges: DataFrame, checkpoint: bool = True) -> DataFrame:
         k *= 2
 
 
+def extend_closure(old_paths: DataFrame, new_edges: DataFrame) -> DataFrame:
+    """Incrementally extend a closure with an appended batch of edges whose
+    CHILDREN are all new nodes (the append-only ingest case: attaching new
+    subtrees under existing nodes).
+
+    The reference re-ingests the whole database to change the tree
+    (IngestSynthesisData rebuilds from scratch); at 100 TB an incremental
+    maintenance path matters. Derivation: build the (small) closure of the
+    new edge batch alone — its paths that end at a PRE-EXISTING node (any
+    ancestor that is not itself a new child) are the boundary crossings;
+    joining those against the old closure splices the new nodes onto every
+    deeper ancestor. The old closure is scanned once (one join keyed on
+    node_id) and never rewritten.
+
+        result = old ∪ closure(new) ∪ (boundary ⋈ old, depths added)
+    """
+    newc = build_closure(new_edges)
+    new_children = new_edges.select(F.col("child_id").alias("ancestor_id")).distinct()
+    boundary = newc.join(F.broadcast(new_children), "ancestor_id", "left_anti")
+    ext = (
+        boundary.alias("b")
+        .join(old_paths.alias("o"), F.col("b.ancestor_id") == F.col("o.node_id"))
+        .select(
+            F.col("b.node_id").alias("node_id"),
+            F.col("o.ancestor_id").alias("ancestor_id"),
+            (F.col("b.depth") + F.col("o.depth")).alias("depth"),
+        )
+    )
+    return old_paths.unionByName(newc).unionByName(ext)
+
+
 def with_self_paths(paths: DataFrame, nodes: DataFrame) -> DataFrame:
     """Add (node, node, 0) self-paths — simplifies MRCA when one query tip is
     an ancestor of another (reference handles this with index juggling in
