@@ -35,6 +35,7 @@ HEADLINE = [
     "v1_ann_brute",
     "x1_text_profile",
     "s2_sessions_batch",
+    "s4_stream_enriched",
 ]
 
 

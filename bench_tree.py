@@ -74,10 +74,18 @@ def main() -> None:
     paths_self.count()
 
     # full-tree newick (subtree at root, unbounded depth) — the reference
-    # caps this at 100k tips / ~40s
+    # caps this at 100k tips / ~40s. Above the cap size, use the
+    # executor-side fragment assembly (byte-identical to the driver-side
+    # path, asserted in test_large_subtree) — that's the serving path a
+    # production deployment would run.
     t0 = time.time()
-    rows = edges.collect()
-    newick = assemble_newick([(r["child_id"], r["parent_id"]) for r in rows], "n0")
+    if n_tips > 200_000:
+        from treemachine_spark.exporters.newick_sink import distributed_newick
+
+        newick = distributed_newick(edges, paths, "n0")
+    else:
+        rows = edges.collect()
+        newick = assemble_newick([(r["child_id"], r["parent_id"]) for r in rows], "n0")
     newick_sec = round(time.time() - t0, 2)
     tips_per_sec = int(n_tips / newick_sec) if newick_sec else None
 
