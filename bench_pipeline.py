@@ -107,6 +107,10 @@ def main() -> None:
         "ann_ivf_topk",
         lambda: similarity.ivf_topk(emb, emb.where(F.col("vec_id") < 8), k=10).count(),
     )
+    n_cos_pairs = tm(
+        "cosine_pairs_lsh",
+        lambda: similarity.cosine_near_dup_pairs_lsh(emb, threshold=0.8).count(),
+    )
     tm("centroid_cells", lambda: similarity.centroid_assign(emb).groupBy("cent_id").count().count())
 
     total = round(sum(timings.values()), 2)
@@ -119,6 +123,7 @@ def main() -> None:
                 "n_docs": n_docs,
                 "n_vecs": n_docs // 2,
                 "near_dup_pairs_found": n_pairs,
+                "cosine_lsh_pairs_found": n_cos_pairs,
                 "gen_sec": gen_sec,
                 "queries": timings,
             }

@@ -113,3 +113,34 @@ def test_stream_stream_join_matches_batch(spark):
         for r in q_j4_range_join(spark, SF_SMOKE).collect()
     }
     assert got == want
+
+
+def test_grouped_agg_udaf_matches_jvm_percentile(spark):
+    """UDF-surface demo: an Arrow-batched GROUPED_AGG pandas UDAF computes
+    the same exact median as the JVM percentile() that the served
+    x4_lang_stats query uses (the UDAF materializes each group's series on
+    one executor, so the served path stays JVM-side; this test keeps the
+    GROUPED_AGG member of the UDF surface exercised)."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    from treemachine_spark.functions import text
+
+    # explicit functionType: `from __future__ import annotations` turns type
+    # hints into strings, which pandas_udf's hint inference can't read
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def exact_median(v):
+        return float(v.median())
+
+    d = load_tables(spark, SF_SMOKE)["documents"]
+    toks = d.select("lang", text.token_count(F.col("text")).alias("n"))
+    got = {
+        r["lang"]: r["m"]
+        for r in toks.groupBy("lang").agg(exact_median("n").alias("m")).collect()
+    }
+    want = {
+        r["lang"]: r["m"]
+        for r in toks.groupBy("lang")
+        .agg(F.expr("CAST(percentile(n, 0.5) AS DOUBLE)").alias("m"))
+        .collect()
+    }
+    assert got == want

@@ -102,3 +102,13 @@ def test_x6_split_is_scan_fused(spark):
 def test_x7_chunking_no_shuffle(spark):
     s = plan_of(spark, "x7_chunking")
     assert "Exchange" not in s  # explode + projections fuse into the scan
+
+
+def test_x4_median_is_jvm_partial_agg(spark):
+    # exact median must come from JVM percentile() with map-side partial
+    # aggregation — a GROUPED_AGG pandas UDAF would materialize each
+    # language's full series on one executor (unbounded at scale)
+    s = plan_of(spark, "x4_lang_stats")
+    assert "AggregateInPandas" not in s
+    pre_exchange = s.split("Exchange")[0]
+    assert "ObjectHashAggregate" in pre_exchange or "HashAggregate" in pre_exchange

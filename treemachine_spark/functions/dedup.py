@@ -180,14 +180,14 @@ def minhash_bands(
 ) -> DataFrame:
     """(doc_id, band_idx, band_key): LSH banding of the minhash signature.
 
-    The signature table is persisted before the explode on purpose: the
-    persisted table is tiny — at cluster scale this is exactly the LSH
-    index table you would write out once and share across both sides of
-    the candidate self-join. Pass a prebuilt (cached) ``minhash_index`` to
-    serve from an ingest-time index instead.
+    Pass a prebuilt (cached) ``minhash_index`` when the band view feeds
+    multiple consumers (both sides of the candidate self-join) — the cached
+    index is tiny and at cluster scale is exactly the LSH index table you
+    would write out once at ingest. Built inline (single-consumer case) the
+    signature stays lazy: no hidden persist to leak.
     """
     if sig is None:
-        sig = minhash_index(docs, text_col, k).persist()
+        sig = minhash_index(docs, text_col, k)
     n_bands = len(MINHASH_PERMS) // BAND_SIZE
     bands = F.array(
         *[
@@ -218,9 +218,18 @@ def minhash_near_dup_pairs(
     join); verification joins the distinct shingle sets back for the exact
     |A∩B|/|A∪B|. Pass a prebuilt ``sig`` (minhash_index, cached at ingest)
     to serve from the index instead of building it inline.
+
+    Cache lifecycle: when this function builds the signature table itself it
+    also UNPERSISTS it (and the candidate cache) after materializing the
+    result, so repeated requests don't accumulate executor storage; a
+    caller-supplied ``sig`` is the caller's to manage (the ingest-index
+    case, where keeping it hot is the point).
     """
-    # the signature table is persisted inside minhash_bands; the band
-    # explode view is recomputed per join side from that cache (cheaper
+    own_sig = sig is None
+    if own_sig:
+        sig = minhash_index(docs, text_col, k).persist()
+    # the persisted signature table is the join-side-shared LSH index; the
+    # band explode view is recomputed per join side from that cache (cheaper
     # than materializing a second 4x-rows band table)
     bands = minhash_bands(docs, text_col, k, sig=sig)
     cand = (
@@ -247,7 +256,7 @@ def minhash_near_dup_pairs(
     sh = docs.join(F.broadcast(ids), "doc_id", "left_semi").select(
         "doc_id", shingle_array_udf(k)(F.col(text_col)).alias("sh")
     )
-    return (
+    out = (
         cand.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
         .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
         .select(
@@ -261,6 +270,12 @@ def minhash_near_dup_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
+    # materialize once (result is pair-scale), then release the temp caches
+    out = out.localCheckpoint(eager=True)
+    cand.unpersist()
+    if own_sig:
+        sig.unpersist()
+    return out
 
 
 def ngram_jaccard_pairs(
@@ -316,7 +331,7 @@ def ngram_jaccard_pairs(
         )
         .agg(F.count("*").alias("n_inter"))
     )
-    return (
+    out = (
         inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")), "doc_a")
         .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b")), "doc_b")
         .select(
@@ -328,6 +343,10 @@ def ngram_jaccard_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
+    # materialize once (pair-scale result), then release the shingle cache
+    out = out.localCheckpoint(eager=True)
+    arr.unpersist()
+    return out
 
 
 def connected_components(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b") -> DataFrame:

@@ -77,13 +77,22 @@ def extend_closure(old_paths: DataFrame, new_edges: DataFrame) -> DataFrame:
     node_id) and never rewritten.
 
         result = old ∪ closure(new) ∪ (boundary ⋈ old, depths added)
+
+    ``old_paths`` must be a RAW closure (depth >= 1, no depth-0 self paths —
+    i.e. not the output of :func:`with_self_paths`): a self row at a boundary
+    attach point would make the splice join re-derive paths that
+    ``closure(new)`` already contributed, duplicating them. Guarded below by
+    filtering the splice side to depth > 0, which makes the call safe either
+    way (self paths, if present, still flow through the ``old_paths`` union
+    term untouched).
     """
     newc = build_closure(new_edges)
     new_children = new_edges.select(F.col("child_id").alias("ancestor_id")).distinct()
     boundary = newc.join(F.broadcast(new_children), "ancestor_id", "left_anti")
+    spliceable = old_paths.where(F.col("depth") > 0)
     ext = (
         boundary.alias("b")
-        .join(old_paths.alias("o"), F.col("b.ancestor_id") == F.col("o.node_id"))
+        .join(spliceable.alias("o"), F.col("b.ancestor_id") == F.col("o.node_id"))
         .select(
             F.col("b.node_id").alias("node_id"),
             F.col("o.ancestor_id").alias("ancestor_id"),

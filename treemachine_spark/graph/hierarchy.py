@@ -265,8 +265,8 @@ def hierarchy_artifacts(
     edges = reduce(DataFrame.unionByName, dim_edges)
 
     root = spark.createDataFrame(
-        [(ROOT_ID, "root", 0, False)],
-        "node_id string, name string, level int, is_leaf boolean",
+        [(ROOT_ID, "root", 0)],
+        "node_id string, name string, level int",
     )
     name_cols = {1: ("region", "r_regionkey", "r", "r_name"),
                  2: ("nation", "n_nationkey", "n", "n_name"),
@@ -280,7 +280,6 @@ def hierarchy_artifacts(
                 _id(pre, key).alias("node_id"),
                 name.alias("name"),
                 F.lit(lvl).alias("level"),
-                F.lit(False).alias("is_leaf"),
             )
         )
     node_parts.append(
@@ -288,13 +287,27 @@ def hierarchy_artifacts(
             "node_id",
             F.lit(None).cast("string").alias("name"),
             F.lit(5).alias("level"),
-            F.lit(True).alias("is_leaf"),
         )
     )
-    nodes = reduce(DataFrame.unionByName, node_parts)
+    nodes = _with_edge_leaf(reduce(DataFrame.unionByName, node_parts), edges)
 
     paths = _closure_from_frames(_level_frames(tables, li_ids))
     return nodes, edges, paths
+
+
+def _with_edge_leaf(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """Append the EDGE-BASED ``is_leaf`` flag: a node is a leaf iff it never
+    appears as a parent — the same definition leaf_set/tip_counts/E1 use, so
+    the store has ONE leaf semantics (a childless order or customer IS a
+    tree leaf, exactly as it would be in the reference's graph). One narrow
+    distinct + anti-style left join at ingest; never recomputed per query.
+    """
+    parents = edges.select(F.col("parent_id").alias("node_id")).distinct().withColumn(
+        "_isp", F.lit(True)
+    )
+    return nodes.join(parents, "node_id", "left").select(
+        nodes["*"], F.col("_isp").isNull().alias("is_leaf")
+    )
 
 
 def hierarchy_nodes(tables: dict[str, DataFrame]) -> DataFrame:
@@ -303,11 +316,13 @@ def hierarchy_nodes(tables: dict[str, DataFrame]) -> DataFrame:
     The analog of the reference's node store with `name` / `ot_node_id`
     properties (opentree/constants/NodeProperty.java:12-19); levels 4-5
     (orders/lineitem) are the 'unnamed internal / tip' nodes that carry only
-    an id (IngestSynthesisData.java:390-402).
+    an id (IngestSynthesisData.java:390-402). ``is_leaf`` is edge-based
+    (node never a parent — see ``_with_edge_leaf``), matching
+    leaf_set/tip_counts semantics.
     """
     spark = tables["region"].sparkSession
     root = spark.createDataFrame(
-        [(ROOT_ID, "root", 0, False)], "node_id string, name string, level int, is_leaf boolean"
+        [(ROOT_ID, "root", 0)], "node_id string, name string, level int"
     )
     parts = [root]
     name_cols = {"region": "r_name", "nation": "n_name", "customer": "c_name"}
@@ -324,7 +339,7 @@ def hierarchy_nodes(tables: dict[str, DataFrame]) -> DataFrame:
                 node.alias("node_id"),
                 name.alias("name"),
                 F.lit(level).alias("level"),
-                F.lit(level == 5).alias("is_leaf"),
             )
         )
-    return reduce(DataFrame.unionByName, parts).distinct()
+    bare = reduce(DataFrame.unionByName, parts).distinct()
+    return _with_edge_leaf(bare, hierarchy_edges(tables))

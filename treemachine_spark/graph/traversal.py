@@ -279,6 +279,10 @@ def bfs_capped(edges: DataFrame, start: str, max_nodes: int, max_depth: int = 20
     for d in range(1, max_depth + 1):
         if total >= max_nodes:
             break
+        # The limit below is order-sensitive, and nxt feeds three consumers
+        # (count, visited union, next frontier): materialize it ONCE so all
+        # three see the same row set — an unordered limit re-executed per
+        # action could return different rows each time.
         nxt = (
             edges.join(
                 F.broadcast(frontier.select(F.col("node_id").alias("parent_id"))),
@@ -286,6 +290,7 @@ def bfs_capped(edges: DataFrame, start: str, max_nodes: int, max_depth: int = 20
             )
             .select(F.col("child_id").alias("node_id"), F.lit(d).alias("depth"))
             .limit(max_nodes - total)
+            .localCheckpoint(eager=True)
         )
         n = nxt.count()
         if n == 0:

@@ -83,12 +83,16 @@ def with_taxonomy_support(ann: DataFrame, nodes: DataFrame, taxonomy_version: st
     key = f"ott{taxonomy_version}"
     full = nodes.select("node_id").join(ann, "node_id", "left")
     tax_map = F.create_map(F.lit(key), F.col("node_id"))
+    # An annotations file may already carry the taxonomy key; map_concat on a
+    # duplicate key raises under the default mapKeyDedupPolicy=EXCEPTION, so
+    # drop any existing entry first (ingest overwrite-wins semantics).
+    cleaned = F.map_filter("supported_by", lambda k, _v: k != F.lit(key))
     return full.withColumn(
         "supported_by",
         F.when(
             F.col("node_id").rlike("^ott[0-9]+$"),
             F.when(
                 F.col("supported_by").isNull(), tax_map
-            ).otherwise(F.map_concat("supported_by", tax_map)),
+            ).otherwise(F.map_concat(cleaned, tax_map)),
         ).otherwise(F.col("supported_by")),
     )

@@ -389,6 +389,50 @@ r AS (
 SELECT query_id, neighbor_id, score, CAST(rk AS INTEGER) AS rank FROM r WHERE rk <= 10
 """
 
+# v6 — banded sign-bit LSH near-dup pairs: 8 bands x 8 planes; plane j's
+# component for 0-based dim i is ±1 from md5('{j}:{i}') parity, identical to
+# similarity.band_plane_signs / band_keys_udf (verified bit-for-bit by the
+# driver gate).
+_v6_bands, _v6_bp = 8, 8
+_v6_proj = " , ".join(
+    "list_sum([v[i] * (CASE WHEN ('0x' || substr(md5('{j}:' || CAST(i - 1 AS VARCHAR)), 1, 8))::BIGINT % 2 = 0 "
+    "THEN 1.0 ELSE -1.0 END) FOR i IN range(1, len(v) + 1)]) AS p{j}".format(j=j)
+    for j in range(_v6_bands * _v6_bp)
+)
+_v6_keys = " , ".join(
+    "CAST("
+    + " + ".join(
+        f"(CASE WHEN p{b * _v6_bp + k} > 0 THEN {1 << k} ELSE 0 END)"
+        for k in range(_v6_bp)
+    )
+    + f" AS BIGINT) AS key{b}"
+    for b in range(_v6_bands)
+)
+_v6_band_union = " UNION ALL ".join(
+    f"SELECT vec_id, {b} AS band_idx, key{b} AS band_key FROM sk"
+    for b in range(_v6_bands)
+)
+_COS = (
+    "list_dot_product(a.v, b.v)"
+    " / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
+)
+
+PIPELINE_ORACLES["v6_cosine_pairs_lsh"] = f"""
+WITH base AS (SELECT vec_id, {_QUANT} AS v FROM embeddings),
+proj AS (SELECT vec_id, {_v6_proj} FROM base),
+sk AS (SELECT vec_id, {_v6_keys} FROM proj),
+bands AS ({_v6_band_union}),
+cand AS (
+    SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+    FROM bands x JOIN bands y
+      ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+     AND x.vec_id < y.vec_id
+)
+SELECT id_a, id_b, ROUND({_COS}, 4) AS cos
+FROM cand JOIN base a ON id_a = a.vec_id JOIN base b ON id_b = b.vec_id
+WHERE ROUND({_COS}, 4) >= 0.4
+"""
+
 PIPELINE_ORACLES["v4_cosine_pairs"] = f"""
 WITH base AS (SELECT vec_id, {_QUANT} AS v FROM embeddings)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,

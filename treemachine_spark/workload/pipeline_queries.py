@@ -26,28 +26,18 @@ def q_x2_bpe_tokens(spark, sf_dir):
 
 
 def q_x4_lang_stats(spark, sf_dir):
-    """Per-language corpus stats with an Arrow-batched GROUPED_AGG pandas
-    UDF (exact median — Spark's built-in percentile is approximate):
-    the UDAF member of the engine's Python UDF surface."""
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
-
-    # explicit functionType: `from __future__ import annotations` turns type
-    # hints into strings, which pandas_udf's hint inference can't read
-    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
-    def exact_median(v):
-        return float(v.median())
-
-    # GROUPED_AGG UDFs can't mix with JVM aggregates in one agg — count
-    # goes through pandas too
-    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
-    def n_rows(v):
-        return len(v)
-
+    """Per-language corpus stats: exact interpolated median token count via
+    JVM ``percentile(n, 0.5)`` — whole-stage-codegen partial aggregation, no
+    Python in the plan. A GROUPED_AGG pandas UDAF computes the same value
+    (kept as the UDF-surface demo in tests/test_pipeline.py) but would
+    materialize each language's whole series on one executor — unbounded
+    when the biggest group is 'all English' at 100 TB; percentile()'s
+    partial-agg buffer is the scalable shape."""
     d = load_tables(spark, sf_dir)["documents"]
     toks = d.select("lang", text.token_count(F.col("text")).alias("n"))
     return toks.groupBy("lang").agg(
-        exact_median("n").alias("median_tokens"),
-        n_rows("n").alias("n_docs"),
+        F.expr("CAST(percentile(n, 0.5) AS DOUBLE)").alias("median_tokens"),
+        F.count("*").alias("n_docs"),
     )
 
 
@@ -256,9 +246,19 @@ def q_v3_ivf_topk(spark, sf_dir):
 
 
 def q_v4_cosine_pairs(spark, sf_dir):
-    """Exact embedding-cosine near-dup pairs (cos >= 0.4)."""
+    """Exact embedding-cosine near-dup pairs (cos >= 0.4) — the quadratic
+    all-pairs EXACTNESS BASELINE; production near-dup runs go through the
+    bucketed v6 (cosine_near_dup_pairs_lsh)."""
     emb = load_tables(spark, sf_dir)["embeddings"]
     return similarity.cosine_near_dup_pairs(emb, threshold=0.4)
+
+
+def q_v6_cosine_pairs_lsh(spark, sf_dir):
+    """DEFAULT embedding near-dup pairs: sign-bit banded LSH candidates
+    (equi-join on (band_idx, band_key) — sub-quadratic) + exact
+    quantized-cosine verify, the same candidate->verify shape as d2."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return similarity.cosine_near_dup_pairs_lsh(emb, threshold=0.4)
 
 
 def q_s1_event_windows(spark, sf_dir):
@@ -300,5 +300,6 @@ PIPELINE_QUERIES = {
     "v2_ann_lsh": q_v2_ann_lsh,
     "v3_ivf_topk": q_v3_ivf_topk,
     "v4_cosine_pairs": q_v4_cosine_pairs,
+    "v6_cosine_pairs_lsh": q_v6_cosine_pairs_lsh,
     "s1_event_windows": q_s1_event_windows,
 }
