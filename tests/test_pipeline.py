@@ -25,9 +25,123 @@ def test_multimodal_feature_extraction(spark):
     assert all(again[r["media_id"]] == r["checksum"] for r in rows)
 
 
-def test_multimodal_decode_stub_raises():
+def test_multimodal_decode_unknown_codec_raises():
     with pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"bytes")
+        multimodal.decode_image(b"bytes")  # neither PNG nor PPM magic
+
+
+def _encode_png(w, h, ch, px, filters, palette=None):
+    """Minimal test-side PNG writer with a CHOSEN filter per scanline —
+    exercises every reconstruction branch of decode_png. px: flat uint8."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    def chunk(tag, body):
+        c = struct.pack(">I", len(body)) + tag + body
+        return c + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[ch] if palette is None else 3
+    img = np.asarray(px, dtype=np.uint8).reshape(h, w * ch).astype(np.int32)
+    raw = bytearray()
+    prev = np.zeros(w * ch, dtype=np.int32)
+    for y in range(h):
+        f = filters[y % len(filters)]
+        cur, line = img[y], np.zeros(w * ch, dtype=np.int32)
+        for x in range(w * ch):
+            a = cur[x - ch] if x >= ch else 0
+            b = prev[x]
+            c = prev[x - ch] if x >= ch else 0
+            if f == 0:
+                line[x] = cur[x]
+            elif f == 1:
+                line[x] = cur[x] - a
+            elif f == 2:
+                line[x] = cur[x] - b
+            elif f == 3:
+                line[x] = cur[x] - (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[x] = cur[x] - pred
+        raw.append(f)
+        raw.extend((line & 0xFF).astype(np.uint8).tobytes())
+        prev = img[y]
+    out = multimodal.PNG_MAGIC + chunk(
+        b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    )
+    if palette is not None:
+        out += chunk(b"PLTE", np.asarray(palette, dtype=np.uint8).tobytes())
+    return out + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+
+
+def test_png_decode_all_filters_roundtrip():
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    for ch in (1, 2, 3, 4):
+        px = rng.randint(0, 256, size=9 * 7 * ch, dtype=np.uint8)
+        data = _encode_png(7, 9, ch, px, filters=[0, 1, 2, 3, 4])
+        w, h, c, got = multimodal.decode_png(data)
+        assert (w, h, c) == (7, 9, ch)
+        assert np.array_equal(got, px)
+        assert multimodal.decode_image(data) == px.tobytes()
+
+
+def test_png_palette_expansion():
+    import numpy as np
+
+    palette = [(10, 20, 30), (200, 100, 0), (0, 0, 255)]
+    idx = np.array([0, 1, 2, 2, 1, 0], dtype=np.uint8)
+    data = _encode_png(3, 2, 1, idx, filters=[0], palette=palette)
+    w, h, c, got = multimodal.decode_png(data)
+    assert (w, h, c) == (3, 2, 3)
+    assert got.reshape(-1, 3).tolist() == [list(palette[i]) for i in idx]
+
+
+def test_ppm_roundtrip_and_ascii():
+    import numpy as np
+
+    px = np.arange(2 * 2 * 3, dtype=np.uint8) * 10
+    data = multimodal.encode_ppm(2, 2, px)
+    assert multimodal.decode_ppm(data)[3].tolist() == px.tolist()
+    ascii_ppm = b"P3\n# comment\n2 2\n255\n" + b" ".join(
+        str(v).encode() for v in px
+    )
+    assert multimodal.decode_ppm(ascii_ppm)[3].tolist() == px.tolist()
+
+
+def test_real_feature_extraction_and_resize(spark):
+    """Real-bytes path end-to-end: PNG media column -> decoded features and
+    nearest-neighbor resize, all executor-side via mapInPandas."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    rows = []
+    for mid in range(4):
+        px = rng.randint(0, 256, size=8 * 6 * 3, dtype=np.uint8)
+        rows.append(
+            (mid, "image", bytearray(_encode_png(6, 8, 3, px, filters=[0, 1, 2, 3, 4])), 6, 8, None, None)
+        )
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    feats = {r["media_id"]: r for r in multimodal.extract_features(media, fake_decoder=False).collect()}
+    for mid, _, content, *_ in rows:
+        px = multimodal.decode_png(bytes(content))[3]
+        assert feats[mid]["checksum"] == int(px.sum()) % 2_147_483_647
+        assert feats[mid]["feat_mean"] == int(px.sum() / px.size)
+    small = multimodal.resize_images(media, 3, 4).collect()
+    for r in small:
+        w, h, c, px = multimodal.decode_ppm(bytes(r["content"]))
+        assert (r["width"], r["height"], w, h, c) == (3, 4, 3, 4, 3)
+    # resize of a resize is stable (idempotent at same dims)
+    again = multimodal.resize_images(
+        spark.createDataFrame(small, multimodal.MEDIA_SCHEMA), 3, 4
+    ).collect()
+    assert {r["media_id"]: bytes(r["content"]) for r in again} == {
+        r["media_id"]: bytes(r["content"]) for r in small
+    }
 
 
 def test_frame_sampling(spark):
@@ -144,3 +258,36 @@ def test_grouped_agg_udaf_matches_jvm_percentile(spark):
         .collect()
     }
     assert got == want
+
+
+def test_connected_components_chain_bounded_rounds(spark):
+    """Large-star/small-star must collapse a 10k-node chain in O(log^2 n)
+    rounds — min-label propagation would need 10k rounds (this is the
+    long-chain case its docstring flags). Differential-checked against the
+    label-prop baseline on a mixed graph."""
+    from treemachine_spark.functions.dedup import (
+        connected_components,
+        connected_components_labelprop,
+    )
+
+    n = 10_000
+    chain = spark.range(n - 1).select(
+        F.col("id").cast("string").alias("doc_a"),
+        (F.col("id") + 1).cast("string").alias("doc_b"),
+    )
+    # measured convergence is ~log2(n)+1 round-pairs (11 rounds for a
+    # 1024-chain): cap at 20 — label-prop would need ~10k rounds
+    comp = connected_components(chain, max_rounds=20).collect()
+    assert len(comp) == n
+    assert {r["component"] for r in comp} == {"0"}
+
+    # differential vs baseline on chains + a star + a triangle + isolates-free pairs
+    pairs = chain.limit(50).unionByName(
+        spark.createDataFrame(
+            [("s", f"s{i}") for i in range(20)] + [("x", "y"), ("y", "z"), ("z", "x")],
+            "doc_a string, doc_b string",
+        )
+    )
+    a = {(r["node_id"], r["component"]) for r in connected_components(pairs).collect()}
+    b = {(r["node_id"], r["component"]) for r in connected_components_labelprop(pairs).collect()}
+    assert a == b

@@ -113,3 +113,48 @@ def test_arguson_descendant_name_list(registry):
     assert unnamed, "fixture has one unnamed internal child"
     # T9: [first, last] named descendants (GraphExplorer.java:415-429)
     assert unnamed[0]["descendant_name_list"] == ["Apteryx", "Struthio"]
+
+
+def test_delete_tree_partition_drop(spark, registry, tmp_path):
+    """Admin mutations (GraphBase.deleteTreeBySource:312-370 /
+    deleteAllTrees:299-306): CLI round-trip — consolidate two trees, delete
+    one, listsynthtrees shows removal, delete all empties the registry."""
+    import os
+
+    from treemachine_spark.ingest import (
+        delete_all_trees,
+        delete_tree,
+        load_single_store,
+        write_single_store,
+    )
+
+    out = tmp_path / "single"
+    write_single_store([registry.get(t) for t in registry.tree_ids()], str(out))
+
+    delete_tree(str(out), "opentree_test1")
+    # the partition directory itself must be gone (metadata-only drop)
+    assert not os.path.exists(out / "nodes" / "synth_id=opentree_test1")
+    assert os.path.exists(out / "nodes" / "synth_id=opentree_test2")
+    reg2 = load_single_store(spark, str(out))
+    assert reg2.tree_ids() == ["opentree_test2"]
+    # the survivor still serves
+    assert reg2.get("opentree_test2").nodes.count() == registry.get("opentree_test2").nodes.count()
+
+    with pytest.raises(BadInputError, match="opentree_test1"):
+        delete_tree(str(out), "opentree_test1")
+
+    delete_all_trees(str(out))
+    assert load_single_store(spark, str(out)).tree_ids() == []
+
+
+def test_delete_tree_cli(spark, registry, tmp_path, capsys):
+    from treemachine_spark import cli
+    from treemachine_spark.ingest import write_single_store
+
+    out = tmp_path / "single_cli"
+    write_single_store([registry.get(t) for t in registry.tree_ids()], str(out))
+
+    assert cli.main(["deletetree", str(out), "opentree_test1"]) == 0
+    assert cli.main(["listsynthtrees", str(out)]) == 0
+    tail = capsys.readouterr().out.strip().splitlines()
+    assert "opentree_test2" in tail and "opentree_test1" not in tail

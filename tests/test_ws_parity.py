@@ -197,3 +197,46 @@ def test_tree_too_big_with_caps_enforced(spark):
         capped.subtree(ott_id=81461, tree_format="arguson", height_limit=2)
     # small subtree passes under the cap
     assert "newick" in capped.subtree(ott_id=5839486, height_limit=0)
+
+
+# ws-tests source_tree parity (tree_of_life_v3.java:822-907) -----------------
+
+
+@pytest.fixture()
+def source_base(tmp_path):
+    """Local files layout mirroring files.opentreeoflife.org/preprocessed:
+    {base}/v{version}/trees/{study}_{tree}.tre (version = synth_id minus the
+    'opentree' prefix; fixture synth_id is 'opentree_test1')."""
+    trees = tmp_path / "v_test1" / "trees"
+    trees.mkdir(parents=True)
+    # second line must be ignored — the reference does a single readLine()
+    (trees / "pg_2044_tree4212.tre").write_text("((a,b),c);\nIGNORED SECOND LINE\n")
+    return str(tmp_path)
+
+
+check_source_tree = C.check_blob(
+    [C.field("newick", C.check_string), C.field("synth_id", C.check_string)]
+)
+
+
+def test_source_tree_local(api, source_base):
+    res = api.source_tree("pg_2044", "tree4212", source_base=source_base)
+    _assert_ok(check_source_tree(res, "source_tree"))
+    assert res == {"newick": "((a,b),c);", "synth_id": "opentree_test1"}
+
+
+def test_source_tree_url_branch(api, source_base):
+    # file:// exercises the urllib code path the HTTP deployment uses
+    res = api.source_tree("pg_2044", "tree4212", source_base=f"file://{source_base}")
+    assert res["newick"] == "((a,b),c);"
+
+
+def test_source_tree_format_ignored(api, source_base):
+    # the reference accepts a `format` arg and never validates it
+    res = api.source_tree("pg_2044", "tree4212", format="newick", source_base=source_base)
+    assert res["newick"] == "((a,b),c);"
+
+
+def test_source_tree_bad_id_400(api, source_base):
+    with pytest.raises(BadInputError, match="Invalid source id 'pg_999_tree9' provided."):
+        api.source_tree("pg_999", "tree9", source_base=source_base)

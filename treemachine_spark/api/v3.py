@@ -36,6 +36,38 @@ _ANN_FIELDS = [
 
 LABEL_FORMATS = ("name", "id", "name_and_id")
 
+# The reference's static files host for preprocessed source trees
+# (tree_of_life_v3.java:893-895).
+DEFAULT_SOURCE_BASE = "http://files.opentreeoflife.org/preprocessed"
+
+
+def fetch_source_newick(source: str, synth_id: str, base: str = DEFAULT_SOURCE_BASE) -> str | None:
+    """Fetch the processed source-tree newick for ``source``
+    (``{study_id}_{tree_id}``), mirroring getSourceTree
+    (tree_of_life_v3.java:888-907): location is
+    ``{base}/v{version}/trees/{source}.tre`` with version = synth_id minus
+    its "opentree" prefix; only the FIRST LINE is returned (the reference
+    does a single readLine); any fetch failure returns None (the reference
+    swallows the exception and returns null).
+
+    ``base`` may be an http(s)/file URL base or a local directory — the
+    local form is the deployment where preprocessed trees sit next to the
+    parquet store.
+    """
+    version = synth_id.replace("opentree", "")
+    loc = f"{base}/v{version}/trees/{source}.tre"
+    try:
+        if "://" in base:
+            import urllib.request
+
+            with urllib.request.urlopen(loc, timeout=30) as resp:
+                line = resp.readline()
+            return line.decode("utf-8").rstrip("\r\n")
+        with open(loc, encoding="utf-8") as fh:
+            return fh.readline().rstrip("\r\n")
+    except Exception:
+        return None
+
 
 class TreeOfLifeV3:
     def __init__(
@@ -253,6 +285,34 @@ class TreeOfLifeV3:
             res["source_list"] = list(meta.get("sources", []))
             res["source_id_map"] = self._source_id_map(set(self._source_map))
         return res
+
+    def source_tree(self, study_id: str, tree_id: str, format: str | None = None,
+                    source_base: str | None = None) -> dict:
+        """S5 — source_tree (tree_of_life_v3.java:822-884): return the
+        processed input source tree for ``study_id@tree_id`` as newick.
+
+        The reference fetches ``{study}_{tree}.tre`` over HTTP from a static
+        files host derived from the synth id
+        (``getSourceTree``, tree_of_life_v3.java:888-907: urlbase =
+        files host + /v{version}/trees/, version = synth_id minus the
+        "opentree" prefix, first line of the response). Here ``source_base``
+        names either a local directory or an http(s) URL base with the same
+        ``v{version}/trees/{source}.tre`` layout; per the reference, a failed
+        fetch (missing file / bad id) is the *only* source validation —
+        "Invalid source id" — and ``format`` is accepted but ignored (newick
+        is the only format, the reference never validates it).
+
+        synth_id selection happens one level up (TreeRegistry.get), exactly
+        like every other endpoint: the bound store IS the chosen synth tree.
+        """
+        source = f"{study_id}_{tree_id}"
+        newick = fetch_source_newick(
+            source, self.store.tree_id,
+            source_base if source_base is not None else DEFAULT_SOURCE_BASE,
+        )
+        if newick is None:
+            raise BadInputError(f"Invalid source id '{source}' provided.")
+        return {"newick": newick, "synth_id": self.store.tree_id}
 
     def node_info(self, node_id=None, ott_id=None, include_lineage: bool = False) -> dict:
         """doNodeInfo (tree_of_life_v3.java:157-230); lineage is T8

@@ -61,7 +61,35 @@ def main(argv=None) -> int:
     s.add_argument("store_dirs", nargs="+", help="per-tree store directories")
     s.add_argument("outdir")
 
+    s = sub.add_parser(
+        "deletetree",
+        help="drop one synth tree's partition from a single store (GraphBase.deleteTreeBySource:312-370)",
+    )
+    s.add_argument("dbname", help="single-store directory (consolidate output)")
+    s.add_argument("synth_id")
+
+    s = sub.add_parser(
+        "deletealltrees",
+        help="drop every synth tree from a single store (GraphBase.deleteAllTrees:299-306)",
+    )
+    s.add_argument("dbname", help="single-store directory (consolidate output)")
+
     args = p.parse_args(argv)
+
+    # pure-metadata admin mutations: partition drops need no SparkSession
+    if args.cmd == "deletetree":
+        from treemachine_spark.ingest import delete_tree
+
+        delete_tree(args.dbname, args.synth_id)
+        print(f"deleted tree '{args.synth_id}' from {args.dbname}")
+        return 0
+
+    if args.cmd == "deletealltrees":
+        from treemachine_spark.ingest import delete_all_trees
+
+        delete_all_trees(args.dbname)
+        print(f"deleted all trees from {args.dbname}")
+        return 0
 
     from treemachine_spark.session import get_spark
 
@@ -103,16 +131,28 @@ def main(argv=None) -> int:
         print(f"consolidated {len(stores)} tree(s) -> {args.outdir}")
         return 0
 
+    if args.cmd == "listsynthtrees":
+        # L9 (GraphExplorer.getSynthTreeIDs:95-107); works on both layouts —
+        # a consolidated single store (trees_meta.json) or a per-tree store
+        import os
+
+        if os.path.exists(os.path.join(args.dbname, "trees_meta.json")):
+            from treemachine_spark.ingest import load_single_store
+
+            for t in load_single_store(spark, args.dbname).tree_ids():
+                print(t)
+        else:
+            from treemachine_spark.ingest import load_store
+
+            print(load_store(spark, args.dbname).tree_id)
+        return 0
+
     # remaining commands need a store
     from treemachine_spark.ingest import load_store
 
     store = load_store(spark, args.dbname)
 
-    if args.cmd == "listsynthtrees":
-        # L9 (GraphExplorer.getSynthTreeIDs:95-107)
-        for t in sorted({store.tree_id}):
-            print(t)
-    elif args.cmd == "extractdrafttree_name":
+    if args.cmd == "extractdrafttree_name":
         from treemachine_spark.api.v3 import TreeOfLifeV3
 
         api = TreeOfLifeV3(store)

@@ -349,19 +349,100 @@ def ngram_jaccard_pairs(
     return out
 
 
-def connected_components(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b") -> DataFrame:
+def connected_components(
+    pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b", max_rounds: int = 64
+) -> DataFrame:
     """Duplicate-cluster assignment: connected components over the near-dup
-    pair graph, component id = min member id.
+    pair graph, component id = min member id. Returns (node_id, component).
 
-    Iterative min-label propagation (each round a node adopts the smallest
-    label in its neighborhood incl. itself); converges in O(component
-    diameter) rounds — tiny for near-dup clusters. This is the
-    aggregate-messages/Pregel shape from GraphX expressed in DataFrames —
-    at 100 TB each round is one shuffle keyed by node id, checkpointed to
-    keep lineage flat (large-star/small-star is the upgrade path for
-    long-chain graphs).
+    Alternating large-star/small-star (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14): each round every node
+    hooks its larger neighbors (large-star) then its smaller-or-equal
+    neighbors (small-star) onto the minimum of its neighborhood, converging
+    to depth-1 stars in O(log^2 n) rounds REGARDLESS of component diameter
+    — a 10k-node chain finishes in ~10 rounds where min-label propagation
+    needs 10k. Each half-round is one groupBy shuffle keyed by node id plus
+    a map-side least(); localCheckpoint keeps lineage flat.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        # large-star: symmetric view; every neighbor v > u attaches to
+        # m(u) = min(N(u) ∪ {u})
+        # symmetric view via ONE explode (not a self-union: Union of a frame
+        # with its own projection trips Catalyst's constraint rewrite —
+        # "key not found: u#N" — and costs a second scan)
+        sym = edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("u"), F.col("v")),
+                    F.struct(F.col("v").alias("u"), F.col("u").alias("v")),
+                )
+            ).alias("e")
+        ).select("e.u", "e.v")
+        m = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select(F.col("u").alias("mu"), F.least("u", "mv").alias("m"))
+        )
+        large = (
+            sym.where(F.col("v") > F.col("u"))
+            .join(m, F.col("u") == F.col("mu"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # small-star: orient each edge (big, small); every small neighbor
+        # AND the center attach to min(N_<=(u) ∪ {u}) = min of the smalls;
+        # both emissions come out of one explode over the joined row
+        dirs = large.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct()
+        m2 = dirs.groupBy("u").agg(F.min("v").alias("m")).select(
+            F.col("u").alias("mu"), "m"
+        )
+        small = (
+            dirs.join(m2, F.col("u") == F.col("mu"))
+            .select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("v").alias("u"), F.col("m").alias("v")),
+                        F.struct(F.col("u"), F.col("m").alias("v")),
+                    )
+                ).alias("e")
+            )
+            .select("e.u", "e.v")
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        stable = (
+            small.exceptAll(edges).isEmpty() and edges.exceptAll(small).isEmpty()
+        )
+        edges = small
+        if stable:
+            break
+    roots = edges.select(F.col("v").alias("node_id")).distinct().join(
+        edges.select(F.col("u").alias("node_id")).distinct(), "node_id", "left_anti"
+    )
+    return edges.select(F.col("u").alias("node_id"), F.col("v").alias("component")).unionByName(
+        roots.select("node_id", F.col("node_id").alias("component"))
+    )
 
-    Returns (node_id, component).
+
+def connected_components_labelprop(
+    pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b"
+) -> DataFrame:
+    """Min-label propagation baseline (the aggregate-messages/Pregel shape
+    from GraphX in DataFrames): each round a node adopts the smallest label
+    in its neighborhood incl. itself — O(component diameter) rounds, fine
+    for shallow near-dup clusters, kept as the differential check for
+    :func:`connected_components`. Returns (node_id, component).
     """
     und = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))

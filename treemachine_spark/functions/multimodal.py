@@ -69,16 +69,141 @@ def attach_media(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def decode_ppm(data: bytes):
+    """Decode binary (P6) / ASCII (P3) PPM → (width, height, 3, flat uint8
+    array). Stdlib+numpy only — PPM is the container the real resize path
+    re-encodes into."""
+    import numpy as np
+
+    if data[:2] not in (b"P6", b"P3"):
+        raise ValueError("not a PPM payload")
+    # header tokens: magic, width, height, maxval — '#' comments allowed
+    tokens: list[bytes] = []
+    pos = 2
+    while len(tokens) < 3:
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        if data[pos : pos + 1] == b"#":
+            while pos < len(data) and data[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(data[start:pos])
+    w, h, maxval = (int(t) for t in tokens)
+    if maxval != 255:
+        raise ValueError(f"only 8-bit PPM supported (maxval={maxval})")
+    if data[:2] == b"P6":
+        pos += 1  # single whitespace after maxval
+        px = np.frombuffer(data, dtype=np.uint8, count=w * h * 3, offset=pos)
+    else:
+        px = np.array(data[pos:].split()[: w * h * 3], dtype=np.uint8)
+    return w, h, 3, px.copy()
+
+
+def encode_ppm(width: int, height: int, px) -> bytes:
+    """Flat RGB uint8 array → binary P6 PPM bytes."""
+    import numpy as np
+
+    return b"P6\n%d %d\n255\n" % (width, height) + np.asarray(px, dtype=np.uint8).tobytes()
+
+
+def decode_png(data: bytes):
+    """Decode an 8-bit non-interlaced PNG → (width, height, channels, flat
+    uint8 array). Pure stdlib (struct+zlib) + numpy: full filter
+    reconstruction (None/Sub/Up/Average/Paeth, RFC 2083 §6) and palette
+    expansion — no external codec. Per-scanline Python is fine at test
+    sizes; a production cluster would swap in a C codec behind the same
+    mapInPandas signature."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if data[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos, idat, plte = 8, b"", None
+    w = h = depth = ctype = interlace = None
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + tag + body + crc
+        if ctag == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(">IIBBBBB", body)
+        elif ctag == b"PLTE":
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif ctag == b"IDAT":
+            idat += body
+        elif ctag == b"IEND":
+            break
+    if depth != 8 or interlace != 0:
+        raise ValueError(f"only 8-bit non-interlaced PNG supported (depth={depth}, interlace={interlace})")
+    ch = _PNG_CHANNELS[ctype]
+    stride = w * ch
+    raw = zlib.decompress(idat)
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1)
+        cur = line.astype(np.int32)
+        if ftype == 0:
+            pass
+        elif ftype == 2:  # Up — vectorizable (no left dependency)
+            cur = (cur + prev) & 0xFF
+        else:  # Sub/Average/Paeth carry a left dependency — walk pixels
+            cur = cur.copy()
+            up = prev.astype(np.int32)
+            for x in range(stride):
+                a = cur[x - ch] if x >= ch else 0  # left (already reconstructed)
+                b = up[x]
+                if ftype == 1:
+                    cur[x] = (cur[x] + a) & 0xFF
+                elif ftype == 3:
+                    cur[x] = (cur[x] + (a + b) // 2) & 0xFF
+                elif ftype == 4:
+                    c = up[x - ch] if x >= ch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    cur[x] = (cur[x] + pred) & 0xFF
+                else:
+                    raise ValueError(f"bad PNG filter type {ftype}")
+        out[y] = cur.astype(np.uint8)
+        prev = out[y]
+    px = out.reshape(-1)
+    if ctype == 3:  # palette → RGB
+        if plte is None:
+            raise ValueError("palette PNG without PLTE chunk")
+        return w, h, 3, plte[px].reshape(-1).copy()
+    return w, h, ch, px
+
+
 def decode_image(data: bytes, fake_decoder: bool = False):
-    """STUB: real decode requires an image codec not present in this
-    container. The fake decoder returns deterministic pseudo-pixels so the
-    distributed plumbing is testable."""
-    if not fake_decoder:
-        raise NotImplementedError(
-            "image codecs are not available in this environment; "
-            "pass fake_decoder=True for the deterministic test double"
-        )
-    return bytes((b * 31 + i) % 256 for i, b in enumerate(data[:64]))
+    """Decode an image payload to flat uint8 pixels (bytes).
+
+    Real codecs (stdlib-only, no external libs): PNG (8-bit,
+    non-interlaced, all five scanline filters, greyscale/RGB/RGBA/palette)
+    and PPM (P6/P3) — dispatch on magic bytes. ``fake_decoder=True``
+    bypasses sniffing and returns the deterministic byte-derived fake the
+    m1 oracle gate is written against (testdata media payloads are
+    UTF-8 text, not real images)."""
+    if fake_decoder:
+        return bytes((b * 31 + i) % 256 for i, b in enumerate(data[:64]))
+    if data[:8] == PNG_MAGIC:
+        return decode_png(data)[3].tobytes()
+    if data[:2] in (b"P6", b"P3"):
+        return decode_ppm(data)[3].tobytes()
+    raise NotImplementedError(
+        "unsupported image codec (PNG and PPM decode natively; other formats "
+        "need an external codec — or pass fake_decoder=True for the test double)"
+    )
 
 
 def extract_features(media: DataFrame, fake_decoder: bool = True) -> DataFrame:
@@ -106,8 +231,45 @@ def extract_features(media: DataFrame, fake_decoder: bool = True) -> DataFrame:
 
 def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
     """Resize plumbing: metadata updated executor-side, content passed
-    through (real resampling is codec work, stubbed)."""
+    through (for payloads whose codec isn't natively decodable; the real
+    pixel path is :func:`resize_images`)."""
     return media.withColumn("width", F.lit(width)).withColumn("height", F.lit(height))
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """REAL resize over mapInPandas: decode (PNG/PPM, native codecs above),
+    nearest-neighbor resample with one numpy gather, re-encode as P6 PPM,
+    update metadata. Same batch shape as extract_features — Python cost is
+    per-Arrow-batch; the blob column never round-trips through the driver."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ys = (np.arange(height) * 1.0 + 0.5) / height
+        xs = (np.arange(width) * 1.0 + 0.5) / width
+        for pdf in it:
+            out_bytes = []
+            for b in pdf["content"]:
+                data = bytes(b)
+                w0, h0, ch, px = (
+                    decode_png(data) if data[:8] == PNG_MAGIC else decode_ppm(data)
+                )
+                img = px.reshape(h0, w0, ch)
+                if ch == 1:
+                    img = np.repeat(img, 3, axis=2)
+                elif ch == 4:
+                    img = img[:, :, :3]
+                elif ch == 2:  # grey+alpha
+                    img = np.repeat(img[:, :, :1], 3, axis=2)
+                ri = np.minimum((ys * h0).astype(np.int64), h0 - 1)
+                ci = np.minimum((xs * w0).astype(np.int64), w0 - 1)
+                out_bytes.append(encode_ppm(width, height, img[np.ix_(ri, ci)]))
+            res = pdf.copy()
+            res["content"] = out_bytes
+            res["width"] = width
+            res["height"] = height
+            yield res
+
+    return media.mapInPandas(batches, MEDIA_SCHEMA)
 
 
 def frame_sample_stub(media: DataFrame, every_n: int = 10) -> DataFrame:

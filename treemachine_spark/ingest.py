@@ -215,6 +215,8 @@ def load_single_store(spark: SparkSession, out_dir: str):
 
     with open(os.path.join(out_dir, "trees_meta.json")) as fh:
         metas = _json.load(fh)
+    if not metas:  # all trees deleted — nothing to read (schema-less dirs)
+        return TreeRegistry({})
     tables = {
         name: spark.read.parquet(os.path.join(out_dir, name)) for name in _STORE_TABLES
     }
@@ -231,6 +233,51 @@ def load_single_store(spark: SparkSession, out_dir: str):
             **view,
         ).cache()
     return TreeRegistry(stores)
+
+
+def delete_tree(out_dir: str, synth_id: str) -> None:
+    """Admin mutation: remove ONE synthetic tree from a single-store layout
+    (``write_single_store``) — the counterpart of GraphBase.deleteTreeBySource
+    (opentree/GraphBase.java:312-370).
+
+    The reference walks three Neo4j indexes deleting relationships/nodes one
+    transaction batch at a time; on the synth_id-partitioned parquet layout
+    the same mutation is a METADATA operation: drop each table's
+    ``synth_id=<id>`` partition directory and the trees_meta.json entry.
+    O(files-in-partition), no scan, no rewrite of surviving trees — the
+    shape that still works when one tree is 100 TB.
+    """
+    import json as _json
+    import shutil
+
+    from treemachine_spark.api.errors import BadInputError
+
+    meta_path = os.path.join(out_dir, "trees_meta.json")
+    with open(meta_path) as fh:
+        metas = _json.load(fh)
+    if synth_id not in metas:
+        raise BadInputError(
+            f"Could not find a synthetic tree corresponding to the 'synth_id' arg: '{synth_id}'."
+        )
+    for name in _STORE_TABLES:
+        part_dir = os.path.join(out_dir, name, f"synth_id={synth_id}")
+        if os.path.isdir(part_dir):
+            shutil.rmtree(part_dir)
+    del metas[synth_id]
+    with open(meta_path, "w") as fh:
+        _json.dump(metas, fh)
+
+
+def delete_all_trees(out_dir: str) -> None:
+    """Admin mutation: drop every synthetic tree from a single-store layout
+    (GraphBase.deleteAllTrees, opentree/GraphBase.java:299-306 — which just
+    loops deleteTreeBySource over the source index, as this does)."""
+    import json as _json
+
+    with open(os.path.join(out_dir, "trees_meta.json")) as fh:
+        metas = _json.load(fh)
+    for synth_id in list(metas):
+        delete_tree(out_dir, synth_id)
 
 
 def load_store(spark: SparkSession, out_dir: str) -> GraphStore:
