@@ -30,6 +30,28 @@ TABLE_NAMES = [
 ]
 
 
+def rebuild_ts_cols(df: DataFrame) -> DataFrame:
+    """Make timestamp columns unit-agnostic: the driver owns the testdata and
+    its timestamp physical type can change between rounds (TIMESTAMP(NANOS)
+    one round, native timestamp[us] the next) — always sniff, never assume.
+
+    Under ``spark.sql.legacy.parquet.nanosAsLong=true`` a TIMESTAMP(NANOS)
+    column reads back as BIGINT nanoseconds; rebuild a naive-UTC
+    timestamp_ntz so values match DuckDB's read of the same file. Columns
+    that already read as timestamp/timestamp_ntz (native micros) pass
+    through untouched.
+    """
+    for field in df.schema.fields:
+        if field.name in _NANO_TS_COLS and field.dataType.simpleString() == "bigint":
+            df = df.withColumn(
+                field.name,
+                F.timestamp_micros(F.expr(f"`{field.name}` div 1000")).cast(
+                    "timestamp_ntz"
+                ),
+            )
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load every synthetic table under ``sf_dir`` as a DataFrame.
 
@@ -37,28 +59,18 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     pushed down into the scan by Catalyst (PushedFilters / ReadSchema), so at
     100 TB a point lookup touches only matching row groups.
 
-    The testdata parquet carries TIMESTAMP(NANOS) columns, which Spark's
-    reader rejects by default; the legacy conf below makes them readable (as
-    timestamp_ntz, values intact). Set per-call so it also applies under the
-    driver-owned SparkSession.
+    The legacy nanosAsLong conf makes TIMESTAMP(NANOS) testdata readable
+    (harmless for native-micros testdata); rebuild_ts_cols then normalizes
+    whichever unit actually arrived. Set per-call so it also applies under
+    the driver-owned SparkSession.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
     def _load(name: str) -> DataFrame:
-        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-        # UTC-adjusted TIMESTAMP(NANOS) columns (events.ts) come back as
-        # BIGINT nanos under the legacy conf; rebuild a naive-UTC
-        # timestamp_ntz so values match DuckDB's read of the same file.
-        for field in df.schema.fields:
-            if field.name in _NANO_TS_COLS and field.dataType.simpleString() == "bigint":
-                df = df.withColumn(
-                    field.name,
-                    F.timestamp_micros(F.expr(f"`{field.name}` div 1000")).cast(
-                        "timestamp_ntz"
-                    ),
-                )
-        return df
+        return rebuild_ts_cols(
+            spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        )
 
     # footer/schema reads are independent driver-side I/O — run them
     # concurrently (Py4J releases the GIL during JVM calls)

@@ -25,7 +25,6 @@ from pyspark.sql.types import (
     DoubleType,
     IntegerType,
     LongType,
-    StringType,
     StructField,
     StructType,
     TimestampType,
@@ -53,21 +52,16 @@ def read_event_stream(spark, sf_dir: str) -> DataFrame:
     if not os.path.exists(link):
         os.symlink(src, link)
 
-    raw = spark.readStream.schema(
-        StructType(
-            [
-                StructField("event_id", LongType()),
-                StructField("ts", LongType()),
-                StructField("user_id", LongType()),
-                StructField("event_type", StringType()),
-                StructField("value", DoubleType()),
-                StructField("props", StringType()),
-            ]
-        )
-    ).parquet(stage)
-    return raw.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
-    )
+    # Timestamp-unit agnostic: the driver owns the testdata and its parquet
+    # timestamp physical type can change between rounds (TIMESTAMP(NANOS) →
+    # bigint under the legacy conf, or native timestamp[us]). Sniff the
+    # schema from a batch read of the SAME file and apply the identical
+    # conditional rebuild the batch path uses — never hard-code the unit.
+    from treemachine_spark.io.tables import rebuild_ts_cols
+
+    batch_schema = spark.read.parquet(src).schema
+    raw = spark.readStream.schema(batch_schema).parquet(stage)
+    return rebuild_ts_cols(raw)
 
 
 def windowed_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
