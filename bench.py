@@ -38,6 +38,31 @@ HEADLINE = [
     "s4_stream_enriched",
 ]
 
+# Correctness tripwire: expected row count per headline query at the bench
+# SF. A wrong-answer regression (e.g. r2's streaming timestamp-unit bug,
+# which collapsed s4 from 3600 windowed rows to ~10 while timing "fine")
+# flips the query's ok flag to false in the bench JSON instead of passing
+# silently. Counts verified against the DuckDB oracles at sf0.1.
+EXPECTED_ROWS = {
+    0.1: {
+        "closure_paths": 2_929_360,
+        "t2_mrca": 1,
+        "t4_subtree": 6_439,
+        "t6_induced_subtree": 14,
+        "a1_tip_counts": 31,
+        "q1_pricing_summary": 6,
+        "q3_top_orders": 10,
+        "q5_region_revenue": 25,
+        "w1_window_topn": 29_992,
+        "p10_id_codec": 150_000,
+        "d2_minhash_pairs": 256,
+        "v1_ann_brute": 50,
+        "x1_text_profile": 5_000,
+        "s2_sessions_batch": 95_465,
+        "s4_stream_enriched": 3_600,
+    },
+}
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -81,13 +106,18 @@ def main() -> None:
     ctx["tip_counts"].count()
     ingest_sec = round(time.time() - t0, 3)
 
+    expected = EXPECTED_ROWS.get(sf, {})
     timings: dict[str, float] = {}
+    ok_flags: dict[str, bool | None] = {}
     for name in HEADLINE:
         t = time.time()
-        QUERIES[name](spark, sf_dir).count()
+        n = QUERIES[name](spark, sf_dir).count()
         timings[name] = round(time.time() - t, 3)
+        # None = no expectation recorded for this SF (timing still valid)
+        ok_flags[name] = None if name not in expected else (n == expected[name])
 
     total = round(sum(timings.values()), 3)
+    failed = sorted(k for k, v in ok_flags.items() if v is False)
     print(
         json.dumps(
             {
@@ -97,6 +127,9 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "ingest_sec": ingest_sec,
+                "ok": ok_flags,
+                "bench_ok": not failed,
+                "failed_queries": failed,
             }
         )
     )

@@ -366,16 +366,25 @@ def lsh_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """ANN: candidates share the sign-bit bucket, then exact re-rank within
-    the bucket. Trades recall for a candidate set ~n/2^planes per query."""
+    the bucket. Trades recall for a candidate set ~n/2^planes per query.
+
+    The bucket is computed with the same precomputed-plane-matrix Arrow path
+    as v6 (``band_keys_udf`` with a single band covering all planes): one
+    numpy matmul per batch instead of re-hashing (plane, dim) per row.
+    ``band_plane_signs`` derives sign P[j,i] from md5("j:i") exactly like
+    ``signbit_sketch``'s h32, so the bits — and the DuckDB-oracle candidate
+    set — are unchanged (verified by gate v2_ann_lsh and a parity test).
+    """
+    bucket_udf = band_keys_udf(n_bands=1, band_planes=n_planes)
     emb = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
         quantize(F.col(vec_col)).alias("cv"),
-        signbit_sketch(F.col(vec_col), n_planes).alias("bucket"),
+        F.element_at(bucket_udf(F.col(vec_col)), 1).alias("bucket"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         quantize(F.col(vec_col)).alias("qv"),
-        signbit_sketch(F.col(vec_col), n_planes).alias("bucket"),
+        F.element_at(bucket_udf(F.col(vec_col)), 1).alias("bucket"),
     )
     scored = (
         emb.join(F.broadcast(q), "bucket")
