@@ -74,7 +74,34 @@ def main(argv=None) -> int:
     )
     s.add_argument("dbname", help="single-store directory (consolidate output)")
 
+    for name, hlp in [
+        ("reroot", "reroot a newick tree at a named node (JadeTree.reRoot:227-250)"),
+        ("unroot", "collapse a binary root to a trifurcation (JadeTree.unRoot:212-218)"),
+        ("prunetip", "prune a named leaf (JadeTree.pruneExternalNode:466-510)"),
+    ]:
+        s = sub.add_parser(name, help=hlp)
+        s.add_argument("newick_file")
+        s.add_argument("node_name")
+        s.add_argument("outfile")
+
     args = p.parse_args(argv)
+
+    # T14 tree surgery: request-scale driver-side mutations, no SparkSession
+    if args.cmd in ("reroot", "unroot", "prunetip"):
+        from treemachine_spark.graph.surgery import SurgeryTree
+
+        with open(args.newick_file) as fh:
+            tree = SurgeryTree.from_newick(fh.read().strip())
+        node = tree.find(args.node_name)
+        if args.cmd == "reroot":
+            tree.reroot(node)
+        elif args.cmd == "unroot":
+            tree.unroot(node)
+        else:
+            tree.prune_external(node)
+        with open(args.outfile, "w") as fh:
+            fh.write(tree.to_newick() + "\n")
+        return 0
 
     # pure-metadata admin mutations: partition drops need no SparkSession
     if args.cmd == "deletetree":
