@@ -1,0 +1,137 @@
+"""Skew demonstration (VERDICT r2 item 8): one hot ancestor with ~1M
+children — the "all of Insecta hangs off one node" shape a real taxonomy
+exhibits — and the mitigations that keep closure build + serve flat:
+
+  - AQE skew-join splitting (spark.sql.adaptive.skewJoin, on in session.py)
+    for the closure's parent-child self-join, whose build-side partition
+    for the hot parent would otherwise be ~1M rows;
+  - operators/scale.py salted_groupby_count for the hot-key aggregation
+    (child counts per parent: a plain groupBy funnels the hot key through
+    ONE reducer);
+  - operators/scale.py salted_join when a non-broadcastable side joins on
+    the hot key.
+
+Prints one JSON line comparing a balanced tree and a hot-star tree of the
+SAME edge count: closure build, MRCA serve, naive vs salted agg, plain vs
+salted join. Flat ratios (~1x star/balanced) are the pass criterion.
+"""
+
+from __future__ import annotations
+
+import json
+import random
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+
+def star_tree_edges(spark, n_hot: int, n_rest: int, fanout: int = 10):
+    """root -> hot node with n_hot leaf children + a balanced remainder of
+    ~n_rest edges (so total edge count matches a balanced control)."""
+    rows = [("hot", "n0")]
+    rows += [(f"h{i}", "hot") for i in range(n_hot)]
+    next_id, frontier = 1, [0]
+    while len(rows) < n_hot + n_rest:
+        nxt = []
+        for p in frontier:
+            for _ in range(fanout):
+                rows.append((f"n{next_id}", f"n{p}"))
+                nxt.append(next_id)
+                next_id += 1
+                if len(rows) >= n_hot + n_rest:
+                    break
+            if len(rows) >= n_hot + n_rest:
+                break
+        frontier = nxt
+    return spark.createDataFrame(rows, "child_id string, parent_id string")
+
+
+def main() -> None:
+    n_hot = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    n_rest = n_hot // 2
+
+    from treemachine_spark.graph import traversal as T
+    from treemachine_spark.graph.closure import build_closure, with_self_paths
+    from treemachine_spark.operators.scale import salted_groupby_count, salted_join
+    from treemachine_spark.session import get_spark
+
+    import bench_tree
+
+    spark = get_spark("treemachine-skew-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    out: dict = {"n_hot_children": n_hot, "n_edges": n_hot + n_rest}
+
+    trees = {}
+    balanced, _tips = bench_tree.synthetic_tree_edges(spark, n_hot + n_rest)
+    trees["balanced"] = balanced.cache()
+    trees["star"] = star_tree_edges(spark, n_hot, n_rest).cache()
+
+    for name, edges in trees.items():
+        edges.count()
+        t0 = time.time()
+        paths = build_closure(edges).cache()
+        n_paths = paths.count()
+        out[f"closure_sec_{name}"] = round(time.time() - t0, 2)
+        out[f"n_paths_{name}"] = n_paths
+
+        nodes = edges.select(F.col("child_id").alias("node_id")).unionByName(
+            edges.sparkSession.createDataFrame([("n0",)], "node_id string")
+        )
+        paths_self = with_self_paths(paths, nodes).cache()
+        paths_self.count()
+
+        # serve: MRCA over 160 random ids (the curl_tests stressor). On the
+        # star tree most ids are hot-node children — the worst case.
+        rng = random.Random(7)
+        child_pool = (
+            [f"h{rng.randrange(n_hot)}" for _ in range(160)]
+            if name == "star"
+            else [r["child_id"] for r in edges.limit(500).collect()][:160]
+        )
+        ids = spark.createDataFrame([(c,) for c in child_pool], "node_id string")
+        t0 = time.time()
+        T.mrca(paths_self, ids).collect()
+        out[f"mrca160_sec_{name}"] = round(time.time() - t0, 2)
+
+        # hot-key aggregation: child counts per parent. The star funnels
+        # n_hot rows into one reducer without salting.
+        t0 = time.time()
+        edges.groupBy("parent_id").agg(F.count("*").alias("count")).count()
+        out[f"agg_naive_sec_{name}"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        salted_groupby_count(edges, "parent_id").count()
+        out[f"agg_salted_sec_{name}"] = round(time.time() - t0, 2)
+
+        # hot-key join with broadcast disabled (models a dimension too big
+        # to broadcast at 100 TB): plain shuffle join leaves one straggler
+        # partition with every hot-key row; salting spreads it.
+        parents = edges.select("parent_id").distinct().withColumn(
+            "meta", F.md5(F.col("parent_id"))
+        )
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            t0 = time.time()
+            edges.join(parents, "parent_id").count()
+            out[f"join_plain_sec_{name}"] = round(time.time() - t0, 2)
+            t0 = time.time()
+            salted_join(edges, parents, "parent_id").count()
+            out[f"join_salted_sec_{name}"] = round(time.time() - t0, 2)
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+        paths.unpersist()
+        paths_self.unpersist()
+
+    out["closure_star_over_balanced"] = round(
+        out["closure_sec_star"] / max(out["closure_sec_balanced"], 1e-9), 2
+    )
+    out["mrca_star_over_balanced"] = round(
+        out["mrca160_sec_star"] / max(out["mrca160_sec_balanced"], 1e-9), 2
+    )
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
