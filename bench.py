@@ -61,6 +61,41 @@ EXPECTED_ROWS = {
         "s2_sessions_batch": 95_465,
         "s4_stream_enriched": 3_600,
     },
+    0.01: {
+        "closure_paths": 293_715,
+        "t2_mrca": 1,
+        "t4_subtree": 574,
+        "t6_induced_subtree": 16,
+        "a1_tip_counts": 31,
+        "q1_pricing_summary": 6,
+        "q3_top_orders": 10,
+        "q5_region_revenue": 25,
+        "w1_window_topn": 2_998,
+        "p10_id_codec": 15_000,
+        "d2_minhash_pairs": 25,
+        "v1_ann_brute": 50,
+        "x1_text_profile": 500,
+        "s2_sessions_batch": 9_549,
+        "s4_stream_enriched": 3_380,
+    },
+    # derived 10x set (gen_sf1.py -> /tmp/sf1); counts verified Spark==DuckDB
+    1.0: {
+        "closure_paths": 29_293_105,
+        "t2_mrca": 1,
+        "t4_subtree": 64_390,
+        "t6_induced_subtree": 14,
+        "a1_tip_counts": 31,
+        "q1_pricing_summary": 6,
+        "q3_top_orders": 10,
+        "q5_region_revenue": 25,
+        "w1_window_topn": 299_920,
+        "p10_id_codec": 1_500_000,
+        "d2_minhash_pairs": 250_455,
+        "v1_ann_brute": 50,
+        "x1_text_profile": 50_000,
+        "s2_sessions_batch": 954_650,
+        "s4_stream_enriched": 3_600,
+    },
 }
 
 

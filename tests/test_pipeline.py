@@ -190,6 +190,24 @@ def test_streaming_windowed_counts_matches_batch(spark):
     assert got == want
 
 
+def test_streaming_from_directory_parquet(spark, tmp_path):
+    """The events source may be a Spark-written DIRECTORY of part files
+    (derived scale sets), not just the driver's single file — the stream
+    must see every row (regression: whole-dir symlink read 0 rows)."""
+    from treemachine_spark.io.tables import load_tables
+
+    sf_dir = tmp_path / "sfdir"
+    sf_dir.mkdir()
+    events = load_tables(spark, SF_SMOKE)["events"]
+    n = events.count()
+    events.repartition(3).write.parquet(str(sf_dir / "events.parquet"))
+    stream = stream_events.read_event_stream(spark, str(sf_dir))
+    got = stream_events.run_to_memory(
+        stream.select("event_id"), "dir_stream_events"
+    ).count()
+    assert got == n
+
+
 def test_streaming_dedup(spark):
     stream = stream_events.read_event_stream(spark, SF_SMOKE)
     deduped = stream_events.streaming_dedup(stream).select("event_id")

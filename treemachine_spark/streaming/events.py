@@ -35,8 +35,13 @@ def read_event_stream(spark, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (for tests, processed with
     trigger(availableNow); swap .parquet for .format('kafka') in prod).
 
-    The file source requires a directory, so the single events.parquet is
-    exposed through a symlink staging dir (read-only testdata is untouched).
+    The file source requires a directory, so the events parquet is exposed
+    through a symlink staging dir (read-only testdata is untouched). The
+    source may be a single file (driver testdata) OR a directory of part
+    files (Spark-written, e.g. the derived sf1 set) — for a directory, its
+    data files are linked individually because the streaming file source
+    does not descend into a nested un-partitioned subdirectory (it would
+    silently read 0 rows; caught by the bench row-count tripwire at sf1).
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
@@ -48,9 +53,26 @@ def read_event_stream(spark, sf_dir: str) -> DataFrame:
     tag = hashlib.md5(src.encode()).hexdigest()[:8]
     stage = os.path.join(tempfile.gettempdir(), f"tm_stream_{tag}")
     os.makedirs(stage, exist_ok=True)
-    link = os.path.join(stage, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(src, link)
+    if os.path.isdir(src):
+        targets = [
+            os.path.join(src, f)
+            for f in sorted(os.listdir(src))
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        ]
+    else:
+        targets = [src]
+    expected = {f"part-{i:05d}.parquet": t for i, t in enumerate(targets)}
+    # idempotent staging: drop stale links (e.g. from an older layout or a
+    # regenerated source) so the stream never double-counts
+    for f in os.listdir(stage):
+        if f not in expected:
+            os.unlink(os.path.join(stage, f))
+    for name, target in expected.items():
+        link = os.path.join(stage, name)
+        if os.path.islink(link) and os.readlink(link) != target:
+            os.unlink(link)
+        if not os.path.exists(link):
+            os.symlink(target, link)
 
     # Timestamp-unit agnostic: the driver owns the testdata and its parquet
     # timestamp physical type can change between rounds (TIMESTAMP(NANOS) →
