@@ -13,6 +13,24 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def local_df(spark, rows: list[tuple], ddl: str) -> DataFrame:
+    """Small driver-computed result as a TRUE LocalTableScan.
+
+    ``createDataFrame`` from a Python list parallelizes through an RDD, so
+    every downstream action schedules a task wave (~0.3 s at local[32], and
+    a flat ~4 s if coalesced — measured); routing the rows through pandas
+    gives a LocalRelation the consumer evaluates driver-side (~0.1 s). The
+    DDL schema is applied explicitly so dtypes match the DuckDB oracles.
+    """
+    if not rows:
+        return spark.createDataFrame([], ddl)
+    import pandas as pd
+
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=[f.split()[0] for f in ddl.split(",")]), ddl
+    )
+
+
 
 def path_to_root(paths: DataFrame, node_id: str) -> DataFrame:
     """T1 — ordered ancestor chain of one node.
@@ -86,7 +104,7 @@ def mrca(paths_self: DataFrame, tips: DataFrame) -> DataFrame:
     dmin = min(d for _, d in full)
     dmax = max(d for _, d in full)
     node = next(a for a, d in full if d == dmin)
-    return spark.createDataFrame([(node, int(dmax - dmin))], schema)
+    return local_df(spark, [(node, int(dmax - dmin))], schema)
 
 
 def mrta(paths: DataFrame, nodes: DataFrame, query: DataFrame, max_level: int) -> DataFrame:
@@ -187,37 +205,48 @@ def induced_subtree(paths_self: DataFrame, tips: DataFrame) -> DataFrame:
     set keeps this shuffle-light for request-sized inputs; for huge tip sets
     Catalyst falls back to a shuffled join automatically.
     """
-    # tips and the kept set are request-scale: evaluate each once and push
-    # them back as literal IN-filters so the big closure is scanned exactly
-    # twice (once for MRCA counting, once for the rewire), never re-executed
-    # per downstream action. ``tips`` may also be a plain id list, as an
-    # HTTP request would supply.
+    # tips, the kept set, and both filtered row sets are request-scale
+    # (|tips| x tree height under the reference's id caps): the big closure
+    # is scanned exactly twice, each scan a SINGLE shuffle-free stage whose
+    # output collects to the driver, and the MRCA counting + nearest-kept-
+    # ancestor rewire run driver-side — the same measured win as mrca()
+    # (the agg/window shuffle stages dominated these jobs, not the scans).
+    # ``tips`` may also be a plain id list, as an HTTP request would supply.
     if isinstance(tips, DataFrame):
         tip_ids = [r["node_id"] for r in tips.select("node_id").collect()]
     else:
         tip_ids = list(tips)
-    anc = paths_self.where(F.col("depth") > 0).where(F.col("node_id").isin(tip_ids))
-    kept_internal = (
-        anc.groupBy("ancestor_id")
-        .agg(F.countDistinct("node_id").alias("n_tips"))
-        .where(F.col("n_tips") >= 2)
+    tip_ids = list(dict.fromkeys(tip_ids))
+    spark = paths_self.sparkSession
+    anc_rows = (
+        paths_self.where(F.col("depth") > 0)
+        .where(F.col("node_id").isin(tip_ids))
+        .select("ancestor_id", "node_id")
+        .collect()
     )
+    under: dict[str, set] = {}
+    for r in anc_rows:
+        under.setdefault(r["ancestor_id"], set()).add(r["node_id"])
     kept = sorted(
-        {r["ancestor_id"] for r in kept_internal.collect()} | set(tip_ids)
+        {a for a, tips_under in under.items() if len(tips_under) >= 2}
+        | set(tip_ids)
     )
 
     # nearest kept ancestor for every kept node (the root of the induced
     # tree has none and drops out)
-    to_kept = (
+    to_kept_rows = (
         paths_self.where(F.col("depth") > 0)
         .where(F.col("node_id").isin(kept) & F.col("ancestor_id").isin(kept))
+        .select("node_id", "ancestor_id", "depth")
+        .collect()
     )
-    w = Window.partitionBy("node_id").orderBy("depth")
-    return (
-        to_kept.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select(F.col("node_id").alias("child_id"), F.col("ancestor_id").alias("parent_id"))
-    )
+    best: dict[str, tuple] = {}
+    for r in to_kept_rows:
+        cur = best.get(r["node_id"])
+        if cur is None or r["depth"] < cur[1]:
+            best[r["node_id"]] = (r["ancestor_id"], r["depth"])
+    edges = [(n, a) for n, (a, _) in sorted(best.items())]
+    return local_df(spark, edges, "child_id string, parent_id string")
 
 
 def adjacent_by_source(
