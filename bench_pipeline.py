@@ -55,14 +55,28 @@ def synth_docs(spark, n_docs: int, parts: int = 32):
 
 
 def synth_embeddings(spark, n_vecs: int, dim: int = 64, parts: int = 32):
+    """Hash-mixed components give near-orthogonal vectors (the former
+    linear-congruential fill made vectors repeat mod the modulus — ~88M
+    genuine >0.8-cosine pairs at 50k vectors, so the LSH bench measured
+    output size, not the operator). ~5% are planted near-duplicates of
+    their predecessor (one perturbed component), the known answer set."""
+    base = (
+        spark.range(0, n_vecs, 1, parts)
+        .withColumn("is_dup", (F.col("id") % 20 == 1) & (F.col("id") > 0))
+        .withColumn(
+            "base_id", F.when(F.col("is_dup"), F.col("id") - 1).otherwise(F.col("id"))
+        )
+    )
     vec = F.transform(
         F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda j: (F.pmod(F.col("id") * A + j * 131, F.lit(2000)) - 1000).cast("float")
+        lambda j: (
+            F.pmod(F.hash(F.col("base_id"), j), F.lit(2000)) - 1000
+            # perturb ONE component for planted dups (cosine stays ~0.99)
+            + F.when(F.col("is_dup") & (j == 0), F.lit(200)).otherwise(F.lit(0))
+        ).cast("float")
         / 1000.0,
     )
-    return spark.range(0, n_vecs, 1, parts).select(
-        F.col("id").alias("vec_id"), vec.alias("embedding")
-    )
+    return base.select(F.col("id").alias("vec_id"), vec.alias("embedding"))
 
 
 def main() -> None:
@@ -107,9 +121,15 @@ def main() -> None:
         "ann_ivf_topk",
         lambda: similarity.ivf_topk(emb, emb.where(F.col("vec_id") < 8), k=10).count(),
     )
+    # band_planes scales with corpus size: 8 bits (256 buckets/band) suits
+    # the 5k-doc sf tables; at 50k+ vectors coarse buckets collide (~39M
+    # candidate pairs, measured 47 s) while 16-bit keys keep buckets ~1 row
+    # at ~99.5% recall for cos>=0.99 — the knob a 100 TB deployment tunes.
     n_cos_pairs = tm(
         "cosine_pairs_lsh",
-        lambda: similarity.cosine_near_dup_pairs_lsh(emb, threshold=0.8).count(),
+        lambda: similarity.cosine_near_dup_pairs_lsh(
+            emb, threshold=0.8, band_planes=16
+        ).count(),
     )
     tm("centroid_cells", lambda: similarity.centroid_assign(emb).groupBy("cent_id").count().count())
 

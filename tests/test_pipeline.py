@@ -190,6 +190,29 @@ def test_streaming_windowed_counts_matches_batch(spark):
     assert got == want
 
 
+def test_event_timestamps_land_in_realistic_years(spark):
+    """Unit-agnosticism tripwire: whatever physical timestamp type the
+    driver regenerates testdata with (NANOS-as-long, micros, ...), both the
+    batch and streaming readers must land events in real years — the r2
+    regression silently put every streamed event in 1970."""
+    from pyspark.sql import functions as F
+
+    from treemachine_spark.io.tables import load_tables
+
+    batch_year = (
+        load_tables(spark, SF_SMOKE)["events"]
+        .agg(F.min(F.year("ts")))
+        .first()[0]
+    )
+    assert batch_year > 2000, f"batch events read into year {batch_year}"
+    stream = stream_events.read_event_stream(spark, SF_SMOKE)
+    got = stream_events.run_to_memory(
+        stream.select(F.year("ts").alias("y")), "year_check_events"
+    )
+    stream_year = got.agg(F.min("y")).first()[0]
+    assert stream_year > 2000, f"streamed events read into year {stream_year}"
+
+
 def test_streaming_from_directory_parquet(spark, tmp_path):
     """The events source may be a Spark-written DIRECTORY of part files
     (derived scale sets), not just the driver's single file — the stream
