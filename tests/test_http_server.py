@@ -1,0 +1,129 @@
+"""End-to-end HTTP serving tests: real sockets against the stdlib server
+(api/server.py), mirroring how the reference's ws-tests curl its plugin
+endpoints. One server + one SparkSession for the module."""
+
+from __future__ import annotations
+
+import json
+import threading
+import urllib.request
+from pathlib import Path
+
+import pytest
+
+from treemachine_spark.api.server import _dispatch, make_server
+from treemachine_spark.ingest import ingest_synthesis_data
+
+FIX = Path(__file__).parent / "fixtures"
+
+
+@pytest.fixture(scope="module")
+def base_url(spark):
+    store = ingest_synthesis_data(
+        spark,
+        str(FIX / "labelled_supertree.tre"),
+        str(FIX / "annotations.json"),
+        str(FIX / "taxonomy.tsv"),
+    )
+    srv = make_server(store, host="127.0.0.1", port=0)  # ephemeral port
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+    srv.server_close()
+
+
+def post(base_url: str, path: str, body: dict | None = None):
+    req = urllib.request.Request(
+        base_url + path,
+        data=json.dumps(body or {}).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_about_over_http(base_url):
+    status, resp = post(base_url, "/v3/tree_of_life/about")
+    assert status == 200
+    assert resp["num_source_trees"] >= 1
+    assert "root" in resp
+
+
+def test_mrca_over_http(base_url):
+    status, about = post(base_url, "/v3/tree_of_life/about")
+    # pick two tips via subtree of the root
+    status, sub = post(
+        base_url,
+        "/v3/tree_of_life/subtree",
+        {"node_id": about["root"]["node_id"], "format": "arguson", "height_limit": 2},
+    )
+    assert status == 200
+    kids = sub["arguson"]["children"]
+    ids = [k["node_id"] for k in kids][:2]
+    status, resp = post(base_url, "/v3/tree_of_life/mrca", {"node_ids": ids})
+    assert status == 200
+    assert "mrca" in resp
+
+
+def test_subtree_newick_over_http(base_url):
+    status, about = post(base_url, "/v3/tree_of_life/about")
+    status, resp = post(
+        base_url,
+        "/v3/tree_of_life/subtree",
+        {"node_id": about["root"]["node_id"], "label_format": "name"},
+    )
+    assert status == 200
+    assert resp["newick"].endswith(";")
+
+
+def test_bad_ids_400_carries_payload(base_url):
+    # all-invalid ids -> plain 400 message (BadInputError path)
+    status, resp = post(
+        base_url,
+        "/v3/tree_of_life/induced_subtree",
+        {"node_ids": ["not_a_real_node_1", "not_a_real_node_2"]},
+    )
+    assert status == 400 and "message" in resp and len(resp) == 1
+    # a mix of valid + invalid ids -> BadIdsException semantics: the 400
+    # body CARRIES the partial payload alongside the message
+    _, about = post(base_url, "/v3/tree_of_life/about")
+    _, sub = post(
+        base_url,
+        "/v3/tree_of_life/subtree",
+        {"node_id": about["root"]["node_id"], "format": "arguson", "height_limit": 2},
+    )
+    valid = [k["node_id"] for k in sub["arguson"]["children"]][:2]
+    status, resp = post(
+        base_url,
+        "/v3/tree_of_life/induced_subtree",
+        {"node_ids": [*valid, "not_a_real_node_1"]},
+    )
+    assert status == 400
+    assert "message" in resp and len(resp) > 1, resp
+
+
+def test_bad_input_and_unknown_endpoint(base_url):
+    status, resp = post(
+        base_url, "/v3/tree_of_life/subtree", {"node_id": "x", "format": "bogus"}
+    )
+    assert status == 400 and "message" in resp
+    status, resp = post(base_url, "/v3/tree_of_life/nope")
+    assert status == 404
+    status, resp = post(base_url, "/v3/tree_of_life/mrca", {"bogus_arg": 1})
+    assert status == 400 and "unknown arguments" in resp["message"]
+
+
+def test_v2_adapter_over_http(base_url):
+    status, resp = post(base_url, "/v2/tree_of_life/about")
+    assert status == 200
+
+
+def test_dispatch_is_socketless(spark):
+    # _dispatch is a pure router — 404 path needs no API objects at all
+    status, resp = _dispatch({}, "/v3/none", {})
+    assert status == 404

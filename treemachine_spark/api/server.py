@@ -1,0 +1,124 @@
+"""HTTP facade over the v3/v2 tree_of_life APIs — the reference's serving
+surface (a neo4j server plugin exposing POST JSON endpoints, ws-tests hit
+it with curl; opentree/plugins/tree_of_life_v3.java + tree_of_life.java).
+
+stdlib-only (http.server): a user of the reference can point their curl
+scripts at this process and run every query they run today —
+
+  POST /v3/tree_of_life/about
+  POST /v3/tree_of_life/node_info
+  POST /v3/tree_of_life/mrca
+  POST /v3/tree_of_life/subtree
+  POST /v3/tree_of_life/induced_subtree
+  POST /v3/tree_of_life/source_tree
+  POST /v2/tree_of_life/{about,mrca,induced_tree,subtree,node_info}
+
+Error semantics match the reference: BadInputError/TreeTooBigError → 400
+with {"message": ...}; BadIdsError → 400 carrying the partial response
+payload (BadIdsException.java:9-51, tree_of_life_v3.java:359-361).
+
+Serving model: ONE long-lived SparkSession per process (the reference's
+embedded-DB analog); the handler is threaded, and Spark schedules
+concurrent request jobs FIFO-fair across its local threads. Start with:
+
+  python -m treemachine_spark.cli serve <dbname> [--port 1984]
+"""
+
+from __future__ import annotations
+
+import json
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from treemachine_spark.api.errors import BadIdsError, BadInputError, TreeTooBigError
+
+# endpoint -> (api attr, method, allowed kwargs)
+_ROUTES = {
+    "/v3/tree_of_life/about": ("v3", "about", {"include_source_list"}),
+    "/v3/tree_of_life/node_info": ("v3", "node_info", {"node_id", "ott_id", "include_lineage"}),
+    "/v3/tree_of_life/mrca": ("v3", "mrca", {"node_ids", "ott_ids"}),
+    "/v3/tree_of_life/subtree": (
+        "v3",
+        "subtree",
+        {"node_id", "ott_id", "tree_format", "label_format", "height_limit", "include_all_node_labels"},
+    ),
+    "/v3/tree_of_life/induced_subtree": ("v3", "induced_subtree", {"node_ids", "ott_ids", "label_format"}),
+    "/v3/tree_of_life/source_tree": ("v3", "source_tree", {"study_id", "tree_id", "format", "source_base"}),
+    "/v2/tree_of_life/about": ("v2", "about", {"study_list"}),
+    "/v2/tree_of_life/mrca": ("v2", "mrca", {"node_ids", "ott_ids"}),
+    "/v2/tree_of_life/induced_tree": ("v2", "induced_tree", {"node_ids", "ott_ids"}),
+    "/v2/tree_of_life/subtree": ("v2", "subtree", {"node_id", "ott_id"}),
+    "/v2/tree_of_life/node_info": ("v2", "node_info", {"node_id", "ott_id", "include_lineage"}),
+}
+
+# the reference accepts "format" for subtree's tree format (curl scripts
+# use it); the Python API names it tree_format to avoid shadowing builtins
+_ARG_ALIASES = {"/v3/tree_of_life/subtree": {"format": "tree_format"}}
+
+
+def _dispatch(apis: dict, path: str, body: dict) -> tuple[int, dict]:
+    """Route one request; returns (status, response_dict). Pure function of
+    the inputs so tests can call it without sockets."""
+    route = _ROUTES.get(path)
+    if route is None:
+        return 404, {"message": f"unknown endpoint {path}"}
+    api_name, method, allowed = route
+    body = {_ARG_ALIASES.get(path, {}).get(k, k): v for k, v in body.items()}
+    unknown = set(body) - allowed
+    if unknown:
+        return 400, {"message": f"unknown arguments: {sorted(unknown)}"}
+    try:
+        return 200, getattr(apis[api_name], method)(**body)
+    except BadIdsError as e:
+        payload = dict(e.payload)
+        payload["message"] = str(e)
+        return 400, payload
+    except (BadInputError, TreeTooBigError) as e:
+        return 400, {"message": str(e)}
+
+
+def make_server(store, host: str = "127.0.0.1", port: int = 1984) -> ThreadingHTTPServer:
+    """Build (not start) the HTTP server for a loaded GraphStore."""
+    from treemachine_spark.api.v2 import TreeOfLifeV2
+    from treemachine_spark.api.v3 import TreeOfLifeV3
+
+    v3 = TreeOfLifeV3(store)
+    apis = {"v3": v3, "v2": TreeOfLifeV2(v3)}
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):  # noqa: N802 (http.server API)
+            n = int(self.headers.get("Content-Length") or 0)
+            raw = self.rfile.read(n) if n else b""
+            try:
+                body = json.loads(raw) if raw.strip() else {}
+                if not isinstance(body, dict):
+                    raise ValueError("body must be a JSON object")
+            except ValueError as e:
+                self._reply(400, {"message": f"invalid JSON body: {e}"})
+                return
+            try:
+                status, resp = _dispatch(apis, self.path, body)
+            except Exception as e:  # unexpected -> 500, never kill the server
+                status, resp = 500, {"message": f"{type(e).__name__}: {e}"}
+            self._reply(status, resp)
+
+        def _reply(self, status: int, resp: dict):
+            data = json.dumps(resp).encode()
+            self.send_response(status)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def log_message(self, *args):  # quiet by default
+            pass
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def serve(store, host: str = "127.0.0.1", port: int = 1984) -> None:
+    srv = make_server(store, host, port)
+    print(f"tree_of_life API serving on http://{host}:{port}")
+    try:
+        srv.serve_forever()
+    finally:
+        srv.server_close()

@@ -74,6 +74,14 @@ def main(argv=None) -> int:
     )
     s.add_argument("dbname", help="single-store directory (consolidate output)")
 
+    s = sub.add_parser(
+        "serve",
+        help="HTTP server for the v3/v2 tree_of_life endpoints (the reference's plugin surface)",
+    )
+    s.add_argument("dbname")
+    s.add_argument("--host", default="127.0.0.1")
+    s.add_argument("--port", type=int, default=1984)
+
     for name, hlp in [
         ("reroot", "reroot a newick tree at a named node (JadeTree.reRoot:227-250)"),
         ("unroot", "collapse a binary root to a trifurcation (JadeTree.unRoot:212-218)"),
@@ -179,7 +187,11 @@ def main(argv=None) -> int:
 
     store = load_store(spark, args.dbname)
 
-    if args.cmd == "extractdrafttree_name":
+    if args.cmd == "serve":
+        from treemachine_spark.api.server import serve
+
+        serve(store, host=args.host, port=args.port)
+    elif args.cmd == "extractdrafttree_name":
         from treemachine_spark.api.v3 import TreeOfLifeV3
 
         api = TreeOfLifeV3(store)
