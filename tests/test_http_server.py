@@ -123,6 +123,26 @@ def test_v2_adapter_over_http(base_url):
     assert status == 200
 
 
+def test_concurrent_requests(base_url):
+    """Threaded handler + one shared SparkSession: parallel requests must
+    all succeed (Spark schedules the concurrent jobs FIFO-fair)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    _, about = post(base_url, "/v3/tree_of_life/about")
+    root = about["root"]["node_id"]
+
+    def one(i):
+        if i % 2 == 0:
+            return post(base_url, "/v3/tree_of_life/about")[0]
+        return post(
+            base_url, "/v3/tree_of_life/node_info", {"node_id": root}
+        )[0]
+
+    with ThreadPoolExecutor(max_workers=6) as pool:
+        statuses = list(pool.map(one, range(12)))
+    assert statuses == [200] * 12
+
+
 def test_dispatch_is_socketless(spark):
     # _dispatch is a pure router — 404 path needs no API objects at all
     status, resp = _dispatch({}, "/v3/none", {})
