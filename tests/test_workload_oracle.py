@@ -24,3 +24,21 @@ def test_query_matches_oracle(spark, name):
     df = QUERIES[name](spark, SF_SMOKE)
     ok, msg = compare(df, ORACLES[name], SF_SMOKE)
     assert ok, f"{name}: {msg}"
+
+
+def _driver_excluded():
+    import __spark_entry__ as E
+
+    return sorted(E._DRIVER_EXCLUDED)
+
+
+@pytest.mark.parametrize("name", _driver_excluded())
+def test_retired_gate_matches_oracle_at_driver_sf(spark, name):
+    """The 16 gates retired from the 50-entry driver surface keep DRIVER-SF
+    rigor here: the same comparison the driver runs, at sf0.01 — so surface
+    curation never weakens their verification tier."""
+    from tests.conftest import SF_CORRECT
+
+    df = QUERIES[name](spark, SF_CORRECT)
+    ok, msg = compare(df, ORACLES[name], SF_CORRECT)
+    assert ok, f"{name}: {msg}"
