@@ -68,6 +68,11 @@ _DRIVER_EXCLUDED = {
     "x2_bpe_tokens": "tokenization family captured by x1/x7",
     "x8_token_percentiles": "percentile-agg family captured by x4",
     "s1_event_windows": "batch twin of captured streaming s3",
+    # r3 additions land in the pytest tier to keep the surface at the cap;
+    # both run the driver comparison at sf0.01 in pytest
+    # (test_workload_oracle.test_retired_gate_matches_oracle_at_driver_sf)
+    "x9_decontaminate": "pytest-tier; shingle machinery shared with d4/d7",
+    "x10_source_quota": "pytest-tier; window family captured by w1",
 }
 
 

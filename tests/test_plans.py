@@ -112,3 +112,21 @@ def test_x4_median_is_jvm_partial_agg(spark):
     assert "AggregateInPandas" not in s
     pre_exchange = s.split("Exchange")[0]
     assert "ObjectHashAggregate" in pre_exchange or "HashAggregate" in pre_exchange
+
+
+def test_x9_decontaminate_broadcasts_benchmark(spark):
+    # the benchmark shingle set must BROADCAST (eval sets are tiny; the
+    # corpus is the 100 TB side) and the hit count must partial-aggregate
+    # map-side — a sort-merge join here would shuffle the whole corpus
+    s = plan_of(spark, "x9_decontaminate")
+    assert "BroadcastHashJoin" in s
+    assert "SortMergeJoin" not in s
+    assert "partial_count" in s
+
+
+def test_x10_source_quota_single_window_shuffle(spark):
+    # one hash-partition exchange on source for the quota window; rank<=k
+    # filters inside the window stage
+    s = plan_of(spark, "x10_source_quota")
+    assert s.count("+- Exchange") == 1
+    assert "RunningWindowFunction" in s or "Window" in s

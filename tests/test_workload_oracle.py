@@ -27,16 +27,17 @@ def test_query_matches_oracle(spark, name):
 
 
 def _driver_excluded():
+    # every oracle-gated query NOT on the curated 50-entry driver surface
     import __spark_entry__ as E
 
-    return sorted(E._DRIVER_EXCLUDED)
+    return sorted((set(QUERIES) & set(ORACLES)) - set(E.queries()))
 
 
 @pytest.mark.parametrize("name", _driver_excluded())
 def test_retired_gate_matches_oracle_at_driver_sf(spark, name):
-    """The 16 gates retired from the 50-entry driver surface keep DRIVER-SF
-    rigor here: the same comparison the driver runs, at sf0.01 — so surface
-    curation never weakens their verification tier."""
+    """Gates kept off the 50-entry driver surface keep DRIVER-SF rigor
+    here: the same comparison the driver runs, at sf0.01 — so surface
+    curation never weakens any gate's verification tier."""
     from tests.conftest import SF_CORRECT
 
     df = QUERIES[name](spark, SF_CORRECT)

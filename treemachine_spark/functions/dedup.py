@@ -518,3 +518,34 @@ def simhash32(text: Column) -> Column:
 
 def simhash_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.select("doc_id", simhash32(F.col(text_col)).alias("simhash"))
+
+
+def decontaminate(
+    docs: DataFrame, benchmark: DataFrame, text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """Benchmark decontamination (beyond-reference): flag corpus documents
+    that share any k-word shingle with a held-out benchmark/eval set — the
+    pretraining hygiene pass that purges test leakage before training.
+
+    Returns (doc_id, n_hit): contaminated corpus docs and how many of their
+    DISTINCT shingles appear anywhere in the benchmark.
+
+    Scale shape: eval sets are thousands of rows while the corpus is the
+    100 TB side, so the benchmark's distinct shingle set BROADCASTS; the
+    corpus side is one linear pass (Arrow shingle UDF + explode) into the
+    broadcast join and a partial-aggregated count — no corpus shuffle
+    before the (tiny, contaminated-only) final aggregation.
+    """
+    bench_sh = (
+        benchmark.select(
+            F.explode(shingle_array_udf(k)(F.col(text_col))).alias("s")
+        ).distinct()
+    )
+    corpus_sh = docs.select(
+        "doc_id", F.explode(shingle_array_udf(k)(F.col(text_col))).alias("s")
+    )
+    return (
+        corpus_sh.join(F.broadcast(bench_sh), "s")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hit"))
+    )

@@ -49,3 +49,28 @@ def hash_split(
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
         lo += pct
     return df.withColumn("split", expr)
+
+
+def source_quota(
+    df: DataFrame,
+    per_source: int = 50,
+    key_col: str = "source",
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Per-domain quota sampling (beyond-reference): cap the corpus at
+    ``per_source`` documents per source/domain, deterministic smallest-id
+    winners — the anti-domination pass a web-scale corpus runs so one crawl
+    host can't swamp the mixture.
+
+    One window shuffle keyed on the source; skewed hot domains are exactly
+    the rows the quota discards, and rank<=k short-circuits per partition.
+    Returns (order_col, key_col, rank_in_source).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(order_col)
+    return (
+        df.withColumn("rank_in_source", F.row_number().over(w))
+        .where(F.col("rank_in_source") <= per_source)
+        .select(order_col, key_col, "rank_in_source")
+    )

@@ -200,6 +200,25 @@ SELECT media_id,
 FROM d
 """
 
+PIPELINE_ORACLES["x9_decontaminate"] = _SHINGLES_CTE + """
+, ex AS (SELECT doc_id, unnest(sh) AS s FROM sh)
+, bench AS (SELECT DISTINCT s FROM ex WHERE doc_id < 10)
+SELECT e.doc_id, COUNT(*) AS n_hit
+FROM ex e JOIN bench b ON e.s = b.s
+WHERE e.doc_id >= 10
+GROUP BY e.doc_id
+"""
+
+PIPELINE_ORACLES["x10_source_quota"] = """
+WITH r AS (
+    SELECT doc_id, source,
+           CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id)
+                AS INTEGER) AS rank_in_source
+    FROM documents
+)
+SELECT doc_id, source, rank_in_source FROM r WHERE rank_in_source <= 50
+"""
+
 PIPELINE_ORACLES["x8_token_percentiles"] = r"""
 WITH n AS (
     SELECT lang, len(string_split_regex(trim(text), '\s+')) AS n

@@ -261,6 +261,25 @@ def q_v6_cosine_pairs_lsh(spark, sf_dir):
     return similarity.cosine_near_dup_pairs_lsh(emb, threshold=0.4)
 
 
+def q_x9_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: corpus docs (doc_id >= 10) sharing any
+    3-word shingle with the held-out benchmark set (doc_id < 10)."""
+    from treemachine_spark.functions.dedup import decontaminate
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return decontaminate(
+        docs.where(F.col("doc_id") >= 10), docs.where(F.col("doc_id") < 10)
+    )
+
+
+def q_x10_source_quota(spark, sf_dir):
+    """Per-source quota sampling: keep the 50 smallest doc_ids per source."""
+    from treemachine_spark.functions.sampling import source_quota
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return source_quota(docs, per_source=50)
+
+
 def q_s1_event_windows(spark, sf_dir):
     """Tumbling 1h windowed aggregation over the events stream table (batch
     form of the Structured Streaming job in streaming/events.py)."""
@@ -302,4 +321,6 @@ PIPELINE_QUERIES = {
     "v4_cosine_pairs": q_v4_cosine_pairs,
     "v6_cosine_pairs_lsh": q_v6_cosine_pairs_lsh,
     "s1_event_windows": q_s1_event_windows,
+    "x9_decontaminate": q_x9_decontaminate,
+    "x10_source_quota": q_x10_source_quota,
 }
