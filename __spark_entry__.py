@@ -73,6 +73,8 @@ _DRIVER_EXCLUDED = {
     # (test_workload_oracle.test_retired_gate_matches_oracle_at_driver_sf)
     "x9_decontaminate": "pytest-tier; shingle machinery shared with d4/d7",
     "x10_source_quota": "pytest-tier; window family captured by w1",
+    "x11_repetition": "pytest-tier; zero-shuffle array exprs like x1",
+    "x12_sequence_packing": "pytest-tier; window family captured by w1",
 }
 
 

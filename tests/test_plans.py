@@ -130,3 +130,16 @@ def test_x10_source_quota_single_window_shuffle(spark):
     s = plan_of(spark, "x10_source_quota")
     assert s.count("+- Exchange") == 1
     assert "RunningWindowFunction" in s or "Window" in s
+
+
+def test_x11_repetition_no_shuffle(spark):
+    # per-doc duplicate-2gram fraction is pure array expressions
+    s = plan_of(spark, "x11_repetition")
+    assert "Exchange" not in s
+
+
+def test_x12_packing_single_window_shuffle(spark):
+    # greedy in-order packing = one exchange on the shard column, window
+    # cumsum inside — never a global sort
+    s = plan_of(spark, "x12_sequence_packing")
+    assert s.count("+- Exchange") == 1

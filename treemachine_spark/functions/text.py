@@ -159,3 +159,54 @@ def text_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
         lang_id(t).alias("pred_lang"),
         fingerprint(t).alias("fingerprint"),
     )
+
+
+def repetition_score(text: Column) -> Column:
+    """Within-document repetition (Gopher-style quality rule): the fraction
+    of duplicate word 2-grams — boilerplate and degenerate generations
+    repeat n-grams far more than natural prose. 0.0 for docs with < 2
+    words. Pure array expressions, zero shuffle."""
+    w = words(text)
+    n2 = F.size(w) - 1
+    grams = F.transform(
+        F.sequence(F.lit(0), n2 - 1), lambda i: F.concat_ws(" ", F.slice(w, i + 1, 2))
+    )
+    return F.when(
+        n2 > 0,
+        F.round(1 - F.size(F.array_distinct(grams)) / n2.cast("double"), 4),
+    ).otherwise(F.lit(0.0))
+
+
+def sequence_packing(
+    docs: DataFrame,
+    capacity: int = 512,
+    part_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Assign documents to fixed-capacity token bins (training sequence
+    packing): per ``part_col`` shard, docs in doc_id order fill bins of
+    ``capacity`` tokens; a doc starts a new bin when the running total
+    crosses the boundary (greedy in-order first-fit — deterministic and
+    window-expressible, so both engines agree exactly).
+
+    Scale: ONE window shuffle keyed on the shard column — the 100 TB
+    layout packs within hash shards (here: language) precisely so no
+    global ordering exists. Returns (doc_id, part_col, n_tokens, bin_id).
+    """
+    from pyspark.sql import Window
+
+    t = F.col(text_col)
+    w = Window.partitionBy(part_col).orderBy("doc_id")
+    n = token_count(t)
+    return (
+        docs.select("doc_id", part_col, n.alias("n_tokens"))
+        .withColumn("cum", F.sum("n_tokens").over(w))
+        .select(
+            "doc_id",
+            part_col,
+            "n_tokens",
+            F.floor((F.col("cum") - F.col("n_tokens")) / capacity)
+            .cast("int")
+            .alias("bin_id"),
+        )
+    )

@@ -219,6 +219,30 @@ WITH r AS (
 SELECT doc_id, source, rank_in_source FROM r WHERE rank_in_source <= 50
 """
 
+PIPELINE_ORACLES["x11_repetition"] = _WORDS_CTE + """
+SELECT doc_id,
+       CASE WHEN len(ws) >= 2
+            THEN ROUND(
+                1 - len(list_distinct(
+                        [array_to_string(ws[i:i+1], ' ') FOR i IN range(1, len(ws))]
+                     )) / CAST(len(ws) - 1 AS DOUBLE), 4)
+            ELSE 0.0
+       END AS dup2_frac
+FROM w
+"""
+
+PIPELINE_ORACLES["x12_sequence_packing"] = r"""
+WITH n AS (
+    SELECT doc_id, lang,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS n_tokens
+    FROM documents
+)
+SELECT doc_id, lang, n_tokens,
+       CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id)
+                   - n_tokens) / 512.0) AS INTEGER) AS bin_id
+FROM n
+"""
+
 PIPELINE_ORACLES["x8_token_percentiles"] = r"""
 WITH n AS (
     SELECT lang, len(string_split_regex(trim(text), '\s+')) AS n

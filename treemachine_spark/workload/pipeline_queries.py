@@ -280,6 +280,20 @@ def q_x10_source_quota(spark, sf_dir):
     return source_quota(docs, per_source=50)
 
 
+def q_x11_repetition(spark, sf_dir):
+    """Within-doc duplicate-2gram fraction (Gopher-style quality rule)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return docs.select(
+        "doc_id", text.repetition_score(F.col("text")).alias("dup2_frac")
+    )
+
+
+def q_x12_sequence_packing(spark, sf_dir):
+    """Per-language 512-token bin packing (training sequence packing)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return text.sequence_packing(docs, capacity=512)
+
+
 def q_s1_event_windows(spark, sf_dir):
     """Tumbling 1h windowed aggregation over the events stream table (batch
     form of the Structured Streaming job in streaming/events.py)."""
@@ -323,4 +337,6 @@ PIPELINE_QUERIES = {
     "s1_event_windows": q_s1_event_windows,
     "x9_decontaminate": q_x9_decontaminate,
     "x10_source_quota": q_x10_source_quota,
+    "x11_repetition": q_x11_repetition,
+    "x12_sequence_packing": q_x12_sequence_packing,
 }
