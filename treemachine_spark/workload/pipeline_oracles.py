@@ -243,6 +243,23 @@ SELECT doc_id, lang, n_tokens,
 FROM n
 """
 
+PIPELINE_ORACLES["x13_pack_manifest"] = r"""
+WITH n AS (
+    SELECT doc_id, lang,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS n_tokens
+    FROM documents
+), p AS (
+    SELECT doc_id, lang, n_tokens,
+           CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id)
+                       - n_tokens) / 512.0) AS INTEGER) AS bin_id
+    FROM n
+)
+SELECT lang, bin_id, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       array_to_string(list_sort(list(doc_id)), ',') AS doc_ids
+FROM p GROUP BY lang, bin_id
+"""
+
 PIPELINE_ORACLES["x8_token_percentiles"] = r"""
 WITH n AS (
     SELECT lang, len(string_split_regex(trim(text), '\s+')) AS n

@@ -294,6 +294,20 @@ def q_x12_sequence_packing(spark, sf_dir):
     return text.sequence_packing(docs, capacity=512)
 
 
+def q_x13_pack_manifest(spark, sf_dir):
+    """Packed-shard manifest: per (lang, bin) doc membership + totals —
+    what a training-shard writer materializes from x12's assignment. Doc
+    ids ride as a sorted comma-joined string (deterministic, and the
+    cross-engine comparator treats it as a scalar)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    packed = text.sequence_packing(docs, capacity=512)
+    return packed.groupBy("lang", "bin_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.concat_ws(",", F.sort_array(F.collect_list("doc_id"))).alias("doc_ids"),
+    )
+
+
 def q_s1_event_windows(spark, sf_dir):
     """Tumbling 1h windowed aggregation over the events stream table (batch
     form of the Structured Streaming job in streaming/events.py)."""
@@ -339,4 +353,5 @@ PIPELINE_QUERIES = {
     "x10_source_quota": q_x10_source_quota,
     "x11_repetition": q_x11_repetition,
     "x12_sequence_packing": q_x12_sequence_packing,
+    "x13_pack_manifest": q_x13_pack_manifest,
 }
