@@ -76,6 +76,7 @@ _DRIVER_EXCLUDED = {
     "x11_repetition": "pytest-tier; zero-shuffle array exprs like x1",
     "x12_sequence_packing": "pytest-tier; window family captured by w1",
     "x13_pack_manifest": "pytest-tier; x12's shard-writer aggregation",
+    "s5_sliding_windows": "pytest-tier; window-agg family captured by s3",
 }
 
 

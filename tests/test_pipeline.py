@@ -231,6 +231,21 @@ def test_streaming_from_directory_parquet(spark, tmp_path):
     assert got == n
 
 
+def test_streaming_sliding_windows_match_batch(spark):
+    """The sliding-window streaming job must equal its batch twin (s5)."""
+    stream = stream_events.read_event_stream(spark, SF_SMOKE)
+    agg = stream_events.windowed_counts(stream, window="2 hours", slide="1 hour")
+    result = stream_events.run_to_memory(agg, "slide_counts", output_mode="complete")
+
+    from treemachine_spark.workload.pipeline_queries import q_s5_sliding_windows
+
+    batch = q_s5_sliding_windows(spark, SF_SMOKE)
+    key = lambda r: (r["window_start"], r["event_type"])  # noqa: E731
+    got = {key(r): (r["n_events"], r["total_value"]) for r in result.collect()}
+    want = {key(r): (r["n_events"], r["total_value"]) for r in batch.collect()}
+    assert got == want
+
+
 def test_streaming_dedup(spark):
     stream = stream_events.read_event_stream(spark, SF_SMOKE)
     deduped = stream_events.streaming_dedup(stream).select("event_id")

@@ -86,12 +86,20 @@ def read_event_stream(spark, sf_dir: str) -> DataFrame:
     return rebuild_ts_cols(raw)
 
 
-def windowed_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
-    """Tumbling 1h window counts + value sums with late-data watermark."""
+def windowed_counts(
+    events: DataFrame,
+    watermark: str = "2 hours",
+    window: str = "1 hour",
+    slide: str | None = None,
+) -> DataFrame:
+    """Windowed counts + value sums with a late-data watermark: tumbling by
+    default, SLIDING when ``slide`` is given (each event then lands in
+    window/slide overlapping windows — state stays watermark-bounded)."""
+    win = F.window("ts_t", window, slide) if slide else F.window("ts_t", window)
     return (
         events.withColumn("ts_t", F.col("ts").cast("timestamp"))
         .withWatermark("ts_t", watermark)
-        .groupBy(F.window("ts_t", "1 hour").alias("win"), "event_type")
+        .groupBy(win.alias("win"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
             F.round(F.sum("value"), 2).alias("total_value"),

@@ -513,6 +513,20 @@ SELECT date_trunc('hour', ts) AS window_start, event_type,
 FROM events GROUP BY 1, 2
 """
 
+# sliding 2h/1h windows: every event belongs to exactly two hour-aligned
+# starts (its own hour and the previous one) — re-derived via unnest
+PIPELINE_ORACLES["s5_sliding_windows"] = """
+WITH w AS (
+    SELECT event_type, value,
+           unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR,
+                   date_trunc('hour', ts)]) AS window_start
+    FROM events
+)
+SELECT window_start, event_type,
+       COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+FROM w GROUP BY 1, 2
+"""
+
 # the real streaming job must equal its batch twin
 PIPELINE_ORACLES["s3_streaming_windows"] = PIPELINE_ORACLES["s1_event_windows"]
 

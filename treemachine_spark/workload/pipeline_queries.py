@@ -308,6 +308,31 @@ def q_x13_pack_manifest(spark, sf_dir):
     )
 
 
+def q_s5_sliding_windows(spark, sf_dir):
+    """SLIDING 2h windows with a 1h slide (each event lands in exactly two
+    windows) — the overlapping-window §2.9 variant the tumbling gates
+    don't cover. Native F.window(slide) so the same expression drops into
+    the streaming job unchanged; window starts align to the slide like
+    date_trunc, which is what the oracle re-derives."""
+    e = load_tables(spark, sf_dir)["events"]
+    return (
+        e.withColumn("ts_t", F.col("ts").cast("timestamp"))
+        .groupBy(
+            F.window("ts_t", "2 hours", "1 hour").alias("win"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("win.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def q_s1_event_windows(spark, sf_dir):
     """Tumbling 1h windowed aggregation over the events stream table (batch
     form of the Structured Streaming job in streaming/events.py)."""
@@ -354,4 +379,5 @@ PIPELINE_QUERIES = {
     "x11_repetition": q_x11_repetition,
     "x12_sequence_packing": q_x12_sequence_packing,
     "x13_pack_manifest": q_x13_pack_manifest,
+    "s5_sliding_windows": q_s5_sliding_windows,
 }
