@@ -122,13 +122,15 @@ def main() -> None:
         lambda: similarity.ivf_topk(emb, emb.where(F.col("vec_id") < 8), k=10).count(),
     )
     # band_planes scales with corpus size: 8 bits (256 buckets/band) suits
-    # the 5k-doc sf tables; at 50k+ vectors coarse buckets collide (~39M
-    # candidate pairs, measured 47 s) while 16-bit keys keep buckets ~1 row
-    # at ~99.5% recall for cos>=0.99 — the knob a 100 TB deployment tunes.
+    # the 5k-doc sf tables; coarse buckets collide quadratically (50k vecs
+    # at 8 bits -> ~39M candidates, 47 s; 500k at 16 bits -> ~15M, 55 s)
+    # while one more notch keeps buckets ~1 row at >=98% recall for
+    # cos>=0.99 — the knob a 100 TB deployment tunes with corpus growth.
+    band_planes = 16 if n_docs // 2 <= 100_000 else 20
     n_cos_pairs = tm(
         "cosine_pairs_lsh",
         lambda: similarity.cosine_near_dup_pairs_lsh(
-            emb, threshold=0.8, band_planes=16
+            emb, threshold=0.8, band_planes=band_planes
         ).count(),
     )
     tm("centroid_cells", lambda: similarity.centroid_assign(emb).groupBy("cent_id").count().count())
