@@ -77,6 +77,7 @@ _DRIVER_EXCLUDED = {
     "x12_sequence_packing": "pytest-tier; window family captured by w1",
     "x13_pack_manifest": "pytest-tier; x12's shard-writer aggregation",
     "s5_sliding_windows": "pytest-tier; window-agg family captured by s3",
+    "x14_mixture_sample": "pytest-tier; hash-bucket family captured by x6",
 }
 
 

@@ -51,6 +51,30 @@ def hash_split(
     return df.withColumn("split", expr)
 
 
+def mixture_sample(
+    df: DataFrame,
+    rates: dict[str, int],
+    group_col: str = "lang",
+    key_col: str = "doc_id",
+    default_pct: int = 0,
+    salt: str = "mix",
+) -> DataFrame:
+    """Stratified mixture sampling (beyond-reference): keep ~pct% of each
+    group — how a training mixture is rebalanced (e.g. upweight low-resource
+    languages by downsampling the head). Deterministic per row via the
+    md5-derived hash bucket, so reruns and engines agree exactly.
+
+    Zero shuffle: the rate lookup is a literal CASE expression compiled
+    into the scan filter (groups are enum-scale), never a join.
+    """
+    expr = None
+    for g, pct in rates.items():
+        cond = F.col(group_col) == g
+        expr = F.when(cond, pct) if expr is None else expr.when(cond, pct)
+    pct_col = expr.otherwise(default_pct) if expr is not None else F.lit(default_pct)
+    return df.where(hash_bucket(F.col(key_col), 100, salt) < pct_col)
+
+
 def source_quota(
     df: DataFrame,
     per_source: int = 50,

@@ -284,6 +284,20 @@ SELECT CASE WHEN bk < 80 THEN 'train' WHEN bk < 90 THEN 'val' ELSE 'test' END AS
 FROM b GROUP BY 1
 """
 
+PIPELINE_ORACLES["x14_mixture_sample"] = """
+WITH b AS (
+    SELECT lang,
+           ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'mix'), 1, 8))::BIGINT
+               % 100 AS bk
+    FROM documents
+)
+SELECT lang, COUNT(*) AS n_kept
+FROM b
+WHERE bk < CASE lang WHEN 'en' THEN 40 WHEN 'es' THEN 60 WHEN 'fr' THEN 60
+                     WHEN 'de' THEN 100 WHEN 'zh' THEN 100 ELSE 0 END
+GROUP BY lang
+"""
+
 PIPELINE_ORACLES["x7_chunking"] = r"""
 WITH w AS (
     SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents

@@ -308,6 +308,18 @@ def q_x13_pack_manifest(spark, sf_dir):
     )
 
 
+def q_x14_mixture_sample(spark, sf_dir):
+    """Stratified mixture rebalance: downsample the 'en' head to 40%, keep
+    60% of es/fr, all of de/zh — then the resulting per-language counts."""
+    from treemachine_spark.functions.sampling import mixture_sample
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    kept = mixture_sample(
+        docs, {"en": 40, "es": 60, "fr": 60, "de": 100, "zh": 100}
+    )
+    return kept.groupBy("lang").agg(F.count("*").alias("n_kept"))
+
+
 def q_s5_sliding_windows(spark, sf_dir):
     """SLIDING 2h windows with a 1h slide (each event lands in exactly two
     windows) — the overlapping-window §2.9 variant the tumbling gates
@@ -380,4 +392,5 @@ PIPELINE_QUERIES = {
     "x12_sequence_packing": q_x12_sequence_packing,
     "x13_pack_manifest": q_x13_pack_manifest,
     "s5_sliding_windows": q_s5_sliding_windows,
+    "x14_mixture_sample": q_x14_mixture_sample,
 }
