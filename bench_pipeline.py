@@ -135,6 +135,13 @@ def main() -> None:
     )
     tm("centroid_cells", lambda: similarity.centroid_assign(emb).groupBy("cent_id").count().count())
 
+    # correctness tripwire (same philosophy as bench.py): the generators
+    # plant exactly n/20 near-duplicates, so the dedup stages have KNOWN
+    # answers — minhash must find all planted doc pairs; banded cosine LSH
+    # must find >= 98% of planted vector pairs (its recall bound).
+    planted_docs, planted_vecs = n_docs // 20, (n_docs // 2) // 20
+    bench_ok = n_pairs == planted_docs and n_cos_pairs >= int(planted_vecs * 0.98)
+
     total = round(sum(timings.values()), 2)
     print(
         json.dumps(
@@ -146,6 +153,9 @@ def main() -> None:
                 "n_vecs": n_docs // 2,
                 "near_dup_pairs_found": n_pairs,
                 "cosine_lsh_pairs_found": n_cos_pairs,
+                "planted_doc_pairs": planted_docs,
+                "planted_vec_pairs": planted_vecs,
+                "bench_ok": bench_ok,
                 "gen_sec": gen_sec,
                 "queries": timings,
             }
