@@ -82,8 +82,14 @@ def range_join(
     upper_seconds: int = 0,
 ) -> DataFrame:
     """Interval join: pairs where right_ts ∈ [left_ts - lower, left_ts +
-    upper] for the same key."""
-    lo = F.col(left_ts).cast("timestamp").cast("long") - lower_seconds
-    hi = F.col(left_ts).cast("timestamp").cast("long") + upper_seconds
-    rts = F.col(right_ts).cast("timestamp").cast("long")
+    upper] for the same key.
+
+    Bounds compare at MICROSECOND precision: casting timestamps to long
+    truncates to whole seconds, silently admitting pairs up to 0.999 s
+    outside the interval — caught by the sf0.1 oracle sweep (372 vs 371
+    rows; DuckDB's epoch() keeps the fractional part).
+    """
+    lo = F.unix_micros(F.col(left_ts).cast("timestamp")) - lower_seconds * 1_000_000
+    hi = F.unix_micros(F.col(left_ts).cast("timestamp")) + upper_seconds * 1_000_000
+    rts = F.unix_micros(F.col(right_ts).cast("timestamp"))
     return left.join(right, on=[key], how="inner").where((rts >= lo) & (rts <= hi))

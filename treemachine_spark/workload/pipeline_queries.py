@@ -75,11 +75,13 @@ def q_f1_funnel(spark, sf_dir):
     clicks = e.where(F.col("event_type") == "click").select(
         "user_id", F.col("ts").alias("c_ts")
     )
-    pt = F.col("p_ts").cast("timestamp").cast("long")
-    ct = F.col("c_ts").cast("timestamp").cast("long")
+    # microsecond precision — cast-to-long truncates to whole seconds and
+    # admits conversions up to 0.999s past the hour (sf0.1 oracle catch)
+    pt = F.unix_micros(F.col("p_ts").cast("timestamp"))
+    ct = F.unix_micros(F.col("c_ts").cast("timestamp"))
     converted = (
         clicks.join(purchases, "user_id")
-        .where((pt >= ct) & (pt <= ct + 3600))
+        .where((pt >= ct) & (pt <= ct + 3600 * 1_000_000))
         .select("user_id")
         .distinct()
     )
