@@ -18,6 +18,10 @@ def run_oracle(sql: str, sf_dir: str):
     con = duckdb.connect()
     for name in TABLE_NAMES:
         path = os.path.join(sf_dir, f"{name}.parquet")
+        # Spark-written tables are DIRECTORIES of part files (e.g. the
+        # derived sf1 set) — DuckDB needs the glob form for those
+        if os.path.isdir(path):
+            path = os.path.join(path, "*.parquet")
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{path}')")
     rel = con.sql(sql)
     cols = list(rel.columns)
