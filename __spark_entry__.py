@@ -78,6 +78,13 @@ _DRIVER_EXCLUDED = {
     "x13_pack_manifest": "pytest-tier; x12's shard-writer aggregation",
     "s5_sliding_windows": "pytest-tier; window-agg family captured by s3",
     "x14_mixture_sample": "pytest-tier; hash-bucket family captured by x6",
+    "v7_semantic_dedup": "pytest-tier; cell machinery captured by v3/v5",
+    "q2_min_supplier": "pytest-tier; window-min join family captured by q15/w1",
+    "q9_product_profit": "pytest-tier; star-join agg family captured by q5/q8",
+    "q11_important_parts": "pytest-tier; scalar-subquery HAVING captured by q22",
+    "q12_ship_lag": "pytest-tier; conditional pivot captured by q8/q14",
+    "q20_part_suppliers": "pytest-tier; semi-join chain captured by l4/e4",
+    "q21_sole_blame": "pytest-tier; semi+anti self-join captured by e4/q4",
 }
 
 

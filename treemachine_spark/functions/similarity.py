@@ -399,3 +399,66 @@ def lsh_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "score", "rank")
     )
+
+
+def semantic_dedup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style cluster-scoped semantic near-duplicate pairs (Abbas et
+    al. 2023, arXiv:2303.09540): assign every vector to its k-means cell
+    (broadcast argmax — ``centroid_assign``), then compare pairs ONLY within
+    a cell. The quadratic all-pairs comparison becomes k independent
+    (n/k)^2 problems shuffled once on cent_id; with k ~ sqrt(n) centroids
+    the total work is near-linear, which is what makes semantic dedup
+    tractable at 100 TB (the paper runs it over LAION/C4 exactly this way).
+
+    Complementary to the LSH route (``cosine_near_dup_pairs_lsh``): cells
+    give deterministic full recall WITHIN a cell and zero recall across
+    cells (the paper's accepted trade-off), LSH gives probabilistic recall
+    everywhere. Returns (cent_id, id_a, id_b, cos), id_a < id_b, cos
+    rounded to 4dp, cos >= threshold.
+    """
+    assigned = centroid_assign(embeddings, n_centroids, id_col, vec_col)
+    base = embeddings.select(
+        F.col(id_col), quantize(F.col(vec_col)).alias("v")
+    ).join(assigned, id_col)
+    a = base.select(
+        F.col(id_col).alias("id_a"), F.col("v").alias("va"), "cent_id"
+    )
+    b = base.select(
+        F.col(id_col).alias("id_b"), F.col("v").alias("vb"), "cent_id"
+    )
+    return (
+        a.join(b, "cent_id")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "cent_id",
+            "id_a",
+            "id_b",
+            F.round(quantized_cosine(F.col("va"), F.col("vb")), 4).alias("cos"),
+        )
+        .where(F.col("cos") >= threshold)
+    )
+
+
+def semantic_purge_list(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup keep-one policy over ``semantic_dedup_pairs``: within each
+    cell, drop every vector that has a near-duplicate with a smaller id
+    (the paper keeps one representative per duplicate neighborhood; min-id
+    is the deterministic choice). One distinct over the pair table — the
+    pair graph is already cell-local, so no cross-cell reconciliation.
+    Returns (purge_vec_id, cent_id)."""
+    pairs = semantic_dedup_pairs(embeddings, threshold, n_centroids, id_col, vec_col)
+    return pairs.select(
+        F.col("id_b").alias("purge_vec_id"), "cent_id"
+    ).distinct()

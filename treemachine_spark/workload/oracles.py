@@ -368,6 +368,85 @@ LEFT JOIN (SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey) n
 WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
 """
 
+ORACLES["q2_min_supplier"] = """
+WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+j AS (
+    SELECT p_partkey, p_name, s_name, s_acctbal,
+           MIN(s_acctbal) OVER (PARTITION BY p_partkey) AS min_bal
+    FROM ps
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    WHERE p_size = 10
+)
+SELECT p_partkey, p_name, s_name, ROUND(s_acctbal, 2) AS acctbal
+FROM j WHERE s_acctbal = min_bal
+"""
+
+ORACLES["q9_product_profit"] = """
+SELECT n_name AS nation,
+       CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%red%'
+GROUP BY n_name, CAST(EXTRACT(year FROM o_orderdate) AS INTEGER)
+"""
+
+ORACLES["q11_important_parts"] = """
+WITH per_part AS (
+    SELECT l_partkey, SUM(l_extendedprice * l_quantity) AS value
+    FROM lineitem GROUP BY l_partkey
+)
+SELECT l_partkey, ROUND(value, 2) AS part_value
+FROM per_part
+WHERE value > 1.2 * (SELECT AVG(value) FROM per_part)
+"""
+
+ORACLES["q12_ship_lag"] = """
+SELECT CASE WHEN date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) < 0 THEN 'early'
+            WHEN date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) <= 30 THEN 'ontime'
+            ELSE 'late' END AS ship_bucket,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1
+"""
+
+ORACLES["q20_part_suppliers"] = """
+WITH heavy AS (
+    SELECT DISTINCT l_suppkey
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_name LIKE 'small%'
+    GROUP BY l_suppkey, l_partkey
+    HAVING SUM(l_quantity) > 80
+)
+SELECT s_suppkey, s_name, ROUND(s_acctbal, 2) AS acctbal
+FROM supplier WHERE s_suppkey IN (SELECT l_suppkey FROM heavy)
+"""
+
+ORACLES["q21_sole_blame"] = """
+WITH l1 AS (
+    SELECT l_orderkey, l_suppkey FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_returnflag = 'R' AND o_orderstatus = 'F'
+)
+SELECT s_name, COUNT(*) AS numwait
+FROM l1 JOIN supplier ON l_suppkey = s_suppkey
+WHERE EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+)
+AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_returnflag = 'R'
+)
+GROUP BY s_name
+"""
+
 ORACLES["s2_sessions_batch"] = """
 WITH gapped AS (
     SELECT user_id, ts, event_id, value,

@@ -517,6 +517,28 @@ WHERE ROUND(list_dot_product(a.v, b.v)
             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.4
 """
 
+_QCOS = (
+    "ROUND(list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) "
+    "* sqrt(list_dot_product(b.v, b.v))), 4)"
+)
+
+PIPELINE_ORACLES["v7_semantic_dedup"] = f"""
+WITH base AS (SELECT vec_id, {_QUANT} AS v FROM embeddings),
+cent AS (SELECT vec_id AS cent_id, v AS cvec FROM base ORDER BY vec_id LIMIT 8),
+assigned AS (
+    SELECT vec_id, cent_id, v FROM (
+        SELECT b.vec_id, c.cent_id, b.v,
+               ROW_NUMBER() OVER (
+                   PARTITION BY b.vec_id
+                   ORDER BY list_dot_product(b.v, c.cvec) DESC, c.cent_id) AS arn
+        FROM base b CROSS JOIN cent c
+    ) WHERE arn = 1
+)
+SELECT a.cent_id, a.vec_id AS id_a, b.vec_id AS id_b, {_QCOS} AS cos
+FROM assigned a JOIN assigned b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+WHERE {_QCOS} >= 0.4
+"""
+
 # ---------------------------------------------------------------------------
 # streaming (batch-equivalent)
 # ---------------------------------------------------------------------------
