@@ -85,6 +85,9 @@ _DRIVER_EXCLUDED = {
     "q12_ship_lag": "pytest-tier; conditional pivot captured by q8/q14",
     "q20_part_suppliers": "pytest-tier; semi-join chain captured by l4/e4",
     "q21_sole_blame": "pytest-tier; semi+anti self-join captured by e4/q4",
+    "k1_kmv_distinct": "pytest-tier; sketch family, TakeOrdered like q3/t9",
+    "k2_hll_sketch": "pytest-tier; sketch family, partial-agg like a1",
+    "k5_cms_topk": "pytest-tier; sketch family, join-agg like q5/w1",
 }
 
 

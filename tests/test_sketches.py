@@ -1,0 +1,92 @@
+"""Sketch family (functions/sketches.py): estimator accuracy vs exact
+counts, and the merge laws that make the sketches shuffle-light at scale
+(cross-engine bit-identity of the sketch contents is gated by the k1/k2/k5
+DuckDB oracles in the workload suite).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+from treemachine_spark.functions import sketches as sk
+from treemachine_spark.io.tables import load_tables
+
+
+@pytest.fixture(scope="module")
+def li(spark):
+    return load_tables(spark, SF_SMOKE)["lineitem"].cache()
+
+
+def test_kmv_estimate_accuracy(spark, li):
+    exact = li.select("l_orderkey").distinct().count()
+    est = sk.kmv_estimate(li, "l_orderkey", k=256).collect()[0]
+    assert est.k_used == 256
+    # k=256 -> expected relative error ~1/sqrt(k) ~ 6%; allow 3 sigma
+    assert abs(est.est_distinct - exact) / exact < 0.20
+
+
+def test_kmv_exact_below_k(spark, li):
+    # fewer distinct values than k: the sketch IS the distinct set
+    small = li.where(F.col("l_orderkey") < 100)
+    exact = small.select("l_orderkey").distinct().count()
+    est = sk.kmv_estimate(small, "l_orderkey", k=256).collect()[0]
+    assert est.est_distinct == exact == est.k_used
+
+
+def test_kmv_merge_equals_whole(spark, li):
+    a = sk.kmv_sketch(li.where("l_orderkey % 2 = 0"), "l_orderkey")
+    b = sk.kmv_sketch(li.where("l_orderkey % 2 = 1"), "l_orderkey")
+    merged = sorted(r.h for r in sk.kmv_merge(a, b).collect())
+    whole = sorted(r.h for r in sk.kmv_sketch(li, "l_orderkey").collect())
+    assert merged == whole
+
+
+def test_hll_estimate_accuracy(spark, li):
+    exact = li.select("l_orderkey").distinct().count()
+    est = sk.hll_estimate(sk.hll_sketch(li, "l_orderkey", p=12), p=12)
+    # p=12 -> 1.04/sqrt(4096) ~ 1.6% std error; allow 3 sigma
+    assert abs(est - exact) / exact < 0.05
+
+
+def test_hll_merge_equals_whole(spark, li):
+    a = sk.hll_sketch(li.where("l_orderkey % 2 = 0"), "l_orderkey")
+    b = sk.hll_sketch(li.where("l_orderkey % 2 = 1"), "l_orderkey")
+    merged = sorted(tuple(r) for r in sk.hll_merge(a, b).collect())
+    whole = sorted(tuple(r) for r in sk.hll_sketch(li, "l_orderkey").collect())
+    assert merged == whole
+
+
+def test_cms_point_estimates_upper_bound_and_tight(spark):
+    t = load_tables(spark, SF_SMOKE)
+    ev = t["events"]
+    exact = {
+        r.user_id: r.cnt
+        for r in ev.groupBy("user_id").agg(F.count("*").alias("cnt")).collect()
+    }
+    est = {r.key: r.est_count for r in sk.cms_topk(ev, "user_id", k=10**6).collect()}
+    assert set(est) == set(exact)
+    for k, v in exact.items():
+        # CM estimates never undercount; width=2048 >> 150 keys so
+        # collisions are rare and estimates are near-exact here
+        assert est[k] >= v
+        assert est[k] - v <= max(5, 0.05 * v)
+
+
+def test_cms_merge_equals_whole(spark):
+    ev = load_tables(spark, SF_SMOKE)["events"]
+    a = sk.cms_sketch(ev.where("event_id % 2 = 0"), "user_id")
+    b = sk.cms_sketch(ev.where("event_id % 2 = 1"), "user_id")
+    merged = sorted(tuple(r) for r in sk.cms_merge(a, b).collect())
+    whole = sorted(tuple(r) for r in sk.cms_sketch(ev, "user_id").collect())
+    assert merged == whole
+
+
+def test_kmv_plan_is_take_ordered(spark, li):
+    # the min-k sketch must compile to TakeOrdered (per-partition top-k),
+    # never a global sort — the property that keeps it one narrow pass at
+    # any scale
+    plan = sk.kmv_sketch(li, "l_orderkey")._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan

@@ -1,0 +1,291 @@
+"""Distributed cardinality / frequency sketches (KMV, HyperLogLog,
+Count-Min) as pure column-expression plans.
+
+At 100 TB, exact ``COUNT(DISTINCT)`` and exact per-key top-k need a full
+shuffle of every distinct value; the sketches here replace that with
+fixed-size, MERGEABLE state so the combine happens map-side and the shuffle
+carries kilobytes instead of the key universe. All hash positions derive
+from :func:`treemachine_spark.functions.hashing.h32` (md5-based) so Spark
+and the DuckDB oracles produce bit-identical sketch contents — the gates
+compare the sketch tables themselves (pure integers, no float tolerance).
+
+Design notes per sketch:
+
+- **KMV (k minimum values)**: keep the k smallest distinct 32-bit hash
+  values.  ``distinct().orderBy(h).limit(k)`` compiles to TakeOrdered —
+  each partition keeps its own top-k and only k rows per partition reach
+  the driver-side merge, so the plan is one narrow pass at any scale. The
+  estimator (k-1) * 2^32 / h_(k) is integer arithmetic end-to-end, hence
+  deterministic cross-engine. Union-mergeable: concat two sketches, re-take
+  the k smallest.
+- **HyperLogLog**: bucket = h mod 2^p, rho = leading-zero rank of the
+  remaining (32-p) bits.  The sketch is ``groupBy(bucket).agg(max(rho))``
+  — a partial-aggregating shuffle of at most 2^p rows per partition. The
+  float estimator (``hll_estimate``) applies the standard bias-corrected
+  formula with the linear-counting small-range branch (Flajolet et al.,
+  AofA 2007); accuracy is asserted in pytest against exact counts while
+  the cross-engine gate pins the integer sketch.
+- **Count-Min**: depth*width counter matrix from d independent h32 seeds;
+  point estimate = min over rows. Heavy-hitter top-k joins a candidate key
+  set against the sketch (candidates here = distinct keys, request-scale;
+  at 100 TB candidates come from a per-partition partial top-k pre-pass,
+  which is the same TakeOrdered shape as KMV).
+
+The reference engine has no sketch support (its ``count distinct`` paths
+are exact Lucene/Neo4j scans, e.g. opentree/GraphExplorer.java:1008-1032
+unique-source accumulation); this family is part of the beyond-reference
+training-pipeline surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from treemachine_spark.functions.hashing import h32, h32_sql
+
+TWO32 = 4_294_967_296  # 2^32: h32 values are uniform on [0, 2^32)
+
+
+# ---------------------------------------------------------------------------
+# KMV
+# ---------------------------------------------------------------------------
+
+
+def kmv_sketch(df: DataFrame, col: str, k: int = 256) -> DataFrame:
+    """The k smallest distinct h32 values of ``col`` (one column ``h``).
+
+    TakeOrdered plan: per-partition top-k, driver merge of k rows per
+    partition — never a global sort.
+    """
+    return (
+        df.where(F.col(col).isNotNull())
+        .select(h32(F.col(col).cast("string")).alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+
+
+def kmv_merge(a: DataFrame, b: DataFrame, k: int = 256) -> DataFrame:
+    """Union-merge two KMV sketches: smallest k of the combined value sets."""
+    return a.union(b).distinct().orderBy("h").limit(k)
+
+
+def kmv_estimate(df: DataFrame, col: str, k: int = 256) -> DataFrame:
+    """One row (est_distinct, kth_hash, k_used) — all BIGINT, deterministic.
+
+    If fewer than k distinct hashes exist the sketch IS the exact distinct
+    set; otherwise est = (k-1) * 2^32 div h_(k) (the classic KMV/bottom-k
+    estimator, Bar-Yossef et al. RANDOM'02).
+    """
+    sk = kmv_sketch(df, col, k)
+    return sk.agg(
+        F.when(F.count("h") < k, F.count("h"))
+        .otherwise(F.expr(f"{(k - 1) * TWO32} div max(h)"))
+        .cast("long")
+        .alias("est_distinct"),
+        F.max("h").cast("long").alias("kth_hash"),
+        F.count("h").cast("long").alias("k_used"),
+    )
+
+
+def kmv_sketch_sql(table: str, expr: str, k: int = 256) -> str:
+    """DuckDB twin of :func:`kmv_sketch` (used by the oracle gates)."""
+    return (
+        f"SELECT DISTINCT {h32_sql(expr)} AS h FROM {table} "
+        f"WHERE {expr} IS NOT NULL ORDER BY h LIMIT {k}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+
+
+def hll_sketch(df: DataFrame, col: str, p: int = 12) -> DataFrame:
+    """(bucket, max_rho) registers — integers, bit-identical cross-engine.
+
+    rho is the 1-based position of the leftmost 1-bit in the (32-p)-bit
+    word above the bucket bits: (32-p) - floor(log2(w)) computed exactly as
+    ``(32-p+1) - length(bin(w))`` to avoid float log edge cases; w == 0
+    maps to the maximum rank 32-p+1.
+    """
+    m = 1 << p
+    maxrho = 32 - p + 1
+    h = h32(F.col(col).cast("string"))
+    bucket = (h % m).cast("int").alias("bucket")
+    # h < 2^32 so h/m is exact in double; floor-div it JVM-side
+    w = F.floor(h / F.lit(m)).cast("long")
+    rho = (
+        F.when(w == 0, F.lit(maxrho))
+        .otherwise(F.lit(maxrho) - F.length(F.bin(w)))
+        .cast("int")
+        .alias("rho")
+    )
+    return (
+        df.where(F.col(col).isNotNull())
+        .select(bucket, rho)
+        .groupBy("bucket")
+        .agg(F.max("rho").cast("int").alias("max_rho"))
+    )
+
+
+def hll_sketch_sql(table: str, expr: str, p: int = 12) -> str:
+    """DuckDB twin of :func:`hll_sketch`."""
+    m = 1 << p
+    maxrho = 32 - p + 1
+    hs = h32_sql(expr)
+    return f"""
+WITH hh AS (
+    SELECT {hs} AS h FROM {table} WHERE {expr} IS NOT NULL
+), reg AS (
+    SELECT CAST(h % {m} AS INTEGER) AS bucket,
+           CAST(CASE WHEN h // {m} = 0 THEN {maxrho}
+                     ELSE {maxrho} - length(bin(h // {m})) END AS INTEGER) AS rho
+    FROM hh
+)
+SELECT bucket, CAST(max(rho) AS INTEGER) AS max_rho FROM reg GROUP BY bucket
+"""
+
+
+def hll_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two HLL sketches: register-wise max (the HLL union)."""
+    return (
+        a.union(b).groupBy("bucket").agg(F.max("max_rho").cast("int").alias("max_rho"))
+    )
+
+
+def hll_estimate(sketch: DataFrame, p: int = 12) -> float:
+    """Bias-corrected HLL estimate with the linear-counting branch.
+
+    Driver-side over the 2^p-row sketch (register-scale, not data-scale).
+    """
+    import math
+
+    m = 1 << p
+    rows = sketch.collect()
+    regs = {r["bucket"]: r["max_rho"] for r in rows}
+    v_zero = m - len(regs)  # registers never touched hold 0
+    inv_sum = v_zero * 1.0 + sum(2.0 ** -rho for rho in regs.values())
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    e_raw = alpha * m * m / inv_sum
+    if e_raw <= 2.5 * m and v_zero > 0:
+        return m * math.log(m / v_zero)
+    return e_raw
+
+
+# ---------------------------------------------------------------------------
+# Count-Min
+# ---------------------------------------------------------------------------
+
+
+def cms_sketch(
+    df: DataFrame, col: str, depth: int = 4, width: int = 2048
+) -> DataFrame:
+    """(d, pos, cnt) counter matrix; cnt sums are exact longs.
+
+    Only touched cells appear (untouched cells are implicitly 0), so the
+    sketch is at most depth*width rows after one partial-agg shuffle.
+    """
+    poss = F.array(
+        *[
+            (h32(F.concat(F.lit(f"cms{i}|"), F.col(col).cast("string"))) % width).cast(
+                "int"
+            )
+            for i in range(depth)
+        ]
+    )
+    return (
+        df.where(F.col(col).isNotNull())
+        .select(F.posexplode(poss).alias("d", "pos"))
+        .groupBy("d", "pos")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_sketch_sql(table: str, expr: str, depth: int = 4, width: int = 2048) -> str:
+    """DuckDB twin of :func:`cms_sketch`."""
+    seeds = ", ".join(f"({i})" for i in range(depth))
+    pos = h32_sql(f"'cms' || s.i || '|' || {expr}")
+    return f"""
+SELECT CAST(s.i AS INTEGER) AS d, CAST({pos} % {width} AS INTEGER) AS pos,
+       count(*) AS cnt
+FROM {table}, (VALUES {seeds}) s(i)
+WHERE {expr} IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two CM sketches over the same (depth,width): cell-wise sum."""
+    return a.union(b).groupBy("d", "pos").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_topk(
+    df: DataFrame,
+    col: str,
+    k: int = 10,
+    depth: int = 4,
+    width: int = 2048,
+    sketch: DataFrame | None = None,
+) -> DataFrame:
+    """Heavy hitters: top-k keys by Count-Min point estimate.
+
+    Point estimate = min over the d rows of the counter at that key's
+    position (Cormode & Muthukrishnan '05). The candidate set is the
+    distinct keys (request-scale here; at 100 TB it comes from a
+    per-partition partial top-k pre-pass). Ties break on key ascending so
+    the result is deterministic.
+    """
+    if sketch is None:
+        sketch = cms_sketch(df, col, depth, width)
+    poss = F.array(
+        *[
+            (
+                h32(F.concat(F.lit(f"cms{i}|"), F.col("key").cast("string"))) % width
+            ).cast("int")
+            for i in range(depth)
+        ]
+    )
+    cand = (
+        df.where(F.col(col).isNotNull())
+        .select(F.col(col).alias("key"))
+        .distinct()
+        .select("key", F.posexplode(poss).alias("d", "pos"))
+    )
+    return (
+        cand.join(sketch, ["d", "pos"])
+        .groupBy("key")
+        .agg(F.min("cnt").alias("est_count"))
+        .orderBy(F.desc("est_count"), F.asc("key"))
+        .limit(k)
+    )
+
+
+def cms_topk_sql(
+    table: str, expr: str, k: int = 10, depth: int = 4, width: int = 2048
+) -> str:
+    """DuckDB twin of :func:`cms_topk`."""
+    seeds = ", ".join(f"({i})" for i in range(depth))
+
+    def pos_of(e: str) -> str:
+        return h32_sql(f"'cms' || s.i || '|' || {e}") + f" % {width}"
+
+    return f"""
+WITH sk AS (
+    SELECT s.i AS d, {pos_of(expr)} AS pos, count(*) AS cnt
+    FROM {table}, (VALUES {seeds}) s(i)
+    WHERE {expr} IS NOT NULL GROUP BY 1, 2
+), cand AS (
+    SELECT DISTINCT {expr} AS key FROM {table} WHERE {expr} IS NOT NULL
+), cpos AS (
+    SELECT cand.key, s.i AS d, {pos_of("cand.key")} AS pos
+    FROM cand, (VALUES {seeds}) s(i)
+)
+SELECT cpos.key AS key, min(sk.cnt) AS est_count
+FROM cpos JOIN sk ON sk.d = cpos.d AND sk.pos = cpos.pos
+GROUP BY cpos.key
+ORDER BY est_count DESC, key ASC
+LIMIT {k}
+"""

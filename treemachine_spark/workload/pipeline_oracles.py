@@ -573,3 +573,29 @@ SELECT date_trunc('hour', ts) AS window_start, c_mktsegment AS mktsegment,
 FROM events JOIN customer ON user_id = c_custkey
 GROUP BY 1, 2
 """
+
+# ---------------------------------------------------------------------------
+# sketches — oracle twins generated by functions/sketches.py so the hash
+# positions / register math stay expression-identical on both engines
+# ---------------------------------------------------------------------------
+
+from treemachine_spark.functions.sketches import (  # noqa: E402
+    cms_topk_sql,
+    hll_sketch_sql,
+    kmv_sketch_sql,
+)
+
+PIPELINE_ORACLES["k1_kmv_distinct"] = f"""
+WITH mh AS ({kmv_sketch_sql("lineitem", "l_orderkey::VARCHAR", 256)})
+SELECT CAST(CASE WHEN count(*) < 256 THEN count(*)
+            ELSE (255 * 4294967296) // max(h) END AS BIGINT) AS est_distinct,
+       CAST(max(h) AS BIGINT) AS kth_hash,
+       CAST(count(*) AS BIGINT) AS k_used
+FROM mh
+"""
+
+PIPELINE_ORACLES["k2_hll_sketch"] = hll_sketch_sql(
+    "lineitem", "l_orderkey::VARCHAR", p=12
+)
+
+PIPELINE_ORACLES["k5_cms_topk"] = cms_topk_sql("events", "user_id", k=10)

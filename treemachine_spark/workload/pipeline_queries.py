@@ -370,6 +370,34 @@ def q_s1_event_windows(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# sketches (functions/sketches.py): mergeable distinct / heavy-hitter state
+# ---------------------------------------------------------------------------
+
+
+def q_k1_kmv_distinct(spark, sf_dir):
+    """KMV (bottom-k) distinct-count estimate of lineitem order keys —
+    integer-deterministic estimator over a TakeOrdered min-k sketch."""
+    from treemachine_spark.functions import sketches as sk
+
+    return sk.kmv_estimate(load_tables(spark, sf_dir)["lineitem"], "l_orderkey", k=256)
+
+
+def q_k2_hll_sketch(spark, sf_dir):
+    """HyperLogLog register table (p=12) for lineitem order keys — the
+    mergeable sketch itself, bit-identical cross-engine."""
+    from treemachine_spark.functions import sketches as sk
+
+    return sk.hll_sketch(load_tables(spark, sf_dir)["lineitem"], "l_orderkey", p=12)
+
+
+def q_k5_cms_topk(spark, sf_dir):
+    """Count-Min heavy hitters: top-10 event users by CM point estimate."""
+    from treemachine_spark.functions import sketches as sk
+
+    return sk.cms_topk(load_tables(spark, sf_dir)["events"], "user_id", k=10)
+
+
 PIPELINE_QUERIES = {
     "x1_text_profile": q_x1_text_profile,
     "x2_bpe_tokens": q_x2_bpe_tokens,
@@ -404,4 +432,7 @@ PIPELINE_QUERIES = {
     "x13_pack_manifest": q_x13_pack_manifest,
     "s5_sliding_windows": q_s5_sliding_windows,
     "x14_mixture_sample": q_x14_mixture_sample,
+    "k1_kmv_distinct": q_k1_kmv_distinct,
+    "k2_hll_sketch": q_k2_hll_sketch,
+    "k5_cms_topk": q_k5_cms_topk,
 }
