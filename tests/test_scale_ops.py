@@ -78,3 +78,37 @@ def test_a7_a8_metrics(spark):
     # single parallel edge / subtree source count
     assert es[("ott536234", "mrcaott246ott5481")] == pytest.approx(1.0)
     assert 0 < es[("ott5839486", "ott81461")] <= 1.0
+
+
+def test_bloom_prune_no_false_negatives_and_no_join(spark):
+    from tests.conftest import SF_SMOKE
+    from treemachine_spark.io.tables import load_tables
+    from treemachine_spark.operators.scale import bloom_filter_build, bloom_prune
+
+    t = load_tables(spark, SF_SMOKE)
+    dim = t["supplier"].where(F.col("s_acctbal") > 9000).select("s_suppkey")
+    bits = bloom_filter_build(dim, "s_suppkey", m=8192, k=3)
+    assert len(bits) == 8192 and set(bits) <= {"0", "1"}
+
+    cand = bloom_prune(t["lineitem"], "l_suppkey", bits, k=3)
+    true_keys = {r.s_suppkey for r in dim.collect()}
+    cand_keys = {r.l_suppkey for r in cand.select("l_suppkey").distinct().collect()}
+    # no false negatives: every matching key survives the filter
+    fact_keys = {
+        r.l_suppkey for r in t["lineitem"].select("l_suppkey").distinct().collect()
+    }
+    assert (true_keys & fact_keys) <= cand_keys
+
+    # the prune is a pure filter: no join / exchange in the plan
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Exchange" not in plan
+
+    # false-positive rate within ~4x of the theoretical (1-e^{-kn/m})^k
+    import math
+
+    n = len(true_keys)
+    fpr_theory = (1 - math.exp(-3 * n / 8192)) ** 3
+    non_match = cand_keys - true_keys
+    universe = fact_keys - true_keys
+    if universe:
+        assert len(non_match) / len(universe) <= max(4 * fpr_theory, 0.02)

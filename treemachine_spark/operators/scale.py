@@ -39,6 +39,57 @@ def salted_join(
     return big_s.join(small_s, [key, "_salt"]).drop("_salt")
 
 
+def _bloom_pos(col, m: int, k: int) -> list:
+    """The k h32-derived bit positions of a key value (seeded hashes)."""
+    from treemachine_spark.functions.hashing import h32
+
+    return [
+        (h32(F.concat(F.lit(f"bf{i}|"), col.cast("string"))) % m).cast("int")
+        for i in range(k)
+    ]
+
+
+def bloom_filter_build(dim: DataFrame, key: str, m: int = 8192, k: int = 3) -> str:
+    """Build a Bloom filter of ``dim[key]`` as a '0'/'1' bit-string.
+
+    The aggregation is distinct bit POSITIONS (≤ m rows reach the driver no
+    matter how large the dim side is); only the m-bit mask is collected.
+    At 8 KiB for m=8192 the mask embeds as a literal in the pruning filter,
+    so the fact-side membership test runs entirely inside whole-stage
+    codegen — the DataFrame-level analog of the runtime bloom-pruning
+    Spark's own optimizer applies inside joins, usable here as an explicit
+    operator when the dim side is a separate pipeline stage (e.g. a purge
+    list built yesterday pruning today's 100 TB scan before the shuffle).
+    """
+    pos_rows = (
+        dim.where(F.col(key).isNotNull())
+        .select(F.explode(F.array(*_bloom_pos(F.col(key), m, k))).alias("pos"))
+        .distinct()
+        .collect()
+    )
+    bits = bytearray(b"0" * m)
+    for r in pos_rows:
+        bits[r["pos"]] = ord("1")
+    return bits.decode("ascii")
+
+
+def bloom_prune(fact: DataFrame, key: str, bits: str, k: int = 3) -> DataFrame:
+    """Keep fact rows whose key MAY be in the filter (no false negatives).
+
+    Pure filter — no join, no shuffle: each of the k positions indexes the
+    literal bit-string via substring(), all JVM-side. False positives are
+    bounded by the classic (1 - e^{-kn/m})^k and are culled by whatever
+    exact join runs downstream; the win is shrinking the shuffle input
+    first.
+    """
+    m = len(bits)
+    cond = None
+    for p in _bloom_pos(F.col(key), m, k):
+        c = F.lit(bits).substr(p + 1, F.lit(1)) == "1"
+        cond = c if cond is None else (cond & c)
+    return fact.where(cond)
+
+
 def write_bucketed(
     df: DataFrame, table: str, key: str, n_buckets: int = 32, sort: bool = True
 ) -> None:

@@ -599,3 +599,30 @@ PIPELINE_ORACLES["k2_hll_sketch"] = hll_sketch_sql(
 )
 
 PIPELINE_ORACLES["k5_cms_topk"] = cms_topk_sql("events", "user_id", k=10)
+
+# bloom-filter pruning: membership in the bit set is expressed relationally
+# (positions join) — semantically identical to the engine's literal
+# bit-string filter by construction
+PIPELINE_ORACLES["k3_bloom_prune"] = """
+WITH dim AS (
+    SELECT DISTINCT s_suppkey FROM supplier WHERE s_acctbal > 9000
+), dpos AS (
+    SELECT DISTINCT ('0x' || substr(md5('bf' || s.i || '|' || s_suppkey), 1, 8))::BIGINT % 8192 AS pos
+    FROM dim, (VALUES (0), (1), (2)) s(i)
+), keys AS (
+    SELECT l_suppkey AS k, count(*) AS n FROM lineitem GROUP BY 1
+), kpos AS (
+    SELECT keys.k, keys.n,
+           ('0x' || substr(md5('bf' || s.i || '|' || keys.k), 1, 8))::BIGINT % 8192 AS pos
+    FROM keys, (VALUES (0), (1), (2)) s(i)
+), surv AS (
+    SELECT kpos.k, kpos.n
+    FROM kpos JOIN dpos USING (pos)
+    GROUP BY kpos.k, kpos.n
+    HAVING count(*) = 3
+)
+SELECT CAST((SELECT coalesce(sum(n), 0) FROM surv) AS BIGINT) AS n_candidates,
+       CAST((SELECT coalesce(sum(n), 0) FROM keys WHERE k IN (SELECT s_suppkey FROM dim)) AS BIGINT) AS n_matched,
+       CAST((SELECT coalesce(sum(n), 0) FROM surv) -
+            (SELECT coalesce(sum(n), 0) FROM keys WHERE k IN (SELECT s_suppkey FROM dim)) AS BIGINT) AS n_false_pos
+"""

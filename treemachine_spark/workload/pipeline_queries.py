@@ -398,6 +398,32 @@ def q_k5_cms_topk(spark, sf_dir):
     return sk.cms_topk(load_tables(spark, sf_dir)["events"], "user_id", k=10)
 
 
+def q_k3_bloom_prune(spark, sf_dir):
+    """Bloom-filter semi-join pruning: an 8192-bit / 3-hash filter built
+    from a supplier subset prunes the lineitem scan BEFORE any join. The
+    membership test is a pure codegen filter against a literal bit-string
+    (operators/scale.py); returns (n_candidates, n_matched, n_false_pos)
+    so the oracle pins both the no-false-negative law and the exact
+    false-positive count."""
+    from treemachine_spark.operators.scale import bloom_filter_build, bloom_prune
+
+    t = load_tables(spark, sf_dir)
+    dim = t["supplier"].where(F.col("s_acctbal") > 9000).select("s_suppkey")
+    bits = bloom_filter_build(dim, "s_suppkey", m=8192, k=3)
+    cand = bloom_prune(t["lineitem"], "l_suppkey", bits, k=3)
+    n_cand = cand.agg(F.count("*").alias("n")).withColumnRenamed("n", "n_candidates")
+    n_true = (
+        t["lineitem"]
+        .join(F.broadcast(dim), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .agg(F.count("*").alias("n_matched"))
+    )
+    return n_cand.crossJoin(n_true).select(
+        F.col("n_candidates").cast("long"),
+        F.col("n_matched").cast("long"),
+        (F.col("n_candidates") - F.col("n_matched")).cast("long").alias("n_false_pos"),
+    )
+
+
 PIPELINE_QUERIES = {
     "x1_text_profile": q_x1_text_profile,
     "x2_bpe_tokens": q_x2_bpe_tokens,
@@ -435,4 +461,5 @@ PIPELINE_QUERIES = {
     "k1_kmv_distinct": q_k1_kmv_distinct,
     "k2_hll_sketch": q_k2_hll_sketch,
     "k5_cms_topk": q_k5_cms_topk,
+    "k3_bloom_prune": q_k3_bloom_prune,
 }
