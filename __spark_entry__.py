@@ -89,6 +89,7 @@ _DRIVER_EXCLUDED = {
     "k2_hll_sketch": "pytest-tier; sketch family, partial-agg like a1",
     "k5_cms_topk": "pytest-tier; sketch family, join-agg like q5/w1",
     "k3_bloom_prune": "pytest-tier; pre-shuffle pruning, semi family like l4/e4",
+    "k4_zorder": "pytest-tier; layout clustering, zero-shuffle exprs like x11",
 }
 
 

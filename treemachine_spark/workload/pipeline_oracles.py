@@ -626,3 +626,11 @@ SELECT CAST((SELECT coalesce(sum(n), 0) FROM surv) AS BIGINT) AS n_candidates,
        CAST((SELECT coalesce(sum(n), 0) FROM surv) -
             (SELECT coalesce(sum(n), 0) FROM keys WHERE k IN (SELECT s_suppkey FROM dim)) AS BIGINT) AS n_false_pos
 """
+
+from treemachine_spark.operators.layout import zvalue_sql  # noqa: E402
+
+PIPELINE_ORACLES["k4_zorder"] = f"""
+SELECT DISTINCT l_partkey, l_suppkey,
+       {zvalue_sql("l_partkey", "l_suppkey")} AS zval
+FROM lineitem
+"""

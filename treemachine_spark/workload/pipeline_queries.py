@@ -424,6 +424,24 @@ def q_k3_bloom_prune(spark, sf_dir):
     )
 
 
+def q_k4_zorder(spark, sf_dir):
+    """Morton z-values for the (l_partkey, l_suppkey) plane — the clustering
+    key zorder_write lays files out by (operators/layout.py); pure shift/
+    mask integer arithmetic, gated bit-identical cross-engine."""
+    from treemachine_spark.operators.layout import zvalue
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return (
+        li.select("l_partkey", "l_suppkey")
+        .distinct()
+        .select(
+            "l_partkey",
+            "l_suppkey",
+            zvalue(F.col("l_partkey"), F.col("l_suppkey")).alias("zval"),
+        )
+    )
+
+
 PIPELINE_QUERIES = {
     "x1_text_profile": q_x1_text_profile,
     "x2_bpe_tokens": q_x2_bpe_tokens,
@@ -462,4 +480,5 @@ PIPELINE_QUERIES = {
     "k2_hll_sketch": q_k2_hll_sketch,
     "k5_cms_topk": q_k5_cms_topk,
     "k3_bloom_prune": q_k3_bloom_prune,
+    "k4_zorder": q_k4_zorder,
 }
