@@ -90,6 +90,7 @@ _DRIVER_EXCLUDED = {
     "k5_cms_topk": "pytest-tier; sketch family, join-agg like q5/w1",
     "k3_bloom_prune": "pytest-tier; pre-shuffle pruning, semi family like l4/e4",
     "k4_zorder": "pytest-tier; layout clustering, zero-shuffle exprs like x11",
+    "u1_merge_upsert": "pytest-tier; outer-join family captured by q13",
 }
 
 

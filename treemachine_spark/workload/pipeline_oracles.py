@@ -634,3 +634,19 @@ SELECT DISTINCT l_partkey, l_suppkey,
        {zvalue_sql("l_partkey", "l_suppkey")} AS zval
 FROM lineitem
 """
+
+PIPELINE_ORACLES["u1_merge_upsert"] = """
+WITH src AS (
+    SELECT CASE WHEN o_custkey % 7 = 0 THEN o_custkey + 1000000
+                ELSE o_custkey END AS k,
+           ROUND(SUM(o_totalprice), 2) AS spend
+    FROM orders GROUP BY 1
+)
+SELECT COALESCE(c.c_custkey, s.k) AS c_custkey,
+       CASE WHEN c.c_custkey IS NULL THEN 'NEW#' || s.k ELSE c.c_name END AS c_name,
+       CASE WHEN c.c_custkey IS NULL THEN 'UNKNOWN' ELSE c.c_mktsegment END AS c_mktsegment,
+       ROUND(CASE WHEN c.c_custkey IS NULL THEN s.spend
+                  WHEN s.k IS NULL THEN c.c_acctbal
+                  ELSE c.c_acctbal + s.spend END, 2) AS acctbal
+FROM customer c FULL OUTER JOIN src s ON c.c_custkey = s.k
+"""

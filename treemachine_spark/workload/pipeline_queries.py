@@ -442,6 +442,44 @@ def q_k4_zorder(spark, sf_dir):
     )
 
 
+def q_u1_merge_upsert(spark, sf_dir):
+    """MERGE INTO semantics (operators/mutate.py): per-customer order spend
+    upserts into the customer table — matched rows add spend to the
+    balance, source-only keys (every 7th custkey remapped) insert synthetic
+    customers, untouched rows carry over. One full-outer join on the key."""
+    from treemachine_spark.operators.mutate import merge_upsert
+
+    t = load_tables(spark, sf_dir)
+    src = (
+        t["orders"]
+        .groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("spend"))
+        .select(
+            F.when(F.col("o_custkey") % 7 == 0, F.col("o_custkey") + 1000000)
+            .otherwise(F.col("o_custkey"))
+            .alias("c_custkey"),
+            "spend",
+        )
+    )
+    merged = merge_upsert(
+        t["customer"],
+        src,
+        on="c_custkey",
+        when_matched={"c_acctbal": F.col("t.c_acctbal") + F.col("s.spend")},
+        when_not_matched={
+            "c_name": F.concat(F.lit("NEW#"), F.col("s.c_custkey").cast("string")),
+            "c_acctbal": F.col("s.spend"),
+            "c_mktsegment": F.lit("UNKNOWN"),
+        },
+    )
+    return merged.select(
+        "c_custkey",
+        "c_name",
+        "c_mktsegment",
+        F.round(F.col("c_acctbal"), 2).alias("acctbal"),
+    )
+
+
 PIPELINE_QUERIES = {
     "x1_text_profile": q_x1_text_profile,
     "x2_bpe_tokens": q_x2_bpe_tokens,
@@ -481,4 +519,5 @@ PIPELINE_QUERIES = {
     "k5_cms_topk": q_k5_cms_topk,
     "k3_bloom_prune": q_k3_bloom_prune,
     "k4_zorder": q_k4_zorder,
+    "u1_merge_upsert": q_u1_merge_upsert,
 }
