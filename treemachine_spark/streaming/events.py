@@ -272,16 +272,37 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
 
 
 def run_to_memory(
-    stream_df: DataFrame, name: str, output_mode: str = "append", await_seconds: int = 120
+    stream_df: DataFrame,
+    name: str,
+    output_mode: str = "append",
+    await_seconds: int = 120,
+    shuffle_partitions: int | None = None,
 ):
     """Run a streaming query to completion (availableNow) into an in-memory
-    sink; returns the result DataFrame. Test/bench helper."""
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(await_seconds)
-    return stream_df.sparkSession.table(name)
+    sink; returns the result DataFrame. Test/bench helper.
+
+    ``shuffle_partitions`` sizes the stateful operators' state-store count
+    for THIS query (a streaming query pins the partitioning it starts
+    with): each state partition costs a task + store init + commit every
+    micro-batch, so the one-shot runs over the bench-scale stream use 8
+    instead of the session's 32 (measured ~0.5 s per run at sf0.1). A
+    long-lived production stream over a big source wants the session
+    default or higher — pass None to inherit.
+    """
+    spark = stream_df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(await_seconds)
+    finally:
+        if shuffle_partitions:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)

@@ -211,7 +211,9 @@ def q_s3_streaming_windows(spark, sf_dir):
     _STREAM_RUN["n"] += 1
     name = f"wl_stream_windows_{_STREAM_RUN['n']}"
     stream = se.read_event_stream(spark, sf_dir)
-    return se.run_to_memory(se.windowed_counts(stream), name, output_mode="complete")
+    return se.run_to_memory(
+        se.windowed_counts(stream), name, output_mode="complete", shuffle_partitions=8
+    )
 
 
 def q_s4_stream_enriched(spark, sf_dir):
@@ -225,7 +227,10 @@ def q_s4_stream_enriched(spark, sf_dir):
     stream = se.read_event_stream(spark, sf_dir)
     customers = load_tables(spark, sf_dir)["customer"]
     return se.run_to_memory(
-        se.enriched_windowed_value(stream, customers), name, output_mode="complete"
+        se.enriched_windowed_value(stream, customers),
+        name,
+        output_mode="complete",
+        shuffle_partitions=8,
     )
 
 
