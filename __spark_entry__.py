@@ -91,6 +91,9 @@ _DRIVER_EXCLUDED = {
     "k3_bloom_prune": "pytest-tier; pre-shuffle pruning, semi family like l4/e4",
     "k4_zorder": "pytest-tier; layout clustering, zero-shuffle exprs like x11",
     "u1_merge_upsert": "pytest-tier; outer-join family captured by q13",
+    "c1_rf_distance": "pytest-tier; bipartition fingerprint agg like a1 + full-outer join like q13",
+    "x15_tfidf": "pytest-tier; explode+agg+window family captured by x1/w1",
+    "x16_keyword_search": "pytest-tier; x15's index in serving shape, semi family like l4",
 }
 
 

@@ -1,0 +1,51 @@
+"""TF-IDF top-k and conjunctive keyword search (functions/text.py)."""
+
+from __future__ import annotations
+
+import math
+
+from treemachine_spark.functions.text import keyword_search, tfidf_topk
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [(1, "a a b"), (2, "a c")], "doc_id bigint, text string"
+    )
+
+
+def test_tfidf_hand_computed(spark):
+    # N=2; df: a=2, b=1, c=1; idf_a = 1.0, idf_{b,c} = round(ln(1.5)+1, 6)
+    idf_rare = round(math.log(3.0 / 2.0) + 1.0, 6)
+    rows = {
+        (r["doc_id"], r["term"]): (r["tf"], r["tfidf"])
+        for r in tfidf_topk(_docs(spark), k=3).collect()
+    }
+    assert rows[(1, "a")] == (2, 2.0)
+    assert rows[(1, "b")] == (1, round(idf_rare, 4))
+    assert rows[(2, "a")] == (1, 1.0)
+    assert rows[(2, "c")] == (1, round(idf_rare, 4))
+
+
+def test_tfidf_k_limits_per_doc(spark):
+    out = tfidf_topk(_docs(spark), k=1).collect()
+    by_doc = {r["doc_id"]: r for r in out}
+    assert len(out) == 2
+    assert by_doc[1]["term"] == "a"  # tf 2 beats rare b (2.0 > 1.4055)
+    assert by_doc[2]["term"] == "c"  # rare c beats common a
+
+
+def test_keyword_search_ranking_and_and_semantics(spark):
+    docs = _docs(spark)
+    one = keyword_search(docs, terms=["a"]).collect()
+    assert [r["doc_id"] for r in one] == [1, 2]  # tf 2 ranks first
+    both = keyword_search(docs, terms=["a", "b"]).collect()
+    assert [r["doc_id"] for r in both] == [1]  # doc 2 lacks 'b'
+
+
+def test_keyword_search_default_query_is_top_df(spark):
+    docs = spark.createDataFrame(
+        [(1, "x y z"), (2, "x y"), (3, "x q")], "doc_id bigint, text string"
+    )
+    # top-2 df terms: x (3 docs), y (2 docs) -> AND matches docs 1 and 2
+    out = keyword_search(docs, terms=None).collect()
+    assert sorted(r["doc_id"] for r in out) == [1, 2]

@@ -210,3 +210,125 @@ def sequence_packing(
             .alias("bin_id"),
         )
     )
+
+
+def tfidf_topk(
+    docs: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k TF-IDF terms per document.
+
+    Classic smoothed TF-IDF: ``tf * (ln((N+1)/(df+1)) + 1)``. The idf is
+    ROUND()ed to 6 dp BEFORE the multiply so both engines rank from
+    bit-identical doubles — ``ln`` is the one piece of the formula IEEE
+    does not pin cross-engine (libm vs java.lang.Math can differ in the
+    last ulp), and an ulp straddling a rank boundary would flip top-k rows
+    (same failure class as the q7 sum-order note in CLAUDE.md). Ties break
+    on term ASC, so the output is fully deterministic.
+
+    Scale shape: the explode is the volume driver (one row per token);
+    both groupBys partial-aggregate map-side; the df join shuffles on term
+    (vocabulary-scale right side); the corpus size N joins in as a
+    broadcast 1-row aggregate; one window shuffle on the doc id for the
+    top-k. No driver-side state, no UDFs. The reference has no text
+    scoring at all (beyond-reference training-pipeline surface).
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(words(F.lower(F.col(text_col)))).alias("term"),
+    ).where(F.col("term") != "")
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .join(F.broadcast(n))
+        .withColumn(
+            "idf",
+            F.round(
+                F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
+                + F.lit(1.0),
+                6,
+            ),
+        )
+        .withColumn("score", F.col("tf") * F.col("idf"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select(
+            id_col,
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.round("score", 4).alias("tfidf"),
+        )
+    )
+
+
+def keyword_search(
+    docs: DataFrame,
+    terms: list[str] | None = None,
+    limit: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Conjunctive (AND) keyword search ranked by summed TF-IDF.
+
+    ``terms=None`` selects the 2 highest-df terms from the corpus itself
+    (df DESC, term ASC) — a self-contained deterministic query for the
+    cross-engine gate; callers pass their own term list in real use.
+
+    This is the serving shape of an inverted index: the per-term postings
+    (tf rows filtered to the query terms) are tiny relative to the corpus,
+    the AND is one groupBy counting distinct matched terms, and ranking
+    sums pre-computed scores. At 100 TB the tf/df tables are the persisted
+    index; this query never rescans raw text.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(words(F.lower(F.col(text_col)))).alias("term"),
+    ).where(F.col("term") != "")
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    if terms is None:
+        qterms = dfreq.orderBy(F.desc("df"), F.asc("term")).limit(2).select("term")
+        n_terms = 2
+    else:
+        qterms = (
+            docs.sparkSession.createDataFrame([(t,) for t in terms], "term string")
+            .distinct()
+        )
+        n_terms = len(set(terms))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(dfreq, "term")
+        .join(F.broadcast(n))
+        .withColumn(
+            "idf",
+            F.round(
+                F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
+                + F.lit(1.0),
+                6,
+            ),
+        )
+    )
+    ranked = (
+        scored.groupBy(id_col)
+        .agg(
+            F.countDistinct("term").alias("n_matched"),
+            F.round(F.sum(F.col("tf") * F.col("idf")), 4).alias("relevance"),
+        )
+        .where(F.col("n_matched") == n_terms)
+        .orderBy(F.desc("relevance"), F.asc(id_col))
+        .limit(limit)
+        .select(id_col, "relevance")
+    )
+    return ranked

@@ -1,0 +1,142 @@
+"""Tree-comparison operators: bipartition fingerprints and the
+Robinson-Foulds (symmetric-difference) distance.
+
+The reference synthesizes one supertree from many source trees but offers
+no way to QUANTIFY how far two trees disagree — conflict is only surfaced
+edge-by-edge (supporting/conflicting source sets on each synthesis edge,
+opentree/GraphExplorer.java:1008-1032 unique-source accumulation). RF
+distance is the standard whole-tree disagreement metric in phylogenetics
+(Robinson & Foulds 1981, Math. Biosci. 53): the number of non-trivial
+bipartitions (internal edges, identified by the tip set on their far side)
+present in exactly one of the two trees.
+
+Spark-first recipe — no tree walking, three aggregations:
+
+1. ancestor closure (``graph/closure.build_closure``, O(log depth) rounds)
+2. one ``groupBy(ancestor)`` over tip rows → each internal node's
+   bipartition fingerprint ``(sum of md5-derived tip hashes, tip count)``.
+   The sum is order-independent, exact BIGINT arithmetic, identical in
+   Spark and DuckDB (``functions/hashing.h32``), and collision-safe in
+   practice (two different tip SETS of equal size colliding on a 32-bit
+   hash-sum needs an engineered corpus; fine for a distance metric, and
+   the gate pins both engines to the SAME fingerprint algebra).
+3. one full-outer join of the two fingerprint sets → shared / distinct
+   counts; RF = |B1| + |B2| - 2·|B1 ∩ B2|.
+
+Scale shape: step 2 is a partial-aggregating shuffle on ancestor_id (the
+fingerprint table is |internal nodes| rows, tiny vs the closure); step 3
+joins two fingerprint tables — broadcastable for any real tree. Nothing
+driver-side, no per-request iteration; works unchanged on a 2.4M-tip tree
+where the closure already exists as an ingest artifact.
+
+Trivial bipartitions (single tips, the full tip set) are excluded per the
+standard definition; duplicate fingerprints (unresolved multifurcation
+chains produce the same tip set twice) collapse via ``distinct`` so the
+metric is well-defined on non-binary trees.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from treemachine_spark.functions.hashing import h32
+from treemachine_spark.graph.closure import build_closure
+from treemachine_spark.graph.traversal import leaf_set
+
+
+def bipartition_fingerprints(
+    edges: DataFrame,
+    paths: DataFrame | None = None,
+    tip_labels: DataFrame | None = None,
+) -> DataFrame:
+    """Distinct non-trivial bipartition fingerprints of a rooted tree.
+
+    ``edges``: child_id/parent_id table. ``paths``: optional precomputed
+    closure (ingest artifact) to avoid rebuilding it. ``tip_labels``:
+    optional (node_id, tip_label) mapping — two independently parsed trees
+    share tip NAMES, not synthetic node ids, so fingerprints hash the
+    label when one is supplied (default: the node id itself).
+
+    Returns (tip_hash_sum bigint, n_tips bigint), distinct rows.
+    """
+    if paths is None:
+        paths = build_closure(edges)
+    tips = leaf_set(edges)
+    if tip_labels is not None:
+        tips = tips.join(tip_labels, "node_id").select(
+            "node_id", F.col("tip_label").alias("_label")
+        )
+    else:
+        tips = tips.select("node_id", F.col("node_id").alias("_label"))
+    # one row per (tip, ancestor): paths is unique on that pair in a tree
+    fp = (
+        paths.join(tips, "node_id")
+        .groupBy("ancestor_id")
+        .agg(
+            F.sum(h32(F.col("_label"))).alias("tip_hash_sum"),
+            F.count("*").alias("n_tips"),
+        )
+    )
+    # the root covers every tip, so max(n_tips) IS the total — keeps the
+    # trivial-bipartition filter lazy (no separate count() action)
+    tot = fp.agg(F.max("n_tips").alias("_tot"))
+    return (
+        fp.join(F.broadcast(tot))
+        .where((F.col("n_tips") >= 2) & (F.col("n_tips") < F.col("_tot")))
+        .select("tip_hash_sum", F.col("n_tips").cast("long").alias("n_tips"))
+        .distinct()
+    )
+
+
+def rf_distance(bip1: DataFrame, bip2: DataFrame) -> DataFrame:
+    """Robinson-Foulds distance from two fingerprint sets.
+
+    One full-outer join on the fingerprint key; returns a single row
+    (n_bip_t1, n_bip_t2, n_shared, rf_distance) — all bigint.
+    """
+    a = bip1.withColumn("in1", F.lit(1))
+    b = bip2.withColumn("in2", F.lit(1))
+    j = a.join(b, ["tip_hash_sum", "n_tips"], "full_outer")
+    return (
+        j.agg(
+            F.coalesce(F.sum("in1"), F.lit(0)).cast("long").alias("n_bip_t1"),
+            F.coalesce(F.sum("in2"), F.lit(0)).cast("long").alias("n_bip_t2"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("in1").isNotNull() & F.col("in2").isNotNull(), 1
+                    ).otherwise(0)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_shared"),
+        )
+        .select(
+            "n_bip_t1",
+            "n_bip_t2",
+            "n_shared",
+            (F.col("n_bip_t1") + F.col("n_bip_t2") - 2 * F.col("n_shared")).alias(
+                "rf_distance"
+            ),
+        )
+    )
+
+
+def rf_distance_newick(spark, newick1: str, newick2: str) -> DataFrame:
+    """RF distance between two newick strings, matched on tip names."""
+    from treemachine_spark.sources.newick import newick_to_dataframes
+
+    fps = []
+    for i, text in enumerate((newick1, newick2)):
+        nodes, edges = newick_to_dataframes(spark, text, f"t{i}")
+        labels = nodes.where("is_leaf").select(
+            "node_id", F.col("name").alias("tip_label")
+        )
+        fps.append(
+            bipartition_fingerprints(
+                edges.select("child_id", "parent_id"), tip_labels=labels
+            )
+        )
+    return rf_distance(fps[0], fps[1])

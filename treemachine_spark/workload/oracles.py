@@ -146,6 +146,45 @@ SELECT node_id FROM (
 ) WHERE regexp_matches(node_id, '^o[0-9]+$')
 """
 
+# c1 builds its own two fixed-depth trees (full vs nation-collapsed), so the
+# bipartition fingerprints are expressible without the recursive closure:
+# each internal node's tip set is one group-by away at every level.
+ORACLES["c1_rf_distance"] = """
+WITH tiph AS (
+    SELECT c_custkey, c_nationkey,
+           ('0x' || substr(md5('c' || CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT AS h
+    FROM customer
+),
+tot AS (SELECT COUNT(*) AS n FROM customer),
+t1n AS (
+    SELECT SUM(h) AS tip_hash_sum, COUNT(*) AS n_tips
+    FROM tiph GROUP BY c_nationkey
+),
+t1r AS (
+    SELECT SUM(h) AS tip_hash_sum, COUNT(*) AS n_tips
+    FROM tiph JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_regionkey
+),
+b1 AS (
+    SELECT DISTINCT tip_hash_sum, n_tips FROM (
+        SELECT * FROM t1n UNION ALL SELECT * FROM t1r
+    ) u WHERE n_tips >= 2 AND n_tips < (SELECT n FROM tot)
+),
+b2 AS (
+    SELECT DISTINCT tip_hash_sum, n_tips FROM t1r
+    WHERE n_tips >= 2 AND n_tips < (SELECT n FROM tot)
+),
+st AS (
+    SELECT (SELECT COUNT(*) FROM b1) AS n_bip_t1,
+           (SELECT COUNT(*) FROM b2) AS n_bip_t2,
+           (SELECT COUNT(*) FROM (SELECT * FROM b1 INTERSECT SELECT * FROM b2) q)
+               AS n_shared
+)
+SELECT n_bip_t1, n_bip_t2, n_shared,
+       n_bip_t1 + n_bip_t2 - 2 * n_shared AS rf_distance
+FROM st
+"""
+
 ORACLES["l4_batch_resolution"] = _GRAPH_CTE + """
 SELECT v.lookup_id, (n.node_id IS NOT NULL) AS found
 FROM (VALUES ('c0'), ('c1'), ('c2'), ('n0'), ('nope1'), ('nope2')) v(lookup_id)

@@ -650,3 +650,45 @@ SELECT COALESCE(c.c_custkey, s.k) AS c_custkey,
                   ELSE c.c_acctbal + s.spend END, 2) AS acctbal
 FROM customer c FULL OUTER JOIN src s ON c.c_custkey = s.k
 """
+
+# x15/x16: the idf is ROUND()ed to 6dp BEFORE the multiply on BOTH engines —
+# ln() is the one piece of the formula IEEE doesn't pin cross-engine, and an
+# unrounded ulp difference could flip a rank boundary (q7 knife-edge class).
+_TFIDF_CTE = r"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+    FROM documents
+),
+tf AS (
+    SELECT doc_id, term, COUNT(*) AS tf FROM toks WHERE term <> '' GROUP BY 1, 2
+),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_docs FROM documents)
+"""
+
+PIPELINE_ORACLES["x15_tfidf"] = _TFIDF_CTE + """
+, scored AS (
+    SELECT doc_id, term, tf,
+           tf * ROUND(ln((n_docs + 1.0) / (df + 1.0)) + 1.0, 6) AS score
+    FROM tf JOIN dfreq USING (term) CROSS JOIN n
+),
+ranked AS (
+    SELECT doc_id, term, tf, score,
+           row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rn
+    FROM scored
+)
+SELECT doc_id, term, tf, ROUND(score, 4) AS tfidf FROM ranked WHERE rn <= 3
+"""
+
+PIPELINE_ORACLES["x16_keyword_search"] = _TFIDF_CTE + """
+, q AS (SELECT term FROM dfreq ORDER BY df DESC, term ASC LIMIT 2),
+scored AS (
+    SELECT tf.doc_id, tf.term, tf.tf,
+           ROUND(ln((n_docs + 1.0) / (df + 1.0)) + 1.0, 6) AS idf
+    FROM tf JOIN q USING (term) JOIN dfreq USING (term) CROSS JOIN n
+)
+SELECT doc_id, ROUND(SUM(tf * idf), 4) AS relevance
+FROM scored GROUP BY doc_id
+HAVING COUNT(DISTINCT term) = 2
+ORDER BY relevance DESC, doc_id ASC LIMIT 20
+"""

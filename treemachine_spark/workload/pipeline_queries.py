@@ -303,6 +303,19 @@ def q_x11_repetition(spark, sf_dir):
     )
 
 
+def q_x15_tfidf(spark, sf_dir):
+    """Top-3 TF-IDF terms per document (functions/text.tfidf_topk)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return text.tfidf_topk(docs, k=3)
+
+
+def q_x16_keyword_search(spark, sf_dir):
+    """Conjunctive keyword search ranked by summed TF-IDF; the query is the
+    corpus's own 2 highest-df terms so the gate is self-contained."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return text.keyword_search(docs, terms=None, limit=20)
+
+
 def q_x12_sequence_packing(spark, sf_dir):
     """Per-language 512-token bin packing (training sequence packing)."""
     docs = load_tables(spark, sf_dir)["documents"]
@@ -525,4 +538,6 @@ PIPELINE_QUERIES = {
     "k3_bloom_prune": q_k3_bloom_prune,
     "k4_zorder": q_k4_zorder,
     "u1_merge_upsert": q_u1_merge_upsert,
+    "x15_tfidf": q_x15_tfidf,
+    "x16_keyword_search": q_x16_keyword_search,
 }

@@ -263,6 +263,50 @@ def q_e1_leaf_set(spark, sf_dir):
     return leaves.where(F.col("node_id").rlike("^o[0-9]+$"))
 
 
+def q_c1_rf_distance(spark, sf_dir):
+    """C1 — Robinson-Foulds distance between two trees over the same tips.
+
+    T1 = root→region→nation→customer, T2 = the same tree with the nation
+    level collapsed (customers attach directly to their region). The
+    collapse removes exactly the non-trivial nation bipartitions, so the
+    gate has a structurally known answer while exercising the full generic
+    machinery: closure build per tree, bipartition fingerprint aggregation,
+    fingerprint full-outer join (graph/compare.py; the reference has no
+    whole-tree disagreement metric — beyond-reference surface).
+    """
+    from treemachine_spark.graph import compare as C
+
+    t = get_ctx(spark, sf_dir)["tables"]
+    reg = t["region"].select(
+        F.concat(F.lit("r"), F.col("r_regionkey").cast("string")).alias("child_id"),
+        F.lit("root").alias("parent_id"),
+    )
+    nat = t["nation"].select(
+        F.concat(F.lit("n"), F.col("n_nationkey").cast("string")).alias("child_id"),
+        F.concat(F.lit("r"), F.col("n_regionkey").cast("string")).alias("parent_id"),
+    )
+    cust1 = t["customer"].select(
+        F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("child_id"),
+        F.concat(F.lit("n"), F.col("c_nationkey").cast("string")).alias("parent_id"),
+    )
+    cust2 = (
+        t["customer"]
+        .join(
+            F.broadcast(t["nation"]),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("child_id"),
+            F.concat(F.lit("r"), F.col("n_regionkey").cast("string")).alias(
+                "parent_id"
+            ),
+        )
+    )
+    fp1 = C.bipartition_fingerprints(cust1.union(nat).union(reg))
+    fp2 = C.bipartition_fingerprints(cust2.union(reg))
+    return C.rf_distance(fp1, fp2)
+
+
 def q_l4_batch_resolution(spark, sf_dir):
     """L4/E4 — batch id resolution partitioned into found / not-in-tree
     (tree_of_life_v3.java:292-330): one join pass, no per-id loop."""
@@ -1064,6 +1108,7 @@ QUERIES = {
     "a1_tip_counts": q_a1_tip_counts,
     "t12_degree_prune": q_t12_degree_prune,
     "e1_leaf_set": q_e1_leaf_set,
+    "c1_rf_distance": q_c1_rf_distance,
     "l4_batch_resolution": q_l4_batch_resolution,
     "q1_pricing_summary": q_q1_pricing_summary,
     "q3_top_orders": q_q3_top_orders,
