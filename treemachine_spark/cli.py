@@ -82,6 +82,15 @@ def main(argv=None) -> int:
     s.add_argument("--host", default="127.0.0.1")
     s.add_argument("--port", type=int, default=1984)
 
+    s = sub.add_parser(
+        "rfdist",
+        help="Robinson-Foulds distance between two newick trees, matched "
+        "on tip names (graph/compare.py; the reference has no whole-tree "
+        "disagreement metric)",
+    )
+    s.add_argument("newick_file1")
+    s.add_argument("newick_file2")
+
     for name, hlp in [
         ("reroot", "reroot a newick tree at a named node (JadeTree.reRoot:227-250)"),
         ("unroot", "collapse a binary root to a trifurcation (JadeTree.unRoot:212-218)"),
@@ -129,6 +138,19 @@ def main(argv=None) -> int:
     from treemachine_spark.session import get_spark
 
     spark = get_spark(f"treemachine-cli-{args.cmd}")
+
+    if args.cmd == "rfdist":
+        import json as _json
+
+        from treemachine_spark.graph.compare import rf_distance_newick
+
+        with open(args.newick_file1) as fh:
+            n1 = fh.read().strip()
+        with open(args.newick_file2) as fh:
+            n2 = fh.read().strip()
+        row = rf_distance_newick(spark, n1, n2).collect()[0]
+        print(_json.dumps(row.asDict()))
+        return 0
 
     if args.cmd == "ingestsynth":
         from treemachine_spark.ingest import ingest_synthesis_data

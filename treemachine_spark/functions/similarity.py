@@ -462,3 +462,92 @@ def semantic_purge_list(
     return pairs.select(
         F.col("id_b").alias("purge_vec_id"), "cent_id"
     ).distinct()
+
+
+def kmeans_fit(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    compute_inertia: bool = False,
+):
+    """Distributed Lloyd's k-means — the training loop behind
+    ``centroid_assign`` / ``ivf_topk`` (which take the learned centroids as
+    given). The reference has nothing comparable; this is the index-build
+    step of the 100 TB embedding pipeline.
+
+    Per-iteration shape, chosen for scale:
+
+    - **E-step is a pure projection**: the k centroids are folded into the
+      plan as LITERAL arrays (k·dim doubles — kilobytes), so assignment is
+      per-row arithmetic with NO join and NO shuffle. ``array_position(
+      dists, array_min(dists))`` gives the argmin with first-match (lowest
+      cent_id) tie-breaking. The squared-distance HOFs are interpreted
+      expressions — at extreme dims swap in an Arrow-batched twin (the d2
+      pattern) without changing the loop.
+    - **M-step is one partial-aggregating shuffle of k·dim rows**:
+      posexplode the assigned vectors, groupBy (cent, pos) sum/count —
+      combiners do the heavy lifting map-side; only k·dim rows cross the
+      wire. New means come back to the driver (tiny) and become the next
+      iteration's literals.
+
+    Init = the k smallest-id vectors (deterministic, like centroid_assign).
+    Empty clusters keep their previous centroid. Returns
+    (centroids_df(cent_id, centroid, n_members), assignment_df(id, cent_id),
+    inertia_history list[float] — empty unless compute_inertia).
+    """
+    spark = embeddings.sparkSession
+    emb = embeddings.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    init = emb.orderBy(id_col).limit(k).collect()
+    cents = [list(r["_v"]) for r in init]
+    history: list[float] = []
+
+    def _sq_dist_lit(c):
+        lit = F.array(*[F.lit(float(x)) for x in c])
+        return F.aggregate(
+            F.zip_with(F.col("_v"), lit, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    assigned = None
+    for _ in range(iters):
+        dists = F.array(*[_sq_dist_lit(c) for c in cents])
+        assigned = emb.select(
+            id_col,
+            "_v",
+            (F.array_position(dists, F.array_min(dists)) - 1)
+            .cast("int")
+            .alias("cent_id"),
+            *( [F.array_min(dists).alias("_d")] if compute_inertia else [] ),
+        )
+        stats = (
+            assigned.select("cent_id", F.posexplode("_v").alias("pos", "val"))
+            .groupBy("cent_id", "pos")
+            .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        by_cent: dict[int, dict[int, tuple]] = {}
+        for r in stats:
+            by_cent.setdefault(r["cent_id"], {})[r["pos"]] = (r["s"], r["n"])
+        counts = [0] * k
+        for ci in range(k):
+            if ci in by_cent:
+                comp = by_cent[ci]
+                counts[ci] = comp[0][1]
+                cents[ci] = [comp[p][0] / comp[p][1] for p in range(len(cents[ci]))]
+            # else: empty cluster keeps its previous centroid
+        if compute_inertia:
+            history.append(assigned.agg(F.sum("_d")).first()[0])
+    import pandas as pd
+
+    cdf = spark.createDataFrame(
+        pd.DataFrame(
+            {"cent_id": range(k), "centroid": cents, "n_members": counts}
+        ),
+        "cent_id int, centroid array<double>, n_members long",
+    )
+    return cdf, assigned.select(id_col, "cent_id"), history
