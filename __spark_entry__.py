@@ -94,6 +94,8 @@ _DRIVER_EXCLUDED = {
     "c1_rf_distance": "pytest-tier; bipartition fingerprint agg like a1 + full-outer join like q13",
     "x15_tfidf": "pytest-tier; explode+agg+window family captured by x1/w1",
     "x16_keyword_search": "pytest-tier; x15's index in serving shape, semi family like l4",
+    "x17_dup_spans": "pytest-tier; span-hash explode+agg, shingle family like d4/d7",
+    "x18_mixture_weights": "pytest-tier; enum-scale agg + broadcast total, family like x4/x14",
 }
 
 

@@ -36,6 +36,8 @@ HEADLINE = [
     "x1_text_profile",
     "s2_sessions_batch",
     "s4_stream_enriched",
+    "c1_rf_distance",
+    "x15_tfidf",
 ]
 
 # Correctness tripwire: expected row count per headline query at the bench
@@ -60,6 +62,8 @@ EXPECTED_ROWS = {
         "x1_text_profile": 5_000,
         "s2_sessions_batch": 95_465,
         "s4_stream_enriched": 3_600,
+        "c1_rf_distance": 1,
+        "x15_tfidf": 15_000,
     },
     0.01: {
         "closure_paths": 293_715,
@@ -77,6 +81,8 @@ EXPECTED_ROWS = {
         "x1_text_profile": 500,
         "s2_sessions_batch": 9_549,
         "s4_stream_enriched": 3_380,
+        "c1_rf_distance": 1,
+        "x15_tfidf": 1_500,
     },
     # derived 10x set (gen_sf1.py -> /tmp/sf1); counts verified Spark==DuckDB
     1.0: {
@@ -95,6 +101,8 @@ EXPECTED_ROWS = {
         "x1_text_profile": 50_000,
         "s2_sessions_batch": 954_650,
         "s4_stream_enriched": 3_600,
+        "c1_rf_distance": 1,
+        "x15_tfidf": 150_000,
     },
 }
 

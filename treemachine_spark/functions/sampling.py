@@ -98,3 +98,39 @@ def source_quota(
         .where(F.col("rank_in_source") <= per_source)
         .select(order_col, key_col, "rank_in_source")
     )
+
+
+def mixture_weights(
+    df: DataFrame,
+    alpha: float = 0.5,
+    group_col: str = "source",
+) -> DataFrame:
+    """Temperature-scaled mixture weights — the rate-DERIVATION step that
+    feeds ``mixture_sample``: ``w_g = n_g^alpha / sum_h n_h^alpha``
+    (multilingual-sampling temperature, alpha<1 upweights the tail;
+    alpha=1 is proportional, alpha=0 uniform).
+
+    One partial-aggregating groupBy on the enum-scale group column plus a
+    broadcast 1-row total — nothing else touches the corpus. alpha=0.5
+    compiles to ``sqrt`` (IEEE-exact, so both engines produce identical
+    doubles); other alphas use ``pow``, where the last ulp is
+    libm-dependent — the gate pins the sqrt case.
+
+    Returns (group_col, n_docs, weight ROUND()ed to 6dp).
+    """
+    counts = df.groupBy(group_col).agg(F.count("*").alias("n_docs"))
+    scaled = (
+        F.sqrt(F.col("n_docs"))
+        if alpha == 0.5
+        else F.pow(F.col("n_docs"), F.lit(alpha))
+    )
+    counts = counts.withColumn("_s", scaled)
+    tot = counts.agg(F.sum("_s").alias("_tot"))
+    return (
+        counts.join(F.broadcast(tot))
+        .select(
+            group_col,
+            "n_docs",
+            F.round(F.col("_s") / F.col("_tot"), 6).alias("weight"),
+        )
+    )

@@ -692,3 +692,27 @@ FROM scored GROUP BY doc_id
 HAVING COUNT(DISTINCT term) = 2
 ORDER BY relevance DESC, doc_id ASC LIMIT 20
 """
+
+PIPELINE_ORACLES["x17_dup_spans"] = r"""
+WITH d AS (
+    SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+    FROM documents
+),
+s AS (
+    SELECT doc_id,
+           unnest(CASE WHEN len(ws) >= 6
+                       THEN [('0x' || substr(md5(array_to_string(ws[i:i+5], ' ')), 1, 8))::BIGINT
+                             FOR i IN range(1, len(ws) - 4)]
+                       ELSE [] END) AS span_hash
+    FROM d
+)
+SELECT span_hash, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occurrences
+FROM s GROUP BY span_hash HAVING COUNT(DISTINCT doc_id) >= 2
+"""
+
+PIPELINE_ORACLES["x18_mixture_weights"] = """
+WITH c AS (SELECT source, COUNT(*) AS n_docs, sqrt(COUNT(*)) AS s
+           FROM documents GROUP BY source),
+t AS (SELECT SUM(s) AS tot FROM c)
+SELECT source, n_docs, ROUND(s / tot, 6) AS weight FROM c CROSS JOIN t
+"""

@@ -316,6 +316,23 @@ def q_x16_keyword_search(spark, sf_dir):
     return text.keyword_search(docs, terms=None, limit=20)
 
 
+def q_x17_dup_spans(spark, sf_dir):
+    """Cross-doc duplicated 6-token spans (exact substring dedup at span
+    granularity, functions/dedup.dup_spans)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    from treemachine_spark.functions.dedup import dup_spans
+
+    return dup_spans(docs, width=6, min_docs=2)
+
+
+def q_x18_mixture_weights(spark, sf_dir):
+    """Temperature-scaled (alpha=0.5) per-source mixture weights."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    from treemachine_spark.functions.sampling import mixture_weights
+
+    return mixture_weights(docs, alpha=0.5, group_col="source")
+
+
 def q_x12_sequence_packing(spark, sf_dir):
     """Per-language 512-token bin packing (training sequence packing)."""
     docs = load_tables(spark, sf_dir)["documents"]
@@ -540,4 +557,6 @@ PIPELINE_QUERIES = {
     "u1_merge_upsert": q_u1_merge_upsert,
     "x15_tfidf": q_x15_tfidf,
     "x16_keyword_search": q_x16_keyword_search,
+    "x17_dup_spans": q_x17_dup_spans,
+    "x18_mixture_weights": q_x18_mixture_weights,
 }
