@@ -134,6 +134,15 @@ def main() -> None:
         ).count(),
     )
     tm("centroid_cells", lambda: similarity.centroid_assign(emb).groupBy("cent_id").count().count())
+    tm("dup_spans_w6", lambda: dedup.dup_spans(docs, width=6).count())
+    tm("tfidf_top3", lambda: text.tfidf_topk(docs, k=3).count())
+    tm(
+        "kmeans_fit_2iter",
+        lambda: similarity.kmeans_fit(emb, k=8, iters=2)[1].count(),
+    )
+    from treemachine_spark.functions import bpe as bpe_mod
+
+    tm("bpe_train_5merges", lambda: len(bpe_mod.bpe_train(docs, n_merges=5)[0]))
 
     # correctness tripwire (same philosophy as bench.py): the generators
     # plant exactly n/20 near-duplicates, so the dedup stages have KNOWN

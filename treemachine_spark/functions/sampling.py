@@ -118,19 +118,20 @@ def mixture_weights(
 
     Returns (group_col, n_docs, weight ROUND()ed to 6dp).
     """
+    from pyspark.sql import Window
+
     counts = df.groupBy(group_col).agg(F.count("*").alias("n_docs"))
     scaled = (
         F.sqrt(F.col("n_docs"))
         if alpha == 0.5
         else F.pow(F.col("n_docs"), F.lit(alpha))
     )
-    counts = counts.withColumn("_s", scaled)
-    tot = counts.agg(F.sum("_s").alias("_tot"))
-    return (
-        counts.join(F.broadcast(tot))
-        .select(
-            group_col,
-            "n_docs",
-            F.round(F.col("_s") / F.col("_tot"), 6).alias("weight"),
-        )
+    # the normalizer is a whole-partition window over the ALREADY-AGGREGATED
+    # enum-scale counts table — one corpus scan, vs duplicating the scan
+    # subtree for a separate total (plan-audited)
+    tot = F.sum(scaled).over(Window.partitionBy())
+    return counts.select(
+        group_col,
+        "n_docs",
+        F.round(scaled / tot, 6).alias("weight"),
     )

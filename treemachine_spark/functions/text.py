@@ -242,10 +242,14 @@ def tfidf_topk(
         F.explode(words(F.lower(F.col(text_col)))).alias("term"),
     ).where(F.col("term") != "")
     tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    # df as a window count over the ALREADY-AGGREGATED tf table — one
+    # corpus scan total, instead of recomputing the explode+groupBy subtree
+    # for a separate dfreq table (plan-audited: 3 parquet scans -> 1 + a
+    # metadata-only count-star)
+    wterm = Window.partitionBy("term")
     n = docs.agg(F.count("*").alias("n_docs"))
     scored = (
-        tf.join(dfreq, "term")
+        tf.withColumn("df", F.count("*").over(wterm))
         .join(F.broadcast(n))
         .withColumn(
             "idf",
@@ -296,9 +300,15 @@ def keyword_search(
         F.explode(words(F.lower(F.col(text_col)))).alias("term"),
     ).where(F.col("term") != "")
     tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    tfd = tf.withColumn("df", F.count("*").over(Window.partitionBy("term")))
     if terms is None:
-        qterms = dfreq.orderBy(F.desc("df"), F.asc("term")).limit(2).select("term")
+        qterms = (
+            tfd.select("term", "df")
+            .distinct()
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(2)
+            .select("term")
+        )
         n_terms = 2
     else:
         qterms = (
@@ -308,8 +318,7 @@ def keyword_search(
         n_terms = len(set(terms))
     n = docs.agg(F.count("*").alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(qterms), "term")
-        .join(dfreq, "term")
+        tfd.join(F.broadcast(qterms), "term")
         .join(F.broadcast(n))
         .withColumn(
             "idf",

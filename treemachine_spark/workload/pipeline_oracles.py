@@ -695,14 +695,17 @@ ORDER BY relevance DESC, doc_id ASC LIMIT 20
 
 PIPELINE_ORACLES["x17_dup_spans"] = r"""
 WITH d AS (
-    SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+    SELECT doc_id,
+           list_transform(string_split_regex(lower(trim(text)), '\s+'),
+                          w -> ('0x' || substr(md5(w), 1, 8))::BIGINT % 2147483647) AS wh
     FROM documents
 ),
 s AS (
     SELECT doc_id,
-           unnest(CASE WHEN len(ws) >= 6
-                       THEN [('0x' || substr(md5(array_to_string(ws[i:i+5], ' ')), 1, 8))::BIGINT
-                             FOR i IN range(1, len(ws) - 4)]
+           unnest(CASE WHEN len(wh) >= 6
+                       THEN [(((((((((((wh[i]) * 1000003 + wh[i+1]) % 2147483647) * 1000003 + wh[i+2]) % 2147483647) * 1000003 + wh[i+3]) % 2147483647) * 1000003 + wh[i+4]) % 2147483647) * 1000003 + wh[i+5]) % 2147483647) * 2147483648 +
+                             (((((((((((wh[i]) * 69069 + wh[i+1]) % 2147483647) * 69069 + wh[i+2]) % 2147483647) * 69069 + wh[i+3]) % 2147483647) * 69069 + wh[i+4]) % 2147483647) * 69069 + wh[i+5]) % 2147483647)
+                             FOR i IN range(1, len(wh) - 4)]
                        ELSE [] END) AS span_hash
     FROM d
 )
