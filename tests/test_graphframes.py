@@ -114,3 +114,37 @@ def test_from_store_adapter(spark):
     assert gf.outDegrees.where(F.col("outDegree") != 1).count() == 0
     cc = gf.connectedComponents()
     assert cc.select("component").distinct().count() == 1
+
+
+def test_triangle_count_known_graph(spark):
+    # K4 on {1,2,3,4}: every vertex is in C(3,2)=3 triangles; vertex 5
+    # hangs off one edge (0 triangles); 6 is isolated
+    edges = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)] + [(4, 5)]
+    v = spark.createDataFrame([(i,) for i in range(1, 7)], "id long")
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["id"]: r["count"] for r in GraphFrame(v, e).triangleCount().collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3, 5: 0, 6: 0}
+
+
+def test_triangle_count_vs_bruteforce_random(spark):
+    import itertools
+    import random
+
+    rng = random.Random(11)
+    n = 30
+    edges = sorted(
+        {(a, b) for a in range(n) for b in range(a + 1, n) if rng.random() < 0.2}
+    )
+    eset = set(edges)
+    expected = {i: 0 for i in range(n)}
+    for x, y, z in itertools.combinations(range(n), 3):
+        if (x, y) in eset and (y, z) in eset and (x, z) in eset:
+            expected[x] += 1
+            expected[y] += 1
+            expected[z] += 1
+    v = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    # feed DIRECTED duplicates + self loops to exercise canonicalization
+    dirty = edges + [(b, a) for a, b in edges[:10]] + [(3, 3)]
+    e = spark.createDataFrame(dirty, "src long, dst long")
+    got = {r["id"]: r["count"] for r in GraphFrame(v, e).triangleCount().collect()}
+    assert got == expected

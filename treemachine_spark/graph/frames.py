@@ -181,3 +181,49 @@ class GraphFrame:
                 .localCheckpoint(eager=True)
             )
         return ranks
+
+    # ------------------------------------------------------------------
+    def triangleCount(self) -> DataFrame:
+        """(id, count): triangles through each vertex, GraphFrames
+        semantics (undirected, deduplicated edges, no self-loops).
+
+        Relational recipe — the node-iterator join, not a traversal:
+        canonicalize edges to a<b once, then one self-join pairs the two
+        lower edges of every wedge (a<b<c) and a semi-join against the
+        edge set closes it. Both joins key on vertex ids, so the plan
+        shuffles twice regardless of graph size; skewed hubs are exactly
+        the AQE-skew / salting case operators/scale.py handles. Each
+        triangle is found once and credited to its three corners.
+        """
+        e = (
+            self.edges.select(
+                F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+            )
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        wedge = (
+            e.alias("e1")
+            .join(e.alias("e2"), F.col("e1.a") == F.col("e2.a"))
+            .where(F.col("e1.b") < F.col("e2.b"))
+            .select(
+                F.col("e1.a").alias("x"),
+                F.col("e1.b").alias("y"),
+                F.col("e2.b").alias("z"),
+            )
+        )
+        tri = wedge.join(
+            e.select(F.col("a").alias("y"), F.col("b").alias("z")),
+            ["y", "z"],
+            "inner",
+        )
+        per_vertex = (
+            tri.select(F.explode(F.array("x", "y", "z")).alias("id"))
+            .groupBy("id")
+            .agg(F.count("*").alias("count"))
+        )
+        return (
+            self.vertices.select("id")
+            .join(per_vertex, "id", "left")
+            .select("id", F.coalesce(F.col("count"), F.lit(0)).alias("count"))
+        )
