@@ -1,0 +1,80 @@
+"""Versioned parquet tables: time travel, snapshot isolation, rollback,
+versioned MERGE (operators/versioned.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from treemachine_spark.operators.versioned import VersionedTable
+
+
+@pytest.fixture()
+def vt(tmp_path):
+    return VersionedTable(str(tmp_path / "tbl"))
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k long, v string")
+
+
+def test_write_read_time_travel(spark, vt):
+    assert vt.write(_df(spark, [(1, "a"), (2, "b")])) == 1
+    assert vt.write(_df(spark, [(1, "a2"), (3, "c")])) == 2
+    assert sorted(vt.read(spark).collect()) == [(1, "a2"), (3, "c")]
+    assert sorted(vt.read(spark, version=1).collect()) == [(1, "a"), (2, "b")]
+    assert [m["version"] for m in vt.history()] == [1, 2]
+
+
+def test_snapshot_isolation_reader_pinned(spark, vt):
+    vt.write(_df(spark, [(1, "a")]))
+    pinned = vt.read(spark)  # lazy — resolves to v1's directory
+    vt.write(_df(spark, [(1, "CHANGED")]))
+    assert pinned.collect() == [(1, "a")]  # later commit invisible
+    assert vt.read(spark).collect() == [(1, "CHANGED")]
+
+
+def test_rollback_is_a_new_version(spark, vt):
+    vt.write(_df(spark, [(1, "good")]))
+    vt.write(_df(spark, [(1, "bad")]))
+    v3 = vt.rollback(1)
+    assert v3 == 3
+    assert vt.read(spark).collect() == [(1, "good")]
+    assert vt.read(spark, version=2).collect() == [(1, "bad")]  # history intact
+    assert vt.history()[-1]["restored_version"] == 1
+
+
+def test_versioned_merge(spark, vt):
+    vt.write(_df(spark, [(1, "a"), (2, "b")]))
+    src = _df(spark, [(2, "B!"), (9, "new")])
+    v = vt.merge(
+        spark,
+        src,
+        on="k",
+        when_matched={"v": F.col("s.v")},
+        when_not_matched={"v": F.col("s.v")},
+    )
+    assert v == 2
+    assert sorted(vt.read(spark).collect()) == [(1, "a"), (2, "B!"), (9, "new")]
+    assert sorted(vt.read(spark, version=1).collect()) == [(1, "a"), (2, "b")]
+
+
+def test_missing_version_raises(spark, vt):
+    with pytest.raises(ValueError):
+        vt.read(spark)
+    vt.write(_df(spark, [(1, "a")]))
+    with pytest.raises(ValueError):
+        vt.read(spark, version=7)
+    with pytest.raises(ValueError):
+        vt.rollback(7)
+
+
+def test_partitioned_snapshot(spark, tmp_path):
+    vt = VersionedTable(str(tmp_path / "p"))
+    df = spark.createDataFrame(
+        [(1, "x", "en"), (2, "y", "de")], "k long, v string, lang string"
+    )
+    vt.write(df, partition_by="lang")
+    got = vt.read(spark)
+    assert got.where(F.col("lang") == "en").count() == 1
+    assert sorted(got.columns) == ["k", "lang", "v"]

@@ -1,0 +1,142 @@
+"""Versioned parquet tables: snapshot isolation, time travel, O(1)
+rollback — the lakehouse transaction-log pattern (Delta/Iceberg's core
+idea) in its minimal form.
+
+Why this belongs in a 100 TB engine: plain ``mode("overwrite")`` deletes
+the old files before the new ones commit, so a concurrent reader can see a
+half-written table, and yesterday's state is simply gone. The fix is the
+same everywhere in the lakehouse world: data files are IMMUTABLE, each
+write lands in a fresh directory, and a tiny manifest (the "log") is the
+only thing that moves. Readers pin a manifest, so every query sees one
+consistent snapshot no matter what writers do; rollback is publishing a
+manifest that points at an old directory — no data is copied or deleted.
+
+The reference mutates Neo4j in place (GraphImporter ingest batches,
+GraphBase.deleteTreeBySource) with none of this; beyond-reference surface.
+
+Scale notes: the manifest is O(1) metadata regardless of table size; the
+data directories inherit whatever partitioning the DataFrame writer is
+given (``partition_by``), so partition pruning works per snapshot.
+``merge`` composes operators/mutate.merge_upsert (one full-outer join)
+with a versioned publish — the MERGE INTO + time-travel combination every
+lakehouse ships.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class VersionedTable:
+    """A directory of immutable parquet snapshots plus a JSON manifest log.
+
+    Layout::
+
+        <path>/_log/v00000001.json   {"version": 1, "data_dir": "data/v1", "op": ...}
+        <path>/data/v1/...parquet    (never rewritten)
+    """
+
+    def __init__(self, path: str):
+        self.path = path
+        os.makedirs(os.path.join(path, "_log"), exist_ok=True)
+
+    # ------------------------------------------------------------------
+    def _manifests(self) -> list[dict]:
+        logdir = os.path.join(self.path, "_log")
+        out = []
+        for name in sorted(os.listdir(logdir)):
+            if name.endswith(".json"):
+                with open(os.path.join(logdir, name)) as fh:
+                    out.append(json.load(fh))
+        return out
+
+    @property
+    def latest_version(self) -> int:
+        m = self._manifests()
+        return m[-1]["version"] if m else 0
+
+    def history(self) -> list[dict]:
+        """All committed manifests, oldest first."""
+        return self._manifests()
+
+    # ------------------------------------------------------------------
+    def _publish(self, data_dir: str, op: str, meta: dict | None = None) -> int:
+        v = self.latest_version + 1
+        manifest = {
+            "version": v,
+            "data_dir": data_dir,
+            "op": op,
+            "ts": time.time(),
+            **(meta or {}),
+        }
+        final = os.path.join(self.path, "_log", f"v{v:08d}.json")
+        tmp = final + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.rename(tmp, final)  # atomic publish: readers see all or nothing
+        return v
+
+    def write(
+        self,
+        df: DataFrame,
+        op: str = "overwrite",
+        partition_by: str | None = None,
+    ) -> int:
+        """Write ``df`` as a NEW immutable snapshot and publish it.
+        Returns the committed version number."""
+        v = self.latest_version + 1
+        rel = f"data/v{v}"
+        writer = df.write.mode("errorifexists")
+        if partition_by:
+            writer = writer.partitionBy(partition_by)
+        writer.parquet(os.path.join(self.path, rel))
+        return self._publish(rel, op)
+
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """Latest snapshot, or time-travel to ``version``. The returned
+        DataFrame is pinned to that snapshot's directory — later writes
+        and rollbacks cannot change what it reads."""
+        ms = self._manifests()
+        if not ms:
+            raise ValueError(f"{self.path}: no committed versions")
+        if version is None:
+            m = ms[-1]
+        else:
+            try:
+                m = next(x for x in ms if x["version"] == version)
+            except StopIteration:
+                raise ValueError(f"{self.path}: no version {version}") from None
+        return spark.read.parquet(os.path.join(self.path, m["data_dir"]))
+
+    def rollback(self, version: int) -> int:
+        """Publish a new version whose data is an OLD snapshot's directory.
+        O(1): no data moves; history is preserved (a rollback is itself a
+        committed version, as in Delta's RESTORE)."""
+        ms = self._manifests()
+        target = next((x for x in ms if x["version"] == version), None)
+        if target is None:
+            raise ValueError(f"{self.path}: no version {version}")
+        return self._publish(
+            target["data_dir"], "rollback", {"restored_version": version}
+        )
+
+    def merge(
+        self,
+        spark: SparkSession,
+        source: DataFrame,
+        on: str,
+        when_matched=None,
+        when_not_matched=None,
+    ) -> int:
+        """MERGE INTO the latest snapshot (operators/mutate.merge_upsert
+        semantics) and publish the result as a new version."""
+        from treemachine_spark.operators.mutate import merge_upsert
+
+        merged = merge_upsert(
+            self.read(spark), source, on, when_matched, when_not_matched
+        )
+        return self.write(merged, op="merge")
