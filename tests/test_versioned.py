@@ -78,3 +78,51 @@ def test_partitioned_snapshot(spark, tmp_path):
     got = vt.read(spark)
     assert got.where(F.col("lang") == "en").count() == 1
     assert sorted(got.columns) == ["k", "lang", "v"]
+
+
+def test_compact_reduces_files_same_rows(spark, vt):
+    df = spark.range(0, 1000, 1, 16).select(
+        F.col("id").alias("k"), F.col("id").cast("string").alias("v")
+    )
+    vt.write(df)
+    import glob
+    import os
+
+    def nfiles(version):
+        m = next(x for x in vt.history() if x["version"] == version)
+        return len(
+            glob.glob(os.path.join(vt.path, m["data_dir"], "*.parquet"))
+        )
+
+    assert nfiles(1) > 1
+    v2 = vt.compact(spark, target_files=1)
+    assert nfiles(v2) == 1
+    assert vt.read(spark).count() == 1000
+    assert vt.read(spark, version=1).count() == 1000  # old snapshot intact
+
+
+def test_vacuum_removes_old_dirs_keeps_recent(spark, vt):
+    import os
+
+    vt.write(_df(spark, [(1, "a")]))
+    vt.write(_df(spark, [(1, "b")]))
+    vt.write(_df(spark, [(1, "c")]))
+    removed = vt.vacuum(keep_last=2)
+    assert removed == ["data/v1"]
+    assert not os.path.exists(os.path.join(vt.path, "data/v1"))
+    # recent versions still readable; history still lists all three
+    assert vt.read(spark, version=2).collect() == [(1, "b")]
+    assert vt.read(spark).collect() == [(1, "c")]
+    assert len(vt.history()) == 3
+
+
+def test_vacuum_spares_dirs_shared_by_rollback(spark, vt):
+    import os
+
+    vt.write(_df(spark, [(1, "good")]))   # v1
+    vt.write(_df(spark, [(1, "bad")]))    # v2
+    vt.rollback(1)                        # v3 -> points at data/v1
+    removed = vt.vacuum(keep_last=2)      # keeps v2, v3(=data/v1)
+    assert "data/v1" not in removed       # referenced by kept v3
+    assert os.path.exists(os.path.join(vt.path, "data/v1"))
+    assert vt.read(spark).collect() == [(1, "good")]

@@ -124,6 +124,35 @@ class VersionedTable:
             target["data_dir"], "rollback", {"restored_version": version}
         )
 
+    def compact(self, spark: SparkSession, target_files: int = 1) -> int:
+        """OPTIMIZE: rewrite the latest snapshot into ``target_files``
+        files per partition directory and publish it as a new version.
+        Small-file compaction is the standing maintenance job of any
+        streaming-ingested table (each micro-batch commit lands small
+        files; scans pay per-file open cost). Readers of older versions
+        are untouched — compaction is just another snapshot."""
+        df = self.read(spark).coalesce(target_files)
+        return self.write(df, op="compact")
+
+    def vacuum(self, keep_last: int = 2) -> list[str]:
+        """Delete snapshot DIRECTORIES no longer referenced by the last
+        ``keep_last`` manifests (their manifests stay, marked vacuumed, so
+        history remains auditable). Returns the removed data dirs.
+        Time travel beyond the horizon is gone — the Delta VACUUM
+        trade-off, applied only after the retention window."""
+        import shutil
+
+        ms = self._manifests()
+        keep = {m["data_dir"] for m in ms[-keep_last:]} if keep_last else set()
+        removed = []
+        for m in ms[:-keep_last] if keep_last else ms:
+            d = m["data_dir"]
+            full = os.path.join(self.path, d)
+            if d not in keep and os.path.exists(full):
+                shutil.rmtree(full)
+                removed.append(d)
+        return removed
+
     def merge(
         self,
         spark: SparkSession,
