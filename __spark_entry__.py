@@ -96,6 +96,7 @@ _DRIVER_EXCLUDED = {
     "x16_keyword_search": "pytest-tier; x15's index in serving shape, semi family like l4",
     "x17_dup_spans": "pytest-tier; span-hash explode+agg, shingle family like d4/d7",
     "x18_mixture_weights": "pytest-tier; enum-scale agg + broadcast total, family like x4/x14",
+    "v8_hard_negatives": "pytest-tier; broadcast-topk family captured by v2/v3",
 }
 
 

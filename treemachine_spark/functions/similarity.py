@@ -551,3 +551,51 @@ def kmeans_fit(
         "cent_id int, centroid array<double>, n_members long",
     )
     return cdf, assigned.select(id_col, "cent_id"), history
+
+
+def hard_negatives(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query, the
+    top-k most similar vectors with a DIFFERENT label — near-misses make
+    the strongest negatives (in-batch random negatives are mostly easy).
+
+    Same plan as brute_force_topk (broadcast query set, per-query window)
+    with the label anti-predicate applied BEFORE ranking, so negatives
+    never displace into the k slots. At corpus scale swap the candidate
+    generator for ivf_topk/lsh_topk cells and keep the same label filter
+    in the re-rank — the plan shape is unchanged.
+
+    Returns (query_id, neighbor_id, neighbor_label, score, rank).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("q_label"),
+        quantize(F.col(vec_col)).alias("qv"),
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("neighbor_label"),
+        quantize(F.col(vec_col)).alias("cv"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("q_label") != F.col("neighbor_label"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "neighbor_label",
+            int_dot(F.col("qv"), F.col("cv")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "neighbor_label", "score", "rank")
+    )

@@ -719,3 +719,21 @@ WITH c AS (SELECT source, COUNT(*) AS n_docs, sqrt(COUNT(*)) AS s
 t AS (SELECT SUM(s) AS tot FROM c)
 SELECT source, n_docs, ROUND(s / tot, 6) AS weight FROM c CROSS JOIN t
 """
+
+PIPELINE_ORACLES["v8_hard_negatives"] = f"""
+WITH q AS (SELECT vec_id AS query_id, label AS q_label, {_QUANT} AS qv
+           FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS neighbor_id, label AS neighbor_label, {_QUANT} AS cv
+      FROM embeddings),
+s AS (
+    SELECT query_id, neighbor_id, neighbor_label,
+           list_dot_product(qv, cv) AS score
+    FROM c CROSS JOIN q WHERE q_label != neighbor_label
+),
+r AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rk
+    FROM s
+)
+SELECT query_id, neighbor_id, neighbor_label, score, CAST(rk AS INTEGER) AS rank
+FROM r WHERE rk <= 5
+"""

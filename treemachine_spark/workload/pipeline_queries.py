@@ -333,6 +333,13 @@ def q_x18_mixture_weights(spark, sf_dir):
     return mixture_weights(docs, alpha=0.5, group_col="source")
 
 
+def q_v8_hard_negatives(spark, sf_dir):
+    """Contrastive hard negatives: top-5 cross-label neighbors for the 5
+    smallest-id query vectors (similarity.hard_negatives)."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return similarity.hard_negatives(emb, emb.where(F.col("vec_id") < 5), k=5)
+
+
 def q_x12_sequence_packing(spark, sf_dir):
     """Per-language 512-token bin packing (training sequence packing)."""
     docs = load_tables(spark, sf_dir)["documents"]
@@ -559,4 +566,5 @@ PIPELINE_QUERIES = {
     "x16_keyword_search": q_x16_keyword_search,
     "x17_dup_spans": q_x17_dup_spans,
     "x18_mixture_weights": q_x18_mixture_weights,
+    "v8_hard_negatives": q_v8_hard_negatives,
 }
