@@ -585,12 +585,29 @@ def dup_spans(
 
     from treemachine_spark.functions.hashing import MERSENNE31
 
+    ex = _token_span_tables(docs, width, text_col, id_col)[1]
+    return (
+        ex.groupBy("span_hash")
+        .agg(
+            F.countDistinct(id_col).alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+    )
+
+
+def _token_span_tables(docs, width, text_col, id_col):
+    """(tokens, spans) for the span-dedup family. tokens = (id, pos, w);
+    spans = (id, pos, span_hash) where pos is the span's start token."""
+    from pyspark.sql import Window
+
+    from treemachine_spark.functions.hashing import MERSENNE31
+
     P1, P2 = 1_000_003, 69_069
     ws = words(F.lower(F.col(text_col)))
-    toks = docs.select(
-        F.col(id_col), F.posexplode(ws).alias("pos", "_w")
-    ).select(
-        F.col(id_col), "pos", (h32(F.col("_w")) % MERSENNE31).alias("wh")
+    toks = docs.select(F.col(id_col), F.posexplode(ws).alias("pos", "w"))
+    hashed = toks.select(
+        F.col(id_col), "pos", "w", (h32(F.col("w")) % MERSENNE31).alias("wh")
     )
     win = Window.partitionBy(id_col).orderBy("pos")
     h1, h2 = F.col("wh"), F.col("wh")
@@ -599,14 +616,72 @@ def dup_spans(
         h1 = (h1 * P1 + nxt) % MERSENNE31
         h2 = (h2 * P2 + nxt) % MERSENNE31
     span_hash = h1 * F.lit(2_147_483_648) + h2
-    ex = toks.select(F.col(id_col), span_hash.alias("span_hash")).where(
-        F.col("span_hash").isNotNull()
+    spans = hashed.select(
+        F.col(id_col), "pos", span_hash.alias("span_hash")
+    ).where(F.col("span_hash").isNotNull())
+    return toks, spans
+
+
+def strip_dup_spans(
+    docs: DataFrame,
+    width: int = 6,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The ACTIONABLE half of substring dedup: rewrite each document with
+    every duplicated ``width``-token span removed except the corpus-FIRST
+    occurrence (lowest (doc_id, pos) — the keep-one policy of Lee et al.
+    2022). A token covered by ANY dropped occurrence is dropped, so
+    overlapping duplicated regions collapse together (greedy, deterministic).
+
+    Plan on top of the shared span table: one groupBy finds duplicated
+    span ids; one window over their occurrences ranks the keeper; dropped
+    occurrences explode into covered token positions (width rows each —
+    bounded); an anti-join keeps surviving tokens, and the rebuild is a
+    per-doc sort-and-join aggregation. Every stage is keyed (span_hash or
+    doc id) — no driver state, corpus-linear.
+
+    Returns (doc_id, n_kept_tokens, clean_hash) — the rebuilt text is
+    exposed via md5 so the cross-engine gate compares fixed-width values;
+    the rebuilt text itself is whitespace-normalized lowercase (the token
+    stream the pipeline trains on).
+    """
+    from pyspark.sql import Window
+
+    toks, spans = _token_span_tables(docs, width, text_col, id_col)
+    dup = (
+        spans.groupBy("span_hash")
+        .agg(F.countDistinct(id_col).alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("span_hash")
     )
-    return (
-        ex.groupBy("span_hash")
-        .agg(
-            F.countDistinct(id_col).alias("n_docs"),
-            F.count("*").alias("n_occurrences"),
-        )
-        .where(F.col("n_docs") >= min_docs)
+    occ = spans.join(dup, "span_hash")
+    rn = F.row_number().over(
+        Window.partitionBy("span_hash").orderBy(id_col, "pos")
+    )
+    dropped = occ.withColumn("rn", rn).where(F.col("rn") >= 2)
+    covered = dropped.select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + (width - 1))
+        ).alias("pos"),
+    ).distinct()
+    kept = toks.join(covered, [id_col, "pos"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count("*").alias("n_kept_tokens"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    lambda s: s["w"],
+                ),
+                " ",
+            )
+        ).alias("clean_hash"),
+    )
+    return docs.select(F.col(id_col)).join(rebuilt, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("n_kept_tokens"), F.lit(0)).alias("n_kept_tokens"),
+        F.coalesce(F.col("clean_hash"), F.md5(F.lit(""))).alias("clean_hash"),
     )

@@ -737,3 +737,49 @@ r AS (
 SELECT query_id, neighbor_id, neighbor_label, score, CAST(rk AS INTEGER) AS rank
 FROM r WHERE rk <= 5
 """
+
+PIPELINE_ORACLES["x19_strip_spans"] = r"""
+WITH d AS (
+    SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+    FROM documents
+),
+dh AS (
+    SELECT doc_id, ws,
+           list_transform(ws, w -> ('0x' || substr(md5(w), 1, 8))::BIGINT % 2147483647) AS wh
+    FROM d
+),
+toks AS (
+    SELECT doc_id, i - 1 AS pos, ws[i] AS w
+    FROM dh, unnest(range(1, len(ws) + 1)) t(i)
+),
+spans AS (
+    SELECT doc_id, i - 1 AS pos,
+           (((((((((((wh[i]) * 1000003 + wh[i+1]) % 2147483647) * 1000003 + wh[i+2]) % 2147483647) * 1000003 + wh[i+3]) % 2147483647) * 1000003 + wh[i+4]) % 2147483647) * 1000003 + wh[i+5]) % 2147483647) * 2147483648 + (((((((((((wh[i]) * 69069 + wh[i+1]) % 2147483647) * 69069 + wh[i+2]) % 2147483647) * 69069 + wh[i+3]) % 2147483647) * 69069 + wh[i+4]) % 2147483647) * 69069 + wh[i+5]) % 2147483647) AS span_hash
+    FROM dh, unnest(range(1, len(wh) - 4)) t(i)
+),
+dup AS (
+    SELECT span_hash FROM spans GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2
+),
+occ AS (
+    SELECT s.doc_id, s.pos,
+           ROW_NUMBER() OVER (PARTITION BY s.span_hash ORDER BY s.doc_id, s.pos) AS rn
+    FROM spans s JOIN dup USING (span_hash)
+),
+covered AS (
+    SELECT DISTINCT doc_id, pos + j AS pos
+    FROM occ, unnest(range(0, 6)) t(j) WHERE rn >= 2
+),
+kept AS (
+    SELECT t.doc_id, t.pos, t.w
+    FROM toks t LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.pos = c.pos
+    WHERE c.doc_id IS NULL
+),
+reb AS (
+    SELECT doc_id, COUNT(*) AS n_kept_tokens,
+           md5(string_agg(w, ' ' ORDER BY pos)) AS clean_hash
+    FROM kept GROUP BY doc_id
+)
+SELECT dd.doc_id, COALESCE(reb.n_kept_tokens, 0) AS n_kept_tokens,
+       COALESCE(reb.clean_hash, md5('')) AS clean_hash
+FROM documents dd LEFT JOIN reb USING (doc_id)
+"""

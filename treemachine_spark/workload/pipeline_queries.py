@@ -340,6 +340,15 @@ def q_v8_hard_negatives(spark, sf_dir):
     return similarity.hard_negatives(emb, emb.where(F.col("vec_id") < 5), k=5)
 
 
+def q_x19_strip_spans(spark, sf_dir):
+    """Substring-dedup rewrite: duplicated 6-token spans removed, corpus-
+    first occurrence kept (dedup.strip_dup_spans)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    from treemachine_spark.functions.dedup import strip_dup_spans
+
+    return strip_dup_spans(docs, width=6, min_docs=2)
+
+
 def q_x12_sequence_packing(spark, sf_dir):
     """Per-language 512-token bin packing (training sequence packing)."""
     docs = load_tables(spark, sf_dir)["documents"]
@@ -567,4 +576,5 @@ PIPELINE_QUERIES = {
     "x17_dup_spans": q_x17_dup_spans,
     "x18_mixture_weights": q_x18_mixture_weights,
     "v8_hard_negatives": q_v8_hard_negatives,
+    "x19_strip_spans": q_x19_strip_spans,
 }
