@@ -59,3 +59,69 @@ def test_tip_names_not_node_ids_drive_identity(spark):
     # same topology written with tips in different textual order must match
     r = _rf(spark, "((A,B),(C,D),E);", "((D,C),(B,A),E);")
     assert r["rf_distance"] == 0
+
+
+def _random_newick(rng, tips):
+    """Random binary tree over the given tip names (recursive joins)."""
+    nodes = list(tips)
+    while len(nodes) > 1:
+        i = rng.randrange(len(nodes))
+        a = nodes.pop(i)
+        j = rng.randrange(len(nodes))
+        b = nodes.pop(j)
+        nodes.append(f"({a},{b})")
+    return nodes[0] + ";"
+
+
+def _brute_rf(n1, n2):
+    """Independent set-based RF: bipartitions as frozensets of tip names."""
+    from treemachine_spark.sources.newick import parse_newick
+
+    def bips(text):
+        t = parse_newick(text)
+        children = {}
+        for c, p, _bl, _ci in t.edges():
+            children.setdefault(p, []).append(c)
+        tipnames = {}
+
+        def tips_below(nid):
+            kids = children.get(nid)
+            if not kids:
+                return frozenset([tipnames[nid]])
+            out = frozenset()
+            for k in kids:
+                out |= tips_below(k)
+            return out
+
+        for nd in t.nodes:
+            if nd.is_leaf:
+                tipnames[nd.node_id] = nd.label
+        all_tips = tips_below(t.root_id)
+        out = set()
+        for nid in children:  # internal nodes only
+            s = tips_below(nid)
+            if 2 <= len(s) < len(all_tips):
+                out.add(s)
+        return out
+
+    b1, b2 = bips(n1), bips(n2)
+    return len(b1 ^ b2)
+
+
+def test_random_trees_match_bruteforce(spark):
+    import random
+
+    tips = [f"T{i}" for i in range(12)]
+    for seed in (0, 1, 2, 3):
+        rng = random.Random(seed)
+        n1 = _random_newick(rng, tips)
+        n2 = _random_newick(rng, tips)
+        got = _rf(spark, n1, n2)["rf_distance"]
+        assert got == _brute_rf(n1, n2), (seed, n1, n2)
+
+
+def test_random_tree_self_distance_zero(spark):
+    import random
+
+    n1 = _random_newick(random.Random(9), [f"T{i}" for i in range(15)])
+    assert _rf(spark, n1, n1)["rf_distance"] == 0

@@ -61,6 +61,9 @@ def bipartition_fingerprints(
     Returns (tip_hash_sum bigint, n_tips bigint), distinct rows.
     """
     if paths is None:
+        # keep the checkpointed build: lazy (checkpoint=False) re-runs the
+        # doubling joins for every isEmpty probe and the final consumer —
+        # measured SLOWER (2.4 s -> 3.7-4.9 s at sf0.1) despite fusing
         paths = build_closure(edges)
     tips = leaf_set(edges)
     if tip_labels is not None:

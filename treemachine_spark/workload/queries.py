@@ -302,8 +302,15 @@ def q_c1_rf_distance(spark, sf_dir):
             ),
         )
     )
-    fp1 = C.bipartition_fingerprints(cust1.union(nat).union(reg))
-    fp2 = C.bipartition_fingerprints(cust2.union(reg))
+    # the two closure builds are independent job chains (eager
+    # localCheckpoints) — submit them concurrently so they pack the
+    # cluster instead of serializing (the get_ctx ingest pattern)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(2) as pool:
+        f1 = pool.submit(C.bipartition_fingerprints, cust1.union(nat).union(reg))
+        f2 = pool.submit(C.bipartition_fingerprints, cust2.union(reg))
+        fp1, fp2 = f1.result(), f2.result()
     return C.rf_distance(fp1, fp2)
 
 
