@@ -98,6 +98,7 @@ _DRIVER_EXCLUDED = {
     "x18_mixture_weights": "pytest-tier; enum-scale agg + broadcast total, family like x4/x14",
     "v8_hard_negatives": "pytest-tier; broadcast-topk family captured by v2/v3",
     "x19_strip_spans": "pytest-tier; x17's span table + window keeper + anti-join rebuild",
+    "x20_lm_score": "pytest-tier; bigram window + count-join family like x15/x17",
 }
 
 

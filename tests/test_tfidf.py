@@ -49,3 +49,27 @@ def test_keyword_search_default_query_is_top_df(spark):
     # top-2 df terms: x (3 docs), y (2 docs) -> AND matches docs 1 and 2
     out = keyword_search(docs, terms=None).collect()
     assert sorted(r["doc_id"] for r in out) == [1, 2]
+
+
+def test_lm_score_prefers_frequent_transitions(spark):
+    from treemachine_spark.functions.text import lm_score
+
+    docs = spark.createDataFrame(
+        [(1, "a a a a a a"), (2, "a q z b x c"), (3, "a a a b")],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r for r in lm_score(docs).collect()}
+    assert got[1]["n_bigrams"] == 5 and got[2]["n_bigrams"] == 5
+    # 'a a' dominates the corpus transitions -> doc 1 far more probable
+    assert got[1]["avg_logprob"] > got[2]["avg_logprob"]
+
+
+def test_lm_score_short_doc_zero(spark):
+    from treemachine_spark.functions.text import lm_score
+
+    docs = spark.createDataFrame(
+        [(1, "solo"), (2, "a b")], "doc_id bigint, text string"
+    )
+    got = {r["doc_id"]: (r["n_bigrams"], r["avg_logprob"]) for r in lm_score(docs).collect()}
+    assert got[1] == (0, 0.0)
+    assert got[2][0] == 1

@@ -341,3 +341,72 @@ def keyword_search(
         .select(id_col, "relevance")
     )
     return ranked
+
+
+def lm_score(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Bigram-LM quality score per document — the perplexity-filtering
+    stage of a pretraining pipeline (CCNet-style): documents whose token
+    transitions are improbable under a corpus LM are noise candidates.
+
+    Model: Laplace-smoothed bigram LM trained on the corpus itself,
+    ``P(w|prev) = (c(prev,w) + 1) / (c(prev) + V)``. Every count is an
+    exact integer; each bigram's log-prob is QUANTIZED to an integer
+    (``round(ln(p) * 1e6)``) BEFORE the per-doc sum, so the aggregation is
+    exact BIGINT arithmetic — a float sum's order-dependence would differ
+    across engines (the q7 knife-edge), and ln's last ulp is
+    libm-dependent; one round per bigram sidesteps both.
+
+    Plan: one corpus scan -> window lead(1) per doc forms bigrams (the
+    dup_spans shape); bigram and prev-unigram count tables partial-agg;
+    scoring joins doc bigrams to the two count tables (shuffled on the
+    bigram/prev keys — vocab-scale right sides) plus a broadcast 1-row V;
+    final per-doc aggregation. Self-training on the scored corpus is the
+    standard setup; score against a held-out LM by training on a
+    reference corpus instead.
+
+    Returns (doc_id, n_bigrams, avg_logprob) — avg_logprob ROUND()ed to
+    4dp, NULL-free (docs with <2 tokens score 0 bigrams, avg 0.0).
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col), F.posexplode(words(F.lower(F.col(text_col)))).alias("pos", "w")
+    ).where(F.col("w") != "")
+    win = Window.partitionBy(id_col).orderBy("pos")
+    bi = toks.select(
+        F.col(id_col),
+        F.col("w").alias("prev"),
+        F.lead("w", 1).over(win).alias("cur"),
+    ).where(F.col("cur").isNotNull())
+    bi_counts = bi.groupBy("prev", "cur").agg(F.count("*").alias("c_bi"))
+    prev_counts = bi.groupBy("prev").agg(F.count("*").alias("c_prev"))
+    vocab = toks.agg(F.countDistinct("w").alias("v"))
+    scored = (
+        bi.join(bi_counts, ["prev", "cur"])
+        .join(prev_counts, "prev")
+        .join(F.broadcast(vocab))
+        .withColumn(
+            "lp",
+            F.round(
+                F.log(
+                    (F.col("c_bi") + F.lit(1.0))
+                    / (F.col("c_prev") + F.col("v"))
+                )
+                * 1_000_000
+            ).cast("long"),
+        )
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"), F.sum("lp").alias("s")
+    )
+    return docs.select(F.col(id_col)).join(agg, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+        F.coalesce(
+            F.round(F.col("s") / 1_000_000 / F.col("n_bigrams"), 4), F.lit(0.0)
+        ).alias("avg_logprob"),
+    )

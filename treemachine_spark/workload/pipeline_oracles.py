@@ -783,3 +783,33 @@ SELECT dd.doc_id, COALESCE(reb.n_kept_tokens, 0) AS n_kept_tokens,
        COALESCE(reb.clean_hash, md5('')) AS clean_hash
 FROM documents dd LEFT JOIN reb USING (doc_id)
 """
+
+PIPELINE_ORACLES["x20_lm_score"] = r"""
+WITH toks AS (
+    SELECT doc_id, i - 1 AS pos, ws[i] AS w
+    FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+          FROM documents) d,
+         unnest(range(1, len(ws) + 1)) t(i)
+    WHERE ws[i] <> ''
+),
+bi AS (
+    SELECT doc_id, w AS prev,
+           lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS cur
+    FROM toks
+),
+bi2 AS (SELECT * FROM bi WHERE cur IS NOT NULL),
+bc AS (SELECT prev, cur, COUNT(*) AS c_bi FROM bi2 GROUP BY 1, 2),
+pc AS (SELECT prev, COUNT(*) AS c_prev FROM bi2 GROUP BY 1),
+v AS (SELECT COUNT(DISTINCT w) AS v FROM toks),
+sc AS (
+    SELECT bi2.doc_id,
+           CAST(round(ln((c_bi + 1.0) / (c_prev + v)) * 1000000) AS BIGINT) AS lp
+    FROM bi2 JOIN bc USING (prev, cur) JOIN pc USING (prev) CROSS JOIN v
+),
+agg AS (
+    SELECT doc_id, COUNT(*) AS n_bigrams, SUM(lp) AS s FROM sc GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(agg.n_bigrams, 0) AS n_bigrams,
+       COALESCE(ROUND(s / 1000000.0 / n_bigrams, 4), 0.0) AS avg_logprob
+FROM documents d LEFT JOIN agg USING (doc_id)
+"""

@@ -349,6 +349,12 @@ def q_x19_strip_spans(spark, sf_dir):
     return strip_dup_spans(docs, width=6, min_docs=2)
 
 
+def q_x20_lm_score(spark, sf_dir):
+    """Bigram-LM perplexity-style quality score (text.lm_score)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return text.lm_score(docs)
+
+
 def q_x12_sequence_packing(spark, sf_dir):
     """Per-language 512-token bin packing (training sequence packing)."""
     docs = load_tables(spark, sf_dir)["documents"]
@@ -577,4 +583,5 @@ PIPELINE_QUERIES = {
     "x18_mixture_weights": q_x18_mixture_weights,
     "v8_hard_negatives": q_v8_hard_negatives,
     "x19_strip_spans": q_x19_strip_spans,
+    "x20_lm_score": q_x20_lm_score,
 }
