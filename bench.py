@@ -104,6 +104,30 @@ EXPECTED_ROWS = {
         "c1_rf_distance": 1,
         "x15_tfidf": 150_000,
     },
+    # derived 100x set (gen_sf1.py /tmp/sf10 100). closure_paths equals the
+    # analytic node-depth sum R+2N+3C+4O+5L (formula validated against the
+    # materialized closure at sf0.01/0.1/1); the non-recursive rows were
+    # independently confirmed by running the DuckDB oracles on the same
+    # parquet; d2 reflects the 100-replica near-dup group blow-up (real).
+    10.0: {
+        "closure_paths": 292_930_555,
+        "t2_mrca": 1,
+        "t4_subtree": 643_900,
+        "t6_induced_subtree": 14,
+        "a1_tip_counts": 31,
+        "q1_pricing_summary": 6,
+        "q3_top_orders": 10,
+        "q5_region_revenue": 25,
+        "w1_window_topn": 2_999_200,
+        "p10_id_codec": 15_000_000,
+        "d2_minhash_pairs": 27_289_712,
+        "v1_ann_brute": 50,
+        "x1_text_profile": 500_000,
+        "s2_sessions_batch": 9_546_500,
+        "s4_stream_enriched": 3_600,
+        "c1_rf_distance": 1,
+        "x15_tfidf": 1_500_000,
+    },
 }
 
 

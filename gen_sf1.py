@@ -7,7 +7,9 @@ and the hierarchy derivation scale like real TPC-H growth); the fixed dims
 (region, nation) are copied once. Document text gets a per-replica suffix
 so the dedup operators see 10x distinct documents, not 10 copies.
 
-Usage: python gen_sf1.py [out_dir]   (default /tmp/sf1-derived)
+Usage: python gen_sf1.py [out_dir] [replicas]   (default /tmp/sf1-derived 10;
+replicas=100 derives an "sf10" set — keys stay collision-free to 21 replicas
+x OFFSET under BIGINT, and base keys are < OFFSET)
 Inputs come from the driver's own testdata — nothing synthesized from
 scratch; this is a deterministic amplification of sf0.1.
 """
@@ -24,7 +26,7 @@ if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
 OFFSET = 100_000_000
-REPLICAS = 10
+REPLICAS = 10  # overridable via argv[2]
 
 # key columns shifted per replica, by table (shared domains stay coherent:
 # events.user_id joins customer.c_custkey in s4, so both shift together)
@@ -43,6 +45,9 @@ COPY_ONCE = ["region", "nation"]
 
 def main() -> None:
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1-derived"
+    global REPLICAS
+    if len(sys.argv) > 2:
+        REPLICAS = int(sys.argv[2])
     src_dir = os.environ.get("SPARK_GRAFT_SRC_SF", "/root/testdata/sf0.1")
 
     from pyspark.sql import functions as F
