@@ -99,6 +99,7 @@ _DRIVER_EXCLUDED = {
     "v8_hard_negatives": "pytest-tier; broadcast-topk family captured by v2/v3",
     "x19_strip_spans": "pytest-tier; x17's span table + window keeper + anti-join rebuild",
     "x20_lm_score": "pytest-tier; bigram window + count-join family like x15/x17",
+    "x21_table_stats": "pytest-tier; single-pass multi-agg, family like x1/a-group",
 }
 
 

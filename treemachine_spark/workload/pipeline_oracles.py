@@ -813,3 +813,35 @@ SELECT d.doc_id, COALESCE(agg.n_bigrams, 0) AS n_bigrams,
        COALESCE(ROUND(s / 1000000.0 / n_bigrams, 4), 0.0) AS avg_logprob
 FROM documents d LEFT JOIN agg USING (doc_id)
 """
+
+PIPELINE_ORACLES["x21_table_stats"] = """
+SELECT 'doc_id' AS column_name, COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       COUNT(DISTINCT doc_id) AS n_distinct,
+       CAST(MIN(doc_id) AS VARCHAR) AS min_str, CAST(MAX(doc_id) AS VARCHAR) AS max_str
+FROM documents
+UNION ALL
+SELECT 'text' AS column_name, COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       COUNT(DISTINCT text) AS n_distinct,
+       CAST(MIN(text) AS VARCHAR) AS min_str, CAST(MAX(text) AS VARCHAR) AS max_str
+FROM documents
+UNION ALL
+SELECT 'lang' AS column_name, COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       COUNT(DISTINCT lang) AS n_distinct,
+       CAST(MIN(lang) AS VARCHAR) AS min_str, CAST(MAX(lang) AS VARCHAR) AS max_str
+FROM documents
+UNION ALL
+SELECT 'source' AS column_name, COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       COUNT(DISTINCT source) AS n_distinct,
+       CAST(MIN(source) AS VARCHAR) AS min_str, CAST(MAX(source) AS VARCHAR) AS max_str
+FROM documents
+UNION ALL
+SELECT 'n_chars' AS column_name, COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       COUNT(DISTINCT n_chars) AS n_distinct,
+       CAST(MIN(n_chars) AS VARCHAR) AS min_str, CAST(MAX(n_chars) AS VARCHAR) AS max_str
+FROM documents
+"""

@@ -355,6 +355,13 @@ def q_x20_lm_score(spark, sf_dir):
     return text.lm_score(docs)
 
 
+def q_x21_table_stats(spark, sf_dir):
+    """One-pass ANALYZE-style column statistics (operators/stats.py)."""
+    from treemachine_spark.operators.stats import table_stats
+
+    return table_stats(load_tables(spark, sf_dir)["documents"])
+
+
 def q_x12_sequence_packing(spark, sf_dir):
     """Per-language 512-token bin packing (training sequence packing)."""
     docs = load_tables(spark, sf_dir)["documents"]
@@ -584,4 +591,5 @@ PIPELINE_QUERIES = {
     "v8_hard_negatives": q_v8_hard_negatives,
     "x19_strip_spans": q_x19_strip_spans,
     "x20_lm_score": q_x20_lm_score,
+    "x21_table_stats": q_x21_table_stats,
 }
