@@ -60,3 +60,27 @@ def test_sql_over_graph_views(spark):
            )"""
     ).collect()[0]["n"]
     assert n_sql == spark.table("leaves").count()
+
+
+def test_cli_sql_and_stats(spark, capsys):
+    import json
+
+    from treemachine_spark import cli
+
+    assert (
+        cli.main(
+            [
+                "sql",
+                SF_SMOKE,
+                "SELECT COUNT(*) AS n FROM nation",
+                "--no-graph",
+            ]
+        )
+        == 0
+    )
+    out = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert out[-1]["n"] == 25
+    assert cli.main(["stats", SF_SMOKE, "region"]) == 0
+    rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    byc = {r["column_name"]: r for r in rows}
+    assert byc["r_regionkey"]["n_distinct"] == 5

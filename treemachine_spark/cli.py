@@ -101,6 +101,25 @@ def main(argv=None) -> int:
         s.add_argument("node_name")
         s.add_argument("outfile")
 
+    s = sub.add_parser(
+        "sql",
+        help="run ANSI SQL over the tables + served graph views "
+        "(io/catalog.register_views); prints JSON lines",
+    )
+    s.add_argument("sf_dir", help="parquet table directory (testdata layout)")
+    s.add_argument("query")
+    s.add_argument("--limit", type=int, default=100)
+    s.add_argument(
+        "--no-graph", action="store_true", help="skip graph-view ingest"
+    )
+
+    s = sub.add_parser(
+        "stats",
+        help="one-pass ANALYZE-style column statistics for one table",
+    )
+    s.add_argument("sf_dir")
+    s.add_argument("table")
+
     args = p.parse_args(argv)
 
     # T14 tree surgery: request-scale driver-side mutations, no SparkSession
@@ -138,6 +157,27 @@ def main(argv=None) -> int:
     from treemachine_spark.session import get_spark
 
     spark = get_spark(f"treemachine-cli-{args.cmd}")
+
+    if args.cmd == "sql":
+        import json as _json
+
+        from treemachine_spark.io.catalog import register_views
+
+        register_views(spark, args.sf_dir, include_graph=not args.no_graph)
+        for row in spark.sql(args.query).limit(args.limit).collect():
+            print(_json.dumps(row.asDict(), default=str))
+        return 0
+
+    if args.cmd == "stats":
+        import json as _json
+
+        from treemachine_spark.io.tables import load_tables
+        from treemachine_spark.operators.stats import table_stats
+
+        df = load_tables(spark, args.sf_dir)[args.table]
+        for row in table_stats(df).collect():
+            print(_json.dumps(row.asDict(), default=str))
+        return 0
 
     if args.cmd == "rfdist":
         import json as _json
