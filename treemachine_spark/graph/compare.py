@@ -143,3 +143,42 @@ def rf_distance_newick(spark, newick1: str, newick2: str) -> DataFrame:
             )
         )
     return rf_distance(fps[0], fps[1])
+
+
+def node_distance(paths_self: DataFrame, pairs: list[tuple]) -> DataFrame:
+    """Pairwise hop distance between nodes of one tree:
+    ``dist(a, b) = min over common ancestors c of (depth_a(c) + depth_b(c))``
+    — the minimum is attained at the MRCA, so one join + one MIN replaces
+    the reference's double rootward walk + intersection scan
+    (GraphExplorer.getPathToRoot x2, opentree/GraphExplorer.java:795-814).
+    This is the (unit-branch-length) patristic distance of phylogenetics.
+
+    ``pairs`` is request-scale (an HTTP request's id pairs): it becomes a
+    broadcast local relation; the closure is hit with one literal IN-filter
+    (the t2_mrca discipline). ``paths_self`` must include depth-0 self
+    rows so identical and ancestor-descendant pairs resolve.
+
+    Returns (a, b, hop_distance).
+    """
+    from treemachine_spark.graph.traversal import local_df
+
+    spark = paths_self.sparkSession
+    ids = sorted({x for p in pairs for x in p})
+    sub = paths_self.where(F.col("node_id").isin(ids)).select(
+        "node_id", "ancestor_id", "depth"
+    )
+    pdf = local_df(spark, pairs, "a string, b string")
+    return (
+        pdf.join(sub.alias("x"), F.col("a") == F.col("x.node_id"))
+        .join(
+            sub.alias("y"),
+            (F.col("b") == F.col("y.node_id"))
+            & (F.col("x.ancestor_id") == F.col("y.ancestor_id")),
+        )
+        .groupBy("a", "b")
+        .agg(
+            F.min(F.col("x.depth") + F.col("y.depth"))
+            .cast("long")
+            .alias("hop_distance")
+        )
+    )

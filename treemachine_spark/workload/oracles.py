@@ -146,6 +146,23 @@ SELECT node_id FROM (
 ) WHERE regexp_matches(node_id, '^o[0-9]+$')
 """
 
+ORACLES["c2_node_distance"] = _GRAPH_CTE + """
+, ps AS (
+    SELECT node_id, ancestor_id, depth FROM paths
+    UNION ALL SELECT node_id, node_id, 0 FROM allnodes
+),
+st AS (SELECT node_id, ROW_NUMBER() OVER (ORDER BY node_id) AS rn FROM itips),
+prs AS (
+    SELECT a.node_id AS a, b.node_id AS b
+    FROM st a JOIN st b ON b.rn = a.rn + 1 AND a.rn % 2 = 1
+)
+SELECT p.a, p.b, CAST(MIN(x.depth + y.depth) AS BIGINT) AS hop_distance
+FROM prs p
+JOIN ps x ON x.node_id = p.a
+JOIN ps y ON y.node_id = p.b AND y.ancestor_id = x.ancestor_id
+GROUP BY p.a, p.b
+"""
+
 # c1 builds its own two fixed-depth trees (full vs nation-collapsed), so the
 # bipartition fingerprints are expressible without the recursive closure:
 # each internal node's tip set is one group-by away at every level.

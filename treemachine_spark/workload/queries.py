@@ -263,6 +263,18 @@ def q_e1_leaf_set(spark, sf_dir):
     return leaves.where(F.col("node_id").rlike("^o[0-9]+$"))
 
 
+def q_c2_node_distance(spark, sf_dir):
+    """C2 — pairwise hop distance (unit-BL patristic distance): the t6 tip
+    set sorted and paired consecutively; min-over-common-ancestors recipe
+    (graph/compare.node_distance)."""
+    from treemachine_spark.graph import compare as C
+
+    ctx = get_ctx(spark, sf_dir)
+    tips = sorted(ctx["induced_tips"])
+    pairs = [(tips[i], tips[i + 1]) for i in range(0, len(tips) - 1, 2)]
+    return C.node_distance(ctx["paths_self"], pairs)
+
+
 def q_c1_rf_distance(spark, sf_dir):
     """C1 — Robinson-Foulds distance between two trees over the same tips.
 
@@ -1116,6 +1128,7 @@ QUERIES = {
     "t12_degree_prune": q_t12_degree_prune,
     "e1_leaf_set": q_e1_leaf_set,
     "c1_rf_distance": q_c1_rf_distance,
+    "c2_node_distance": q_c2_node_distance,
     "l4_batch_resolution": q_l4_batch_resolution,
     "q1_pricing_summary": q_q1_pricing_summary,
     "q3_top_orders": q_q3_top_orders,
