@@ -125,3 +125,29 @@ def test_random_tree_self_distance_zero(spark):
 
     n1 = _random_newick(random.Random(9), [f"T{i}" for i in range(15)])
     assert _rf(spark, n1, n1)["rf_distance"] == 0
+
+
+def test_patristic_distance_hand_computed(spark):
+    from treemachine_spark.graph.compare import patristic_distance_newick
+
+    nwk = "((A:1,B:2)X:3,(C:4,D:5)Y:6)R;"
+    got = {
+        (r["a"], r["b"]): r["distance"]
+        for r in patristic_distance_newick(
+            spark, nwk, [("A", "B"), ("A", "C"), ("B", "D")]
+        ).collect()
+    }
+    assert got == {("A", "B"): 3.0, ("A", "C"): 14.0, ("B", "D"): 16.0}
+
+
+def test_weighted_closure_matches_depth_when_unit_weights(spark):
+    from pyspark.sql import functions as F
+
+    from treemachine_spark.graph.closure import build_closure
+
+    edges = spark.createDataFrame(
+        [("b", "a"), ("c", "b"), ("d", "c")], "child_id string, parent_id string"
+    ).withColumn("w", F.lit(1.0))
+    paths = build_closure(edges, weight_col="w")
+    for r in paths.collect():
+        assert r["w_sum"] == float(r["depth"])

@@ -22,7 +22,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def build_closure(edges: DataFrame, checkpoint: bool = True) -> DataFrame:
+def build_closure(
+    edges: DataFrame, checkpoint: bool = True, weight_col: str | None = None
+) -> DataFrame:
     """paths(node_id, ancestor_id, depth>=1) for a child->parent edge table.
 
     Replaces the reference's per-request rootward walks
@@ -31,24 +33,35 @@ def build_closure(edges: DataFrame, checkpoint: bool = True) -> DataFrame:
 
     Invariant per iteration k (a power of two): ``full`` holds every path of
     depth 1..k. ``top ⋈ full`` yields exactly the paths of depth k+1..2k.
+
+    ``weight_col`` (optional): an edge weight column (e.g. branch_length);
+    the closure then also carries ``w_sum``, the per-path weight total,
+    accumulated by the same doubling joins — this is what turns hop
+    distance into true patristic distance on trees with branch lengths.
     """
-    paths = edges.select(
+    cols = [
         F.col("child_id").alias("node_id"),
         F.col("parent_id").alias("ancestor_id"),
         F.lit(1).alias("depth"),
-    )
+    ]
+    if weight_col:
+        cols.append(F.col(weight_col).cast("double").alias("w_sum"))
+    paths = edges.select(*cols)
     full = paths.localCheckpoint(eager=True) if checkpoint else paths
     k = 1
     while True:
         top = full.where(F.col("depth") == k)
+        ext_cols = [
+            F.col("a.node_id").alias("node_id"),
+            F.col("b.ancestor_id").alias("ancestor_id"),
+            (F.col("a.depth") + F.col("b.depth")).alias("depth"),
+        ]
+        if weight_col:
+            ext_cols.append((F.col("a.w_sum") + F.col("b.w_sum")).alias("w_sum"))
         ext = (
             top.alias("a")
             .join(full.alias("b"), F.col("a.ancestor_id") == F.col("b.node_id"))
-            .select(
-                F.col("a.node_id").alias("node_id"),
-                F.col("b.ancestor_id").alias("ancestor_id"),
-                (F.col("a.depth") + F.col("b.depth")).alias("depth"),
-            )
+            .select(*ext_cols)
         )
         if checkpoint:
             # materialize the (small) extension once; isEmpty and the union

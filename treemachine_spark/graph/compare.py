@@ -182,3 +182,54 @@ def node_distance(paths_self: DataFrame, pairs: list[tuple]) -> DataFrame:
             .alias("hop_distance")
         )
     )
+
+
+def patristic_distance_newick(
+    spark, newick: str, pairs: list[tuple[str, str]]
+) -> DataFrame:
+    """True (branch-length-weighted) patristic distance between named tips
+    of one newick tree: the weighted closure (build_closure w_sum) makes it
+    ``min over common ancestors of (w_sum_a + w_sum_b)`` — the same
+    single-join recipe as node_distance, summing branch lengths instead of
+    hops. Missing branch lengths count 0 (the reference's MIN_BRANCHLENGTH
+    serialization rule lives in the sink, not the metric).
+
+    Returns (a, b, distance) with tip NAMES as the pair keys.
+    """
+    from treemachine_spark.graph.traversal import local_df
+    from treemachine_spark.sources.newick import newick_to_dataframes
+
+    nodes, edges = newick_to_dataframes(spark, newick, "t")
+    paths = build_closure(
+        edges.select(
+            "child_id",
+            "parent_id",
+            F.coalesce(F.col("branch_length"), F.lit(0.0)).alias("bl"),
+        ),
+        weight_col="bl",
+    )
+    self_rows = nodes.select(
+        F.col("node_id"),
+        F.col("node_id").alias("ancestor_id"),
+        F.lit(0).alias("depth"),
+        F.lit(0.0).alias("w_sum"),
+    )
+    ps = paths.unionByName(self_rows)
+    name_to_id = {
+        r["name"]: r["node_id"]
+        for r in nodes.where("is_leaf").select("node_id", "name").collect()
+    }
+    id_pairs = [(name_to_id[a], name_to_id[b], a, b) for a, b in pairs]
+    pdf = local_df(
+        spark, id_pairs, "ida string, idb string, a string, b string"
+    )
+    return (
+        pdf.join(ps.alias("x"), F.col("ida") == F.col("x.node_id"))
+        .join(
+            ps.alias("y"),
+            (F.col("idb") == F.col("y.node_id"))
+            & (F.col("x.ancestor_id") == F.col("y.ancestor_id")),
+        )
+        .groupBy("a", "b")
+        .agg(F.min(F.col("x.w_sum") + F.col("y.w_sum")).alias("distance"))
+    )
