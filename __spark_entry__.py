@@ -101,6 +101,7 @@ _DRIVER_EXCLUDED = {
     "x20_lm_score": "pytest-tier; bigram window + count-join family like x15/x17",
     "x21_table_stats": "pytest-tier; single-pass multi-agg, family like x1/a-group",
     "c2_node_distance": "pytest-tier; closure join-agg family captured by t2/t3",
+    "s6_native_sessions": "pytest-tier; native session_window twin of captured s2",
 }
 
 

@@ -503,6 +503,26 @@ AND NOT EXISTS (
 GROUP BY s_name
 """
 
+ORACLES["s6_native_sessions"] = """
+WITH gapped AS (
+    SELECT user_id, ts, value,
+           CASE WHEN (epoch_us(ts) - COALESCE(
+                    LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts),
+                    -4102444800000000)) >= 30 * 60 * 1000000
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+),
+sessions AS (
+    SELECT *, SUM(new_session) OVER (
+        PARTITION BY user_id ORDER BY ts
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+    FROM gapped
+)
+SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS total_value
+FROM sessions GROUP BY user_id, session_no
+"""
+
 ORACLES["s2_sessions_batch"] = """
 WITH gapped AS (
     SELECT user_id, ts, event_id, value,

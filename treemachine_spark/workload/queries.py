@@ -956,6 +956,26 @@ def q_q21_sole_blame(spark, sf_dir):
     )
 
 
+def q_s6_native_sessions(spark, sf_dir):
+    """Spark's NATIVE session_window (gap-merged state machine) pinned
+    against portable lag-gap SQL. Semantics note the gate encodes: the
+    built-in merges only when the gap is STRICTLY under the 30-minute
+    timeout (an event exactly 30:00 later starts a NEW session), so the
+    oracle's new-session predicate is >= — one boundary notch away from
+    s2's lag recipe (>)."""
+    e = load_tables(spark, sf_dir)["events"]
+    sw = F.session_window(F.col("ts").cast("timestamp"), "30 minutes")
+    return (
+        e.groupBy(sw.alias("sw"), "user_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select("user_id", "session_start", "n_events", "total_value")
+    )
+
+
 def q_s2_sessions_batch(spark, sf_dir):
     """Batch sessionization via lag-window gap detection (the relational
     twin of streaming/events.py::sessionize): a new session starts when the
@@ -1153,6 +1173,7 @@ QUERIES = {
     "q20_part_suppliers": q_q20_part_suppliers,
     "q21_sole_blame": q_q21_sole_blame,
     "s2_sessions_batch": q_s2_sessions_batch,
+    "s6_native_sessions": q_s6_native_sessions,
     "j3_asof_join": q_j3_asof_join,
     "j4_range_join": q_j4_range_join,
     "l1_point_lookup": q_l1_point_lookup,
