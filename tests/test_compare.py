@@ -151,3 +151,49 @@ def test_weighted_closure_matches_depth_when_unit_weights(spark):
     paths = build_closure(edges, weight_col="w")
     for r in paths.collect():
         assert r["w_sum"] == float(r["depth"])
+
+
+def test_branch_score_same_topology_differing_length(spark):
+    import math
+
+    from treemachine_spark.graph.compare import branch_score_newick
+
+    r = branch_score_newick(
+        spark, "((A:1,B:1)X:2,C:1,D:1);", "((A:1,B:1)X:5,C:1,D:1);"
+    ).collect()[0]
+    # only bipartition {A,B}: (2-5)^2 -> score 3
+    assert (r["n_bip_t1"], r["n_bip_t2"], r["n_shared"]) == (1, 1, 1)
+    assert math.isclose(r["branch_score"], 3.0)
+
+
+def test_branch_score_different_topologies(spark):
+    import math
+
+    from treemachine_spark.graph.compare import branch_score_newick
+
+    r = branch_score_newick(
+        spark, "((A:1,B:1)X:2,C:1,D:1);", "((A:1,C:1)Y:4,B:1,D:1);"
+    ).collect()[0]
+    # {AB} only in t1 (bl 2), {AC} only in t2 (bl 4): sqrt(4 + 16)
+    assert (r["n_bip_t1"], r["n_bip_t2"], r["n_shared"]) == (1, 1, 0)
+    assert math.isclose(r["branch_score"], math.sqrt(20.0))
+
+
+def test_branch_score_identical_trees_zero(spark):
+    from treemachine_spark.graph.compare import branch_score_newick
+
+    t = "((A:1,B:2)X:3,(C:4,D:5)Y:6)R;"
+    r = branch_score_newick(spark, t, t).collect()[0]
+    assert r["branch_score"] == 0.0 and r["n_shared"] == 2
+
+
+def test_branch_score_unary_chain_lengths_sum(spark):
+    import math
+
+    from treemachine_spark.graph.compare import branch_score_newick
+
+    # t2 resolves {A,B} behind a chain of two edges (1.5 + 1.5 = 3 vs 2)
+    r = branch_score_newick(
+        spark, "((A:1,B:1)X:2,C:1,D:1);", "(((A:1,B:1)W:1.5)X:1.5,C:1,D:1);"
+    ).collect()[0]
+    assert math.isclose(r["branch_score"], 1.0)

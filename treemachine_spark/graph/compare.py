@@ -233,3 +233,85 @@ def patristic_distance_newick(
         .groupBy("a", "b")
         .agg(F.min(F.col("x.w_sum") + F.col("y.w_sum")).alias("distance"))
     )
+
+
+def bipartition_branch_lengths(
+    edges: DataFrame, tip_labels: DataFrame | None = None
+) -> DataFrame:
+    """Non-trivial bipartition fingerprints WITH the branch length of the
+    subtending edge: (tip_hash_sum, n_tips, bl). When several edges share
+    one tip set (unary chains / unresolved regions) their lengths SUM —
+    the path length separating the bipartition's two sides.
+
+    Same plan as bipartition_fingerprints plus one join against the edge
+    table (the edge ABOVE each internal node) and a fingerprint-keyed
+    partial-agg sum.
+    """
+    paths = build_closure(edges.select("child_id", "parent_id"))
+    tips = leaf_set(edges.select("child_id", "parent_id"))
+    if tip_labels is not None:
+        tips = tips.join(tip_labels, "node_id").select(
+            "node_id", F.col("tip_label").alias("_label")
+        )
+    else:
+        tips = tips.select("node_id", F.col("node_id").alias("_label"))
+    fp = (
+        paths.join(tips, "node_id")
+        .groupBy("ancestor_id")
+        .agg(
+            F.sum(h32(F.col("_label"))).alias("tip_hash_sum"),
+            F.count("*").alias("n_tips"),
+        )
+    )
+    tot = fp.agg(F.max("n_tips").alias("_tot"))
+    nontrivial = fp.join(F.broadcast(tot)).where(
+        (F.col("n_tips") >= 2) & (F.col("n_tips") < F.col("_tot"))
+    )
+    above = edges.select(
+        F.col("child_id").alias("ancestor_id"),
+        F.coalesce(F.col("branch_length"), F.lit(0.0)).alias("_bl"),
+    )
+    return (
+        nontrivial.join(above, "ancestor_id")
+        .groupBy("tip_hash_sum", F.col("n_tips").cast("long").alias("n_tips"))
+        .agg(F.sum("_bl").alias("bl"))
+    )
+
+
+def branch_score_newick(spark, newick1: str, newick2: str) -> DataFrame:
+    """Branch-score distance (Kuhner & Felsenstein 1994, MBE 11) between
+    two newick trees over the same tips, restricted (like rf_distance) to
+    non-trivial bipartitions: sqrt of the sum over all bipartitions of
+    (bl_1 - bl_2)^2, a bipartition absent from one tree contributing its
+    full length. RF is this metric's topology-only shadow; branch score
+    also sees how STRONGLY the trees disagree.
+
+    One fingerprint full-outer join + one aggregation. Returns a single
+    row (n_bip_t1, n_bip_t2, n_shared, branch_score).
+    """
+    from treemachine_spark.sources.newick import newick_to_dataframes
+
+    fps = []
+    for i, text in enumerate((newick1, newick2)):
+        nodes, edges = newick_to_dataframes(spark, text, f"t{i}")
+        labels = nodes.where("is_leaf").select(
+            "node_id", F.col("name").alias("tip_label")
+        )
+        fps.append(bipartition_branch_lengths(edges, tip_labels=labels))
+    a = fps[0].withColumnRenamed("bl", "bl1")
+    b = fps[1].withColumnRenamed("bl", "bl2")
+    j = a.join(b, ["tip_hash_sum", "n_tips"], "full_outer")
+    d = F.coalesce(F.col("bl1"), F.lit(0.0)) - F.coalesce(F.col("bl2"), F.lit(0.0))
+    return j.agg(
+        F.coalesce(F.count("bl1"), F.lit(0)).cast("long").alias("n_bip_t1"),
+        F.coalesce(F.count("bl2"), F.lit(0)).cast("long").alias("n_bip_t2"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("bl1").isNotNull() & F.col("bl2").isNotNull(), 1)
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_shared"),
+        F.sqrt(F.coalesce(F.sum(d * d), F.lit(0.0))).alias("branch_score"),
+    )
