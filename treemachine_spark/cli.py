@@ -102,6 +102,15 @@ def main(argv=None) -> int:
         s.add_argument("outfile")
 
     s = sub.add_parser(
+        "consensus",
+        help="majority-rule consensus of several newick files "
+        "(graph/consensus.py; no reference analog)",
+    )
+    s.add_argument("newick_files", nargs="+")
+    s.add_argument("outfile")
+    s.add_argument("--threshold", type=float, default=0.5)
+
+    s = sub.add_parser(
         "sql",
         help="run ANSI SQL over the tables + served graph views "
         "(io/catalog.register_views); prints JSON lines",
@@ -157,6 +166,19 @@ def main(argv=None) -> int:
     from treemachine_spark.session import get_spark
 
     spark = get_spark(f"treemachine-cli-{args.cmd}")
+
+    if args.cmd == "consensus":
+        from treemachine_spark.graph.consensus import majority_consensus
+
+        texts = []
+        for path in args.newick_files:
+            with open(path) as fh:
+                texts.append(fh.read().strip())
+        out = majority_consensus(spark, texts, threshold=args.threshold)
+        with open(args.outfile, "w") as fh:
+            fh.write(out + "\n")
+        print(out)
+        return 0
 
     if args.cmd == "sql":
         import json as _json
