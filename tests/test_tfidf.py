@@ -14,16 +14,16 @@ def _docs(spark):
 
 
 def test_tfidf_hand_computed(spark):
-    # N=2; df: a=2, b=1, c=1; idf_a = 1.0, idf_{b,c} = round(ln(1.5)+1, 6)
-    idf_rare = round(math.log(3.0 / 2.0) + 1.0, 6)
+    # N=2; df: a=2, b=1, c=1; idf micro-units: a -> 1e6, rare -> round((ln(1.5)+1)*1e6)
+    rare = round((math.log(3.0 / 2.0) + 1.0) * 1_000_000)
     rows = {
-        (r["doc_id"], r["term"]): (r["tf"], r["tfidf"])
+        (r["doc_id"], r["term"]): (r["tf"], r["tfidf_micro"])
         for r in tfidf_topk(_docs(spark), k=3).collect()
     }
-    assert rows[(1, "a")] == (2, 2.0)
-    assert rows[(1, "b")] == (1, round(idf_rare, 4))
-    assert rows[(2, "a")] == (1, 1.0)
-    assert rows[(2, "c")] == (1, round(idf_rare, 4))
+    assert rows[(1, "a")] == (2, 2_000_000)
+    assert rows[(1, "b")] == (1, rare)
+    assert rows[(2, "a")] == (1, 1_000_000)
+    assert rows[(2, "c")] == (1, rare)
 
 
 def test_tfidf_k_limits_per_doc(spark):
@@ -61,7 +61,8 @@ def test_lm_score_prefers_frequent_transitions(spark):
     got = {r["doc_id"]: r for r in lm_score(docs).collect()}
     assert got[1]["n_bigrams"] == 5 and got[2]["n_bigrams"] == 5
     # 'a a' dominates the corpus transitions -> doc 1 far more probable
-    assert got[1]["avg_logprob"] > got[2]["avg_logprob"]
+    # (equal bigram counts, so the micro-nat sums compare directly)
+    assert got[1]["sum_logprob_micro"] > got[2]["sum_logprob_micro"]
 
 
 def test_lm_score_short_doc_zero(spark):
@@ -70,6 +71,6 @@ def test_lm_score_short_doc_zero(spark):
     docs = spark.createDataFrame(
         [(1, "solo"), (2, "a b")], "doc_id bigint, text string"
     )
-    got = {r["doc_id"]: (r["n_bigrams"], r["avg_logprob"]) for r in lm_score(docs).collect()}
-    assert got[1] == (0, 0.0)
+    got = {r["doc_id"]: (r["n_bigrams"], r["sum_logprob_micro"]) for r in lm_score(docs).collect()}
+    assert got[1] == (0, 0)
     assert got[2][0] == 1

@@ -212,6 +212,22 @@ def sequence_packing(
     )
 
 
+def _idf_micro():
+    """Smoothed idf quantized to integer MICRO-units: ``round((ln((N+1)/
+    (df+1)) + 1) * 1e6)`` as BIGINT. One rounding per (df, N) pair; every
+    downstream product/sum/ranking is then exact integer arithmetic, so
+    the gates hold at ANY scale — an sf10 sweep showed that even a
+    pre-rounded DOUBLE idf flips 4dp-rounded products on 1-ulp boundaries
+    once the corpus is dense enough (the q7 knife-edge class)."""
+    return F.round(
+        (
+            F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
+            + F.lit(1.0)
+        )
+        * 1_000_000
+    ).cast("long")
+
+
 def tfidf_topk(
     docs: DataFrame,
     k: int = 3,
@@ -251,17 +267,10 @@ def tfidf_topk(
     scored = (
         tf.withColumn("df", F.count("*").over(wterm))
         .join(F.broadcast(n))
-        .withColumn(
-            "idf",
-            F.round(
-                F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
-                + F.lit(1.0),
-                6,
-            ),
-        )
-        .withColumn("score", F.col("tf") * F.col("idf"))
+        .withColumn("idf_micro", _idf_micro())
+        .withColumn("score_micro", F.col("tf") * F.col("idf_micro"))
     )
-    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    w = Window.partitionBy(id_col).orderBy(F.desc("score_micro"), F.asc("term"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= k)
@@ -269,7 +278,7 @@ def tfidf_topk(
             id_col,
             "term",
             F.col("tf").cast("long").alias("tf"),
-            F.round("score", 4).alias("tfidf"),
+            F.col("score_micro").alias("tfidf_micro"),
         )
     )
 
@@ -320,25 +329,18 @@ def keyword_search(
     scored = (
         tfd.join(F.broadcast(qterms), "term")
         .join(F.broadcast(n))
-        .withColumn(
-            "idf",
-            F.round(
-                F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
-                + F.lit(1.0),
-                6,
-            ),
-        )
+        .withColumn("idf_micro", _idf_micro())
     )
     ranked = (
         scored.groupBy(id_col)
         .agg(
             F.countDistinct("term").alias("n_matched"),
-            F.round(F.sum(F.col("tf") * F.col("idf")), 4).alias("relevance"),
+            F.sum(F.col("tf") * F.col("idf_micro")).alias("relevance_micro"),
         )
         .where(F.col("n_matched") == n_terms)
-        .orderBy(F.desc("relevance"), F.asc(id_col))
+        .orderBy(F.desc("relevance_micro"), F.asc(id_col))
         .limit(limit)
-        .select(id_col, "relevance")
+        .select(id_col, "relevance_micro")
     )
     return ranked
 
@@ -403,10 +405,12 @@ def lm_score(
     agg = scored.groupBy(id_col).agg(
         F.count("*").alias("n_bigrams"), F.sum("lp").alias("s")
     )
+    # the per-doc total stays in integer micro-nats: dividing to a rounded
+    # float average reintroduced an engine-ROUND boundary at sf10 density
+    # (Spark's exact-decimal HALF_UP vs multiply-then-round) — callers
+    # divide by n_bigrams/1e6 themselves when they want the average
     return docs.select(F.col(id_col)).join(agg, id_col, "left").select(
         id_col,
         F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
-        F.coalesce(
-            F.round(F.col("s") / 1_000_000 / F.col("n_bigrams"), 4), F.lit(0.0)
-        ).alias("avg_logprob"),
+        F.coalesce(F.col("s"), F.lit(0)).cast("long").alias("sum_logprob_micro"),
     )

@@ -651,9 +651,10 @@ SELECT COALESCE(c.c_custkey, s.k) AS c_custkey,
 FROM customer c FULL OUTER JOIN src s ON c.c_custkey = s.k
 """
 
-# x15/x16: the idf is ROUND()ed to 6dp BEFORE the multiply on BOTH engines —
-# ln() is the one piece of the formula IEEE doesn't pin cross-engine, and an
-# unrounded ulp difference could flip a rank boundary (q7 knife-edge class).
+# x15/x16: the idf is quantized to integer MICRO-units before the multiply —
+# every downstream product/sum/rank is exact BIGINT on both engines. (A
+# pre-rounded DOUBLE idf was not enough: the sf10 sweep showed 1-ulp product
+# differences flipping 4dp-rounded values at that density.)
 _TFIDF_CTE = r"""
 WITH toks AS (
     SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
@@ -669,28 +670,29 @@ n AS (SELECT COUNT(*) AS n_docs FROM documents)
 PIPELINE_ORACLES["x15_tfidf"] = _TFIDF_CTE + """
 , scored AS (
     SELECT doc_id, term, tf,
-           tf * ROUND(ln((n_docs + 1.0) / (df + 1.0)) + 1.0, 6) AS score
+           tf * CAST(round((ln((n_docs + 1.0) / (df + 1.0)) + 1.0) * 1000000) AS BIGINT)
+               AS score_micro
     FROM tf JOIN dfreq USING (term) CROSS JOIN n
 ),
 ranked AS (
-    SELECT doc_id, term, tf, score,
-           row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rn
+    SELECT doc_id, term, tf, score_micro,
+           row_number() OVER (PARTITION BY doc_id ORDER BY score_micro DESC, term ASC) AS rn
     FROM scored
 )
-SELECT doc_id, term, tf, ROUND(score, 4) AS tfidf FROM ranked WHERE rn <= 3
+SELECT doc_id, term, tf, score_micro AS tfidf_micro FROM ranked WHERE rn <= 3
 """
 
 PIPELINE_ORACLES["x16_keyword_search"] = _TFIDF_CTE + """
 , q AS (SELECT term FROM dfreq ORDER BY df DESC, term ASC LIMIT 2),
 scored AS (
     SELECT tf.doc_id, tf.term, tf.tf,
-           ROUND(ln((n_docs + 1.0) / (df + 1.0)) + 1.0, 6) AS idf
+           CAST(round((ln((n_docs + 1.0) / (df + 1.0)) + 1.0) * 1000000) AS BIGINT) AS idf_micro
     FROM tf JOIN q USING (term) JOIN dfreq USING (term) CROSS JOIN n
 )
-SELECT doc_id, ROUND(SUM(tf * idf), 4) AS relevance
+SELECT doc_id, CAST(SUM(tf * idf_micro) AS BIGINT) AS relevance_micro
 FROM scored GROUP BY doc_id
 HAVING COUNT(DISTINCT term) = 2
-ORDER BY relevance DESC, doc_id ASC LIMIT 20
+ORDER BY relevance_micro DESC, doc_id ASC LIMIT 20
 """
 
 PIPELINE_ORACLES["x17_dup_spans"] = r"""
@@ -810,7 +812,7 @@ agg AS (
     SELECT doc_id, COUNT(*) AS n_bigrams, SUM(lp) AS s FROM sc GROUP BY doc_id
 )
 SELECT d.doc_id, COALESCE(agg.n_bigrams, 0) AS n_bigrams,
-       COALESCE(ROUND(s / 1000000.0 / n_bigrams, 4), 0.0) AS avg_logprob
+       CAST(COALESCE(agg.s, 0) AS BIGINT) AS sum_logprob_micro
 FROM documents d LEFT JOIN agg USING (doc_id)
 """
 
