@@ -17,7 +17,6 @@ def _synthetic(n=200, dim=6, k=4, seed=7):
 
 def _numpy_lloyd(pts, k, iters):
     cents = pts[:k].astype(float).copy()  # same init: k smallest ids
-    assign = None
     for _ in range(iters):
         d = ((pts[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
         assign = d.argmin(axis=1)  # ties -> lowest index, same rule
@@ -25,7 +24,9 @@ def _numpy_lloyd(pts, k, iters):
             m = assign == ci
             if m.any():
                 cents[ci] = pts[m].mean(axis=0)
-    return cents, assign
+    # final assignment against the FINAL centroids (matches kmeans_fit)
+    d = ((pts[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    return cents, d.argmin(axis=1)
 
 
 @pytest.fixture(scope="module")
@@ -43,7 +44,7 @@ def test_kmeans_matches_numpy(spark, emb_df):
     for ci in range(4):
         assert np.allclose(got[ci], np_cents[ci], rtol=1e-8), ci
     got_assign = dict(adf.collect())
-    # spark assignment is from the LAST E-step (pre-update), same as numpy's
+    # spark assignment is a FINAL E-step against the returned centroids
     mismatches = sum(
         1 for i, a in enumerate(np_assign) if got_assign[i] != a
     )
@@ -68,3 +69,23 @@ def test_kmeans_empty_cluster_keeps_centroid(spark):
     cdf, adf, _ = kmeans_fit(df, k=3, iters=3)
     assert adf.count() == 20
     assert cdf.count() == 3
+    # n_members must describe the RETURNED assignment exactly
+    members = {r["cent_id"]: r["n_members"] for r in cdf.collect()}
+    from_assign = {r["cent_id"]: r["count"] for r in adf.groupBy("cent_id").count().collect()}
+    for ci, n in members.items():
+        assert from_assign.get(ci, 0) == n
+
+
+def test_kmeans_k_exceeds_rows_clamps(spark):
+    rows = [(i, [float(i), 0.0]) for i in range(3)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cdf, adf, _ = kmeans_fit(df, k=10, iters=2)
+    assert cdf.count() == 3  # clamped to the row count, no crash
+    assert adf.count() == 3
+    assert sorted(r["n_members"] for r in cdf.collect()) == [1, 1, 1]
+
+
+def test_kmeans_empty_input_raises(spark):
+    df = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError):
+        kmeans_fit(df, k=2, iters=1)

@@ -143,3 +143,33 @@ def test_x12_packing_single_window_shuffle(spark):
     # cumsum inside — never a global sort
     s = plan_of(spark, "x12_sequence_packing")
     assert s.count("+- Exchange") == 1
+
+
+def _parquet_scans(s: str) -> int:
+    # each scan appears twice in formatted explain (tree node + detail
+    # block); count the numbered detail headers only
+    import re
+
+    return len(re.findall(r"\(\d+\) Scan parquet", s))
+
+
+def test_x16_keyword_search_single_corpus_scan(spark):
+    # terms=None derives qterms from the SAME localCheckpointed tf table,
+    # so the final plan reads the materialized index — the only parquet
+    # touch left is the metadata-only count-star for N (reads NO columns;
+    # ADVICE r4, the x15 "3 scans -> 1" lesson)
+    s = plan_of(spark, "x16_keyword_search")
+    assert _parquet_scans(s) <= 1
+    assert "ReadSchema: struct<>" in s or _parquet_scans(s) == 0
+    assert "Scan ExistingRDD" in s  # the checkpointed index is the source
+
+
+def test_x20_lm_score_single_corpus_scan(spark):
+    # bigrams / bigram-counts / vocab all derive from ONE checkpointed
+    # token table; c_prev is a window over bi_counts, not a re-aggregation
+    # of the bigram subtree. Only the null-free doc-id left join may touch
+    # the source parquet (column-pruned to the id).
+    s = plan_of(spark, "x20_lm_score")
+    assert _parquet_scans(s) <= 1
+    assert "ReadSchema: struct<doc_id" in s or _parquet_scans(s) == 0
+    assert "Scan ExistingRDD" in s

@@ -101,6 +101,56 @@ def test_compact_reduces_files_same_rows(spark, vt):
     assert vt.read(spark, version=1).count() == 1000  # old snapshot intact
 
 
+def test_partitioned_compact_preserves_layout(spark, tmp_path):
+    """OPTIMIZE on a partitioned table must republish WITH the partition
+    layout (ADVICE r3: coalesce() dropped partitionBy, silently regressing
+    partition pruning), and bound files per partition directory."""
+    import glob
+    import os
+
+    vt = VersionedTable(str(tmp_path / "pc"))
+    df = spark.range(0, 400, 1, 16).select(
+        F.col("id").alias("k"),
+        F.col("id").cast("string").alias("v"),
+        (F.col("id") % 4).cast("string").alias("lang"),
+    )
+    vt.write(df, partition_by="lang")
+    v2 = vt.compact(spark, target_files=1)
+    m = next(x for x in vt.history() if x["version"] == v2)
+    assert m["partition_by"] == "lang"
+    ddir = os.path.join(vt.path, m["data_dir"])
+    pdirs = sorted(
+        d for d in os.listdir(ddir) if d.startswith("lang=")
+    )
+    assert pdirs == ["lang=0", "lang=1", "lang=2", "lang=3"]
+    for d in pdirs:
+        assert len(glob.glob(os.path.join(ddir, d, "*.parquet"))) == 1
+    # pruning still works and rows survive
+    got = vt.read(spark)
+    assert got.where(F.col("lang") == "2").count() == 100
+    assert got.count() == 400
+
+
+def test_concurrent_commit_raises_not_clobbers(spark, vt):
+    """Two writers racing to the same version: the second publish must
+    raise ConcurrentCommitError, never silently replace the winner."""
+    from treemachine_spark.operators.versioned import ConcurrentCommitError
+
+    vt.write(_df(spark, [(1, "a")]))
+    # Simulate the race: both writers read latest_version==1, winner
+    # publishes v2; the loser's publish of v2 must fail loudly.
+    vt._publish("data/v1", "overwrite", version=2)
+    with pytest.raises(ConcurrentCommitError):
+        vt._publish("data/v1", "overwrite", version=2)
+    assert vt.latest_version == 2
+    # no stray tmp files left behind
+    import os
+
+    assert not [
+        f for f in os.listdir(os.path.join(vt.path, "_log")) if ".tmp" in f
+    ]
+
+
 def test_vacuum_removes_old_dirs_keeps_recent(spark, vt):
     import os
 

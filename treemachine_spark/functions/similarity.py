@@ -492,8 +492,12 @@ def kmeans_fit(
       wire. New means come back to the driver (tiny) and become the next
       iteration's literals.
 
-    Init = the k smallest-id vectors (deterministic, like centroid_assign).
-    Empty clusters keep their previous centroid. Returns
+    Init = the k smallest-id vectors (deterministic, like centroid_assign);
+    if the table has fewer than k rows, k is clamped to the row count (an
+    empty table raises ValueError). Empty clusters keep their previous
+    centroid. After the last M-step a FINAL E-step is run so the returned
+    assignment is computed against the returned centroids (they would
+    otherwise lag by one update). Returns
     (centroids_df(cent_id, centroid, n_members), assignment_df(id, cent_id),
     inertia_history list[float] — empty unless compute_inertia).
     """
@@ -502,7 +506,10 @@ def kmeans_fit(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
     )
     init = emb.orderBy(id_col).limit(k).collect()
-    cents = [list(r["_v"]) for r in init]
+    if not init:
+        raise ValueError("kmeans_fit: embeddings table has no rows")
+    k = min(k, len(init))
+    cents = [list(r["_v"]) for r in init[:k]]
     history: list[float] = []
 
     def _sq_dist_lit(c):
@@ -542,6 +549,18 @@ def kmeans_fit(
             # else: empty cluster keeps its previous centroid
         if compute_inertia:
             history.append(assigned.agg(F.sum("_d")).first()[0])
+    # Final E-step against the FINAL centroids, so assignment_df and
+    # n_members are consistent with centroids_df (ADVICE r3).
+    dists = F.array(*[_sq_dist_lit(c) for c in cents])
+    assigned = emb.select(
+        id_col,
+        (F.array_position(dists, F.array_min(dists)) - 1)
+        .cast("int")
+        .alias("cent_id"),
+    )
+    counts = [0] * k
+    for r in assigned.groupBy("cent_id").count().collect():
+        counts[r["cent_id"]] = r["count"]
     import pandas as pd
 
     cdf = spark.createDataFrame(

@@ -311,6 +311,11 @@ def keyword_search(
     tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
     tfd = tf.withColumn("df", F.count("*").over(Window.partitionBy("term")))
     if terms is None:
+        # Deriving qterms from tfd lazily would duplicate the whole
+        # explode+tf+window subtree in the final plan (Spark does not reuse
+        # it — the x15 "3 scans -> 1" lesson). Materialize the index ONCE;
+        # in real use this checkpoint is the persisted inverted index.
+        tfd = tfd.localCheckpoint(eager=True)
         qterms = (
             tfd.select("term", "df")
             .distinct()
@@ -375,21 +380,36 @@ def lm_score(
     """
     from pyspark.sql import Window
 
-    toks = docs.select(
-        F.col(id_col), F.posexplode(words(F.lower(F.col(text_col)))).alias("pos", "w")
-    ).where(F.col("w") != "")
+    # The token table feeds THREE consumers (bigrams-for-scoring,
+    # bigram counts, vocabulary); left lazy, each would re-run the
+    # explode subtree from the source (Spark does not reuse it — the x15
+    # lesson). One eager checkpoint = one corpus scan; in a persisted
+    # pipeline this is the materialized tokenized table.
+    toks = (
+        docs.select(
+            F.col(id_col),
+            F.posexplode(words(F.lower(F.col(text_col)))).alias("pos", "w"),
+        )
+        .where(F.col("w") != "")
+        .localCheckpoint(eager=True)
+    )
     win = Window.partitionBy(id_col).orderBy("pos")
     bi = toks.select(
         F.col(id_col),
         F.col("w").alias("prev"),
         F.lead("w", 1).over(win).alias("cur"),
     ).where(F.col("cur").isNotNull())
-    bi_counts = bi.groupBy("prev", "cur").agg(F.count("*").alias("c_bi"))
-    prev_counts = bi.groupBy("prev").agg(F.count("*").alias("c_prev"))
+    # c_prev = SUM(c_bi) over prev — a window over the already-aggregated
+    # bigram table, NOT a second aggregation of bi (which would duplicate
+    # the bigram subtree in the plan); one join instead of two.
+    bi_counts = (
+        bi.groupBy("prev", "cur")
+        .agg(F.count("*").alias("c_bi"))
+        .withColumn("c_prev", F.sum("c_bi").over(Window.partitionBy("prev")))
+    )
     vocab = toks.agg(F.countDistinct("w").alias("v"))
     scored = (
         bi.join(bi_counts, ["prev", "cur"])
-        .join(prev_counts, "prev")
         .join(F.broadcast(vocab))
         .withColumn(
             "lp",

@@ -29,6 +29,12 @@ import os
 import time
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class ConcurrentCommitError(RuntimeError):
+    """Two writers raced to commit the same version; the loser gets this
+    instead of silently clobbering the winner's manifest."""
 
 
 class VersionedTable:
@@ -64,8 +70,10 @@ class VersionedTable:
         return self._manifests()
 
     # ------------------------------------------------------------------
-    def _publish(self, data_dir: str, op: str, meta: dict | None = None) -> int:
-        v = self.latest_version + 1
+    def _publish(
+        self, data_dir: str, op: str, meta: dict | None = None, version: int | None = None
+    ) -> int:
+        v = self.latest_version + 1 if version is None else version
         manifest = {
             "version": v,
             "data_dir": data_dir,
@@ -74,10 +82,21 @@ class VersionedTable:
             **(meta or {}),
         }
         final = os.path.join(self.path, "_log", f"v{v:08d}.json")
-        tmp = final + ".tmp"
+        tmp = final + f".tmp.{os.getpid()}"
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)
-        os.rename(tmp, final)  # atomic publish: readers see all or nothing
+        try:
+            # Put-if-absent: os.link fails with EEXIST if another writer
+            # already committed this version (POSIX rename would silently
+            # replace it and lose their commit).
+            os.link(tmp, final)
+        except FileExistsError:
+            raise ConcurrentCommitError(
+                f"{self.path}: version {v} was committed concurrently; "
+                "re-read latest_version and retry"
+            ) from None
+        finally:
+            os.unlink(tmp)
         return v
 
     def write(
@@ -87,14 +106,17 @@ class VersionedTable:
         partition_by: str | None = None,
     ) -> int:
         """Write ``df`` as a NEW immutable snapshot and publish it.
-        Returns the committed version number."""
+        Returns the committed version number. The version is computed ONCE
+        so the data dir name and the manifest version cannot diverge, and
+        the publish is put-if-absent so a concurrent commit of the same
+        version raises ConcurrentCommitError instead of silently winning."""
         v = self.latest_version + 1
         rel = f"data/v{v}"
         writer = df.write.mode("errorifexists")
         if partition_by:
             writer = writer.partitionBy(partition_by)
         writer.parquet(os.path.join(self.path, rel))
-        return self._publish(rel, op)
+        return self._publish(rel, op, {"partition_by": partition_by}, version=v)
 
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
         """Latest snapshot, or time-travel to ``version``. The returned
@@ -121,7 +143,12 @@ class VersionedTable:
         if target is None:
             raise ValueError(f"{self.path}: no version {version}")
         return self._publish(
-            target["data_dir"], "rollback", {"restored_version": version}
+            target["data_dir"],
+            "rollback",
+            {
+                "restored_version": version,
+                "partition_by": target.get("partition_by"),
+            },
         )
 
     def compact(self, spark: SparkSession, target_files: int = 1) -> int:
@@ -130,9 +157,24 @@ class VersionedTable:
         Small-file compaction is the standing maintenance job of any
         streaming-ingested table (each micro-batch commit lands small
         files; scans pay per-file open cost). Readers of older versions
-        are untouched — compaction is just another snapshot."""
-        df = self.read(spark).coalesce(target_files)
-        return self.write(df, op="compact")
+        are untouched — compaction is just another snapshot.
+
+        Re-applies the table's recorded ``partition_by`` so OPTIMIZE on a
+        partitioned table keeps its layout (partition pruning survives):
+        hash-repartitioning on (partition col, bounded salt) puts each
+        partition value in at most ``target_files`` tasks, so each
+        partition directory gets at most that many files."""
+        ms = self._manifests()
+        pby = ms[-1].get("partition_by") if ms else None
+        df = self.read(spark)
+        if pby:
+            if target_files > 1:
+                salt = F.pmod(F.xxhash64(*df.columns), F.lit(target_files))
+                df = df.repartition(F.col(pby), salt)
+            else:
+                df = df.repartition(F.col(pby))
+            return self.write(df, op="compact", partition_by=pby)
+        return self.write(df.coalesce(target_files), op="compact")
 
     def vacuum(self, keep_last: int = 2) -> list[str]:
         """Delete snapshot DIRECTORIES no longer referenced by the last

@@ -293,9 +293,21 @@ def q_c1_rf_distance(spark, sf_dir):
         F.concat(F.lit("r"), F.col("r_regionkey").cast("string")).alias("child_id"),
         F.lit("root").alias("parent_id"),
     )
-    nat = t["nation"].select(
-        F.concat(F.lit("n"), F.col("n_nationkey").cast("string")).alias("child_id"),
-        F.concat(F.lit("r"), F.col("n_regionkey").cast("string")).alias("parent_id"),
+    # Only nations that HAVE customers become internal nodes of T1 — a
+    # childless nation would otherwise read as a tip to leaf_set and its
+    # h32('nN') label would pollute region fingerprints, diverging from the
+    # oracle's customer-only aggregation (ADVICE r3; node-set semantics).
+    nat = (
+        t["nation"]
+        .join(
+            t["customer"].select(F.col("c_nationkey").alias("n_nationkey")).distinct(),
+            "n_nationkey",
+            "left_semi",
+        )
+        .select(
+            F.concat(F.lit("n"), F.col("n_nationkey").cast("string")).alias("child_id"),
+            F.concat(F.lit("r"), F.col("n_regionkey").cast("string")).alias("parent_id"),
+        )
     )
     cust1 = t["customer"].select(
         F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("child_id"),
