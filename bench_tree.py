@@ -102,6 +102,20 @@ def main() -> None:
         T.induced_subtree(paths_self, tdf).count()
         induced_secs[n_ids] = round(time.time() - t0, 2)
 
+    # BIG-REQUEST path (the r4 size gate): half of all tips through the
+    # pure join+agg recipes — the request the reference 400s on and the
+    # driver-side fast path was never meant for. Expected MRCA = root.
+    big = rng.sample(tips, max(len(tips) // 2, 1))
+    bdf = spark.createDataFrame([(t,) for t in big], "node_id string")
+    t0 = time.time()
+    mrca_big = T.mrca(paths_self, bdf).collect()
+    mrca_secs[f"big_{len(big)}"] = round(time.time() - t0, 2)
+    assert mrca_big and mrca_big[0]["mrca_node_id"] == "n0", mrca_big
+    t0 = time.time()
+    n_induced = T.induced_subtree(paths_self, bdf).count()
+    induced_secs[f"big_{len(big)}"] = round(time.time() - t0, 2)
+    assert n_induced >= len(big), (n_induced, len(big))
+
     print(
         json.dumps(
             {

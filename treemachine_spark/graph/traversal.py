@@ -46,7 +46,41 @@ def path_to_root(paths: DataFrame, node_id: str) -> DataFrame:
     )
 
 
-def mrca(paths_self: DataFrame, tips: DataFrame) -> DataFrame:
+# Above this many tips the driver-side fast path (literal IN-filter +
+# driver-side coverage counting) stops being "request-scale": the IN-list
+# plan and the |tips| x height driver dict both grow with the request. The
+# join+agg recipes below the gate scale instead of capping — the engine's
+# whole point vs the reference's HTTP 400s.
+DRIVER_PATH_MAX_TIPS = 5000
+
+
+def _resolve_tips(paths_self: DataFrame, tips, max_driver_tips: int):
+    """Normalize ``tips`` (DataFrame or id list) into either a small id
+    list (driver fast path) or a distinct node_id DataFrame (join path).
+    Returns (ids_or_None, tips_df_or_None) — exactly one is set. Sizing a
+    DataFrame input uses a LIMIT-probe collect (one action that doubles as
+    the fast path's id fetch), never a separate count()."""
+    spark = paths_self.sparkSession
+    if isinstance(tips, DataFrame):
+        tdf = tips.select("node_id").distinct()
+        probe = tdf.limit(max_driver_tips + 1).collect()
+        if len(probe) <= max_driver_tips:
+            return [r["node_id"] for r in probe], None
+        return None, tdf
+    ids = list(dict.fromkeys(tips))
+    if len(ids) <= max_driver_tips:
+        return ids, None
+    tdf = spark.createDataFrame(
+        [(i,) for i in ids], "node_id string"
+    ).distinct()
+    return None, tdf
+
+
+def mrca(
+    paths_self: DataFrame,
+    tips: DataFrame,
+    max_driver_tips: int = DRIVER_PATH_MAX_TIPS,
+) -> DataFrame:
     """T2 — most recent common ancestor of a set of tips.
 
     Reference: GraphExplorer.getDraftTreeMRCA (opentree/GraphExplorer.java:
@@ -61,12 +95,17 @@ def mrca(paths_self: DataFrame, tips: DataFrame) -> DataFrame:
     (mrca_node_id, mrca_depth). ``tips`` may be a DataFrame (request-scale:
     its subplan is evaluated ONCE and re-literalized) or a plain list of
     node ids, as an HTTP request would supply.
+
+    SIZE-GATED: requests up to ``max_driver_tips`` take the measured-3x-
+    faster driver-side path below; anything larger routes to the pure
+    join+agg recipe (``_mrca_joined``) whose plan is bounded by DATA, not
+    by the request — no literal IN-list, no driver-side dict. Both paths
+    are verified by the same oracle (test_large_tipset.py pins agreement
+    and runs the join path at >=50k tips).
     """
-    if isinstance(tips, DataFrame):
-        tip_ids = [r["node_id"] for r in tips.select("node_id").collect()]
-    else:
-        tip_ids = list(tips)
-    tip_ids = list(dict.fromkeys(tip_ids))  # request ids may repeat
+    tip_ids, tips_df = _resolve_tips(paths_self, tips, max_driver_tips)
+    if tips_df is not None:
+        return _mrca_joined(paths_self, tips_df)
     n_tips = len(tip_ids)
     spark = paths_self.sparkSession
     # ONE single-stage job: filter the closure to the tip rows (literal
@@ -105,6 +144,43 @@ def mrca(paths_self: DataFrame, tips: DataFrame) -> DataFrame:
     dmax = max(d for _, d in full)
     node = next(a for a, d in full if d == dmin)
     return local_df(spark, [(node, int(dmax - dmin))], schema)
+
+
+def _mrca_joined(paths_self: DataFrame, tips_df: DataFrame) -> DataFrame:
+    """T2 at arbitrary tip-set size: the r2 pure join+agg recipe.
+
+    covering = ancestors seen by ALL tips (join closure⋈tips, groupBy
+    ancestor, countDistinct == broadcast total — partial-agg shuffle on
+    ancestor_id, the only data-scale stage; the total joins in as a 1-row
+    broadcast so no driver-side count action is needed). The covering set
+    is at most one root path (height-scale), so the final ranking is a
+    window over a handful of rows: with d0 = depth from the min-id
+    reference tip, the MRCA is the covering ancestor at min(d0) and its
+    root distance is max(d0) - d0.
+    """
+    ntot = tips_df.agg(F.countDistinct("node_id").alias("n_t"))
+    cov = (
+        paths_self.join(tips_df, "node_id")
+        .groupBy("ancestor_id")
+        .agg(F.countDistinct("node_id").alias("n_cov"))
+        .join(F.broadcast(ntot))
+        .where(F.col("n_cov") == F.col("n_t"))
+    )
+    t0 = tips_df.agg(F.min("node_id")).first()[0]
+    d0 = paths_self.where(F.col("node_id") == t0).select(
+        "ancestor_id", F.col("depth").alias("d0")
+    )
+    w = Window.partitionBy(F.lit(1))
+    return (
+        cov.join(d0, "ancestor_id")
+        .withColumn("dmax", F.max("d0").over(w))
+        .orderBy("d0")
+        .limit(1)
+        .select(
+            F.col("ancestor_id").alias("mrca_node_id"),
+            (F.col("dmax") - F.col("d0")).cast("int").alias("mrca_depth"),
+        )
+    )
 
 
 def mrta(paths: DataFrame, nodes: DataFrame, query: DataFrame, max_level: int) -> DataFrame:
@@ -187,7 +263,11 @@ def tip_counts(
     return counts
 
 
-def induced_subtree(paths_self: DataFrame, tips: DataFrame) -> DataFrame:
+def induced_subtree(
+    paths_self: DataFrame,
+    tips: DataFrame,
+    max_driver_tips: int = DRIVER_PATH_MAX_TIPS,
+) -> DataFrame:
     """T6 — induced subtree of a tip set: the tips plus every ancestor that
     is the MRCA of >= 2 tips, re-wired so each kept node's parent is its
     nearest kept ancestor.
@@ -212,11 +292,12 @@ def induced_subtree(paths_self: DataFrame, tips: DataFrame) -> DataFrame:
     # ancestor rewire run driver-side — the same measured win as mrca()
     # (the agg/window shuffle stages dominated these jobs, not the scans).
     # ``tips`` may also be a plain id list, as an HTTP request would supply.
-    if isinstance(tips, DataFrame):
-        tip_ids = [r["node_id"] for r in tips.select("node_id").collect()]
-    else:
-        tip_ids = list(tips)
-    tip_ids = list(dict.fromkeys(tip_ids))
+    # SIZE-GATED like mrca(): above ``max_driver_tips`` the request routes
+    # to the pure join+window recipe (_induced_subtree_joined) — bounded by
+    # data, not the request.
+    tip_ids, tips_df = _resolve_tips(paths_self, tips, max_driver_tips)
+    if tips_df is not None:
+        return _induced_subtree_joined(paths_self, tips_df)
     spark = paths_self.sparkSession
     anc_rows = (
         paths_self.where(F.col("depth") > 0)
@@ -247,6 +328,46 @@ def induced_subtree(paths_self: DataFrame, tips: DataFrame) -> DataFrame:
             best[r["node_id"]] = (r["ancestor_id"], r["depth"])
     edges = [(n, a) for n, (a, _) in sorted(best.items())]
     return local_df(spark, edges, "child_id string, parent_id string")
+
+
+def _induced_subtree_joined(paths_self: DataFrame, tips_df: DataFrame) -> DataFrame:
+    """T6 at arbitrary tip-set size: the r2 pure join+window recipe.
+
+    kept = tips ∪ {internal a : countDistinct(tips under a) >= 2}; the
+    kept set is |tips|-scale (an induced tree has < 2·|tips| nodes) so it
+    is localCheckpointed ONCE — both semi-joins below reuse the
+    materialized rows instead of re-running the aggregation subtree. The
+    rewire is one window per node over kept-to-kept closure rows: the
+    nearest kept ancestor is the induced parent. Every stage is a
+    shuffle on closure keys — nothing scales with the request beyond the
+    kept-set checkpoint.
+    """
+    anc = paths_self.where(F.col("depth") > 0).join(tips_df, "node_id")
+    kept_internal = (
+        anc.groupBy("ancestor_id")
+        .agg(F.countDistinct("node_id").alias("n_tips"))
+        .where(F.col("n_tips") >= 2)
+        .select(F.col("ancestor_id").alias("node_id"))
+    )
+    kept = kept_internal.unionByName(tips_df).distinct().localCheckpoint(eager=True)
+    to_kept = (
+        paths_self.where(F.col("depth") > 0)
+        .join(kept, "node_id", "left_semi")
+        .join(
+            kept.select(F.col("node_id").alias("ancestor_id")),
+            "ancestor_id",
+            "left_semi",
+        )
+    )
+    w = Window.partitionBy("node_id").orderBy("depth")
+    return (
+        to_kept.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("node_id").alias("child_id"),
+            F.col("ancestor_id").alias("parent_id"),
+        )
+    )
 
 
 def adjacent_by_source(
