@@ -24,84 +24,104 @@ from treemachine_spark.workload.queries import QUERIES  # noqa: E402
 # The driver's CORRECTNESS artifact captures the first 50 queries() entries
 # (insertion order). Two levers keep every operator family driver-verified:
 #
-# 1. _FRONT: gates that had never appeared in a driver artifact through r2
-#    (VERDICT r2 "What's missing" #3) go first.
-# 2. _DRIVER_EXCLUDED: 16 redundant near-duplicate gates are retired from
-#    the DRIVER surface only, bringing it to exactly 50 rows — zero
-#    judge-only gates. Each exclusion names its captured family-mate, and
-#    ALL gates (including these) remain verified by the sf0.001 DuckDB
-#    oracle pytest suite (tests/test_workload_oracle.py iterates the full
-#    QUERIES/ORACLES dicts, not this curated view).
+# 1. _FRONT: ROTATION (VERDICT r3 #2). Each round the surface front-loads
+#    gates that have never appeared in a driver artifact so every gate
+#    periodically earns a driver-signed CORRECTNESS row. r4 rotates in ALL
+#    31 gates absent from the r1-r3 artifacts (union of
+#    CORRECTNESS_r01/02/03 keys), leaving 19 slots for the core flagship
+#    gates that anchor each family.
+# 2. _DRIVER_EXCLUDED: everything else sits in the pytest tier this round —
+#    each entry names its r1-r3 driver-artifact row or captured
+#    family-mate, and ALL gates remain verified by the DuckDB oracle pytest
+#    suite at sf0.001 AND the driver's sf0.01
+#    (tests/test_workload_oracle.py iterates the full QUERIES/ORACLES
+#    dicts plus test_retired_gate_matches_oracle_at_driver_sf).
 _FRONT = [
-    "e4_anti_join",
-    "j3_asof_join",
-    "j4_range_join",
-    "l1_point_lookup",
-    "l9_distinct_sorted",
-    "o2_top1_latest",
-    "p3_props_decode",
-    "p10_id_codec",
-    "q8_market_share",
-    "q10_returned_items",
-    "q14_promo_share",
-    "q15_top_supplier",
-    "q17_small_qty_revenue",
-    "q19_disjunctive_join",
-    "s2_sessions_batch",
-    "w1_window_topn",
+    # never in a driver artifact through r3 — rotated in for r4
+    "c1_rf_distance",
+    "c2_node_distance",
+    "k1_kmv_distinct",
+    "k2_hll_sketch",
+    "k3_bloom_prune",
+    "k4_zorder",
+    "k5_cms_topk",
+    "q2_min_supplier",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q12_ship_lag",
+    "q20_part_suppliers",
+    "q21_sole_blame",
+    "s5_sliding_windows",
+    "s6_native_sessions",
+    "u1_merge_upsert",
+    "v7_semantic_dedup",
+    "v8_hard_negatives",
+    "x9_decontaminate",
+    "x10_source_quota",
+    "x11_repetition",
+    "x12_sequence_packing",
+    "x13_pack_manifest",
+    "x14_mixture_sample",
+    "x15_tfidf",
+    "x16_keyword_search",
+    "x17_dup_spans",
+    "x18_mixture_weights",
+    "x19_strip_spans",
+    "x20_lm_score",
+    "x21_table_stats",
 ]
 
 _DRIVER_EXCLUDED = {
-    "q4_order_priority": "EXISTS semi-join shape captured by l4 + e4",
-    "q6_forecast_revenue": "single-table filter-agg captured by q1",
-    "q7_nation_volume": "multi-dim broadcast join captured by q5/q8",
-    "q13_customer_distribution": "outer-join distribution; join family rich",
-    "q16_supplier_part_types": "distinct-agg + anti captured by q1/e4",
-    "q18_large_orders": "having-subquery top-orders captured by q3",
-    "q22_idle_customers": "anti-join agg captured by e4",
-    "t1_path_to_root": "closure filter; closure_paths verifies every path",
-    "t5_subtree_num_tips": "tip-count logic captured by a1_tip_counts",
-    "e2_intersect": "set-op family captured by e1/e4/l9",
-    "v1_ann_brute": "ANN baseline; v2 (LSH) + v3 (IVF) captured",
-    "v4_cosine_pairs": "all-pairs exactness baseline of captured v6",
-    "d4_ngram_jaccard": "uncapped twin of captured d7",
-    "x2_bpe_tokens": "tokenization family captured by x1/x7",
-    "x8_token_percentiles": "percentile-agg family captured by x4",
-    "s1_event_windows": "batch twin of captured streaming s3",
-    # r3 additions land in the pytest tier to keep the surface at the cap;
-    # both run the driver comparison at sf0.01 in pytest
-    # (test_workload_oracle.test_retired_gate_matches_oracle_at_driver_sf)
-    "x9_decontaminate": "pytest-tier; shingle machinery shared with d4/d7",
-    "x10_source_quota": "pytest-tier; window family captured by w1",
-    "x11_repetition": "pytest-tier; zero-shuffle array exprs like x1",
-    "x12_sequence_packing": "pytest-tier; window family captured by w1",
-    "x13_pack_manifest": "pytest-tier; x12's shard-writer aggregation",
-    "s5_sliding_windows": "pytest-tier; window-agg family captured by s3",
-    "x14_mixture_sample": "pytest-tier; hash-bucket family captured by x6",
-    "v7_semantic_dedup": "pytest-tier; cell machinery captured by v3/v5",
-    "q2_min_supplier": "pytest-tier; window-min join family captured by q15/w1",
-    "q9_product_profit": "pytest-tier; star-join agg family captured by q5/q8",
-    "q11_important_parts": "pytest-tier; scalar-subquery HAVING captured by q22",
-    "q12_ship_lag": "pytest-tier; conditional pivot captured by q8/q14",
-    "q20_part_suppliers": "pytest-tier; semi-join chain captured by l4/e4",
-    "q21_sole_blame": "pytest-tier; semi+anti self-join captured by e4/q4",
-    "k1_kmv_distinct": "pytest-tier; sketch family, TakeOrdered like q3/t9",
-    "k2_hll_sketch": "pytest-tier; sketch family, partial-agg like a1",
-    "k5_cms_topk": "pytest-tier; sketch family, join-agg like q5/w1",
-    "k3_bloom_prune": "pytest-tier; pre-shuffle pruning, semi family like l4/e4",
-    "k4_zorder": "pytest-tier; layout clustering, zero-shuffle exprs like x11",
-    "u1_merge_upsert": "pytest-tier; outer-join family captured by q13",
-    "c1_rf_distance": "pytest-tier; bipartition fingerprint agg like a1 + full-outer join like q13",
-    "x15_tfidf": "pytest-tier; explode+agg+window family captured by x1/w1",
-    "x16_keyword_search": "pytest-tier; x15's index in serving shape, semi family like l4",
-    "x17_dup_spans": "pytest-tier; span-hash explode+agg, shingle family like d4/d7",
-    "x18_mixture_weights": "pytest-tier; enum-scale agg + broadcast total, family like x4/x14",
-    "v8_hard_negatives": "pytest-tier; broadcast-topk family captured by v2/v3",
-    "x19_strip_spans": "pytest-tier; x17's span table + window keeper + anti-join rebuild",
-    "x20_lm_score": "pytest-tier; bigram window + count-join family like x15/x17",
-    "x21_table_stats": "pytest-tier; single-pass multi-agg, family like x1/a-group",
-    "c2_node_distance": "pytest-tier; closure join-agg family captured by t2/t3",
-    "s6_native_sessions": "pytest-tier; native session_window twin of captured s2",
+    # rotated OUT for r4 (driver-verified green in the r3 artifact)
+    "e4_anti_join": "r3 artifact row; semi/anti family also in l4",
+    "j3_asof_join": "r3 artifact row; temporal family",
+    "j4_range_join": "r3 artifact row; temporal family",
+    "l1_point_lookup": "r3 artifact row; pushdown family",
+    "l9_distinct_sorted": "r3 artifact row; set-op family in e1",
+    "o2_top1_latest": "r3 artifact row; TakeOrdered family in q3/t9",
+    "p3_props_decode": "r3 artifact row; map-decode family in p4",
+    "p10_id_codec": "r3 artifact row; codec family",
+    "q8_market_share": "r3 artifact row; star-join family in q5",
+    "q10_returned_items": "r3 artifact row; join-agg family in q3/q5",
+    "q14_promo_share": "r3 artifact row; conditional-agg family in q1",
+    "q15_top_supplier": "r3 artifact row; window-max family in w1",
+    "q17_small_qty_revenue": "r3 artifact row; scalar-subquery family",
+    "q19_disjunctive_join": "r3 artifact row; predicate-join family",
+    "s2_sessions_batch": "r3 artifact row; session family in s5/s6 (rotated in)",
+    "w1_window_topn": "r3 artifact row; window family in x10/x12 (rotated in)",
+    "x1_text_profile": "r3 artifact row; text family in x11/x15 (rotated in)",
+    "x4_lang_stats": "r3 artifact row; GROUPED_AGG family in x21 (rotated in)",
+    "x5_redaction": "r3 artifact row; regex-transform family in x1",
+    "d1_exact_dedup": "r3 artifact row; dedup family in d2/d5",
+    "d3_simhash": "r3 artifact row; per-row hash family in x17 (rotated in)",
+    "d6_purge_list": "r3 artifact row; keeper-policy family in d5",
+    "d7_jaccard_capped": "r3 artifact row; shingle family in x9 (rotated in)",
+    "f1_funnel": "r3 artifact row; sequence family in s2/s5",
+    "x6_hash_split": "r3 artifact row; hash-bucket family in x14 (rotated in)",
+    "x7_chunking": "r3 artifact row; chunk family in x12 (rotated in)",
+    "v2_ann_lsh": "r3 artifact row; ANN family anchored by v3-class gates",
+    "v5_centroid_cells": "r3 artifact row; cell family in v7 (rotated in)",
+    "v6_cosine_pairs_lsh": "r3 artifact row; band-join family in v8 (rotated in)",
+    "m1_media_features": "r3 artifact row; mapInPandas family",
+    "v3_ivf_topk": "r3 artifact row; ANN re-rank family in v8 (rotated in)",
+    # permanently-excluded near-duplicates (unchanged rationale, r2/r3
+    # rows exist or family-mate captures the shape)
+    "q4_order_priority": "r2 artifact row; EXISTS semi-join shape in l4+e4",
+    "q6_forecast_revenue": "r2 artifact row; single-table filter-agg in q1",
+    "q7_nation_volume": "r2 artifact row; multi-dim broadcast join in q5/q8",
+    "q13_customer_distribution": "r2 artifact row; outer-join distribution",
+    "q16_supplier_part_types": "r2 artifact row; distinct-agg + anti in q1/e4",
+    "q18_large_orders": "r2 artifact row; having-subquery top-orders in q3",
+    "q22_idle_customers": "r2 artifact row; anti-join agg in e4",
+    "t1_path_to_root": "r2 artifact row; closure_paths verifies every path",
+    "t5_subtree_num_tips": "r2 artifact row; tip-count logic in a1",
+    "e2_intersect": "r2 artifact row; set-op family in e1/e4/l9",
+    "v1_ann_brute": "r2 artifact row; ANN baseline of v2/v3",
+    "v4_cosine_pairs": "r2 artifact row; all-pairs baseline of v6",
+    "d4_ngram_jaccard": "r2 artifact row; uncapped twin of d7",
+    "x2_bpe_tokens": "r2 artifact row; tokenization family in x1/x7",
+    "x8_token_percentiles": "r2 artifact row; percentile family in x4",
+    "s1_event_windows": "r2 artifact row; batch twin of streaming s3",
 }
 
 
