@@ -90,3 +90,61 @@ def test_kmv_plan_is_take_ordered(spark, li):
     plan = sk.kmv_sketch(li, "l_orderkey")._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "Sort " not in plan
+
+
+# ---------------------------------------------------------------------------
+# bottom-k quantile sketch
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def tokdf(spark):
+    from treemachine_spark.functions import text
+
+    docs = load_tables(spark, SF_SMOKE)["documents"]
+    return docs.select(text.token_count(F.col("text")).alias("n")).cache()
+
+
+def test_quantile_estimate_accuracy(spark, tokdf):
+    est = sk.quantile_estimate(sk.quantile_sketch(tokdf, "n", k=128), (0.5, 0.9))
+    exact = tokdf.agg(
+        F.expr("percentile(n, 0.5)").alias("p50"),
+        F.expr("percentile(n, 0.9)").alias("p90"),
+    ).first()
+    # bottom-k with k=128 over a few hundred distinct values: ~10% rank
+    # error tolerance (accuracy pinned; exactness is the k>=domain case)
+    assert abs(est[0.5] - exact["p50"]) / exact["p50"] < 0.15
+    assert abs(est[0.9] - exact["p90"]) / exact["p90"] < 0.15
+
+
+def test_quantile_exact_when_k_covers_domain(spark, tokdf):
+    ndistinct = tokdf.distinct().count()
+    est = sk.quantile_estimate(
+        sk.quantile_sketch(tokdf, "n", k=ndistinct + 10), (0.5,)
+    )
+    # with the full domain sampled the sketch IS the histogram: the
+    # estimate is the exact lower-quantile value
+    rows = sorted(r["n"] for r in tokdf.collect())
+    import math
+
+    lower_median = rows[math.ceil(0.5 * len(rows)) - 1]
+    assert est[0.5] == lower_median
+
+
+def test_quantile_merge_equals_whole(spark, tokdf):
+    a = tokdf.where(F.col("n") % 2 == 0)
+    b = tokdf.where(F.col("n") % 2 == 1)
+    merged = sk.quantile_merge(
+        sk.quantile_sketch(a, "n", k=64), sk.quantile_sketch(b, "n", k=64), k=64
+    )
+    whole = sk.quantile_sketch(tokdf, "n", k=64)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+
+
+def test_quantile_sketch_plan_is_take_ordered(spark, tokdf):
+    plan = sk.quantile_sketch(tokdf, "n", k=64)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    # map-side combine before the distinct-value shuffle
+    assert "partial_count" in plan or "HashAggregate" in plan

@@ -263,6 +263,99 @@ def cms_topk(
     )
 
 
+# ---------------------------------------------------------------------------
+# Bottom-k quantile sketch
+# ---------------------------------------------------------------------------
+
+
+def quantile_sketch(df: DataFrame, col: str, k: int = 1024) -> DataFrame:
+    """Mergeable quantile sketch: the k distinct values with the smallest
+    h32 hash, each carrying its EXACT count — bottom-k (coordinated)
+    sampling over the value domain (Cohen & Kaplan, "Summarizing data
+    using bottom-k sketches", PODC'07).
+
+    Why this shape instead of KLL/t-digest: KLL's compaction is randomized
+    and t-digest's centroids are floats — both break this module's
+    cross-engine discipline (gates pin the sketch TABLE as exact
+    integers). Bottom-k sampling is deterministic given h32, mergeable,
+    and its state is (hash, value, count) BIGINTs.
+
+    Plan: one partial-aggregating shuffle of DISTINCT values (map-side
+    combine collapses duplicates first — the same cost class as KMV's
+    distinct()) then TakeOrdered(k) on the hash. Never a full-value
+    shuffle: exact ``percentile()`` (x8) must move every row's value to
+    its group; this moves one row per distinct value and keeps k.
+
+    Merge = union + re-aggregate (``quantile_merge``) for sketches built
+    over DISJOINT row sets (counts sum), e.g. per-partition or per-day
+    sketches rolling up to a corpus sketch.
+
+    Returns (h, v, cnt): h32 BIGINT, the value as BIGINT, exact count.
+    ``col`` must be integer-valued (cast upstream) so the cross-engine
+    string hash is unambiguous.
+    """
+    return (
+        df.where(F.col(col).isNotNull())
+        .groupBy(F.col(col).cast("long").alias("v"))
+        .agg(F.count("*").alias("cnt"))
+        .select(h32(F.col("v").cast("string")).alias("h"), "v", "cnt")
+        .orderBy("h")
+        .limit(k)
+    )
+
+
+def quantile_sketch_sql(table: str, expr: str, k: int = 1024) -> str:
+    """DuckDB twin of :func:`quantile_sketch` (integer-exact)."""
+    h = h32_sql("CAST(v AS VARCHAR)")
+    return f"""
+WITH vals AS (
+    SELECT CAST({expr} AS BIGINT) AS v, count(*) AS cnt
+    FROM {table} WHERE {expr} IS NOT NULL GROUP BY 1
+)
+SELECT {h} AS h, v, cnt FROM vals ORDER BY h LIMIT {k}
+"""
+
+
+def quantile_merge(a: DataFrame, b: DataFrame, k: int = 1024) -> DataFrame:
+    """Merge two bottom-k quantile sketches over DISJOINT row sets: same
+    value -> counts sum (hash is a function of the value), then re-take
+    the k smallest hashes."""
+    return (
+        a.union(b)
+        .groupBy("h", "v")
+        .agg(F.sum("cnt").alias("cnt"))
+        .orderBy("h")
+        .limit(k)
+    )
+
+
+def quantile_estimate(sketch: DataFrame, qs: tuple = (0.5, 0.9, 0.99)) -> dict:
+    """Quantile estimates from a bottom-k sketch, driver-side over the
+    k-row state (register-scale, like hll_estimate).
+
+    Every distinct value is sampled with the same probability p, so the
+    sampled histogram is an unbiased 1/p-scaling of the true one and p
+    CANCELS in the quantile position: q's estimate is the smallest
+    sampled v whose cumulative count reaches q * (total sampled count).
+    If the sketch holds fewer than k values it IS the exact histogram and
+    the estimates are exact.
+    """
+    rows = sorted((r["v"], r["cnt"]) for r in sketch.collect())
+    total = sum(c for _, c in rows)
+    out = {}
+    for q in qs:
+        target = q * total
+        acc = 0
+        est = rows[-1][0] if rows else None
+        for v, c in rows:
+            acc += c
+            if acc >= target:
+                est = v
+                break
+        out[q] = est
+    return out
+
+
 def cms_topk_sql(
     table: str, expr: str, k: int = 10, depth: int = 4, width: int = 2048
 ) -> str:

@@ -600,6 +600,12 @@ PIPELINE_ORACLES["k2_hll_sketch"] = hll_sketch_sql(
 
 PIPELINE_ORACLES["k5_cms_topk"] = cms_topk_sql("events", "user_id", k=10)
 
+from treemachine_spark.functions.sketches import quantile_sketch_sql  # noqa: E402
+
+PIPELINE_ORACLES["k6_quantile_sketch"] = quantile_sketch_sql(
+    "documents", r"len(string_split_regex(trim(text), '\s+'))", k=128
+)
+
 # bloom-filter pruning: membership in the bit set is expressed relationally
 # (positions join) — semantically identical to the engine's literal
 # bit-string filter by construction

@@ -462,6 +462,19 @@ def q_k5_cms_topk(spark, sf_dir):
     return sk.cms_topk(load_tables(spark, sf_dir)["events"], "user_id", k=10)
 
 
+def q_k6_quantile_sketch(spark, sf_dir):
+    """Bottom-k quantile sketch (128 smallest-hash distinct token counts
+    with exact counts) over document token lengths — the mergeable
+    replacement for x8's exact percentile() at corpus scale (exact
+    percentiles shuffle every value; the sketch ships k integer rows)."""
+    from treemachine_spark.functions import sketches as sk
+    from treemachine_spark.functions import text
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    d = docs.select(text.token_count(F.col("text")).alias("n"))
+    return sk.quantile_sketch(d, "n", k=128)
+
+
 def q_k3_bloom_prune(spark, sf_dir):
     """Bloom-filter semi-join pruning: an 8192-bit / 3-hash filter built
     from a supplier subset prunes the lineitem scan BEFORE any join. The
@@ -581,6 +594,7 @@ PIPELINE_QUERIES = {
     "k1_kmv_distinct": q_k1_kmv_distinct,
     "k2_hll_sketch": q_k2_hll_sketch,
     "k5_cms_topk": q_k5_cms_topk,
+    "k6_quantile_sketch": q_k6_quantile_sketch,
     "k3_bloom_prune": q_k3_bloom_prune,
     "k4_zorder": q_k4_zorder,
     "u1_merge_upsert": q_u1_merge_upsert,
