@@ -104,6 +104,7 @@ _DRIVER_EXCLUDED = {
     "v6_cosine_pairs_lsh": "r3 artifact row; band-join family in v8 (rotated in)",
     "m1_media_features": "r3 artifact row; mapInPandas family",
     "v3_ivf_topk": "r3 artifact row; ANN re-rank family in v8 (rotated in)",
+    "s7_sessionize_stream": "NEW r4; pytest-tier this round, rotates into the r5 artifact (stateful-streaming family s3/s4 have r4 rows)",
     "k6_quantile_sketch": "NEW r4; pytest-tier this round, rotates into the r5 artifact (sketch family k1/k2/k5 have r4 rows)",
     # permanently-excluded near-duplicates (unchanged rationale, r2/r3
     # rows exist or family-mate captures the shape)

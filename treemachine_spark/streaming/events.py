@@ -206,11 +206,25 @@ _STATE_SCHEMA = StructType(
 )
 
 
-def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+def sessionize(
+    events: DataFrame, gap_minutes: int = 30, open_tail: str = "timeout"
+) -> DataFrame:
     """Gap-based sessionization with applyInPandasWithState: a session closes
     when no event arrives for `gap_minutes` (event-time via watermark +
-    processing-time timeout as the closer)."""
+    processing-time timeout as the closer).
+
+    ``open_tail`` controls each user's final, still-open session:
+
+    - ``"timeout"`` (default, long-lived streams): a processing-time
+      timeout eventually flushes it. NOT deterministic under a one-shot
+      availableNow run — whether the timeout batch fires depends on
+      wall-clock between batches (observed: a slow run emitted 15 tails).
+    - ``"never"``: the open tail stays in state forever; a one-shot run
+      emits exactly the CLOSED sessions (every session but each user's
+      last) — the deterministic contract the s7 DuckDB gate pins.
+    """
     gap_us = gap_minutes * 60 * 1_000_000
+    use_timeout = open_tail == "timeout"
 
     def fn(
         key, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -245,7 +259,8 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
                 n += 1
                 total += float(v)
         state.update((start_us, end_us, n, total))
-        state.setTimeoutDuration(60_000)
+        if use_timeout:
+            state.setTimeoutDuration(60_000)
         if out:
             yield pd.DataFrame(
                 {
@@ -266,7 +281,9 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             SESSION_SCHEMA,
             _STATE_SCHEMA,
             "append",
-            GroupStateTimeout.ProcessingTimeTimeout,
+            GroupStateTimeout.ProcessingTimeTimeout
+            if use_timeout
+            else GroupStateTimeout.NoTimeout,
         )
     )
 

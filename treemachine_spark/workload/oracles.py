@@ -544,6 +544,37 @@ SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
 FROM sessions GROUP BY user_id, session_no
 """
 
+# s7: the STREAMING sessionizer's output — microsecond gap strictness
+# (t - prev > 30min in us, matching the stateful operator's integer
+# arithmetic) and CLOSED sessions only: the operator's availableNow run
+# emits every session except each user's last (the open tail stays in
+# state), so the oracle drops each user's max session_no.
+ORACLES["s7_sessionize_stream"] = """
+WITH gapped AS (
+    SELECT user_id, ts, event_id, value,
+           CASE WHEN epoch_us(ts) - COALESCE(
+                    LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id), 0)
+                > 1800000000 THEN 1 ELSE 0 END AS new_session
+    FROM events
+),
+sessions AS (
+    SELECT *, SUM(new_session) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+    FROM gapped
+),
+agg AS (
+    SELECT user_id, session_no,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           CAST(COUNT(*) AS INTEGER) AS n_events,
+           ROUND(SUM(value), 2) AS total_value,
+           MAX(session_no) OVER (PARTITION BY user_id) AS max_no
+    FROM sessions GROUP BY user_id, session_no
+)
+SELECT user_id, session_start, session_end, n_events, total_value
+FROM agg WHERE session_no < max_no
+"""
+
 ORACLES["j3_asof_join"] = """
 WITH clicks AS (
     SELECT user_id, ts,
