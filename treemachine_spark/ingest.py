@@ -235,6 +235,71 @@ def load_single_store(spark: SparkSession, out_dir: str):
     return TreeRegistry(stores)
 
 
+def write_bucketed_closure(
+    stores: list[GraphStore],
+    table: str = "paths_bucketed",
+    buckets: int = 16,
+) -> None:
+    """SURVEY §4's optional layout optimization (VERDICT r3 #10): persist
+    the closure as a synth_id-PARTITIONED, node_id-BUCKETED warehouse
+    table.
+
+    - Partitioning by synth_id makes every per-tree query a partition-
+      pruned scan (PartitionFilters in the plan; only that tree's files
+      are listed).
+    - Bucketing by node_id pre-shuffles the closure ONCE at write time:
+      any join keyed on node_id against another table bucketed the same
+      way (``write_bucketed_leaves``) runs Exchange-free — at 100 TB the
+      closure-side shuffle IS the cost of tip_counts/MRCA-class joins,
+      and bucketing moves it from every query to one ingest write.
+
+    Bucket metadata only exists for catalog tables, so this writes via
+    ``saveAsTable`` into the session warehouse (path-based parquet cannot
+    carry it). The repartition before the write aligns tasks to buckets
+    so each (partition, bucket) gets ONE file.
+    """
+    from functools import reduce
+
+    dfs = [s.paths.withColumn("synth_id", F.lit(s.tree_id)) for s in stores]
+    (
+        reduce(DataFrame.unionByName, dfs)
+        .repartition(buckets, "node_id")
+        .write.mode("overwrite")
+        .format("parquet")
+        .partitionBy("synth_id")
+        .bucketBy(buckets, "node_id")
+        .sortBy("node_id")
+        .saveAsTable(table)
+    )
+
+
+def write_bucketed_leaves(
+    stores: list[GraphStore],
+    table: str = "leaves_bucketed",
+    buckets: int = 16,
+) -> None:
+    """Leaf sets co-bucketed with ``write_bucketed_closure`` (same bucket
+    count + key) so closure⋈leaves — the tip_counts/A1 join — needs no
+    Exchange on either side."""
+    from functools import reduce
+
+    from treemachine_spark.graph.traversal import leaf_set
+
+    dfs = [
+        leaf_set(s.edges).withColumn("synth_id", F.lit(s.tree_id)) for s in stores
+    ]
+    (
+        reduce(DataFrame.unionByName, dfs)
+        .repartition(buckets, "node_id")
+        .write.mode("overwrite")
+        .format("parquet")
+        .partitionBy("synth_id")
+        .bucketBy(buckets, "node_id")
+        .sortBy("node_id")
+        .saveAsTable(table)
+    )
+
+
 def delete_tree(out_dir: str, synth_id: str) -> None:
     """Admin mutation: remove ONE synthetic tree from a single-store layout
     (``write_single_store``) — the counterpart of GraphBase.deleteTreeBySource
