@@ -1,0 +1,185 @@
+"""HTTP serving facade under concurrent load (VERDICT r3 #9).
+
+Builds a synthetic balanced tree (default 2.42M tips — the size the
+reference's HTTP 400 cap rejects outright), serves it through the real
+stdlib server (api/server.py, one shared SparkSession, threaded handler,
+Spark FIFO scheduling), then drives mrca / node_info / subtree from 12 and
+32 concurrent clients and reports per-endpoint p50/p95/max latency.
+
+Run: python bench_http.py [n_tips] — prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import random
+import sys
+import threading
+import time
+import urllib.request
+
+from pyspark.sql import functions as F
+
+
+def _post(base: str, path: str, body: dict) -> tuple[int, float]:
+    req = urllib.request.Request(
+        base + path,
+        data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    t0 = time.time()
+    try:
+        with urllib.request.urlopen(req) as r:
+            r.read()
+            status = r.status
+    except urllib.error.HTTPError as e:
+        e.read()
+        status = e.code
+    return status, time.time() - t0
+
+
+def _pctl(xs: list[float], q: float) -> float:
+    xs = sorted(xs)
+    return round(xs[min(len(xs) - 1, int(q * len(xs)))], 3)
+
+
+def main() -> None:
+    n_tips = int(sys.argv[1]) if len(sys.argv) > 1 else 2_420_000
+    from bench_tree import synthetic_tree_edges
+    from treemachine_spark.api.server import make_server
+    from treemachine_spark.graph.closure import build_closure
+    from treemachine_spark.ingest import GraphStore
+    from treemachine_spark.session import get_spark
+
+    spark = get_spark("treemachine-http-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    t0 = time.time()
+    edges_cp, tips = synthetic_tree_edges(spark, n_tips)
+    edges_raw = edges_cp.cache()
+    n_edges = edges_raw.count()
+    edges = edges_raw.select(
+        F.lit("synth").alias("tree_id"),
+        "child_id",
+        "parent_id",
+        F.lit(1.0).alias("branch_length"),
+        F.lit(0).alias("child_index"),
+        F.lit(1).alias("tip_descendants"),
+    )
+    parents = edges_raw.select(F.col("parent_id").alias("node_id")).distinct()
+    nodes = (
+        edges_raw.select(F.col("child_id").alias("node_id"))
+        .unionByName(spark.createDataFrame([("n0",)], "node_id string"))
+        .join(parents.withColumn("_p", F.lit(True)), "node_id", "left")
+        .select(
+            F.lit("synth").alias("tree_id"),
+            "node_id",
+            # unnamed nodes: in a real store name != NULL implies an ott_id
+            # (taxonomy join), and _taxon_blob relies on that invariant
+            F.lit(None).cast("long").alias("ott_id"),
+            F.lit(None).cast("string").alias("name"),
+            F.lit(None).cast("string").alias("unique_name"),
+            F.lit(None).cast("string").alias("rank"),
+            F.lit(None).cast("array<string>").alias("tax_sources"),
+            F.col("_p").isNull().alias("is_leaf"),
+        )
+    )
+    paths = build_closure(edges_raw.select("child_id", "parent_id"))
+    ann = spark.createDataFrame(
+        [],
+        "node_id string, supported_by map<string,string>, "
+        "conflicts_with map<string,array<string>>, resolves map<string,string>, "
+        "resolved_by map<string,array<string>>, partial_path_of map<string,string>, "
+        "terminal map<string,string>",
+    )
+    smap = spark.createDataFrame(
+        [("s1", "study1", "tree1", "sha1")],
+        "source_id string, study_id string, tree_id string, git_sha string",
+    )
+    store = GraphStore(
+        tree_id="synth",
+        root_id="n0",
+        nodes=nodes,
+        edges=edges,
+        paths=paths,
+        node_annotations=ann,
+        source_map=smap,
+        tree_meta={"tree_id": "synth", "synth_id": "synth"},
+    ).cache()
+    for df in (store.nodes, store.edges, store.paths):
+        df.count()
+    build_sec = round(time.time() - t0, 2)
+
+    srv = make_server(store, host="127.0.0.1", port=0)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+
+    rng = random.Random(7)
+    internals = [f"n{i}" for i in range(1, 200)]  # upper levels of the tree
+
+    def request_for(kind: str) -> tuple[str, dict]:
+        if kind == "mrca":
+            return "/v3/tree_of_life/mrca", {"node_ids": rng.sample(tips, 160)}
+        if kind == "node_info":
+            return "/v3/tree_of_life/node_info", {"node_id": rng.choice(tips)}
+        return "/v3/tree_of_life/subtree", {
+            "node_id": rng.choice(internals),
+            "height_limit": 2,
+        }
+
+    client_counts = (
+        tuple(int(x) for x in sys.argv[2].split(","))
+        if len(sys.argv) > 2
+        else (1, 12, 32)
+    )
+    results: dict = {}
+    for n_clients in client_counts:
+        lat: dict[str, list[float]] = {"mrca": [], "node_info": [], "subtree": []}
+        errs = [0]
+        lock = threading.Lock()
+
+        def client(cid: int):
+            kinds = ["mrca", "node_info", "subtree"]
+            for i in range(6):
+                kind = kinds[(cid + i) % 3]
+                path, body = request_for(kind)
+                status, dt = _post(base, path, body)
+                with lock:
+                    lat[kind].append(dt)
+                    if status != 200:
+                        errs[0] += 1
+
+        t0 = time.time()
+        threads = [threading.Thread(target=client, args=(c,)) for c in range(n_clients)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        wall = round(time.time() - t0, 2)
+        results[f"clients_{n_clients}"] = {
+            "wall_sec": wall,
+            "n_requests": sum(len(v) for v in lat.values()),
+            "errors": errs[0],
+            **{
+                k: {"p50": _pctl(v, 0.5), "p95": _pctl(v, 0.95), "max": _pctl(v, 1.0)}
+                for k, v in lat.items()
+            },
+        }
+
+    srv.shutdown()
+    srv.server_close()
+    print(
+        json.dumps(
+            {
+                "n_tips": n_tips,
+                "n_edges": n_edges,
+                "store_build_sec": build_sec,
+                **results,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

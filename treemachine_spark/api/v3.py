@@ -107,7 +107,7 @@ class TreeOfLifeV3:
         bad_nodes: list[str] = []
         bad_otts: list[int] = []
         if node_ids:
-            req = spark.createDataFrame([(i,) for i in node_ids], "node_id string")
+            req = T.local_df(spark, [(i,) for i in node_ids], "node_id string")
             hits = {
                 r["node_id"]
                 for r in self.store.nodes.join(
@@ -117,7 +117,7 @@ class TreeOfLifeV3:
             for i in node_ids:
                 (found if i in hits else bad_nodes).append(i)
         if ott_ids:
-            req = spark.createDataFrame([(i,) for i in ott_ids], "ott_id long")
+            req = T.local_df(spark, [(int(i),) for i in ott_ids], "ott_id long")
             hits = {
                 r["ott_id"]: r["node_id"]
                 for r in self.store.nodes.join(
@@ -167,7 +167,7 @@ class TreeOfLifeV3:
         """P2 — GraphExplorer.getNodeBlob (GraphExplorer.java:203-214) for a
         batch of nodes in ONE join (the reference loops per node)."""
         spark = self.store.nodes.sparkSession
-        req = spark.createDataFrame([(i,) for i in node_ids], "node_id string")
+        req = T.local_df(spark, [(i,) for i in node_ids], "node_id string")
         rows = (
             req.join(self.store.nodes, "node_id", "left")
             .join(self.store.node_annotations, "node_id", "left")
@@ -343,8 +343,12 @@ class TreeOfLifeV3:
                 {"ott_ids_not_in_tree": bad_otts, "node_ids_not_in_tree": bad_nodes},
             )
         spark = self.store.nodes.sparkSession
-        tips = spark.createDataFrame([(i,) for i in found], "node_id string")
-        mrca_row = T.mrca(self.store.paths_with_self(), tips).collect()[0]
+        mrca_row = T.mrca(
+            self.store.paths_with_self(),
+            found,
+            paths=self.store.paths,
+            root_id=self.store.root_id,
+        ).collect()[0]
         mrca_id = mrca_row["mrca_node_id"]
 
         res: dict = {}
@@ -419,7 +423,7 @@ class TreeOfLifeV3:
             # keep only edges whose parent is inside the subtree or is qid
             .join(
                 member.unionByName(
-                    member.sparkSession.createDataFrame([(qid,)], "node_id string")
+                    T.local_df(member.sparkSession, [(qid,)], "node_id string")
                 ).withColumnRenamed("node_id", "parent_id"),
                 "parent_id",
                 "left_semi",
@@ -475,7 +479,7 @@ class TreeOfLifeV3:
 
             spark = self.store.nodes.sparkSession
             member_plus = member.unionByName(
-                spark.createDataFrame([(qid,)], "node_id string")
+                T.local_df(spark, [(qid,)], "node_id string")
             )
             labels_df = self._labels_df(member_plus, label_format, ids_for_unnamed)
             newick = distributed_newick(
@@ -487,7 +491,7 @@ class TreeOfLifeV3:
             ).collect()
             member_ids = {r["child_id"] for r in rows} | {qid}
             spark = self.store.nodes.sparkSession
-            mdf = spark.createDataFrame([(i,) for i in member_ids], "node_id string")
+            mdf = T.local_df(spark, [(i,) for i in member_ids], "node_id string")
             node_rows = self.store.nodes.join(
                 F.broadcast(mdf), "node_id", "left_semi"
             ).collect()
@@ -574,14 +578,13 @@ class TreeOfLifeV3:
                 "(there must be at least two)."
             )
         spark = self.store.nodes.sparkSession
-        tips = spark.createDataFrame([(i,) for i in found], "node_id string")
-        ind_edges = T.induced_subtree(self.store.paths_with_self(), tips)
+        ind_edges = T.induced_subtree(self.store.paths_with_self(), found)
         rows = [(r["child_id"], r["parent_id"]) for r in ind_edges.collect()]
         members = {c for c, _ in rows} | {p for _, p in rows}
         root_candidates = {p for _, p in rows} - {c for c, _ in rows}
         root_id = root_candidates.pop() if root_candidates else found[0]
 
-        mdf = spark.createDataFrame([(i,) for i in members], "node_id string")
+        mdf = T.local_df(spark, [(i,) for i in members], "node_id string")
         node_rows = self.store.nodes.join(F.broadcast(mdf), "node_id", "left_semi").collect()
         labels = self._labels(node_rows, label_format, ids_for_unnamed=True)
 

@@ -27,6 +27,13 @@ def get_spark(app_name: str = "treemachine-spark") -> SparkSession:
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # FAIR job scheduling: the HTTP facade serves concurrent requests
+        # from one session — under FIFO a queued subtree scan starves every
+        # small node_info behind it (bench_http r4: node_info p50 doubled
+        # from 12 -> 32 clients); FAIR round-robins task slots across jobs.
+        # Batch workloads are unaffected (one job at a time), and the
+        # concurrent-ingest job packing keeps working.
+        .config("spark.scheduler.mode", "FAIR")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")

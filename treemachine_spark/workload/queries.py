@@ -211,7 +211,11 @@ def q_t1_path_to_root(spark, sf_dir):
 def q_t2_mrca(spark, sf_dir):
     """T2 — MRCA of a deterministic tip set (GraphExplorer.java:617-650)."""
     ctx = get_ctx(spark, sf_dir)
-    return T.mrca(ctx["paths_self"], ctx["mrca_tips"])
+    # raw closure + root id: the fast path synthesizes self rows driver-side
+    # instead of paying the nodes-cache InSet scan (r4 floor profile)
+    return T.mrca(
+        ctx["paths_self"], ctx["mrca_tips"], paths=ctx["paths"], root_id="root"
+    )
 
 
 def q_t3_mrta(spark, sf_dir):
