@@ -242,15 +242,21 @@ def sessionize(
                 }
             )
             return
-        rows = pd.concat(list(pdfs))
-        ts_us = (rows["ts_t"].astype("int64") // 1000).sort_values()
-        vals = rows["value"]
+        # ignore_index: the group arrives as MULTIPLE Arrow chunks once it
+        # outgrows one batch, and concat of chunks repeats 0-based labels —
+        # a label-based align (.loc) then mismatches values to timestamps
+        # (caught by the s7 oracle at sf0.1 density; sf0.001 fit one chunk)
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.assign(_us=rows["ts_t"].astype("int64") // 1000).sort_values(
+            "_us", ignore_index=True
+        )
+        ts_us = rows["_us"]
         if state.exists:
             start_us, end_us, n, total = state.get
         else:
             start_us, end_us, n, total = int(ts_us.iloc[0]), int(ts_us.iloc[0]), 0, 0.0
         out = []
-        for t, v in zip(ts_us, vals.loc[ts_us.index]):
+        for t, v in zip(ts_us, rows["value"]):
             if n > 0 and t - end_us > gap_us:
                 out.append((key[0], start_us, end_us, n, total))
                 start_us, end_us, n, total = int(t), int(t), 1, float(v)
