@@ -443,7 +443,9 @@ FROM j WHERE s_acctbal = min_bal
 ORACLES["q9_product_profit"] = """
 SELECT n_name AS nation,
        CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS profit
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2)
+            AS DOUBLE) AS profit
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 JOIN orders ON l_orderkey = o_orderkey

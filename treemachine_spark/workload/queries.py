@@ -889,9 +889,17 @@ def q_q9_product_profit(spark, sf_dir):
             F.year("o_orderdate").alias("o_year"),
         )
         .agg(
+            # DECIMAL sum (the q7 pattern): at derived-sf1 magnitude (~2.7e8)
+            # a double sum's order lands on the ROUND(2dp) knife-edge
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("profit")
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(12,2)")
+                    * (F.lit(1).cast("decimal(12,2)") - F.col("l_discount").cast("decimal(12,2)"))
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("profit")
         )
     )
 
