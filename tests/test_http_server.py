@@ -15,6 +15,7 @@ from treemachine_spark.api.server import _dispatch, make_server
 from treemachine_spark.ingest import ingest_synthesis_data
 
 FIX = Path(__file__).parent / "fixtures"
+_SRV: dict = {}
 
 
 @pytest.fixture(scope="module")
@@ -28,6 +29,7 @@ def base_url(spark):
     srv = make_server(store, host="127.0.0.1", port=0)  # ephemeral port
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
+    _SRV["srv"] = srv
     yield f"http://127.0.0.1:{srv.server_address[1]}"
     srv.shutdown()
     srv.server_close()
@@ -147,3 +149,53 @@ def test_dispatch_is_socketless(spark):
     # _dispatch is a pure router — 404 path needs no API objects at all
     status, resp = _dispatch({}, "/v3/none", {})
     assert status == 404
+
+
+def test_response_cache_memoizes_and_coalesces(base_url):
+    """Identical requests are served from the LRU cache (immutable
+    snapshot => semantics-free); concurrent identical requests coalesce
+    into one computation (single-flight)."""
+    import time
+    from concurrent.futures import ThreadPoolExecutor
+
+    cache = _SRV["srv"].response_cache
+    assert cache is not None
+    _, about = post(base_url, "/v3/tree_of_life/about")
+    root = about["root"]["node_id"]
+    # body unique to this test: other tests may have warmed {"node_id": root}
+    body = {"node_id": root, "include_lineage": False}
+    h0, m0 = cache.hits, cache.misses
+    s1, r1 = post(base_url, "/v3/tree_of_life/node_info", body)
+    t0 = time.time()
+    s2, r2 = post(base_url, "/v3/tree_of_life/node_info", body)
+    cached_dt = time.time() - t0
+    assert (s1, r1) == (s2, r2) == (200, r1)
+    assert cache.hits >= h0 + 1 and cache.misses == m0 + 1
+    assert cached_dt < 0.2  # no Spark job on the hit path
+
+    # single-flight: 8 concurrent IDENTICAL fresh requests -> 1 miss
+    body2 = {"node_id": root, "include_lineage": True}
+    m_before = cache.misses
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        out = list(
+            pool.map(
+                lambda _: post(base_url, "/v3/tree_of_life/node_info", body2),
+                range(8),
+            )
+        )
+    assert all(o == out[0] for o in out)
+    assert cache.misses == m_before + 1
+
+
+def test_response_cache_keys_on_body(base_url):
+    # different bodies never share entries; deterministic 400s are cached
+    cache = _SRV["srv"].response_cache
+    _, about = post(base_url, "/v3/tree_of_life/about")
+    root = about["root"]["node_id"]
+    s1, _ = post(base_url, "/v3/tree_of_life/node_info", {"node_id": root})
+    s2, r2 = post(base_url, "/v3/tree_of_life/node_info", {"node_id": "nope"})
+    assert s1 == 200 and s2 == 400
+    m = cache.misses
+    s3, r3 = post(base_url, "/v3/tree_of_life/node_info", {"node_id": "nope"})
+    assert (s3, r3) == (s2, r2)
+    assert cache.misses == m  # 400 replayed from cache

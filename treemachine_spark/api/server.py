@@ -27,9 +27,57 @@ concurrent request jobs FIFO-fair across its local threads. Start with:
 from __future__ import annotations
 
 import json
+import threading
+from collections import OrderedDict
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from treemachine_spark.api.errors import BadIdsError, BadInputError, TreeTooBigError
+
+
+class ResponseCache:
+    """LRU response memoization with single-flight coalescing.
+
+    The store is immutable for the life of the process (snapshot serving —
+    every mutation publishes a NEW store), so a (path, body) pair always
+    maps to the same response and caching is semantics-free. Single-flight
+    matters under load: N concurrent identical requests run ONE Spark job;
+    the other N-1 wait on the owner's event instead of queueing N scans.
+    500s are never cached (transient); 400s are (deterministic contract
+    errors)."""
+
+    def __init__(self, maxsize: int = 256):
+        self.maxsize = maxsize
+        self._lock = threading.Lock()
+        self._data: OrderedDict = OrderedDict()
+        self._inflight: dict = {}
+        self.hits = 0
+        self.misses = 0
+
+    def get_or_compute(self, key, fn):
+        while True:
+            with self._lock:
+                if key in self._data:
+                    self._data.move_to_end(key)
+                    self.hits += 1
+                    return self._data[key]
+                ev = self._inflight.get(key)
+                if ev is None:
+                    self._inflight[key] = threading.Event()
+                    self.misses += 1
+                    break
+            ev.wait()  # another thread is computing this exact request
+        try:
+            status, resp = fn()
+            if status != 500:
+                with self._lock:
+                    self._data[key] = (status, resp)
+                    while len(self._data) > self.maxsize:
+                        self._data.popitem(last=False)
+            return status, resp
+        finally:
+            with self._lock:
+                ev = self._inflight.pop(key)
+            ev.set()
 
 # endpoint -> (api attr, method, allowed kwargs)
 _ROUTES = {
@@ -76,13 +124,20 @@ def _dispatch(apis: dict, path: str, body: dict) -> tuple[int, dict]:
         return 400, {"message": str(e)}
 
 
-def make_server(store, host: str = "127.0.0.1", port: int = 1984) -> ThreadingHTTPServer:
-    """Build (not start) the HTTP server for a loaded GraphStore."""
+def make_server(
+    store, host: str = "127.0.0.1", port: int = 1984, cache_size: int = 256
+) -> ThreadingHTTPServer:
+    """Build (not start) the HTTP server for a loaded GraphStore.
+    ``cache_size`` > 0 enables LRU response memoization with single-flight
+    coalescing (valid because the served store is an immutable snapshot);
+    0 disables it. The cache object is exposed as ``server.response_cache``
+    for stats/tests."""
     from treemachine_spark.api.v2 import TreeOfLifeV2
     from treemachine_spark.api.v3 import TreeOfLifeV3
 
     v3 = TreeOfLifeV3(store)
     apis = {"v3": v3, "v2": TreeOfLifeV2(v3)}
+    cache = ResponseCache(cache_size) if cache_size > 0 else None
 
     class Handler(BaseHTTPRequestHandler):
         def do_POST(self):  # noqa: N802 (http.server API)
@@ -95,10 +150,18 @@ def make_server(store, host: str = "127.0.0.1", port: int = 1984) -> ThreadingHT
             except ValueError as e:
                 self._reply(400, {"message": f"invalid JSON body: {e}"})
                 return
-            try:
-                status, resp = _dispatch(apis, self.path, body)
-            except Exception as e:  # unexpected -> 500, never kill the server
-                status, resp = 500, {"message": f"{type(e).__name__}: {e}"}
+
+            def run() -> tuple[int, dict]:
+                try:
+                    return _dispatch(apis, self.path, body)
+                except Exception as e:  # unexpected -> 500, never kill the server
+                    return 500, {"message": f"{type(e).__name__}: {e}"}
+
+            if cache is None:
+                status, resp = run()
+            else:
+                key = (self.path, json.dumps(body, sort_keys=True))
+                status, resp = cache.get_or_compute(key, run)
             self._reply(status, resp)
 
         def _reply(self, status: int, resp: dict):
@@ -112,7 +175,9 @@ def make_server(store, host: str = "127.0.0.1", port: int = 1984) -> ThreadingHT
         def log_message(self, *args):  # quiet by default
             pass
 
-    return ThreadingHTTPServer((host, port), Handler)
+    srv = ThreadingHTTPServer((host, port), Handler)
+    srv.response_cache = cache
+    return srv
 
 
 def serve(store, host: str = "127.0.0.1", port: int = 1984) -> None:
