@@ -107,7 +107,7 @@ def main() -> None:
         timings[name] = round(time.time() - t, 2)
         return n
 
-    sig = dedup.minhash_index(docs).cache()
+    sig = dedup.minhash_index(docs, with_shingles=True).cache()
     tm("minhash_index_build", sig.count)
     n_pairs = tm(
         "minhash_near_dup_pairs",

@@ -70,7 +70,10 @@ def get_ctx(spark: SparkSession, sf_dir: str) -> dict:
             minhash_near_dup_pairs,
         )
 
-        doc_sig = minhash_index(tables["documents"]).cache()
+        # with_shingles: the index carries each doc's 60-bit shingle-hash
+        # set so the pairs build verifies straight off the index (no second
+        # shingling pass / text scan — see minhash_near_dup_pairs)
+        doc_sig = minhash_index(tables["documents"], with_shingles=True).cache()
         tip_counts = T.tip_counts(paths, edges, leaves=leaves).cache()
         tip_sets: dict[str, list] = {}
         # the verified near-dup PAIRS are an ingest artifact too (pair-scale,
