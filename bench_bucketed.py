@@ -1,0 +1,77 @@
+"""Co-bucketed fact⋈fact layout bench (the q3 sf10 remedy, VERDICT r3).
+
+Writes lineitem and orders bucketed+sorted on the order key
+(operators/scale.write_bucketed), then times TPC-H-shape q3 over raw
+parquet vs over the bucketed tables. The bucketed plan runs the
+lineitem⋈orders sort-merge join AND the (o_orderkey, o_orderdate) group-by
+with ZERO shuffle Exchange (asserted in tests/test_cobucketed_facts.py) —
+the one-time layout write is the amortized cost, which is exactly the
+100 TB trade: pay a single ingest-time shuffle so EVERY subsequent
+order-keyed join/agg is exchange-free.
+
+Usage: python bench_bucketed.py [sf_dir] [n_buckets]   (default /tmp/sf1 32)
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+_REPO = str(Path(__file__).resolve().parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
+    n_buckets = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+
+    from treemachine_spark.io.tables import load_tables
+    from treemachine_spark.operators.scale import write_bucketed
+    from treemachine_spark.session import get_spark
+    from treemachine_spark.workload.queries import q3_plan
+
+    spark = get_spark("bench-bucketed")
+    spark.sparkContext.setLogLevel("ERROR")
+    t = load_tables(spark, sf_dir)
+
+    out: dict = {"metric": "q3_cobucketed_layout", "unit": "sec", "sf_dir": sf_dir,
+                 "n_buckets": n_buckets, "timings": {}}
+
+    t0 = time.time()
+    write_bucketed(t["lineitem"], "b_li", "l_orderkey", n_buckets=n_buckets)
+    write_bucketed(t["orders"], "b_ord", "o_orderkey", n_buckets=n_buckets)
+    out["timings"]["layout_write_sec"] = round(time.time() - t0, 2)
+
+    def run(li, od, label):
+        times = []
+        rows = None
+        for _ in range(3):
+            t0 = time.time()
+            rows = q3_plan(li, od, t["customer"]).collect()
+            times.append(round(time.time() - t0, 2))
+        out["timings"][label] = times
+        return [tuple(r) for r in rows]
+
+    base = run(t["lineitem"], t["orders"], "q3_parquet_sec")
+    bkt = run(spark.table("b_li"), spark.table("b_ord"), "q3_bucketed_sec")
+    out["rows_equal"] = base == bkt
+
+    plan = (
+        q3_plan(spark.table("b_li"), spark.table("b_ord"), t["customer"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    out["bucketed_plan_shuffle_free"] = (
+        "Exchange hashpartitioning" not in plan and "Bucketed: true" in plan
+    )
+
+    spark.sql("DROP TABLE IF EXISTS b_li")
+    spark.sql("DROP TABLE IF EXISTS b_ord")
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

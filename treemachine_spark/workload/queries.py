@@ -467,16 +467,22 @@ def q_q1_pricing_summary(spark, sf_dir):
     )
 
 
-def q_q3_top_orders(spark, sf_dir):
-    """Join + agg + top-k (TPC-H Q3 shape). Customer dim is broadcast;
-    revenue agg is partial-aggregated before the shuffle."""
-    t = load_tables(spark, sf_dir)
+def q3_plan(lineitem, orders, customer):
+    """The q3 JOIN+AGG+TOP-K body over caller-supplied fact tables, so the
+    same plan runs against raw parquet (the gate) or against orderkey-
+    co-bucketed warehouse tables (operators/scale.write_bucketed): with
+    both facts bucketed+sorted on the order key the sort-merge join AND
+    the group-by run Exchange-free — hashpartitioning(orderkey) satisfies
+    the agg's clustered distribution because orderkey is a grouping-key
+    subset, and the final top-k is TakeOrderedAndProject (no exchange
+    anywhere — asserted in test_cobucketed_facts.py). That layout is the
+    documented remedy for the fact⋈fact shuffle this query pays at sf10."""
     rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     return (
-        t["lineitem"]
-        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        lineitem
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
-            F.broadcast(t["customer"].where(F.col("c_mktsegment") == "BUILDING")),
+            F.broadcast(customer.where(F.col("c_mktsegment") == "BUILDING")),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .groupBy("o_orderkey", "o_orderdate")
@@ -484,6 +490,13 @@ def q_q3_top_orders(spark, sf_dir):
         .orderBy(F.desc("revenue"), "o_orderkey")
         .limit(10)
     )
+
+
+def q_q3_top_orders(spark, sf_dir):
+    """Join + agg + top-k (TPC-H Q3 shape). Customer dim is broadcast;
+    revenue agg is partial-aggregated before the shuffle."""
+    t = load_tables(spark, sf_dir)
+    return q3_plan(t["lineitem"], t["orders"], t["customer"])
 
 
 def q_q5_region_revenue(spark, sf_dir):
