@@ -32,7 +32,7 @@ def main() -> None:
     from treemachine_spark.io.tables import load_tables
     from treemachine_spark.operators.scale import write_bucketed
     from treemachine_spark.session import get_spark
-    from treemachine_spark.workload.queries import q3_plan
+    from treemachine_spark.workload.queries import q3_plan, q5_plan
 
     spark = get_spark("bench-bucketed")
     spark.sparkContext.setLogLevel("ERROR")
@@ -46,19 +46,24 @@ def main() -> None:
     write_bucketed(t["orders"], "b_ord", "o_orderkey", n_buckets=n_buckets)
     out["timings"]["layout_write_sec"] = round(time.time() - t0, 2)
 
-    def run(li, od, label):
+    def run(label, plan_fn):
         times = []
         rows = None
         for _ in range(3):
             t0 = time.time()
-            rows = q3_plan(li, od, t["customer"]).collect()
+            rows = plan_fn().collect()
             times.append(round(time.time() - t0, 2))
         out["timings"][label] = times
-        return [tuple(r) for r in rows]
+        return sorted(tuple(r) for r in rows)
 
-    base = run(t["lineitem"], t["orders"], "q3_parquet_sec")
-    bkt = run(spark.table("b_li"), spark.table("b_ord"), "q3_bucketed_sec")
-    out["rows_equal"] = base == bkt
+    q3 = lambda li, od: q3_plan(li, od, t["customer"])
+    q5 = lambda li, od: q5_plan(li, od, t["customer"], t["nation"], t["region"])
+    li_b, ord_b = spark.table("b_li"), spark.table("b_ord")
+    base3 = run("q3_parquet_sec", lambda: q3(t["lineitem"], t["orders"]))
+    bkt3 = run("q3_bucketed_sec", lambda: q3(li_b, ord_b))
+    base5 = run("q5_parquet_sec", lambda: q5(t["lineitem"], t["orders"]))
+    bkt5 = run("q5_bucketed_sec", lambda: q5(li_b, ord_b))
+    out["rows_equal"] = base3 == bkt3 and base5 == bkt5
 
     plan = (
         q3_plan(spark.table("b_li"), spark.table("b_ord"), t["customer"])

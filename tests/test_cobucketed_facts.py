@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 from treemachine_spark.io.tables import load_tables
 from treemachine_spark.operators.scale import write_bucketed
-from treemachine_spark.workload.queries import q3_plan
+from treemachine_spark.workload.queries import q3_plan, q5_plan
 
 from conftest import SF_SMOKE
 
@@ -54,6 +54,32 @@ def test_cobucketed_q3_plan_has_no_exchange(spark, fact_tables):
     assert "Exchange SinglePartition" not in plan, plan
     assert "BroadcastExchange" in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_cobucketed_q5_single_agg_exchange(spark, fact_tables):
+    li_t, ord_t = fact_tables
+    t = load_tables(spark, SF_SMOKE)
+    q = q5_plan(
+        spark.table(li_t).hint("merge"),
+        spark.table(ord_t).hint("merge"),
+        t["customer"],
+        t["nation"],
+        t["region"],
+    )
+    plan = _plan(q)
+    assert "SortMergeJoin" in plan, plan
+    assert "Bucketed: true" in plan, plan
+    # the fact⋈fact join is Exchange-free; the ONLY shuffle left is the
+    # final (r_name, n_name) aggregate — map-side-combined, group-scale
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    base = sorted(
+        tuple(r)
+        for r in q5_plan(
+            t["lineitem"], t["orders"], t["customer"], t["nation"], t["region"]
+        ).collect()
+    )
+    bkt = sorted(tuple(r) for r in q.collect())
+    assert base == bkt
 
 
 def test_cobucketed_q3_matches_parquet_q3(spark, fact_tables):

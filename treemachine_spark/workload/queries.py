@@ -499,16 +499,17 @@ def q_q3_top_orders(spark, sf_dir):
     return q3_plan(t["lineitem"], t["orders"], t["customer"])
 
 
-def q_q5_region_revenue(spark, sf_dir):
-    """Dimension-join chain (§2.8): region ⋈ nation ⋈ customer ⋈ orders ⋈
-    lineitem. All dims broadcast; single shuffle for the final agg."""
-    t = load_tables(spark, sf_dir)
+def q5_plan(lineitem, orders, customer, nation, region):
+    """The q5 star body over caller-supplied facts: with orderkey-
+    co-bucketed lineitem/orders (operators/scale.write_bucketed) the
+    fact⋈fact join is Exchange-free and only the small map-side-combined
+    (r_name, n_name) aggregate shuffles — see bench_bucketed.py."""
     return (
-        t["lineitem"]
-        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        lineitem
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("r_name", "n_name")
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
@@ -516,6 +517,15 @@ def q_q5_region_revenue(spark, sf_dir):
             ),
             F.count("*").alias("n_items"),
         )
+    )
+
+
+def q_q5_region_revenue(spark, sf_dir):
+    """Dimension-join chain (§2.8): region ⋈ nation ⋈ customer ⋈ orders ⋈
+    lineitem. All dims broadcast; single shuffle for the final agg."""
+    t = load_tables(spark, sf_dir)
+    return q5_plan(
+        t["lineitem"], t["orders"], t["customer"], t["nation"], t["region"]
     )
 
 
