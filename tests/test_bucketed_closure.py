@@ -99,6 +99,48 @@ def test_bucketed_tip_counts_match_direct(spark, bucketed):
     assert got == want
 
 
+def test_inset_bucket_pruning_visible(spark, bucketed):
+    """The node_id bucket layout doubles as a request-time index: an InSet
+    filter for tip ids reads only the buckets those ids hash to (the
+    auto-bucketed-scan rule only credits joins/aggs, so the scoped conf in
+    read_pruned_closure re-enables the bucketed scan for filters)."""
+    paths_t, _ = bucketed
+    key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    prev = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try:
+        q = spark.table(paths_t).where(F.col("node_id").isin(["a1", "a2"]))
+        plan = _plan(q)
+    finally:
+        spark.conf.set(key, prev)
+    import re
+
+    m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+    assert m, plan
+    assert int(m.group(1)) < int(m.group(2)), plan
+
+
+def test_mrca_over_pruned_closure_matches(spark, bucketed):
+    from treemachine_spark.graph.closure import with_self_paths
+    from treemachine_spark.graph.traversal import mrca
+    from treemachine_spark.ingest import read_pruned_closure
+
+    paths_t, _ = bucketed
+    s1 = _store(spark, "synthA", "((a1,a2)i1,(a3,a4)i2)root;")
+    paths_self = with_self_paths(s1.paths, s1.nodes)
+    tips = ["a1", "a3"]
+    want = [tuple(r) for r in mrca(paths_self, tips).collect()]
+    pruned = read_pruned_closure(spark, paths_t, tips, synth_id="synthA")
+    # pruned fetch returns exactly the request rows
+    assert {r["node_id"] for r in pruned.collect()} == set(tips)
+    got = [
+        tuple(r)
+        for r in mrca(paths_self, tips, paths=pruned, root_id="root").collect()
+    ]
+    assert got == want
+    assert got[0][0] == "root"
+
+
 def test_one_file_per_partition_bucket(spark, bucketed):
     paths_t, _ = bucketed
     import glob

@@ -273,6 +273,59 @@ def write_bucketed_closure(
     )
 
 
+def read_pruned_closure(
+    spark,
+    table: str,
+    node_ids: list[str],
+    synth_id: str | None = None,
+) -> DataFrame:
+    """Bucket-PRUNED request-scale closure fetch: the node_id bucket layout
+    of ``write_bucketed_closure`` doubles as a node_id→bucket INDEX, so an
+    InSet filter for a request's tip ids reads only the buckets those ids
+    hash to (``SelectedBucketsCount: k out of n`` in the plan) — at 100 TB
+    a 160-id MRCA request against a 1024-bucket store touches <=160
+    buckets instead of the whole closure, with partition pruning stacking
+    on top when ``synth_id`` is given.
+
+    Spark's DisableUnnecessaryBucketedScan rule only credits bucketing for
+    joins/aggregations, so a bare filter scan gets the bucketed layout
+    (and with it In/InSet bucket pruning) dropped; it is re-enabled here
+    for the duration of this materialization. The pruned scan collects
+    inside the conf window — the result is request-scale by construction
+    (|ids| x tree height rows) — and comes back as a LocalRelation so
+    callers (``mrca(paths=...)``) evaluate it driver-side with no further
+    jobs. Measured at a 1M-tip / 6.5M-path closure, 160-id request, 256
+    buckets: the pruned scan itself runs 0.12 s (reused compiled plan) vs
+    0.17 s for the InSet scan of the CACHED closure; this helper
+    end-to-end is ~0.33 s because each call re-plans against the catalog
+    table (~0.2 s, the local serving trade documented in NOTES). The
+    structural win is elsewhere: the pruned read never needs the closure
+    resident in executor memory, which is the 100 TB serving case the
+    cache cannot cover. (An eager localCheckpoint variant measured
+    0.67 s — checkpoint write dominated — hence collect + LocalRelation.)
+    """
+    from treemachine_spark.graph.traversal import local_df
+
+    key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    prev = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try:
+        df = spark.table(table)
+        if synth_id is not None:
+            df = df.where(F.col("synth_id") == synth_id)
+        rows = [
+            (r["node_id"], r["ancestor_id"], r["depth"])
+            for r in df.where(F.col("node_id").isin(list(node_ids)))
+            .select("node_id", "ancestor_id", "depth")
+            .collect()
+        ]
+    finally:
+        spark.conf.set(key, prev)
+    return local_df(
+        spark, rows, "node_id string, ancestor_id string, depth int"
+    )
+
+
 def write_bucketed_leaves(
     stores: list[GraphStore],
     table: str = "leaves_bucketed",
