@@ -167,6 +167,50 @@ def main() -> None:
             },
         }
 
+    # repeat-traffic round: every client draws from a small fixed request
+    # pool, so most requests are byte-identical to one in flight or already
+    # answered — the ResponseCache LRU + single-flight path (api/server.py).
+    # Unique-traffic rounds above never repeat a body, so they measure the
+    # cache-miss engine; this round measures the serving layer's memoization
+    # under the same concurrency.
+    n_rep = 12
+    pool = {
+        k: [request_for(k) for _ in range(2)]
+        for k in ("mrca", "node_info", "subtree")
+    }
+    lat = {"mrca": [], "node_info": [], "subtree": []}
+    errs = [0]
+    lock = threading.Lock()
+
+    def repeat_client(cid: int):
+        kinds = ["mrca", "node_info", "subtree"]
+        for i in range(6):
+            kind = kinds[(cid + i) % 3]
+            path, body = pool[kind][i % 2]
+            status, dt = _post(base, path, body)
+            with lock:
+                lat[kind].append(dt)
+                if status != 200:
+                    errs[0] += 1
+
+    t0 = time.time()
+    threads = [
+        threading.Thread(target=repeat_client, args=(c,)) for c in range(n_rep)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    results[f"clients_{n_rep}_repeat_pool"] = {
+        "wall_sec": round(time.time() - t0, 2),
+        "n_requests": sum(len(v) for v in lat.values()),
+        "errors": errs[0],
+        **{
+            k: {"p50": _pctl(v, 0.5), "p95": _pctl(v, 0.95), "max": _pctl(v, 1.0)}
+            for k, v in lat.items()
+        },
+    }
+
     srv.shutdown()
     srv.server_close()
     print(
