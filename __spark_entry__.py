@@ -106,6 +106,7 @@ _DRIVER_EXCLUDED = {
     "v3_ivf_topk": "r3 artifact row; ANN re-rank family in v8 (rotated in)",
     "s7_sessionize_stream": "NEW r4; pytest-tier this round, rotates into the r5 artifact (stateful-streaming family s3/s4 have r4 rows)",
     "k6_quantile_sketch": "NEW r4; pytest-tier this round, rotates into the r5 artifact (sketch family k1/k2/k5 have r4 rows)",
+    "s8_stream_novelty": "NEW r4; pytest-tier this round, rotates into the r5 artifact (streaming family s3/s4 have r4 rows; band-join family in d2/x9)",
     # permanently-excluded near-duplicates (unchanged rationale, r2/r3
     # rows exist or family-mate captures the shape)
     "q4_order_priority": "r2 artifact row; EXISTS semi-join shape in l4+e4",

@@ -1,0 +1,107 @@
+"""Structured Streaming over the documents table: streaming-ingest
+near-dup filtering against a persisted LSH index (beyond-reference — the
+reference is batch-ingest + read-only serving, SURVEY.md §2.9; this is the
+streaming twin of the ingest-time minhash dedup in functions/dedup.py).
+
+``novel_documents`` drops every incoming document that shares at least one
+LSH band bucket with a STATIC band index (minhash_bands of the already-
+ingested corpus — the candidate-level near-dup test, exactly the pair
+generator d2 verifies). The idiomatic Spark shape is ``foreachBatch``: the
+per-micro-batch work is ordinary batch DataFrame code (Arrow-batched
+signature UDF, band equi-join as a left-semi, anti-join back to the batch),
+durable state lives in the persisted index table rather than the stream's
+state store, and a production pipeline appends each batch's novel bands
+back to the index so later batches dedup against earlier ones too. At
+100 TB the index side is a bucketed table keyed on (band_idx, band_key)
+and the per-batch join prunes to the batch's buckets; the stream source is
+a straight format() swap to Kafka.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def read_document_stream(spark, sf_dir: str) -> DataFrame:
+    """File-source stream over the documents parquet (tests process it with
+    trigger(availableNow)). Same staging contract as read_event_stream:
+    bare data files are symlinked into a flat staging dir because the
+    streaming file source does not descend into a nested un-partitioned
+    parquet directory (see streaming/events.py:34)."""
+    src = os.path.join(sf_dir, "documents.parquet")
+    tag = hashlib.md5(src.encode()).hexdigest()[:8]
+    stage = os.path.join(tempfile.gettempdir(), f"tm_docstream_{tag}")
+    os.makedirs(stage, exist_ok=True)
+    if os.path.isdir(src):
+        targets = [
+            os.path.join(src, f)
+            for f in sorted(os.listdir(src))
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        ]
+    else:
+        targets = [src]
+    expected = {f"part-{i:05d}.parquet": t for i, t in enumerate(targets)}
+    for f in os.listdir(stage):
+        if f not in expected:
+            os.unlink(os.path.join(stage, f))
+    for name, target in expected.items():
+        link = os.path.join(stage, name)
+        if os.path.islink(link) and os.readlink(link) != target:
+            os.unlink(link)
+        if not os.path.exists(link):
+            os.symlink(target, link)
+    batch_schema = spark.read.parquet(src).schema
+    return spark.readStream.schema(batch_schema).parquet(stage)
+
+
+def novel_documents(
+    doc_stream: DataFrame,
+    index_bands: DataFrame,
+    await_seconds: int = 120,
+) -> list[int]:
+    """Run the stream to completion (availableNow) filtering out near-dup
+    candidates; returns the sorted novel doc_ids.
+
+    Per micro-batch: minhash-band the batch (one Arrow signature pass),
+    LEFT SEMI against the static index on (band_idx, band_key) to find the
+    contaminated doc_ids, LEFT ANTI back to the batch. A doc is novel iff
+    NONE of its bands hits an index bucket — band-level anti-joins alone
+    cannot express that (a doc with one hit band still has non-hit band
+    rows), which is why the doc-id semi/anti pair is the right recipe.
+
+    Novelty is defined against the supplied index only; a growing-index
+    deployment appends each batch's novel bands to the index table inside
+    the same foreachBatch.
+    """
+    from treemachine_spark.functions.dedup import minhash_bands, minhash_index
+
+    novel_ids: list[int] = []
+
+    def _per_batch(batch: DataFrame, _batch_id: int) -> None:
+        if not batch.columns:
+            return
+        sig = minhash_index(batch)
+        bands = minhash_bands(batch, sig=sig)
+        hit = (
+            bands.join(index_bands, ["band_idx", "band_key"], "left_semi")
+            .select("doc_id")
+            .distinct()
+        )
+        novel = (
+            batch.select("doc_id").distinct().join(hit, "doc_id", "left_anti")
+        )
+        novel_ids.extend(r["doc_id"] for r in novel.collect())
+
+    q = (
+        doc_stream.writeStream.foreachBatch(_per_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(await_seconds)
+    q.stop()
+    return sorted(novel_ids)

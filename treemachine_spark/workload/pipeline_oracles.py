@@ -150,6 +150,26 @@ WHERE len(list_intersect(a.sh, b.sh))
       / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.3
 """
 
+# streaming novelty filter (s8): odd-doc_id docs sharing NO band bucket
+# with the even-doc_id index half — the NOT EXISTS twin of the foreachBatch
+# semi/anti recipe (streaming/documents.novel_documents)
+PIPELINE_ORACLES["s8_stream_novelty"] = _SHINGLES_CTE + f"""
+, sig AS (SELECT doc_id, {_sigs} FROM hh)
+, bands AS ({_band_rows})
+SELECT d.doc_id AS doc_id
+FROM documents d
+WHERE d.doc_id % 2 = 1
+  AND NOT EXISTS (
+    SELECT 1
+    FROM bands b
+    JOIN bands i
+      ON b.band_idx = i.band_idx
+     AND b.band_key = i.band_key
+     AND i.doc_id % 2 = 0
+    WHERE b.doc_id = d.doc_id
+  )
+"""
+
 _simhash_bits = " + ".join(
     f"(CASE WHEN len(list_filter(hh, h -> (h & {1 << i}) != 0)) * 2 > len(hh) "
     f"THEN {1 << i} ELSE 0 END)"

@@ -266,6 +266,33 @@ def q_s7_sessionize_stream(spark, sf_dir):
     )
 
 
+def q_s8_stream_novelty(spark, sf_dir):
+    """REAL streaming near-dup filter (foreachBatch over a document file
+    stream, streaming/documents.py): a static LSH band index is built from
+    the even-doc_id half of the corpus; the odd-doc_id half streams in and
+    every doc sharing >= 1 band bucket with the index is dropped as a
+    near-dup candidate — the streaming twin of the ingest-time minhash
+    dedup. Deterministic availableNow contract: the file source takes the
+    staged input whole, per-batch work is plain batch DataFrame code
+    (Arrow signature pass, semi/anti joins), novelty is defined against
+    the static index. The oracle is the NOT EXISTS band-match twin in
+    DuckDB over the same split."""
+    from treemachine_spark.graph.traversal import local_df
+    from treemachine_spark.streaming import documents as sd
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    index_bands = dedup.minhash_bands(
+        docs.where(F.col("doc_id") % 2 == 0)
+    ).cache()
+    index_bands.count()
+    stream = sd.read_document_stream(spark, sf_dir).where(
+        F.col("doc_id") % 2 == 1
+    )
+    ids = sd.novel_documents(stream, index_bands)
+    index_bands.unpersist()
+    return local_df(spark, [(i,) for i in ids], "doc_id bigint")
+
+
 def q_v1_ann_brute(spark, sf_dir):
     """Exact top-10 neighbors (quantized dot product) for query vecs id<5."""
     emb = load_tables(spark, sf_dir)["embeddings"]
@@ -610,6 +637,7 @@ PIPELINE_QUERIES = {
     "s3_streaming_windows": q_s3_streaming_windows,
     "s4_stream_enriched": q_s4_stream_enriched,
     "s7_sessionize_stream": q_s7_sessionize_stream,
+    "s8_stream_novelty": q_s8_stream_novelty,
     "v1_ann_brute": q_v1_ann_brute,
     "v2_ann_lsh": q_v2_ann_lsh,
     "v3_ivf_topk": q_v3_ivf_topk,
