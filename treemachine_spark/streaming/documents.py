@@ -59,49 +59,75 @@ def read_document_stream(spark, sf_dir: str) -> DataFrame:
     return spark.readStream.schema(batch_schema).parquet(stage)
 
 
-def novel_documents(
-    doc_stream: DataFrame,
-    index_bands: DataFrame,
-    await_seconds: int = 120,
-) -> list[int]:
-    """Run the stream to completion (availableNow) filtering out near-dup
-    candidates; returns the sorted novel doc_ids.
+class NoveltyFilter:
+    """The per-batch near-dup filter behind ``novel_documents``, exposed as
+    a plain object so the batch recipe is unit-testable without the
+    streaming engine (batch order through a file source is an engine
+    concern; the filter's cross-batch semantics are not).
 
-    Per micro-batch: minhash-band the batch (one Arrow signature pass),
-    LEFT SEMI against the static index on (band_idx, band_key) to find the
-    contaminated doc_ids, LEFT ANTI back to the batch. A doc is novel iff
-    NONE of its bands hits an index bucket — band-level anti-joins alone
-    cannot express that (a doc with one hit band still has non-hit band
-    rows), which is why the doc-id semi/anti pair is the right recipe.
+    Per batch: minhash-band the batch (one Arrow signature pass), LEFT
+    SEMI against the index on (band_idx, band_key) to find contaminated
+    doc_ids, LEFT ANTI back to the batch. A doc is novel iff NONE of its
+    bands hits an index bucket — band-level anti-joins alone cannot
+    express that (a doc with one hit band still has non-hit band rows),
+    which is why the doc-id semi/anti pair is the right recipe.
 
-    Novelty is defined against the supplied index only; a growing-index
-    deployment appends each batch's novel bands to the index table inside
-    the same foreachBatch.
+    ``grow_index=True`` appends each batch's NOVEL bands to the index
+    before the next batch, so later batches also dedup against earlier
+    novel documents (sequential-ingest semantics). The grown index is
+    localCheckpointed per batch: it truncates the union lineage — without
+    it the plan re-derives every prior batch's bands each time — and is
+    exactly the "append novel bands to the index table" write a durable
+    deployment does.
     """
-    from treemachine_spark.functions.dedup import minhash_bands, minhash_index
 
-    novel_ids: list[int] = []
+    def __init__(self, index_bands: DataFrame, grow_index: bool = False):
+        self.index_bands = index_bands
+        self.grow_index = grow_index
+        self.novel_ids: list[int] = []
 
-    def _per_batch(batch: DataFrame, _batch_id: int) -> None:
+    def process_batch(self, batch: DataFrame, _batch_id: int) -> None:
+        from treemachine_spark.functions.dedup import minhash_bands, minhash_index
+
         if not batch.columns:
             return
         sig = minhash_index(batch)
         bands = minhash_bands(batch, sig=sig)
+        if self.grow_index:
+            bands = bands.localCheckpoint(eager=True)
         hit = (
-            bands.join(index_bands, ["band_idx", "band_key"], "left_semi")
+            bands.join(self.index_bands, ["band_idx", "band_key"], "left_semi")
             .select("doc_id")
             .distinct()
         )
         novel = (
             batch.select("doc_id").distinct().join(hit, "doc_id", "left_anti")
         )
-        novel_ids.extend(r["doc_id"] for r in novel.collect())
+        ids = [r["doc_id"] for r in novel.collect()]
+        self.novel_ids.extend(ids)
+        if self.grow_index and ids:
+            novel_bands = bands.join(
+                F.broadcast(novel.select("doc_id")), "doc_id", "left_semi"
+            )
+            self.index_bands = self.index_bands.unionByName(
+                novel_bands.select(*self.index_bands.columns)
+            ).localCheckpoint(eager=True)
 
+
+def novel_documents(
+    doc_stream: DataFrame,
+    index_bands: DataFrame,
+    await_seconds: int = 120,
+    grow_index: bool = False,
+) -> list[int]:
+    """Run the stream to completion (availableNow) filtering out near-dup
+    candidates (see NoveltyFilter); returns the sorted novel doc_ids."""
+    filt = NoveltyFilter(index_bands, grow_index=grow_index)
     q = (
-        doc_stream.writeStream.foreachBatch(_per_batch)
+        doc_stream.writeStream.foreachBatch(filt.process_batch)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination(await_seconds)
     q.stop()
-    return sorted(novel_ids)
+    return sorted(filt.novel_ids)
