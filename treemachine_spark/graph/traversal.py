@@ -307,48 +307,55 @@ def induced_subtree(
     set keeps this shuffle-light for request-sized inputs; for huge tip sets
     Catalyst falls back to a shuffled join automatically.
     """
-    # tips, the kept set, and both filtered row sets are request-scale
+    # tips, the kept set, and the filtered row set are request-scale
     # (|tips| x tree height under the reference's id caps): the big closure
-    # is scanned exactly twice, each scan a SINGLE shuffle-free stage whose
-    # output collects to the driver, and the MRCA counting + nearest-kept-
-    # ancestor rewire run driver-side — the same measured win as mrca()
-    # (the agg/window shuffle stages dominated these jobs, not the scans).
-    # ``tips`` may also be a plain id list, as an HTTP request would supply.
-    # SIZE-GATED like mrca(): above ``max_driver_tips`` the request routes
-    # to the pure join+window recipe (_induced_subtree_joined) — bounded by
-    # data, not the request.
+    # is scanned exactly ONCE — a single shuffle-free stage whose output
+    # collects to the driver — and the MRCA counting + nearest-kept-
+    # ancestor rewire run driver-side (same measured win as mrca(): the
+    # agg/window shuffle stages dominated these jobs, not the scan). The
+    # former second scan (kept-to-kept closure rows) is DERIVED from the
+    # first: in a tree, a kept internal a's rootward path is the tail of
+    # any covering tip t's path, so a's kept-ancestor chain is t's kept
+    # ancestors at depth > d(t, a), with d(a, b) = d(t, b) - d(t, a) —
+    # depths along one chain are strictly increasing, so the min is
+    # unambiguous. ``tips`` may also be a plain id list, as an HTTP
+    # request would supply. SIZE-GATED like mrca(): above
+    # ``max_driver_tips`` the request routes to the pure join+window
+    # recipe (_induced_subtree_joined) — bounded by data, not the request.
     tip_ids, tips_df = _resolve_tips(paths_self, tips, max_driver_tips)
     if tips_df is not None:
         return _induced_subtree_joined(paths_self, tips_df)
     spark = paths_self.sparkSession
-    anc_rows = (
+    rows = (
         paths_self.where(F.col("depth") > 0)
         .where(F.col("node_id").isin(tip_ids))
-        .select("ancestor_id", "node_id")
-        .collect()
-    )
-    under: dict[str, set] = {}
-    for r in anc_rows:
-        under.setdefault(r["ancestor_id"], set()).add(r["node_id"])
-    kept = sorted(
-        {a for a, tips_under in under.items() if len(tips_under) >= 2}
-        | set(tip_ids)
-    )
-
-    # nearest kept ancestor for every kept node (the root of the induced
-    # tree has none and drops out)
-    to_kept_rows = (
-        paths_self.where(F.col("depth") > 0)
-        .where(F.col("node_id").isin(kept) & F.col("ancestor_id").isin(kept))
         .select("node_id", "ancestor_id", "depth")
         .collect()
     )
-    best: dict[str, tuple] = {}
-    for r in to_kept_rows:
-        cur = best.get(r["node_id"])
-        if cur is None or r["depth"] < cur[1]:
-            best[r["node_id"]] = (r["ancestor_id"], r["depth"])
-    edges = [(n, a) for n, (a, _) in sorted(best.items())]
+    under: dict[str, set] = {}
+    chains: dict[str, list] = {}
+    for r in rows:
+        under.setdefault(r["ancestor_id"], set()).add(r["node_id"])
+        chains.setdefault(r["node_id"], []).append((r["depth"], r["ancestor_id"]))
+    kept_internal = {a for a, tips_under in under.items() if len(tips_under) >= 2}
+    kept = kept_internal | set(tip_ids)
+
+    # nearest kept ancestor for every kept node (the induced root has none
+    # and drops out); unknown ids have no closure rows and drop out too
+    best: dict[str, str] = {}
+    for t, ch in chains.items():
+        ka = [(d, a) for d, a in ch if a in kept]
+        if ka:
+            best[t] = min(ka)[1]
+    for a in kept_internal:
+        if a in chains:
+            continue  # also a request tip (or handled above); a==root has no chain
+        t = next(iter(under[a]))
+        d_a = next(d for d, b in chains[t] if b == a)
+        ka = [(d - d_a, b) for d, b in chains[t] if d > d_a and b in kept]
+        if ka:
+            best[a] = min(ka)[1]
+    edges = sorted(best.items())
     return local_df(spark, edges, "child_id string, parent_id string")
 
 
