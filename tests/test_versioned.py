@@ -176,3 +176,45 @@ def test_vacuum_spares_dirs_shared_by_rollback(spark, vt):
     assert "data/v1" not in removed       # referenced by kept v3
     assert os.path.exists(os.path.join(vt.path, "data/v1"))
     assert vt.read(spark).collect() == [(1, "good")]
+
+
+def test_compact_legacy_manifest_sniffs_partition_layout(spark, tmp_path):
+    """ADVICE r4: a manifest written before ``partition_by`` was recorded
+    (or restored by a rollback to such a version) must NOT make compact()
+    silently rewrite a partitioned table unpartitioned — the layout is
+    sniffed from the snapshot directory's key=value subdirs."""
+    import json
+    import os
+
+    vt = VersionedTable(str(tmp_path / "legacy"))
+    df = spark.createDataFrame(
+        [(1, "x", "en"), (2, "y", "de"), (3, "z", "en")],
+        "k long, v string, lang string",
+    )
+    vt.write(df, partition_by="lang")
+    # Simulate a pre-change manifest: drop the partition_by key entirely.
+    mpath = os.path.join(vt.path, "_log", "v00000001.json")
+    with open(mpath) as fh:
+        m = json.load(fh)
+    del m["partition_by"]
+    with open(mpath, "w") as fh:
+        json.dump(m, fh)
+
+    v2 = vt.compact(spark, target_files=1)
+    m2 = next(x for x in vt.history() if x["version"] == v2)
+    assert m2["partition_by"] == "lang"
+    ddir = os.path.join(vt.path, m2["data_dir"])
+    assert sorted(d for d in os.listdir(ddir) if d.startswith("lang=")) == [
+        "lang=de",
+        "lang=en",
+    ]
+    assert vt.read(spark).count() == 3
+
+    # Rollback to the legacy version omits the key (instead of recording a
+    # spurious null), so a compact after the rollback still keeps layout.
+    v3 = vt.rollback(1)
+    m3 = next(x for x in vt.history() if x["version"] == v3)
+    assert "partition_by" not in m3
+    v4 = vt.compact(spark, target_files=1)
+    m4 = next(x for x in vt.history() if x["version"] == v4)
+    assert m4["partition_by"] == "lang"

@@ -299,7 +299,7 @@ def quantile_sketch(df: DataFrame, col: str, k: int = 1024) -> DataFrame:
         .groupBy(F.col(col).cast("long").alias("v"))
         .agg(F.count("*").alias("cnt"))
         .select(h32(F.col("v").cast("string")).alias("h"), "v", "cnt")
-        .orderBy("h")
+        .orderBy("h", "v")
         .limit(k)
     )
 
@@ -312,7 +312,7 @@ WITH vals AS (
     SELECT CAST({expr} AS BIGINT) AS v, count(*) AS cnt
     FROM {table} WHERE {expr} IS NOT NULL GROUP BY 1
 )
-SELECT {h} AS h, v, cnt FROM vals ORDER BY h LIMIT {k}
+SELECT {h} AS h, v, cnt FROM vals ORDER BY h, v LIMIT {k}
 """
 
 
@@ -324,7 +324,7 @@ def quantile_merge(a: DataFrame, b: DataFrame, k: int = 1024) -> DataFrame:
         a.union(b)
         .groupBy("h", "v")
         .agg(F.sum("cnt").alias("cnt"))
-        .orderBy("h")
+        .orderBy("h", "v")
         .limit(k)
     )
 

@@ -59,21 +59,28 @@ def _resolve_tips(paths_self: DataFrame, tips, max_driver_tips: int):
     list (driver fast path) or a distinct node_id DataFrame (join path).
     Returns (ids_or_None, tips_df_or_None) — exactly one is set. Sizing a
     DataFrame input uses a LIMIT-probe collect (one action that doubles as
-    the fast path's id fetch), never a separate count()."""
+    the fast path's id fetch), never a separate count().
+
+    The join path's tips_df is localCheckpointed ONCE here: the joined
+    recipes run several independent actions over it (reference-tip min,
+    covering join, count-distinct broadcast), and re-deriving an arbitrary
+    caller subplan under each action violates the repo invariant 'never
+    re-execute subplans under multiple actions' — costly when ``tips`` is
+    itself a derived query above the size gate."""
     spark = paths_self.sparkSession
     if isinstance(tips, DataFrame):
         tdf = tips.select("node_id").distinct()
         probe = tdf.limit(max_driver_tips + 1).collect()
         if len(probe) <= max_driver_tips:
             return [r["node_id"] for r in probe], None
-        return None, tdf
+        return None, tdf.localCheckpoint(eager=True)
     ids = list(dict.fromkeys(tips))
     if len(ids) <= max_driver_tips:
         return ids, None
     tdf = spark.createDataFrame(
         [(i,) for i in ids], "node_id string"
     ).distinct()
-    return None, tdf
+    return None, tdf.localCheckpoint(eager=True)
 
 
 def mrca(

@@ -142,14 +142,36 @@ class VersionedTable:
         target = next((x for x in ms if x["version"] == version), None)
         if target is None:
             raise ValueError(f"{self.path}: no version {version}")
-        return self._publish(
-            target["data_dir"],
-            "rollback",
-            {
-                "restored_version": version,
-                "partition_by": target.get("partition_by"),
-            },
-        )
+        meta: dict = {"restored_version": version}
+        if "partition_by" in target:
+            meta["partition_by"] = target["partition_by"]
+        # else: pre-partition_by-era target — omit the key so readers of the
+        # new manifest fall back to sniffing the restored directory's layout
+        # (_current_partition_by) instead of trusting a spurious null.
+        return self._publish(target["data_dir"], "rollback", meta)
+
+    def _current_partition_by(self) -> str | None:
+        """Partition column of the LATEST snapshot. Trust the manifest when
+        it carries the ``partition_by`` key (all writes since the key was
+        introduced record it, possibly null); otherwise — a manifest written
+        before the key existed, or a rollback that restored one — sniff the
+        snapshot directory for Hive-style ``key=value`` subdirectories, the
+        layout's own ground truth. Without the fallback, compacting such a
+        table would silently rewrite it unpartitioned and drop pruning."""
+        ms = self._manifests()
+        if not ms:
+            return None
+        latest = ms[-1]
+        if "partition_by" in latest:
+            return latest["partition_by"]
+        data_dir = os.path.join(self.path, latest["data_dir"])
+        try:
+            for name in os.listdir(data_dir):
+                if "=" in name and os.path.isdir(os.path.join(data_dir, name)):
+                    return name.split("=", 1)[0]
+        except FileNotFoundError:
+            pass
+        return None
 
     def compact(self, spark: SparkSession, target_files: int = 1) -> int:
         """OPTIMIZE: rewrite the latest snapshot into ``target_files``
@@ -164,8 +186,7 @@ class VersionedTable:
         hash-repartitioning on (partition col, bounded salt) puts each
         partition value in at most ``target_files`` tasks, so each
         partition directory gets at most that many files."""
-        ms = self._manifests()
-        pby = ms[-1].get("partition_by") if ms else None
+        pby = self._current_partition_by()
         df = self.read(spark)
         if pby:
             if target_files > 1:

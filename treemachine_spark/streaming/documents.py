@@ -128,6 +128,11 @@ def novel_documents(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(await_seconds)
+    if not q.awaitTermination(await_seconds):
+        q.stop()
+        raise TimeoutError(
+            f"novelty stream did not finish within {await_seconds}s; "
+            "a truncated novel-id list would be a silent wrong answer"
+        )
     q.stop()
     return sorted(filt.novel_ids)

@@ -324,7 +324,12 @@ def run_to_memory(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(await_seconds)
+        if not q.awaitTermination(await_seconds):
+            q.stop()
+            raise TimeoutError(
+                f"streaming query {name!r} did not finish within "
+                f"{await_seconds}s; partial sink contents discarded"
+            )
     finally:
         if shuffle_partitions:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
