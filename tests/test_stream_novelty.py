@@ -42,3 +42,144 @@ def test_index_copy_of_indexed_doc_is_dropped(spark):
     f = NoveltyFilter(idx, grow_index=False)
     f.process_batch(_docs(spark, [(7, OTHER), (8, BASE)]), 0)
     assert sorted(f.novel_ids) == [8]
+
+
+# ---------------------------------------------------------------------------
+# Durable variant: persisted index + idempotent writes + checkpoint resume
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from treemachine_spark.streaming.documents import (  # noqa: E402
+    DurableNoveltyFilter,
+    novel_documents_durable,
+    read_document_stream,
+)
+
+
+def _durable(spark, tmp_path, seed_rows, name="d"):
+    seed = minhash_bands(_docs(spark, seed_rows))
+    return DurableNoveltyFilter(
+        spark,
+        str(tmp_path / f"{name}_index"),
+        str(tmp_path / f"{name}_novel"),
+        seed_bands=seed,
+    )
+
+
+def _novel_ids(spark, filt):
+    df = spark.read.parquet(filt.novel_path)
+    return sorted(r["doc_id"] for r in df.select("doc_id").collect())
+
+
+def test_durable_growing_index_drops_cross_batch_dups(spark, tmp_path):
+    f = _durable(spark, tmp_path, [(0, OTHER)])
+    f.process_batch(_docs(spark, [(1, BASE)]), 0)
+    f.process_batch(_docs(spark, [(3, BASE), (5, NOVEL)]), 1)
+    # durable index always grows: doc 3 duplicates batch-0's doc 1
+    assert _novel_ids(spark, f) == [1, 5]
+    # seed dup dropped too
+    f.process_batch(_docs(spark, [(9, OTHER)]), 2)
+    assert _novel_ids(spark, f) == [1, 5]
+
+
+def test_durable_batch_replay_is_idempotent(spark, tmp_path):
+    f = _durable(spark, tmp_path, [(0, OTHER)])
+    f.process_batch(_docs(spark, [(1, BASE)]), 0)
+    b1 = _docs(spark, [(3, BASE), (5, NOVEL)])
+    f.process_batch(b1, 1)
+    before = _novel_ids(spark, f)
+    # foreachBatch is at-least-once: a full replay of batch 1 must change
+    # nothing (dynamic-partition overwrite, index read excludes batch 1)
+    f.process_batch(b1, 1)
+    assert _novel_ids(spark, f) == before == [1, 5]
+    idx = spark.read.parquet(f.index_path)
+    assert idx.count() == idx.distinct().count()
+
+
+def test_durable_partial_write_crash_heals_on_replay(spark, tmp_path):
+    f = _durable(spark, tmp_path, [(0, OTHER)])
+    f.fail_after_novel_write = {1}
+    f.process_batch(_docs(spark, [(1, BASE)]), 0)
+    b1 = _docs(spark, [(5, NOVEL)])
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="injected crash"):
+        f.process_batch(b1, 1)
+    # crash point: novel sink written, index append lost — replay heals both
+    f.process_batch(b1, 1)
+    # batch 2 dups batch 1's novel doc -> must be dropped (index healed)
+    f.process_batch(_docs(spark, [(6, NOVEL), (7, BASE)]), 2)
+    assert _novel_ids(spark, f) == [1, 5]
+    novel = spark.read.parquet(f.novel_path)
+    assert novel.count() == novel.select("doc_id").distinct().count()
+
+
+def _stage_stream_dir(spark, sf_dir, tmp_path, n_files=4):
+    """Odd-doc half of the corpus as an n-file parquet dir streamable by
+    read_document_stream (multiple real micro-batches via maxFilesPerTrigger)."""
+    from treemachine_spark.io.tables import load_tables
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    src = tmp_path / "streamsrc"
+    (
+        docs.where(F.col("doc_id") % 2 == 1)
+        .repartition(n_files)
+        .write.mode("overwrite")
+        .parquet(str(src / "documents.parquet"))
+    )
+    seed = minhash_bands(docs.where(F.col("doc_id") % 2 == 0)).localCheckpoint(
+        eager=True
+    )
+    return str(src), seed
+
+
+def _run_durable(spark, src, seed, tmp_path, name, fail_batches=()):
+    filt = DurableNoveltyFilter(
+        spark,
+        str(tmp_path / f"{name}_index"),
+        str(tmp_path / f"{name}_novel"),
+        seed_bands=seed,
+    )
+    filt.fail_after_novel_write = set(fail_batches)
+    ckpt = str(tmp_path / f"{name}_ckpt")
+    # each injected crash kills the query mid-stream; every RESTART resumes
+    # from the same checkpoint — the failed batch replays, later batches
+    # follow (one restart per injected crash, bounded)
+    for attempt in range(len(fail_batches) + 1):
+        stream = read_document_stream(spark, src, max_files_per_trigger=1)
+        try:
+            out = novel_documents_durable(
+                stream, filt.index_path, filt.novel_path, ckpt, filt=filt
+            )
+            break
+        except Exception:
+            if attempt == len(fail_batches):
+                raise
+    return sorted(r["doc_id"] for r in out.select("doc_id").collect())
+
+
+def test_durable_restart_resume_matches_clean_run(spark, tmp_path):
+    """Kill the stream mid-run (crash injected between the batch's two
+    writes), restart from the checkpoint: same admitted set as an unkilled
+    run — no duplicate admitted, no novel doc lost. Real file stream with
+    4 micro-batches at sf0.001 (sf0.01 in the slow twin below)."""
+    src, seed = _stage_stream_dir(spark, "/root/testdata/sf0.001", tmp_path)
+    clean = _run_durable(spark, src, seed, tmp_path, "clean")
+    crashed = _run_durable(
+        spark, src, seed, tmp_path, "crashed", fail_batches=(2,)
+    )
+    assert len(clean) > 0
+    assert crashed == clean
+    assert len(crashed) == len(set(crashed))
+
+
+def test_durable_restart_resume_sf001(spark, tmp_path):
+    src, seed = _stage_stream_dir(spark, "/root/testdata/sf0.01", tmp_path)
+    clean = _run_durable(spark, src, seed, tmp_path, "clean")
+    crashed = _run_durable(
+        spark, src, seed, tmp_path, "crashed", fail_batches=(1, 3)
+    )
+    assert len(clean) > 0
+    assert crashed == clean
+    assert len(crashed) == len(set(crashed))

@@ -27,12 +27,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def read_document_stream(spark, sf_dir: str) -> DataFrame:
+def read_document_stream(
+    spark, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """File-source stream over the documents parquet (tests process it with
     trigger(availableNow)). Same staging contract as read_event_stream:
     bare data files are symlinked into a flat staging dir because the
     streaming file source does not descend into a nested un-partitioned
-    parquet directory (see streaming/events.py:34)."""
+    parquet directory (see streaming/events.py:34).
+
+    ``max_files_per_trigger`` splits the backlog into multiple micro-batches
+    (availableNow honors it) — the restart-resume tests use it to place
+    real batch boundaries inside one run."""
     src = os.path.join(sf_dir, "documents.parquet")
     tag = hashlib.md5(src.encode()).hexdigest()[:8]
     stage = os.path.join(tempfile.gettempdir(), f"tm_docstream_{tag}")
@@ -56,7 +62,10 @@ def read_document_stream(spark, sf_dir: str) -> DataFrame:
         if not os.path.exists(link):
             os.symlink(target, link)
     batch_schema = spark.read.parquet(src).schema
-    return spark.readStream.schema(batch_schema).parquet(stage)
+    reader = spark.readStream.schema(batch_schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(stage)
 
 
 class NoveltyFilter:
@@ -136,3 +145,132 @@ def novel_documents(
         )
     q.stop()
     return sorted(filt.novel_ids)
+
+
+SEED_BATCH = -1  # ingest_batch partition value of the pre-stream seed index
+
+
+class DurableNoveltyFilter:
+    """Durable deployment shape of :class:`NoveltyFilter`: all state lives
+    on disk, every per-batch write is idempotent, and a killed stream
+    resumes from its checkpoint without admitting a duplicate or losing a
+    novel document.
+
+    Layout (both Hive-partitioned by ``ingest_batch``)::
+
+        <index_path>/ingest_batch=-1/...   seed bands (already-ingested corpus)
+        <index_path>/ingest_batch=N/...    batch N's NOVEL docs' bands
+        <novel_path>/ingest_batch=N/...    batch N's novel document rows
+
+    Exactly-once recipe (foreachBatch is at-least-once — a batch REPLAYS
+    after a crash between the batch's writes and the checkpoint commit):
+
+    - the index read filters ``ingest_batch < batch_id`` (partition-pruned),
+      so a replayed batch never sees its own partially-written bands and
+      recomputes the identical novel set;
+    - both writes are ``mode("overwrite") + partitionBy("ingest_batch")``
+      with dynamic partition overwrite, so a replay REPLACES the batch's
+      own partitions instead of appending duplicates. Any crash point —
+      between the two writes, or after both but before the checkpoint
+      commit — heals on replay.
+
+    At 100 TB the index table is exactly the bucketed (band_idx, band_key)
+    table the module docstring describes; the per-batch read is
+    partition-pruned to prior batches and the novel sink is the pipeline's
+    ingest-accept stream. Kafka in, Delta/Iceberg out are format() swaps.
+    """
+
+    def __init__(self, spark, index_path: str, novel_path: str, seed_bands: DataFrame | None = None):
+        self.index_path = index_path
+        self.novel_path = novel_path
+        self._failed_once: set[int] = set()
+        self.fail_after_novel_write: set[int] = set()  # test hook
+        if not os.path.isdir(index_path):
+            if seed_bands is None:
+                raise ValueError(
+                    f"{index_path} does not exist and no seed_bands given"
+                )
+            self._write_partition(
+                seed_bands.withColumn("ingest_batch", F.lit(SEED_BATCH)),
+                index_path,
+            )
+
+    @staticmethod
+    def _write_partition(df: DataFrame, path: str) -> None:
+        (
+            df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch")
+            .parquet(path)
+        )
+
+    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        from treemachine_spark.functions.dedup import minhash_bands, minhash_index
+
+        if not batch.columns:
+            return
+        spark = batch.sparkSession
+        index = spark.read.parquet(self.index_path).where(
+            F.col("ingest_batch") < batch_id
+        )
+        sig = minhash_index(batch)
+        # one signature pass feeds the hit join AND the novel-band append
+        bands = minhash_bands(batch, sig=sig).localCheckpoint(eager=True)
+        hit = (
+            bands.join(index, ["band_idx", "band_key"], "left_semi")
+            .select("doc_id")
+            .distinct()
+        )
+        novel_ids = (
+            batch.select("doc_id").distinct().join(hit, "doc_id", "left_anti")
+        ).localCheckpoint(eager=True)
+        novel_rows = batch.join(F.broadcast(novel_ids), "doc_id", "left_semi")
+        self._write_partition(
+            novel_rows.withColumn("ingest_batch", F.lit(batch_id)),
+            self.novel_path,
+        )
+        if batch_id in self.fail_after_novel_write and batch_id not in self._failed_once:
+            self._failed_once.add(batch_id)
+            raise RuntimeError(
+                f"injected crash after novel write of batch {batch_id}"
+            )
+        novel_bands = bands.join(F.broadcast(novel_ids), "doc_id", "left_semi")
+        self._write_partition(
+            novel_bands.withColumn("ingest_batch", F.lit(batch_id)),
+            self.index_path,
+        )
+
+
+def novel_documents_durable(
+    doc_stream: DataFrame,
+    index_path: str,
+    novel_path: str,
+    checkpoint_location: str,
+    seed_bands: DataFrame | None = None,
+    await_seconds: int = 300,
+    filt: DurableNoveltyFilter | None = None,
+) -> DataFrame:
+    """Run the durable novelty filter to completion (availableNow) with a
+    REAL checkpoint: killing the query and calling this again with the same
+    ``checkpoint_location`` resumes at the failed batch with no duplicate
+    admitted and no novel document lost (see DurableNoveltyFilter).
+    Returns the novel-documents sink as a DataFrame (no driver-side list —
+    the batch-scale novel sets go straight to parquet)."""
+    spark = doc_stream.sparkSession
+    if filt is None:
+        filt = DurableNoveltyFilter(spark, index_path, novel_path, seed_bands)
+    q = (
+        doc_stream.writeStream.foreachBatch(filt.process_batch)
+        .option("checkpointLocation", checkpoint_location)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(await_seconds):
+        q.stop()
+        raise TimeoutError(
+            f"durable novelty stream did not finish within {await_seconds}s"
+        )
+    q.stop()
+    return spark.read.parquet(novel_path).where(
+        F.col("ingest_batch") >= 0
+    )
