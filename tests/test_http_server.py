@@ -199,3 +199,46 @@ def test_response_cache_keys_on_body(base_url):
     s3, r3 = post(base_url, "/v3/tree_of_life/node_info", {"node_id": "nope"})
     assert (s3, r3) == (s2, r2)
     assert cache.misses == m  # 400 replayed from cache
+
+
+def test_cache_invalidated_on_store_republish(spark, tmp_path):
+    """VERDICT r4 #8: mutations publish a NEW store. A serving process that
+    swaps snapshots (republish -> re-serve via ServerCore.swap_store) must
+    never serve a response cached against the OLD snapshot — the cache keys
+    on endpoint+body only, so the swap has to invalidate."""
+    from treemachine_spark.api.server import ServerCore
+    from treemachine_spark.graph.surgery import SurgeryTree
+
+    def ingest(newick_path):
+        return ingest_synthesis_data(
+            spark,
+            str(newick_path),
+            str(FIX / "annotations.json"),
+            str(FIX / "taxonomy.tsv"),
+        )
+
+    store_a = ingest(FIX / "labelled_supertree.tre")
+    # republished snapshot: one tip pruned (a real mutation's shape)
+    t = SurgeryTree.from_newick((FIX / "labelled_supertree.tre").read_text())
+    t.prune_external(t.find("ott536234"))
+    pruned = tmp_path / "pruned.tre"
+    pruned.write_text(t.to_newick(with_bl=False) + ";")
+    store_b = ingest(pruned)
+
+    core = ServerCore(store_a, cache_size=64)
+    body = {"ott_id": 536234}
+    status, before = core.handle("/v3/tree_of_life/node_info", body)
+    assert status == 200 and before["taxon"]["ott_id"] == 536234
+    # warm the cache and prove the hit path is live
+    core.handle("/v3/tree_of_life/node_info", body)
+    assert core.cache.hits >= 1
+
+    core.swap_store(store_b)
+    # the pruned tip no longer exists: serving the cached 200 would be the
+    # stale-snapshot bug; the republished store must answer 400
+    status, after = core.handle("/v3/tree_of_life/node_info", body)
+    assert status == 400
+
+    # and the new answer is itself cached consistently
+    status2, again = core.handle("/v3/tree_of_life/node_info", body)
+    assert (status2, again) == (status, after)

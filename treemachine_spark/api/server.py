@@ -124,6 +124,55 @@ def _dispatch(apis: dict, path: str, body: dict) -> tuple[int, dict]:
         return 400, {"message": str(e)}
 
 
+class ServerCore:
+    """Dispatch + response-cache state behind the HTTP handler, socket-free
+    so tests (and the shard router) can drive it directly.
+
+    The cache contract is snapshot serving: a (path, body) key maps to one
+    response only while ONE immutable store is being served. Mutations
+    publish a NEW store; a process that re-serves the republished snapshot
+    must call :meth:`swap_store`, which rebuilds the API objects and clears
+    the cache — otherwise entries computed against the old snapshot would
+    be served as if current (the r4 cache keyed on endpoint+body only)."""
+
+    def __init__(self, store, cache_size: int = 256):
+        self.cache = ResponseCache(cache_size) if cache_size > 0 else None
+        self._build(store)
+
+    def _build(self, store) -> None:
+        from treemachine_spark.api.v2 import TreeOfLifeV2
+        from treemachine_spark.api.v3 import TreeOfLifeV3
+
+        v3 = TreeOfLifeV3(store)
+        self.store = store
+        self.apis = {"v3": v3, "v2": TreeOfLifeV2(v3)}
+
+    def swap_store(self, store) -> None:
+        """Serve a NEW store snapshot (post-republish). Rebuilds the API
+        objects and invalidates every cached response in one step; requests
+        in flight against the old snapshot finish against their pinned
+        DataFrames (snapshot isolation), new requests see only the new
+        store."""
+        self._build(store)
+        if self.cache is not None:
+            with self.cache._lock:
+                self.cache._data.clear()
+
+    def handle(self, path: str, body: dict) -> tuple[int, dict]:
+        def run() -> tuple[int, dict]:
+            try:
+                # bind apis at call time so a concurrent swap_store cannot
+                # mix old-store computation into the post-swap cache
+                return _dispatch(self.apis, path, body)
+            except Exception as e:  # unexpected -> 500, never kill the server
+                return 500, {"message": f"{type(e).__name__}: {e}"}
+
+        if self.cache is None:
+            return run()
+        key = (path, json.dumps(body, sort_keys=True))
+        return self.cache.get_or_compute(key, run)
+
+
 def make_server(
     store, host: str = "127.0.0.1", port: int = 1984, cache_size: int = 256
 ) -> ThreadingHTTPServer:
@@ -131,13 +180,9 @@ def make_server(
     ``cache_size`` > 0 enables LRU response memoization with single-flight
     coalescing (valid because the served store is an immutable snapshot);
     0 disables it. The cache object is exposed as ``server.response_cache``
-    for stats/tests."""
-    from treemachine_spark.api.v2 import TreeOfLifeV2
-    from treemachine_spark.api.v3 import TreeOfLifeV3
-
-    v3 = TreeOfLifeV3(store)
-    apis = {"v3": v3, "v2": TreeOfLifeV2(v3)}
-    cache = ResponseCache(cache_size) if cache_size > 0 else None
+    for stats/tests; ``server.core.swap_store(new_store)`` re-serves a
+    republished snapshot without stale cache entries."""
+    core = ServerCore(store, cache_size)
 
     class Handler(BaseHTTPRequestHandler):
         def do_POST(self):  # noqa: N802 (http.server API)
@@ -150,18 +195,7 @@ def make_server(
             except ValueError as e:
                 self._reply(400, {"message": f"invalid JSON body: {e}"})
                 return
-
-            def run() -> tuple[int, dict]:
-                try:
-                    return _dispatch(apis, self.path, body)
-                except Exception as e:  # unexpected -> 500, never kill the server
-                    return 500, {"message": f"{type(e).__name__}: {e}"}
-
-            if cache is None:
-                status, resp = run()
-            else:
-                key = (self.path, json.dumps(body, sort_keys=True))
-                status, resp = cache.get_or_compute(key, run)
+            status, resp = core.handle(self.path, body)
             self._reply(status, resp)
 
         def _reply(self, status: int, resp: dict):
@@ -176,7 +210,8 @@ def make_server(
             pass
 
     srv = ThreadingHTTPServer((host, port), Handler)
-    srv.response_cache = cache
+    srv.core = core
+    srv.response_cache = core.cache
     return srv
 
 
