@@ -90,8 +90,8 @@ _FRONT = [
     "p3_props_decode",
 ]
 
-# Every entry below is green in CORRECTNESS_r04.json (driver's DuckDB
-# oracle at sf0.01) and stays in the pytest oracle tier this round.
+# Every entry below except k7 is green in CORRECTNESS_r04.json (driver's
+# DuckDB oracle at sf0.01) and stays in the pytest oracle tier this round.
 _DRIVER_EXCLUDED = {
     name: "r4 artifact row (CORRECTNESS_r04.json); pytest oracle tier at sf0.001 + sf0.01"
     for name in (
@@ -147,6 +147,11 @@ _DRIVER_EXCLUDED = {
         "q5_region_revenue",
     )
 }
+# born r5 — pytest-tier this round (keeps the surface at exactly 50),
+# rotates into the r6 artifact; sketch family k6 is driver-signed r5
+_DRIVER_EXCLUDED["k7_grouped_quantiles"] = (
+    "NEW r5; pytest oracle tier at sf0.001 + sf0.01"
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:

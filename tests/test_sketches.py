@@ -148,3 +148,88 @@ def test_quantile_sketch_plan_is_take_ordered(spark, tokdf):
     assert "TakeOrderedAndProject" in plan
     # map-side combine before the distinct-value shuffle
     assert "partial_count" in plan or "HashAggregate" in plan
+
+
+# ---------------------------------------------------------------------------
+# per-group bottom-k quantile sketch (the x4/x8 percentile shape at scale)
+# ---------------------------------------------------------------------------
+
+
+def _lang_tokens(spark, sf_dir):
+    from treemachine_spark.functions import text
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return docs.select("lang", text.token_count(F.col("text")).alias("n"))
+
+
+def _exact_type1(rows, q):
+    """Exact lower-value (type-1) quantile: smallest v with CDF >= q."""
+    import math
+
+    rows = sorted(rows)
+    return rows[math.ceil(q * len(rows)) - 1]
+
+
+@pytest.mark.parametrize("sf_dir", [SF_SMOKE, "/root/testdata/sf0.01"])
+def test_grouped_quantiles_exact_when_k_covers_domain(spark, sf_dir):
+    """A group with <= k distinct values is sampled whole: the sketched
+    estimate equals the exact type-1 quantile (the documented exactness
+    branch of the accuracy bound)."""
+    d = _lang_tokens(spark, sf_dir).cache()
+    ndistinct = d.select("lang", "n").distinct().count()  # >= per-group max
+    sketch = sk.quantile_sketch_grouped(d, "n", ["lang"], k=ndistinct + 10)
+    est = {
+        (r["lang"], r["q_micro"]): r["est_v"]
+        for r in sk.grouped_quantile_estimates(sketch, ["lang"], (0.5, 0.9)).collect()
+    }
+    by_lang: dict = {}
+    for r in d.collect():
+        by_lang.setdefault(r["lang"], []).append(r["n"])
+    for lang, vals in by_lang.items():
+        assert est[(lang, 500000)] == _exact_type1(vals, 0.5), lang
+        assert est[(lang, 900000)] == _exact_type1(vals, 0.9), lang
+    d.unpersist()
+
+
+@pytest.mark.parametrize("sf_dir", [SF_SMOKE, "/root/testdata/sf0.01"])
+def test_grouped_quantiles_rank_error_within_bound(spark, sf_dir):
+    """Sampling branch of the bound: with k=64 << distinct values, the
+    estimate's RANK error |F(est) - q| stays within the documented
+    O(sqrt(ln(1/d)/k)) envelope — 0.20 of the group's mass at k=64
+    (sqrt(ln(200)/(2*64)) ~= 0.20, failure prob ~1%). Checked per group
+    against the exact empirical CDF."""
+    import bisect
+
+    d = _lang_tokens(spark, sf_dir).cache()
+    sketch = sk.quantile_sketch_grouped(d, "n", ["lang"], k=64)
+    est = {
+        (r["lang"], r["q_micro"]): r["est_v"]
+        for r in sk.grouped_quantile_estimates(sketch, ["lang"], (0.5, 0.9)).collect()
+    }
+    by_lang: dict = {}
+    for r in d.collect():
+        by_lang.setdefault(r["lang"], []).append(r["n"])
+    tol = 0.20
+    for lang, vals in by_lang.items():
+        vals.sort()
+        for q, qm in ((0.5, 500000), (0.9, 900000)):
+            v = est[(lang, qm)]
+            cdf = bisect.bisect_right(vals, v) / len(vals)
+            assert abs(cdf - q) <= tol, (lang, q, v, cdf)
+    d.unpersist()
+
+
+def test_grouped_sketch_keeps_k_smallest_hashes_per_group(spark):
+    d = _lang_tokens(spark, SF_SMOKE)
+    k = 16
+    sketch = sk.quantile_sketch_grouped(d, "n", ["lang"], k=k).collect()
+    per: dict = {}
+    for r in sketch:
+        per.setdefault(r["lang"], []).append((r["h"], r["v"], r["cnt"]))
+    full = sk.quantile_sketch_grouped(d, "n", ["lang"], k=10**6).collect()
+    all_per: dict = {}
+    for r in full:
+        all_per.setdefault(r["lang"], []).append((r["h"], r["v"], r["cnt"]))
+    for lang, rows in per.items():
+        expect = sorted(all_per[lang])[:k]
+        assert sorted(rows) == expect, lang

@@ -39,7 +39,7 @@ training-pipeline surface.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from treemachine_spark.functions.hashing import h32, h32_sql
@@ -327,6 +327,129 @@ def quantile_merge(a: DataFrame, b: DataFrame, k: int = 1024) -> DataFrame:
         .orderBy("h", "v")
         .limit(k)
     )
+
+
+def quantile_sketch_grouped(
+    df: DataFrame, col: str, groups: list[str], k: int = 1024
+) -> DataFrame:
+    """Per-GROUP bottom-k quantile sketch — the x4/x8 per-language
+    percentile shape at corpus scale. Exact ``percentile()`` must shuffle
+    every row's value to its group; this aggregates (group, value) first
+    (map-side combine — one surviving row per distinct value per group)
+    and then window-ranks the per-group distinct-value table by the h32
+    hash, keeping the k smallest per group with their EXACT counts. The
+    window's shuffle carries one row per distinct (group, value), not one
+    per input row, and the state per group is k integer rows.
+
+    Same determinism discipline as :func:`quantile_sketch`: md5-derived
+    hash, (h, v) tie-break, BIGINT state — cross-engine exact.
+
+    Returns (groups..., h, v, cnt)."""
+    agg = (
+        df.where(F.col(col).isNotNull())
+        .groupBy(*groups, F.col(col).cast("long").alias("v"))
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("h", h32(F.col("v").cast("string")))
+    )
+    w = Window.partitionBy(*groups).orderBy("h", "v")
+    return (
+        agg.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select(*groups, "h", "v", "cnt")
+    )
+
+
+def grouped_quantile_estimates(
+    sketch: DataFrame, groups: list[str], qs: tuple = (0.5, 0.9)
+) -> DataFrame:
+    """Distributed quantile estimates from a per-group bottom-k sketch:
+    for each q, the smallest sampled v whose cumulative sampled count
+    reaches q * (group's total sampled count) — the inclusion probability
+    cancels in the position (see quantile_estimate). Pure window + agg over
+    the k-row-per-group sketch; never touches the source table.
+
+    INTEGER-EXACT thresholding: q is carried as BIGINT micro-units and the
+    comparison is cum * 1e6 >= q_micro * tot (both BIGINT), so no float
+    boundary can flip a knife-edge group cross-engine. Output
+    (groups..., q_micro, est_v) — type-1 (lower-value) quantiles, no
+    interpolation.
+
+    ACCURACY (pinned in tests/test_sketches.py): a group with <= k distinct
+    values is sampled WHOLE — the sketch is its exact histogram and the
+    estimate equals the exact type-1 quantile. Beyond k distinct values
+    each distinct value is kept i.i.d.-like with the same inclusion
+    probability, so the estimated quantile's RANK error concentrates like a
+    Hoeffding ratio bound: |F(est) - q| = O(sqrt(ln(1/d)/k)) of the
+    group's total mass with failure prob d, provided no single value holds
+    a comparable mass fraction (a heavy value is always sampled-or-not
+    whole; its own mass bounds the error instead)."""
+    w_cum = (
+        Window.partitionBy(*groups)
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy(*groups)
+    cum = sketch.withColumn("cum", F.sum("cnt").over(w_cum)).withColumn(
+        "tot", F.sum("cnt").over(w_tot)
+    )
+    parts = []
+    for q in qs:
+        q_micro = int(round(q * 1_000_000))
+        parts.append(
+            cum.where(
+                F.col("cum") * F.lit(1_000_000)
+                >= F.lit(q_micro) * F.col("tot")
+            )
+            .groupBy(*groups)
+            .agg(F.min("v").alias("est_v"))
+            .withColumn("q_micro", F.lit(q_micro).cast("long"))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(*groups, "q_micro", "est_v")
+
+
+def grouped_quantile_sketch_sql(
+    table: str,
+    expr: str,
+    group_expr: str,
+    qs: tuple = (0.5, 0.9),
+    k: int = 1024,
+    group_alias: str = "g",
+) -> str:
+    """DuckDB twin of quantile_sketch_grouped + grouped_quantile_estimates
+    (integer-exact end-to-end). ``group_alias`` names the output group
+    column to match the Spark side (the driver compares by column name)."""
+    h = h32_sql("CAST(v AS VARCHAR)")
+    selects = " UNION ALL ".join(
+        f"""SELECT g AS {group_alias},
+                   {int(round(q * 1_000_000))}::BIGINT AS q_micro,
+                   min(v) AS est_v
+            FROM cum WHERE cum * 1000000 >= {int(round(q * 1_000_000))} * tot
+            GROUP BY g"""
+        for q in qs
+    )
+    return f"""
+WITH vals AS (
+    SELECT {group_expr} AS g, CAST({expr} AS BIGINT) AS v, count(*) AS cnt
+    FROM {table} WHERE {expr} IS NOT NULL GROUP BY 1, 2
+), hashed AS (
+    SELECT g, v, cnt, {h} AS h FROM vals
+), sk AS (
+    SELECT g, v, cnt FROM (
+        SELECT g, v, cnt,
+               row_number() OVER (PARTITION BY g ORDER BY h, v) AS rn
+        FROM hashed
+    ) WHERE rn <= {k}
+), cum AS (
+    SELECT g, v,
+           CAST(sum(cnt) OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS cum,
+           CAST(sum(cnt) OVER (PARTITION BY g) AS BIGINT) AS tot
+    FROM sk
+)
+{selects}
+"""
 
 
 def quantile_estimate(sketch: DataFrame, qs: tuple = (0.5, 0.9, 0.99)) -> dict:

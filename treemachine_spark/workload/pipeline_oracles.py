@@ -620,10 +620,22 @@ PIPELINE_ORACLES["k2_hll_sketch"] = hll_sketch_sql(
 
 PIPELINE_ORACLES["k5_cms_topk"] = cms_topk_sql("events", "user_id", k=10)
 
-from treemachine_spark.functions.sketches import quantile_sketch_sql  # noqa: E402
+from treemachine_spark.functions.sketches import (  # noqa: E402
+    grouped_quantile_sketch_sql,
+    quantile_sketch_sql,
+)
 
 PIPELINE_ORACLES["k6_quantile_sketch"] = quantile_sketch_sql(
     "documents", r"len(string_split_regex(trim(text), '\s+'))", k=128
+)
+
+PIPELINE_ORACLES["k7_grouped_quantiles"] = grouped_quantile_sketch_sql(
+    "documents",
+    r"len(string_split_regex(trim(text), '\s+'))",
+    "lang",
+    qs=(0.5, 0.9),
+    k=64,
+    group_alias="lang",
 )
 
 # bloom-filter pruning: membership in the bit set is expressed relationally

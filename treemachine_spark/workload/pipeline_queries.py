@@ -534,6 +534,22 @@ def q_k6_quantile_sketch(spark, sf_dir):
     return sk.quantile_sketch(d, "n", k=128)
 
 
+def q_k7_grouped_quantiles(spark, sf_dir):
+    """Per-language sketch-estimated token-length p50/p90 — the
+    quantile_sketch-backed variant of x8's exact percentile() shape
+    (VERDICT r4 #6): per-group bottom-k sampling of the distinct-value
+    table + distributed integer-exact estimates. k=64 forces real
+    sampling at gate scale; exact when a group has <= k distinct values
+    (accuracy bound pinned in tests/test_sketches.py)."""
+    from treemachine_spark.functions import sketches as sk
+    from treemachine_spark.functions import text
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    d = docs.select("lang", text.token_count(F.col("text")).alias("n"))
+    sketch = sk.quantile_sketch_grouped(d, "n", ["lang"], k=64)
+    return sk.grouped_quantile_estimates(sketch, ["lang"], qs=(0.5, 0.9))
+
+
 def q_k3_bloom_prune(spark, sf_dir):
     """Bloom-filter semi-join pruning: an 8192-bit / 3-hash filter built
     from a supplier subset prunes the lineitem scan BEFORE any join. The
@@ -656,6 +672,7 @@ PIPELINE_QUERIES = {
     "k2_hll_sketch": q_k2_hll_sketch,
     "k5_cms_topk": q_k5_cms_topk,
     "k6_quantile_sketch": q_k6_quantile_sketch,
+    "k7_grouped_quantiles": q_k7_grouped_quantiles,
     "k3_bloom_prune": q_k3_bloom_prune,
     "k4_zorder": q_k4_zorder,
     "u1_merge_upsert": q_u1_merge_upsert,
