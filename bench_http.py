@@ -44,16 +44,90 @@ def _pctl(xs: list[float], q: float) -> float:
     return round(xs[min(len(xs) - 1, int(q * len(xs)))], 3)
 
 
-def main() -> None:
-    n_tips = int(sys.argv[1]) if len(sys.argv) > 1 else 2_420_000
+def _request_factory(tips):
+    rng = random.Random(7)
+    internals = [f"n{i}" for i in range(1, 200)]  # upper levels of the tree
+
+    def request_for(kind: str) -> tuple[str, dict]:
+        if kind == "mrca":
+            return "/v3/tree_of_life/mrca", {"node_ids": rng.sample(tips, 160)}
+        if kind == "node_info":
+            return "/v3/tree_of_life/node_info", {"node_id": rng.choice(tips)}
+        return "/v3/tree_of_life/subtree", {
+            "node_id": rng.choice(internals),
+            "height_limit": 2,
+        }
+
+    return request_for
+
+
+def _drive(base: str, tips, client_counts, request_for=None) -> dict:
+    """The unique-traffic load rounds (6 requests per client, mixed kinds).
+    Pass an existing ``request_for`` to keep one RNG stream across this and
+    later rounds (bodies never repeat -> every request is a cache miss)."""
+    if request_for is None:
+        request_for = _request_factory(tips)
+    results: dict = {}
+    for n_clients in client_counts:
+        lat: dict[str, list[float]] = {"mrca": [], "node_info": [], "subtree": []}
+        errs = [0]
+        lock = threading.Lock()
+
+        def client(cid: int):
+            kinds = ["mrca", "node_info", "subtree"]
+            for i in range(6):
+                kind = kinds[(cid + i) % 3]
+                path, body = request_for(kind)
+                status, dt = _post(base, path, body)
+                with lock:
+                    lat[kind].append(dt)
+                    if status != 200:
+                        errs[0] += 1
+
+        t0 = time.time()
+        threads = [threading.Thread(target=client, args=(c,)) for c in range(n_clients)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        results[f"clients_{n_clients}"] = {
+            "wall_sec": round(time.time() - t0, 2),
+            "n_requests": sum(len(v) for v in lat.values()),
+            "errors": errs[0],
+            **{
+                k: {"p50": _pctl(v, 0.5), "p95": _pctl(v, 0.95), "max": _pctl(v, 1.0)}
+                for k, v in lat.items()
+            },
+        }
+    return results
+
+
+def _tip_names(n_tips: int, fanout: int = 10) -> list[str]:
+    """The tip ids synthetic_tree_edges produces, without building edges —
+    the sharded parent needs request ids but never builds the store."""
+    next_id = 1
+    frontier = [0]
+    total = 0
+    while total < n_tips:
+        nxt = []
+        for _p in frontier:
+            if len(nxt) >= n_tips:
+                break
+            for _ in range(fanout):
+                nxt.append(next_id)
+                next_id += 1
+        total = len(nxt)
+        frontier = nxt
+    return [f"n{i}" for i in frontier]
+
+
+def build_synth_store(spark, n_tips: int):
+    """The bench's synthetic GraphStore (cached). Returns
+    (store, tips, n_edges, build_sec) — extracted so worker processes in
+    the sharded mode build the identical store."""
     from bench_tree import synthetic_tree_edges
-    from treemachine_spark.api.server import make_server
     from treemachine_spark.graph.closure import build_closure
     from treemachine_spark.ingest import GraphStore
-    from treemachine_spark.session import get_spark
-
-    spark = get_spark("treemachine-http-bench")
-    spark.sparkContext.setLogLevel("ERROR")
 
     t0 = time.time()
     edges_cp, tips = synthetic_tree_edges(spark, n_tips)
@@ -109,63 +183,45 @@ def main() -> None:
     ).cache()
     for df in (store.nodes, store.edges, store.paths):
         df.count()
-    build_sec = round(time.time() - t0, 2)
+    return store, tips, n_edges, round(time.time() - t0, 2)
 
-    srv = make_server(store, host="127.0.0.1", port=0)
+
+def main() -> None:
+    n_tips = int(sys.argv[1]) if len(sys.argv) > 1 else 2_420_000
+    from treemachine_spark.api.server import make_server
+    from treemachine_spark.session import get_spark
+
+    spark = get_spark("treemachine-http-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    store, tips, n_edges, build_sec = build_synth_store(spark, n_tips)
+
+    # optional r5 mode: serve request-scale closure fetches through the
+    # bucket-pruned warehouse layout instead of the cached-closure InSet
+    # scan (only the mrca requests below touch it — bench node_info has no
+    # lineage and subtree filters on ancestor_id)
+    pruned_table = None
+    layout_sec = None
+    if "pruned" in sys.argv[3:]:
+        from treemachine_spark.ingest import write_bucketed_closure
+
+        t1 = time.time()
+        write_bucketed_closure([store], table="bench_paths_bkt", buckets=256)
+        layout_sec = round(time.time() - t1, 2)
+        pruned_table = "bench_paths_bkt"
+
+    srv = make_server(
+        store, host="127.0.0.1", port=0, pruned_closure_table=pruned_table
+    )
     threading.Thread(target=srv.serve_forever, daemon=True).start()
     base = f"http://127.0.0.1:{srv.server_address[1]}"
-
-    rng = random.Random(7)
-    internals = [f"n{i}" for i in range(1, 200)]  # upper levels of the tree
-
-    def request_for(kind: str) -> tuple[str, dict]:
-        if kind == "mrca":
-            return "/v3/tree_of_life/mrca", {"node_ids": rng.sample(tips, 160)}
-        if kind == "node_info":
-            return "/v3/tree_of_life/node_info", {"node_id": rng.choice(tips)}
-        return "/v3/tree_of_life/subtree", {
-            "node_id": rng.choice(internals),
-            "height_limit": 2,
-        }
 
     client_counts = (
         tuple(int(x) for x in sys.argv[2].split(","))
         if len(sys.argv) > 2
         else (1, 12, 32)
     )
-    results: dict = {}
-    for n_clients in client_counts:
-        lat: dict[str, list[float]] = {"mrca": [], "node_info": [], "subtree": []}
-        errs = [0]
-        lock = threading.Lock()
-
-        def client(cid: int):
-            kinds = ["mrca", "node_info", "subtree"]
-            for i in range(6):
-                kind = kinds[(cid + i) % 3]
-                path, body = request_for(kind)
-                status, dt = _post(base, path, body)
-                with lock:
-                    lat[kind].append(dt)
-                    if status != 200:
-                        errs[0] += 1
-
-        t0 = time.time()
-        threads = [threading.Thread(target=client, args=(c,)) for c in range(n_clients)]
-        for t in threads:
-            t.start()
-        for t in threads:
-            t.join()
-        wall = round(time.time() - t0, 2)
-        results[f"clients_{n_clients}"] = {
-            "wall_sec": wall,
-            "n_requests": sum(len(v) for v in lat.values()),
-            "errors": errs[0],
-            **{
-                k: {"p50": _pctl(v, 0.5), "p95": _pctl(v, 0.95), "max": _pctl(v, 1.0)}
-                for k, v in lat.items()
-            },
-        }
+    request_for = _request_factory(tips)
+    results = _drive(base, tips, client_counts, request_for=request_for)
 
     # repeat-traffic round: every client draws from a small fixed request
     # pool, so most requests are byte-identical to one in flight or already
@@ -219,11 +275,117 @@ def main() -> None:
                 "n_tips": n_tips,
                 "n_edges": n_edges,
                 "store_build_sec": build_sec,
+                "pruned_serving": pruned_table is not None,
+                "bucketed_layout_write_sec": layout_sec,
                 **results,
             }
         )
     )
 
 
+def worker_main(n_tips: int, port: int) -> None:
+    """One serving shard: its own SparkSession (cores via SPARK_GRAFT_CPUS,
+    set by the sharded parent) + its own copy of the synthetic store."""
+    from treemachine_spark.api.server import make_server
+    from treemachine_spark.session import get_spark
+
+    spark = get_spark(f"treemachine-http-worker-{port}")
+    spark.sparkContext.setLogLevel("ERROR")
+    store, _tips, _n_edges, build_sec = build_synth_store(spark, n_tips)
+    srv = make_server(store, host="127.0.0.1", port=port)
+    print(f"WORKER_READY {port} build={build_sec}", flush=True)
+    srv.serve_forever()
+
+
+def sharded_main(n_tips: int, n_workers: int, counts_str: str) -> None:
+    """VERDICT r4 #4: the sharded deployment shape, measured. N worker
+    processes (each its own SparkSession with 32/N cores + its own store
+    replica) behind the stdlib ShardRouter, driven by the same client mix
+    as the single-process rows. Total cores are held constant, so the
+    comparison isolates what sharding buys: separate schedulers, separate
+    GC heaps, no cross-request queueing on one driver."""
+    import os
+    import subprocess
+
+    from treemachine_spark.api.router import ShardRouter, make_router_server
+
+    total_cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    cores = max(1, total_cores // n_workers)
+    ports = [19100 + i for i in range(n_workers)]
+    env = {
+        **os.environ,
+        "SPARK_GRAFT_CPUS": str(cores),
+        "SPARK_DRIVER_MEM": os.environ.get("SPARK_DRIVER_MEM", "12g"),
+    }
+    t0 = time.time()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, __file__, "worker", str(n_tips), str(p)],
+            env=env,
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+        )
+        for p in ports
+    ]
+    urls = [f"http://127.0.0.1:{p}" for p in ports]
+    try:
+        deadline = time.time() + 900
+        ready: set = set()
+        while len(ready) < n_workers:
+            if time.time() > deadline:
+                raise TimeoutError(f"workers ready: {sorted(ready)} of {ports}")
+            for u in urls:
+                if u in ready:
+                    continue
+                try:
+                    status, _ = _post(u, "/v3/tree_of_life/about", {})
+                    if status == 200:
+                        ready.add(u)
+                except Exception:
+                    pass
+            time.sleep(2)
+        workers_ready_sec = round(time.time() - t0, 2)
+
+        router = ShardRouter({"synth": urls}, urls)
+        rsrv = make_router_server(router)
+        threading.Thread(target=rsrv.serve_forever, daemon=True).start()
+        base = f"http://127.0.0.1:{rsrv.server_address[1]}"
+
+        tips = _tip_names(n_tips)
+        counts = tuple(int(x) for x in counts_str.split(","))
+        results = _drive(base, tips, counts)
+        rsrv.shutdown()
+        rsrv.server_close()
+        print(
+            json.dumps(
+                {
+                    "mode": "sharded",
+                    "n_tips": n_tips,
+                    "n_workers": n_workers,
+                    "cores_per_worker": cores,
+                    "workers_ready_sec": workers_ready_sec,
+                    **results,
+                }
+            )
+        )
+    finally:
+        for p in procs:
+            p.terminate()
+        for p in procs:
+            try:
+                p.wait(timeout=30)
+            except Exception:
+                p.kill()
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "worker":
+        worker_main(int(sys.argv[2]), int(sys.argv[3]))
+    elif len(sys.argv) > 1 and sys.argv[1] == "shards":
+        sharded_main(
+            int(sys.argv[2]),
+            int(sys.argv[3]) if len(sys.argv) > 3 else 4,
+            sys.argv[4] if len(sys.argv) > 4 else "32,64",
+        )
+    else:
+        main()

@@ -1,0 +1,79 @@
+"""Shard router (api/router.py): round-robin pools, synth_id routing,
+worker-failure 502 — no Spark involved (workers are stubbed)."""
+
+from __future__ import annotations
+
+import json
+import threading
+import urllib.request
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from treemachine_spark.api.router import ShardRouter, make_router_server
+
+
+def _stub_worker(tag: str) -> ThreadingHTTPServer:
+    class H(BaseHTTPRequestHandler):
+        def do_POST(self):  # noqa: N802
+            n = int(self.headers.get("Content-Length") or 0)
+            body = json.loads(self.rfile.read(n) or b"{}")
+            data = json.dumps({"worker": tag, "path": self.path, "echo": body}).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def log_message(self, *args):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv
+
+
+def _post(base, path, body):
+    req = urllib.request.Request(
+        base + path, data=json.dumps(body).encode(), method="POST"
+    )
+    try:
+        with urllib.request.urlopen(req) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_round_robin_and_synth_id_routing():
+    wa, wb, wc = _stub_worker("a"), _stub_worker("b"), _stub_worker("c")
+    url = lambda s: f"http://127.0.0.1:{s.server_address[1]}"  # noqa: E731
+    router = ShardRouter(
+        pools={"treeX": [url(wa), url(wb)], "treeY": [url(wc)]},
+        default_pool=[url(wa), url(wb)],
+    )
+    srv = make_router_server(router)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        # default pool round-robins
+        seen = [
+            _post(base, "/v3/tree_of_life/about", {})[1]["worker"]
+            for _ in range(4)
+        ]
+        assert sorted(set(seen)) == ["a", "b"] and seen[0] != seen[1]
+        # synth_id picks its pool, and the key is STRIPPED before forwarding
+        status, resp = _post(
+            base, "/v3/tree_of_life/mrca", {"synth_id": "treeY", "node_ids": ["n1"]}
+        )
+        assert status == 200 and resp["worker"] == "c"
+        assert resp["echo"] == {"node_ids": ["n1"]}
+        # unknown synth_id -> 400
+        status, resp = _post(base, "/v3/tree_of_life/about", {"synth_id": "nope"})
+        assert status == 400
+        # dead worker -> 502, router survives
+        wc.shutdown(); wc.server_close()
+        status, resp = _post(base, "/v3/tree_of_life/about", {"synth_id": "treeY"})
+        assert status == 502
+        status, _ = _post(base, "/v3/tree_of_life/about", {})
+        assert status == 200  # other pools unaffected
+    finally:
+        for s in (srv, wa, wb):
+            s.shutdown()
+            s.server_close()

@@ -1,0 +1,102 @@
+"""Shard router: dispatch tree_of_life requests across worker processes.
+
+Single-process serving tops out around ~32 concurrent clients at local[32]
+(NOTES_r4): every request is one-or-more full-closure task waves on ONE
+SparkSession, so p95 grows with queue depth once clients outnumber task
+slots. The deployment shape the NOTES document is horizontal: each WORKER
+process owns its own SparkSession and serves one or more synth trees (a
+store shard, started with ``python -m treemachine_spark.cli serve``); this
+thin stdlib router forwards each request to its tree's worker pool
+round-robin. The router adds no Spark and no state beyond a counter; hot
+trees get replicated workers (a pool of >1), and the reference's
+one-embedded-DB-per-process model (MainRunner.java) maps onto workers
+one-to-one.
+
+Routing key: an optional ``synth_id`` in the request body (the same
+argument TreeOfLifeService accepts) picks the pool; requests without one go
+to the default pool. The body is forwarded verbatim minus the routing key —
+workers are single-store servers that don't take ``synth_id``.
+"""
+
+from __future__ import annotations
+
+import itertools
+import json
+import threading
+import urllib.error
+import urllib.request
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+
+class ShardRouter:
+    """Round-robin forwarder over per-tree worker pools.
+
+    ``pools`` maps synth_id -> list of worker base URLs
+    (e.g. ``{"opentree13.4": ["http://127.0.0.1:9001", ...]}``);
+    ``default_pool`` serves requests that name no synth_id (typically the
+    most recent tree's pool, mirroring TreeRegistry.most_recent)."""
+
+    def __init__(self, pools: dict[str, list[str]], default_pool: list[str]):
+        self.pools = {k: list(v) for k, v in pools.items()}
+        self.default_pool = list(default_pool)
+        self._rr = {k: itertools.cycle(v) for k, v in self.pools.items()}
+        self._rr_default = itertools.cycle(self.default_pool)
+        self._lock = threading.Lock()
+
+    def pick(self, synth_id: str | None) -> str | None:
+        with self._lock:
+            if synth_id is None:
+                return next(self._rr_default, None) if self.default_pool else None
+            cyc = self._rr.get(synth_id)
+            return next(cyc) if cyc is not None else None
+
+    def forward(self, path: str, body: dict, timeout: float = 600.0) -> tuple[int, dict]:
+        synth_id = body.pop("synth_id", None)
+        base = self.pick(synth_id)
+        if base is None:
+            return 400, {"message": f"unknown synth_id {synth_id!r}"}
+        req = urllib.request.Request(
+            base + path,
+            data=json.dumps(body).encode(),
+            headers={"Content-Type": "application/json"},
+            method="POST",
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=timeout) as r:
+                return r.status, json.loads(r.read())
+        except urllib.error.HTTPError as e:
+            return e.code, json.loads(e.read())
+        except Exception as e:  # worker down / timeout -> 502, router survives
+            return 502, {"message": f"worker {base}: {type(e).__name__}: {e}"}
+
+
+def make_router_server(
+    router: ShardRouter, host: str = "127.0.0.1", port: int = 0
+) -> ThreadingHTTPServer:
+    """HTTP front for a ShardRouter (same endpoint surface as the workers)."""
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):  # noqa: N802 (http.server API)
+            n = int(self.headers.get("Content-Length") or 0)
+            raw = self.rfile.read(n) if n else b""
+            try:
+                body = json.loads(raw) if raw.strip() else {}
+                if not isinstance(body, dict):
+                    raise ValueError("body must be a JSON object")
+            except ValueError as e:
+                status, resp = 400, {"message": f"invalid JSON body: {e}"}
+            else:
+                status, resp = router.forward(self.path, body)
+            data = json.dumps(resp).encode()
+            self.send_response(status)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def log_message(self, *args):  # quiet
+            pass
+
+    srv = ThreadingHTTPServer((host, port), Handler)
+    srv.router = router
+    return srv

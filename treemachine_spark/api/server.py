@@ -135,15 +135,23 @@ class ServerCore:
     the cache — otherwise entries computed against the old snapshot would
     be served as if current (the r4 cache keyed on endpoint+body only)."""
 
-    def __init__(self, store, cache_size: int = 256):
+    def __init__(
+        self,
+        store,
+        cache_size: int = 256,
+        pruned_closure_table: str | None = None,
+    ):
         self.cache = ResponseCache(cache_size) if cache_size > 0 else None
+        self.pruned_closure_table = pruned_closure_table
         self._build(store)
 
     def _build(self, store) -> None:
         from treemachine_spark.api.v2 import TreeOfLifeV2
         from treemachine_spark.api.v3 import TreeOfLifeV3
 
-        v3 = TreeOfLifeV3(store)
+        v3 = TreeOfLifeV3(
+            store, pruned_closure_table=self.pruned_closure_table
+        )
         self.store = store
         self.apis = {"v3": v3, "v2": TreeOfLifeV2(v3)}
 
@@ -174,7 +182,11 @@ class ServerCore:
 
 
 def make_server(
-    store, host: str = "127.0.0.1", port: int = 1984, cache_size: int = 256
+    store,
+    host: str = "127.0.0.1",
+    port: int = 1984,
+    cache_size: int = 256,
+    pruned_closure_table: str | None = None,
 ) -> ThreadingHTTPServer:
     """Build (not start) the HTTP server for a loaded GraphStore.
     ``cache_size`` > 0 enables LRU response memoization with single-flight
@@ -182,7 +194,7 @@ def make_server(
     0 disables it. The cache object is exposed as ``server.response_cache``
     for stats/tests; ``server.core.swap_store(new_store)`` re-serves a
     republished snapshot without stale cache entries."""
-    core = ServerCore(store, cache_size)
+    core = ServerCore(store, cache_size, pruned_closure_table)
 
     class Handler(BaseHTTPRequestHandler):
         def do_POST(self):  # noqa: N802 (http.server API)

@@ -76,14 +76,25 @@ class TreeOfLifeV3:
         max_tips_newick: int | None = 100_000,
         max_tips_arguson: int | None = 25_000,
         enforce_caps: bool = False,
+        pruned_closure_table: str | None = None,
     ):
         """``enforce_caps=False`` by default: Spark removes the reason for
         the reference's hard 100k/25k caps (tree_of_life_v3.java:591-592);
-        set True for byte-level API parity."""
+        set True for byte-level API parity.
+
+        ``pruned_closure_table`` names a ``write_bucketed_closure``
+        warehouse table for this store: request-scale closure fetches
+        (mrca, node_info lineage, induced_subtree, the MRTA probe) then
+        read ONLY the node_id buckets the request's ids hash to instead of
+        InSet-scanning the cached closure — the 100 TB serving shape,
+        where the closure is never executor-cache-resident (VERDICT r4
+        #3; per-request catalog re-planning costs ~0.2 s locally, numbers
+        in NOTES_r5)."""
         self.store = store
         self.max_tips_newick = max_tips_newick
         self.max_tips_arguson = max_tips_arguson
         self.enforce_caps = enforce_caps
+        self.pruned_closure_table = pruned_closure_table
         # tiny dimension tables, kept driver-side (broadcast-equivalent)
         self._source_map = {
             r["source_id"]: {
@@ -314,6 +325,26 @@ class TreeOfLifeV3:
             raise BadInputError(f"Invalid source id '{source}' provided.")
         return {"newick": newick, "synth_id": self.store.tree_id}
 
+    def _request_closure(self, ids):
+        """Closure rows for a request's id set via the bucket-pruned
+        catalog fetch (ingest.read_pruned_closure) when the store has the
+        bucketed layout; None otherwise (callers fall back to the cached-
+        closure InSet scan). Above the driver gate the joined recipes want
+        the full closure, so the pruned fetch is skipped there too."""
+        if (
+            self.pruned_closure_table is None
+            or len(ids) > T.DRIVER_PATH_MAX_TIPS
+        ):
+            return None
+        from treemachine_spark.ingest import read_pruned_closure
+
+        return read_pruned_closure(
+            self.store.nodes.sparkSession,
+            self.pruned_closure_table,
+            list(ids),
+            synth_id=self.store.tree_id,
+        )
+
     def node_info(self, node_id=None, ott_id=None, include_lineage: bool = False) -> dict:
         """doNodeInfo (tree_of_life_v3.java:157-230); lineage is T8
         (GraphExplorer.getLineage:228-236), parent-first ordering."""
@@ -322,9 +353,12 @@ class TreeOfLifeV3:
         sources: set = set()
         res = dict(self._node_blobs([qid], sources)[qid])
         if include_lineage:
+            src = self._request_closure([qid])
             anc = [
                 r["ancestor_id"]
-                for r in T.path_to_root(self.store.paths, qid).collect()
+                for r in T.path_to_root(
+                    src if src is not None else self.store.paths, qid
+                ).collect()
             ]
             blobs = self._node_blobs(anc, sources) if anc else {}
             res["lineage"] = [blobs[a] for a in anc]
@@ -343,10 +377,11 @@ class TreeOfLifeV3:
                 {"ott_ids_not_in_tree": bad_otts, "node_ids_not_in_tree": bad_nodes},
             )
         spark = self.store.nodes.sparkSession
+        pruned = self._request_closure(found)
         mrca_row = T.mrca(
             self.store.paths_with_self(),
             found,
-            paths=self.store.paths,
+            paths=pruned if pruned is not None else self.store.paths,
             root_id=self.store.root_id,
         ).collect()[0]
         mrca_id = mrca_row["mrca_node_id"]
@@ -365,8 +400,10 @@ class TreeOfLifeV3:
             named = self.store.nodes.where(F.col("ott_id").isNotNull()).select(
                 F.col("node_id").alias("ancestor_id")
             )
+            mrca_paths = self._request_closure([mrca_id])
             mrta_row = (
-                self.store.paths.where(F.col("node_id") == mrca_id)
+                (mrca_paths if mrca_paths is not None else self.store.paths)
+                .where(F.col("node_id") == mrca_id)
                 .join(named, "ancestor_id")
                 .orderBy("depth")
                 .limit(1)
@@ -578,7 +615,13 @@ class TreeOfLifeV3:
                 "(there must be at least two)."
             )
         spark = self.store.nodes.sparkSession
-        ind_edges = T.induced_subtree(self.store.paths_with_self(), found)
+        # the induced fast path only reads depth>0 closure rows of the
+        # request tips — exactly what the bucket-pruned fetch returns
+        pruned = self._request_closure(found)
+        ind_edges = T.induced_subtree(
+            pruned if pruned is not None else self.store.paths_with_self(),
+            found,
+        )
         rows = [(r["child_id"], r["parent_id"]) for r in ind_edges.collect()]
         members = {c for c, _ in rows} | {p for _, p in rows}
         root_candidates = {p for _, p in rows} - {c for c, _ in rows}
