@@ -258,7 +258,12 @@ def test_streaming_dedup(spark):
 def test_sessionize(spark):
     stream = stream_events.read_event_stream(spark, SF_SMOKE)
     sessions = stream_events.sessionize(stream, gap_minutes=30)
-    result = stream_events.run_to_memory(sessions, "sessions")
+    # ProcessingTimeTimeout variant: after the data batches commit the
+    # query lingers awaiting a wall-clock timeout batch — stop-after-wait
+    # is the contract here (see run_to_memory), not a truncated result
+    result = stream_events.run_to_memory(
+        sessions, "sessions", await_seconds=45, allow_timeout_stop=True
+    )
     # availableNow + processing-time timeout: only sessions closed by a
     # subsequent event in the same run are emitted; shape check
     assert set(result.columns) == {

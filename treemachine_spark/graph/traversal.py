@@ -77,9 +77,10 @@ def _resolve_tips(paths_self: DataFrame, tips, max_driver_tips: int):
     ids = list(dict.fromkeys(tips))
     if len(ids) <= max_driver_tips:
         return ids, None
-    tdf = spark.createDataFrame(
-        [(i,) for i in ids], "node_id string"
-    ).distinct()
+    # local_df (LocalRelation), not the RDD createDataFrame route — the
+    # same measured guidance as every other request-scale frame in this
+    # file; the eager checkpoint then materializes it exactly once
+    tdf = local_df(spark, [(i,) for i in ids], "node_id string").distinct()
     return None, tdf.localCheckpoint(eager=True)
 
 

@@ -300,6 +300,7 @@ def run_to_memory(
     output_mode: str = "append",
     await_seconds: int = 120,
     shuffle_partitions: int | None = None,
+    allow_timeout_stop: bool = False,
 ):
     """Run a streaming query to completion (availableNow) into an in-memory
     sink; returns the result DataFrame. Test/bench helper.
@@ -311,6 +312,16 @@ def run_to_memory(
     instead of the session's 32 (measured ~0.5 s per run at sf0.1). A
     long-lived production stream over a big source wants the session
     default or higher — pass None to inherit.
+
+    An availableNow run that outlives ``await_seconds`` is raised as
+    TimeoutError by default — a partial sink returned as if complete is a
+    silent wrong answer (ADVICE r4). The ONE shape where stop-after-wait
+    is the contract, not an error, is availableNow over a stateful
+    operator with ProcessingTimeTimeout (sessionize's open-tail variant):
+    the data batches commit promptly, then the query lingers awaiting a
+    wall-clock timeout batch that availableNow may never fire — callers
+    of that shape pass ``allow_timeout_stop=True`` and read the committed
+    batches.
     """
     spark = stream_df.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
@@ -326,10 +337,11 @@ def run_to_memory(
         )
         if not q.awaitTermination(await_seconds):
             q.stop()
-            raise TimeoutError(
-                f"streaming query {name!r} did not finish within "
-                f"{await_seconds}s; partial sink contents discarded"
-            )
+            if not allow_timeout_stop:
+                raise TimeoutError(
+                    f"streaming query {name!r} did not finish within "
+                    f"{await_seconds}s; partial sink contents discarded"
+                )
     finally:
         if shuffle_partitions:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
