@@ -242,3 +242,58 @@ def test_cache_invalidated_on_store_republish(spark, tmp_path):
     # and the new answer is itself cached consistently
     status2, again = core.handle("/v3/tree_of_life/node_info", body)
     assert (status2, again) == (status, after)
+
+
+def test_router_dispatches_to_real_tree_workers(spark, tmp_path):
+    """Two REAL single-store servers behind the ShardRouter: synth_id picks
+    the worker, responses are tree-specific, and default traffic flows to
+    the default pool — the multi-tree deployment shape (api/router.py)."""
+    from treemachine_spark.api.router import ShardRouter, make_router_server
+    from treemachine_spark.api.server import make_server
+    from treemachine_spark.graph.surgery import SurgeryTree
+
+    def ingest(newick_path):
+        return ingest_synthesis_data(
+            spark,
+            str(newick_path),
+            str(FIX / "annotations.json"),
+            str(FIX / "taxonomy.tsv"),
+        )
+
+    store_a = ingest(FIX / "labelled_supertree.tre")
+    t = SurgeryTree.from_newick((FIX / "labelled_supertree.tre").read_text())
+    t.prune_external(t.find("ott536234"))
+    pruned = tmp_path / "pruned.tre"
+    pruned.write_text(t.to_newick(with_bl=False) + ";")
+    store_b = ingest(pruned)
+
+    srv_a = make_server(store_a, host="127.0.0.1", port=0)
+    srv_b = make_server(store_b, host="127.0.0.1", port=0)
+    for s in (srv_a, srv_b):
+        threading.Thread(target=s.serve_forever, daemon=True).start()
+    url = lambda s: f"http://127.0.0.1:{s.server_address[1]}"  # noqa: E731
+    router = ShardRouter(
+        pools={"treeA": [url(srv_a)], "treeB": [url(srv_b)]},
+        default_pool=[url(srv_a)],
+    )
+    rsrv = make_router_server(router)
+    threading.Thread(target=rsrv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{rsrv.server_address[1]}"
+    try:
+        body = {"ott_id": 536234}
+        # tree-specific answers through one front door
+        status, resp = post(
+            base, "/v3/tree_of_life/node_info", {**body, "synth_id": "treeA"}
+        )
+        assert status == 200 and resp["taxon"]["ott_id"] == 536234
+        status, resp = post(
+            base, "/v3/tree_of_life/node_info", {**body, "synth_id": "treeB"}
+        )
+        assert status == 400  # pruned tip does not exist in tree B
+        # default pool = tree A
+        status, resp = post(base, "/v3/tree_of_life/node_info", body)
+        assert status == 200
+    finally:
+        for s in (rsrv, srv_a, srv_b):
+            s.shutdown()
+            s.server_close()

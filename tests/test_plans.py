@@ -173,3 +173,15 @@ def test_x20_lm_score_single_corpus_scan(spark):
     assert _parquet_scans(s) <= 1
     assert "ReadSchema: struct<doc_id" in s or _parquet_scans(s) == 0
     assert "Scan ExistingRDD" in s
+
+
+def test_k7_grouped_quantiles_single_scan_partial_agg(spark):
+    # EXACTLY one parquet scan of documents: the estimator explodes the
+    # quantile list against the k-row sketch instead of unioning one
+    # filtered-aggregate branch per q (which re-derives the source scan
+    # len(qs) times — the x15/x18 duplicated-scan lesson); the
+    # distinct-value shuffle is preceded by a map-side partial aggregate
+    s = plan_of(spark, "k7_grouped_quantiles")
+    assert "partial_count" in s
+    assert _parquet_scans(s) == 1, _parquet_scans(s)
+    assert "ReadSchema: struct<text:string,lang:string>" in s  # pruned

@@ -77,3 +77,45 @@ def test_round_robin_and_synth_id_routing():
         for s in (srv, wa, wb):
             s.shutdown()
             s.server_close()
+
+
+def test_cli_route_command_forwards():
+    """`python -m treemachine_spark.cli route` starts a working router
+    process (no SparkSession in it — pure stdlib forwarder)."""
+    import subprocess
+    import sys
+    import time
+
+    w = _stub_worker("cli")
+    port = w.server_address[1]
+    proc = subprocess.Popen(
+        [
+            sys.executable,
+            "-m",
+            "treemachine_spark.cli",
+            "route",
+            f"synth=http://127.0.0.1:{port}",
+            "--port",
+            "0",
+        ],
+        stdout=subprocess.PIPE,
+        text=True,
+    )
+    try:
+        line = proc.stdout.readline()
+        assert "shard router on" in line
+        base = line.split(" on ")[1].split(" ->")[0].strip()
+        deadline = time.time() + 20
+        status = None
+        while time.time() < deadline:
+            try:
+                status, resp = _post(base, "/v3/tree_of_life/about", {})
+                break
+            except Exception:
+                time.sleep(0.3)
+        assert status == 200 and resp["worker"] == "cli"
+    finally:
+        proc.terminate()
+        proc.wait(timeout=10)
+        w.shutdown()
+        w.server_close()

@@ -227,8 +227,20 @@ def make_server(
     return srv
 
 
-def serve(store, host: str = "127.0.0.1", port: int = 1984) -> None:
-    srv = make_server(store, host, port)
+def serve(
+    store,
+    host: str = "127.0.0.1",
+    port: int = 1984,
+    cache_size: int = 256,
+    pruned_closure_table: str | None = None,
+) -> None:
+    srv = make_server(
+        store,
+        host,
+        port,
+        cache_size=cache_size,
+        pruned_closure_table=pruned_closure_table,
+    )
     print(f"tree_of_life API serving on http://{host}:{port}")
     try:
         srv.serve_forever()

@@ -81,6 +81,31 @@ def main(argv=None) -> int:
     s.add_argument("dbname")
     s.add_argument("--host", default="127.0.0.1")
     s.add_argument("--port", type=int, default=1984)
+    s.add_argument(
+        "--cache-size",
+        type=int,
+        default=256,
+        help="LRU response-cache entries (0 disables; snapshot-safe — "
+        "api/server.py swap_store invalidates on republish)",
+    )
+    s.add_argument(
+        "--pruned-table",
+        default=None,
+        help="bucketed-closure warehouse table (write_bucketed_closure) to "
+        "serve request-scale fetches bucket-pruned instead of from the "
+        "cached closure — for deployments where the closure cannot be "
+        "cache-resident (NOTES_r5 trade-offs)",
+    )
+
+    s = sub.add_parser(
+        "route",
+        help="shard router: forward tree_of_life requests to worker "
+        "serve processes by synth_id (api/router.py). POOLS is "
+        "synth_id=url[,url...] repeated; the first pool is the default",
+    )
+    s.add_argument("pools", nargs="+", metavar="synth_id=url[,url...]")
+    s.add_argument("--host", default="127.0.0.1")
+    s.add_argument("--port", type=int, default=1985)
 
     s = sub.add_parser(
         "rfdist",
@@ -146,6 +171,30 @@ def main(argv=None) -> int:
             tree.prune_external(node)
         with open(args.outfile, "w") as fh:
             fh.write(tree.to_newick() + "\n")
+        return 0
+
+    if args.cmd == "route":
+        # pure stdlib forwarder — no SparkSession in the router process
+        from treemachine_spark.api.router import ShardRouter, make_router_server
+
+        pools: dict[str, list[str]] = {}
+        for spec in args.pools:
+            synth_id, _, urls = spec.partition("=")
+            if not urls:
+                p.error(f"pool spec {spec!r} must be synth_id=url[,url...]")
+            pools[synth_id] = urls.split(",")
+        default_pool = pools[next(iter(pools))]
+        srv = make_router_server(
+            ShardRouter(pools, default_pool), host=args.host, port=args.port
+        )
+        print(
+            f"shard router on http://{args.host}:{srv.server_address[1]} -> "
+            + ", ".join(f"{k}:{len(v)} worker(s)" for k, v in pools.items())
+        )
+        try:
+            srv.serve_forever()
+        finally:
+            srv.server_close()
         return 0
 
     # pure-metadata admin mutations: partition drops need no SparkSession
@@ -274,7 +323,13 @@ def main(argv=None) -> int:
     if args.cmd == "serve":
         from treemachine_spark.api.server import serve
 
-        serve(store, host=args.host, port=args.port)
+        serve(
+            store,
+            host=args.host,
+            port=args.port,
+            cache_size=args.cache_size,
+            pruned_closure_table=args.pruned_table,
+        )
     elif args.cmd == "extractdrafttree_name":
         from treemachine_spark.api.v3 import TreeOfLifeV3
 

@@ -392,22 +392,21 @@ def grouped_quantile_estimates(
     cum = sketch.withColumn("cum", F.sum("cnt").over(w_cum)).withColumn(
         "tot", F.sum("cnt").over(w_tot)
     )
-    parts = []
-    for q in qs:
-        q_micro = int(round(q * 1_000_000))
-        parts.append(
-            cum.where(
-                F.col("cum") * F.lit(1_000_000)
-                >= F.lit(q_micro) * F.col("tot")
-            )
-            .groupBy(*groups)
-            .agg(F.min("v").alias("est_v"))
-            .withColumn("q_micro", F.lit(q_micro).cast("long"))
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out.select(*groups, "q_micro", "est_v")
+    # ALL quantiles in one pass: explode the q list against the k-row
+    # sketch instead of one filtered-aggregate branch per q — a per-q
+    # union would re-derive the whole sketch subtree INCLUDING the source
+    # scan len(qs) times (the x15/x18 duplicated-scan lesson; plan pinned
+    # in tests/test_plans.py)
+    q_micros = F.array(
+        *[F.lit(int(round(q * 1_000_000))).cast("long") for q in qs]
+    )
+    return (
+        cum.select(*groups, "v", "cum", "tot", F.explode(q_micros).alias("q_micro"))
+        .where(F.col("cum") * F.lit(1_000_000) >= F.col("q_micro") * F.col("tot"))
+        .groupBy(*groups, "q_micro")
+        .agg(F.min("v").alias("est_v"))
+        .select(*groups, "q_micro", "est_v")
+    )
 
 
 def grouped_quantile_sketch_sql(
