@@ -119,3 +119,27 @@ def test_cli_route_command_forwards():
         proc.wait(timeout=10)
         w.shutdown()
         w.server_close()
+
+
+def test_failover_to_live_replica():
+    """A dead replica in a pool is skipped: the request lands on the live
+    one (identical snapshots -> retry is safe); 502 only when ALL are down."""
+    wa, wb = _stub_worker("a"), _stub_worker("b")
+    url = lambda s: f"http://127.0.0.1:{s.server_address[1]}"  # noqa: E731
+    dead = url(wb)
+    router = ShardRouter(pools={"t": [url(wa), dead]}, default_pool=[url(wa)])
+    wb.shutdown(); wb.server_close()
+    try:
+        # every request succeeds regardless of which replica round-robin
+        # offers first
+        for _ in range(4):
+            status, resp = router.forward("/v3/tree_of_life/about", {"synth_id": "t"})
+            assert status == 200 and resp["worker"] == "a"
+        wa.shutdown(); wa.server_close()
+        status, resp = router.forward("/v3/tree_of_life/about", {"synth_id": "t"})
+        assert status == 502 and "all replicas failed" in resp["message"]
+    finally:
+        try:
+            wa.server_close()
+        except Exception:
+            pass

@@ -233,3 +233,21 @@ def test_grouped_sketch_keeps_k_smallest_hashes_per_group(spark):
     for lang, rows in per.items():
         expect = sorted(all_per[lang])[:k]
         assert sorted(rows) == expect, lang
+
+
+def test_grouped_quantile_merge_equals_whole(spark):
+    """Merge law per group: sketches of disjoint halves union+re-rank to
+    exactly the whole-table sketch (counts sum; k smallest hashes kept)."""
+    d = _lang_tokens(spark, SF_SMOKE)
+    a = d.where(F.col("n") % 2 == 0)
+    b = d.where(F.col("n") % 2 == 1)
+    merged = sk.quantile_merge_grouped(
+        sk.quantile_sketch_grouped(a, "n", ["lang"], k=32),
+        sk.quantile_sketch_grouped(b, "n", ["lang"], k=32),
+        ["lang"],
+        k=32,
+    )
+    whole = sk.quantile_sketch_grouped(d, "n", ["lang"], k=32)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )

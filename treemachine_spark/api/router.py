@@ -43,31 +43,49 @@ class ShardRouter:
         self._rr_default = itertools.cycle(self.default_pool)
         self._lock = threading.Lock()
 
+    def _pool(self, synth_id: str | None) -> tuple[list[str], object] | None:
+        if synth_id is None:
+            return (self.default_pool, self._rr_default) if self.default_pool else None
+        cyc = self._rr.get(synth_id)
+        return (self.pools[synth_id], cyc) if cyc is not None else None
+
     def pick(self, synth_id: str | None) -> str | None:
         with self._lock:
-            if synth_id is None:
-                return next(self._rr_default, None) if self.default_pool else None
-            cyc = self._rr.get(synth_id)
-            return next(cyc) if cyc is not None else None
+            pool = self._pool(synth_id)
+            return next(pool[1]) if pool else None
 
     def forward(self, path: str, body: dict, timeout: float = 600.0) -> tuple[int, dict]:
+        """Round-robin within the pool with REPLICA FAILOVER: a connection
+        error or timeout on one worker tries the next replica (each worker
+        serves an identical immutable snapshot, so a retry is safe and
+        idempotent); 502 only when every replica is down. HTTP error
+        responses (4xx/5xx from a LIVE worker) are returned as-is — they
+        are the worker's answer, not a routing failure."""
         synth_id = body.pop("synth_id", None)
-        base = self.pick(synth_id)
-        if base is None:
-            return 400, {"message": f"unknown synth_id {synth_id!r}"}
-        req = urllib.request.Request(
-            base + path,
-            data=json.dumps(body).encode(),
-            headers={"Content-Type": "application/json"},
-            method="POST",
-        )
-        try:
-            with urllib.request.urlopen(req, timeout=timeout) as r:
-                return r.status, json.loads(r.read())
-        except urllib.error.HTTPError as e:
-            return e.code, json.loads(e.read())
-        except Exception as e:  # worker down / timeout -> 502, router survives
-            return 502, {"message": f"worker {base}: {type(e).__name__}: {e}"}
+        with self._lock:
+            pool = self._pool(synth_id)
+            if pool is None:
+                return 400, {"message": f"unknown synth_id {synth_id!r}"}
+            pool_list, cyc = pool
+            primary = next(cyc)  # ONE cycle step per request (round-robin)
+        i = pool_list.index(primary)
+        bases = pool_list[i:] + pool_list[:i]  # failover in wrap-around order
+        last_err = None
+        for base in bases:
+            req = urllib.request.Request(
+                base + path,
+                data=json.dumps(body).encode(),
+                headers={"Content-Type": "application/json"},
+                method="POST",
+            )
+            try:
+                with urllib.request.urlopen(req, timeout=timeout) as r:
+                    return r.status, json.loads(r.read())
+            except urllib.error.HTTPError as e:
+                return e.code, json.loads(e.read())
+            except Exception as e:  # worker down / timeout -> try next replica
+                last_err = f"worker {base}: {type(e).__name__}: {e}"
+        return 502, {"message": f"all replicas failed; last: {last_err}"}
 
 
 def make_router_server(

@@ -359,6 +359,28 @@ def quantile_sketch_grouped(
     )
 
 
+def quantile_merge_grouped(
+    a: DataFrame, b: DataFrame, groups: list[str], k: int = 1024
+) -> DataFrame:
+    """Merge two per-group bottom-k sketches over DISJOINT row sets: same
+    (group, value) -> counts sum (the hash is a function of the value),
+    then re-take the k smallest hashes per group — the same union +
+    re-rank law as quantile_merge, per group. This is what makes the
+    grouped sketch a corpus-scale aggregate: per-partition / per-day
+    sketches roll up without touching source rows."""
+    merged = (
+        a.unionByName(b)
+        .groupBy(*groups, "h", "v")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    w = Window.partitionBy(*groups).orderBy("h", "v")
+    return (
+        merged.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select(*groups, "h", "v", "cnt")
+    )
+
+
 def grouped_quantile_estimates(
     sketch: DataFrame, groups: list[str], qs: tuple = (0.5, 0.9)
 ) -> DataFrame:
