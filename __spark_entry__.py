@@ -148,8 +148,12 @@ _DRIVER_EXCLUDED = {
     )
 }
 # born r5 — pytest-tier this round (keeps the surface at exactly 50),
-# rotates into the r6 artifact; sketch family k6 is driver-signed r5
+# rotate into the r6 artifact; sketch family k6 and streaming family
+# s3-s8 are driver-signed in r4/r5 artifacts
 _DRIVER_EXCLUDED["k7_grouped_quantiles"] = (
+    "NEW r5; pytest oracle tier at sf0.001 + sf0.01"
+)
+_DRIVER_EXCLUDED["s9_stream_quantiles"] = (
     "NEW r5; pytest oracle tier at sf0.001 + sf0.01"
 )
 

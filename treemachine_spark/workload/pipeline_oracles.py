@@ -629,6 +629,25 @@ PIPELINE_ORACLES["k6_quantile_sketch"] = quantile_sketch_sql(
     "documents", r"len(string_split_regex(trim(text), '\s+'))", k=128
 )
 
+# s9: the streaming fold of per-batch partial sketches == the whole-corpus
+# per-group bottom-k (merge law) — oracle is the plain batch sketch
+from treemachine_spark.functions.hashing import h32_sql as _h32s  # noqa: E402
+
+PIPELINE_ORACLES["s9_stream_quantiles"] = f"""
+WITH vals AS (
+    SELECT lang, CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS v,
+           count(*) AS cnt
+    FROM documents GROUP BY 1, 2
+), hashed AS (
+    SELECT lang, v, cnt, {_h32s("CAST(v AS VARCHAR)")} AS h FROM vals
+)
+SELECT lang, h, v, cnt FROM (
+    SELECT lang, h, v, cnt,
+           row_number() OVER (PARTITION BY lang ORDER BY h, v) AS rn
+    FROM hashed
+) WHERE rn <= 64
+"""
+
 PIPELINE_ORACLES["k7_grouped_quantiles"] = grouped_quantile_sketch_sql(
     "documents",
     r"len(string_split_regex(trim(text), '\s+'))",

@@ -293,6 +293,43 @@ def q_s8_stream_novelty(spark, sf_dir):
     return local_df(spark, [(i,) for i in ids], "doc_id bigint")
 
 
+def q_s9_stream_quantiles(spark, sf_dir):
+    """REAL streaming running quantile sketch (streaming/stats.py): the
+    document stream is processed in micro-batches, each writing its own
+    per-lang bottom-k partial sketch (idempotent partitioned overwrite);
+    the result is the read-time n-way merge — which by the bottom-k merge
+    law equals the whole-corpus sketch, so the DuckDB oracle is the plain
+    batch per-group bottom-k. Deterministic end-to-end (md5 hashes,
+    integer counts)."""
+    import shutil
+    import tempfile
+
+    from treemachine_spark.functions.text import token_count
+    from treemachine_spark.graph.traversal import local_df
+    from treemachine_spark.streaming import documents as sd
+    from treemachine_spark.streaming.stats import running_quantile_sketch
+
+    work = tempfile.mkdtemp(prefix="tm_s9_")
+    try:
+        stream = sd.read_document_stream(spark, sf_dir).select(
+            "lang", token_count(F.col("text")).alias("n")
+        )
+        sketch = running_quantile_sketch(
+            stream,
+            f"{work}/sk",
+            f"{work}/ckpt",
+            "n",
+            ["lang"],
+            k=64,
+        )
+        rows = [
+            (r["lang"], r["h"], r["v"], r["cnt"]) for r in sketch.collect()
+        ]
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return local_df(spark, rows, "lang string, h bigint, v bigint, cnt bigint")
+
+
 def q_v1_ann_brute(spark, sf_dir):
     """Exact top-10 neighbors (quantized dot product) for query vecs id<5."""
     emb = load_tables(spark, sf_dir)["embeddings"]
@@ -673,6 +710,7 @@ PIPELINE_QUERIES = {
     "k5_cms_topk": q_k5_cms_topk,
     "k6_quantile_sketch": q_k6_quantile_sketch,
     "k7_grouped_quantiles": q_k7_grouped_quantiles,
+    "s9_stream_quantiles": q_s9_stream_quantiles,
     "k3_bloom_prune": q_k3_bloom_prune,
     "k4_zorder": q_k4_zorder,
     "u1_merge_upsert": q_u1_merge_upsert,
