@@ -104,21 +104,12 @@ def _drive(base: str, tips, client_counts, request_for=None) -> dict:
 
 def _tip_names(n_tips: int, fanout: int = 10) -> list[str]:
     """The tip ids synthetic_tree_edges produces, without building edges —
-    the sharded parent needs request ids but never builds the store."""
-    next_id = 1
-    frontier = [0]
-    total = 0
-    while total < n_tips:
-        nxt = []
-        for _p in frontier:
-            if len(nxt) >= n_tips:
-                break
-            for _ in range(fanout):
-                nxt.append(next_id)
-                next_id += 1
-        total = len(nxt)
-        frontier = nxt
-    return [f"n{i}" for i in frontier]
+    the sharded parent needs request ids but never builds the store.
+    Delegates to bench_tree.synthetic_tip_names (the generator's own
+    tips-only path) so the two can never drift (ADVICE r5)."""
+    from bench_tree import synthetic_tip_names
+
+    return synthetic_tip_names(n_tips, fanout)
 
 
 def build_synth_store(spark, n_tips: int):
@@ -352,6 +343,17 @@ def sharded_main(n_tips: int, n_workers: int, counts_str: str) -> None:
         base = f"http://127.0.0.1:{rsrv.server_address[1]}"
 
         tips = _tip_names(n_tips)
+        # belt-and-braces (ADVICE r5): a sampled tip MUST resolve on the
+        # workers before driving load — otherwise every request 400s and
+        # the latency numbers would print as if valid
+        status, _ = _post(
+            base, "/v3/tree_of_life/node_info", {"node_id": tips[0]}
+        )
+        if status != 200:
+            raise RuntimeError(
+                f"sampled tip {tips[0]!r} does not resolve on the workers "
+                f"(HTTP {status}) — tip list / store generator mismatch"
+            )
         counts = tuple(int(x) for x in counts_str.split(","))
         results = _drive(base, tips, counts)
         rsrv.shutdown()

@@ -20,11 +20,14 @@ import time
 from pyspark.sql import functions as F
 
 
-def synthetic_tree_edges(spark, n_tips: int, fanout: int = 10):
-    """Balanced fanout tree: ids are 'n<k>' in breadth-first order. The last
-    level is truncated so the tip count lands on ~n_tips instead of the next
-    full power of fanout (unexpanded parents become tips themselves)."""
-    rows = []
+def _grow_tree(n_tips: int, fanout: int, rows: list | None):
+    """SINGLE source of the synthetic tree's frontier/id assignment: grows
+    the balanced fanout tree breadth-first, optionally recording (child,
+    parent) edge rows, and returns the final frontier's tip names. Both
+    ``synthetic_tree_edges`` and ``synthetic_tip_names`` call this, so the
+    tip list a sharded bench parent computes WITHOUT building edges is
+    identical-by-construction to the workers' stores (ADVICE r5: the two
+    previously-independent copies could drift silently)."""
     next_id = 1
     frontier = [0]
     total_leaves = 0
@@ -34,14 +37,29 @@ def synthetic_tree_edges(spark, n_tips: int, fanout: int = 10):
             if len(nxt) >= n_tips:
                 break
             for _ in range(fanout):
-                rows.append((f"n{next_id}", f"n{p}"))
+                if rows is not None:
+                    rows.append((f"n{next_id}", f"n{p}"))
                 nxt.append(next_id)
                 next_id += 1
         total_leaves = len(nxt)
         frontier = nxt
+    return [f"n{i}" for i in frontier]
+
+
+def synthetic_tip_names(n_tips: int, fanout: int = 10) -> list[str]:
+    """Tip ids of the synthetic tree without materializing its edges."""
+    return _grow_tree(n_tips, fanout, None)
+
+
+def synthetic_tree_edges(spark, n_tips: int, fanout: int = 10):
+    """Balanced fanout tree: ids are 'n<k>' in breadth-first order. The last
+    level is truncated so the tip count lands on ~n_tips instead of the next
+    full power of fanout (unexpanded parents become tips themselves)."""
+    rows: list = []
+    tips = _grow_tree(n_tips, fanout, rows)
     return (
         spark.createDataFrame(rows, "child_id string, parent_id string"),
-        [f"n{i}" for i in frontier],
+        tips,
     )
 
 

@@ -79,6 +79,51 @@ def test_round_robin_and_synth_id_routing():
             s.server_close()
 
 
+def test_non_json_worker_error_body_becomes_502_style_payload():
+    """ADVICE r5: a live worker answering with a NON-JSON body (proxy error
+    page, truncated response) must not raise JSONDecodeError out of
+    forward() — the client gets the worker's status with the raw text
+    wrapped in {"message": ...}, not a dropped connection."""
+
+    class H(BaseHTTPRequestHandler):
+        def do_POST(self):  # noqa: N802
+            n = int(self.headers.get("Content-Length") or 0)
+            self.rfile.read(n)
+            if self.path.endswith("html_error"):
+                data = b"<html>upstream exploded</html>"
+                self.send_response(503)
+            else:  # 200 with a non-dict JSON body
+                data = b"[1, 2, 3]"
+                self.send_response(200)
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def log_message(self, *args):
+            pass
+
+    w = ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=w.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{w.server_address[1]}"
+    router = ShardRouter(pools={"t": [url]}, default_pool=[url])
+    srv = make_router_server(router)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        # direct forward(): worker's status code, raw text as message
+        status, resp = router.forward("/html_error", {"synth_id": "t"})
+        assert status == 503 and "upstream exploded" in resp["message"]
+        status, resp = router.forward("/list_body", {"synth_id": "t"})
+        assert status == 200 and resp == {"message": "[1, 2, 3]"}
+        # and over the router's HTTP front the client still gets an answer
+        status, resp = _post(base, "/html_error", {"synth_id": "t"})
+        assert status == 503 and "upstream exploded" in resp["message"]
+    finally:
+        for s in (srv, w):
+            s.shutdown()
+            s.server_close()
+
+
 def test_cli_route_command_forwards():
     """`python -m treemachine_spark.cli route` starts a working router
     process (no SparkSession in it — pure stdlib forwarder)."""

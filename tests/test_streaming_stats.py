@@ -1,9 +1,13 @@
 """Streaming running quantile sketch (streaming/stats.py): the read-time
 fold of per-batch partial sketches must EQUAL the sketch of all rows seen
 (bottom-k merge law, n-way), replays must be no-ops, and compaction must
-preserve the fold."""
+preserve the fold — including while the stream is still running, across a
+crash mid-compact, and through a replay of an already-folded batch
+(VERDICT r5 #3 + ADVICE r5)."""
 
 from __future__ import annotations
+
+import os
 
 import pytest
 from pyspark.sql import functions as F
@@ -11,6 +15,7 @@ from pyspark.sql import functions as F
 from treemachine_spark.functions.sketches import quantile_sketch_grouped
 from treemachine_spark.functions.text import token_count
 from treemachine_spark.io.tables import load_tables
+from treemachine_spark.operators.versioned import VersionedTable
 from treemachine_spark.streaming.documents import read_document_stream
 from treemachine_spark.streaming.stats import (
     StreamingQuantileSketch,
@@ -28,12 +33,16 @@ def _rows(df):
     return sorted(map(tuple, df.collect()))
 
 
-def test_batch_partials_fold_to_whole(spark, tmp_path):
+def _three_batches(spark, tmp_path):
     docs = load_tables(spark, SF)["documents"]
     sk = StreamingQuantileSketch(str(tmp_path / "sk"), "n", ["lang"], k=64)
-    # three disjoint "batches"
     for i in range(3):
         sk.process_batch(_tok(docs.where(F.col("doc_id") % 3 == i)), i)
+    return docs, sk
+
+
+def test_batch_partials_fold_to_whole(spark, tmp_path):
+    docs, sk = _three_batches(spark, tmp_path)
     whole = quantile_sketch_grouped(_tok(docs), "n", ["lang"], k=64)
     assert _rows(sk.current(spark)) == _rows(whole)
 
@@ -49,23 +58,145 @@ def test_batch_replay_is_noop(spark, tmp_path):
     assert _rows(sk.current(spark)) == before
 
 
-def test_compact_preserves_fold(spark, tmp_path):
-    docs = load_tables(spark, SF)["documents"]
-    sk = StreamingQuantileSketch(str(tmp_path / "sk"), "n", ["lang"], k=64)
-    for i in range(3):
-        sk.process_batch(_tok(docs.where(F.col("doc_id") % 3 == i)), i)
+def test_compact_preserves_fold_and_excludes_inflight(spark, tmp_path):
+    docs, sk = _three_batches(spark, tmp_path)
     before = _rows(sk.current(spark))
-    sk.compact(spark)
+    # live-safe compact: folds batches 0..1, leaves the NEWEST partition
+    # (2) alone — it may be an in-flight or replayable micro-batch
+    v = sk.compact(spark)
+    assert v == 1
+    _, through = sk._latest_compact()
+    assert through == 1
+    assert os.path.isdir(str(tmp_path / "sk" / "ingest_batch=2"))
     assert _rows(sk.current(spark)) == before
-    # compacted table holds exactly one partition
-    import os
+    # nothing new -> no-op (newest still held back)
+    assert sk.compact(spark) is None
+    # idle compact folds the tail too; fold still unchanged
+    assert sk.compact(spark, assume_idle=True) == 2
+    _, through = sk._latest_compact()
+    assert through == 2
+    assert _rows(sk.current(spark)) == before
 
+
+def test_replay_of_folded_batch_does_not_double_count(spark, tmp_path):
+    """A batch whose checkpoint commit was lost is REPLAYED by foreachBatch
+    after a compact already folded its partition. The replay rewrites the
+    partition (idempotent dynamic overwrite), and current() must ignore it
+    — partials <= compacted_through are never read again."""
+    docs, sk = _three_batches(spark, tmp_path)
+    before = _rows(sk.current(spark))
+    sk.compact(spark, assume_idle=True)
+    sk.process_batch(_tok(docs.where(F.col("doc_id") % 3 == 1)), 1)  # replay
+    assert _rows(sk.current(spark)) == before
+    # and new batches above the fold are still picked up
+    sk.process_batch(_tok(docs.where(F.col("doc_id") % 3 == 0)), 3)
+    assert _rows(sk.current(spark)) != before
+
+
+def test_vacuum_partials_reclaims_folded_partitions(spark, tmp_path):
+    docs, sk = _three_batches(spark, tmp_path)
+    before = _rows(sk.current(spark))
+    sk.compact(spark)  # folds 0..1
+    assert sorted(sk.vacuum_partials()) == [0, 1]
     parts = [
         d
         for d in os.listdir(str(tmp_path / "sk"))
         if d.startswith("ingest_batch=")
     ]
-    assert parts == ["ingest_batch=-1"]
+    assert parts == ["ingest_batch=2"]  # unfolded tail survives
+    assert _rows(sk.current(spark)) == before
+    sk.compact(spark, assume_idle=True)
+    assert sk.vacuum_partials() == [2]
+    assert _rows(sk.current(spark)) == before
+
+
+def test_crash_mid_compact_loses_nothing(spark, tmp_path, monkeypatch):
+    """ADVICE r5: the old compact overwrote the whole table in place — a
+    crash mid-compact lost it. Now the fold lands in a fresh immutable dir
+    and only a committed manifest makes it visible: crash before publish
+    -> state unchanged, rerun succeeds (landing beside the orphan dir)."""
+    docs, sk = _three_batches(spark, tmp_path)
+    before = _rows(sk.current(spark))
+
+    real_publish = VersionedTable._publish
+
+    def boom(self, *a, **kw):
+        raise RuntimeError("injected crash between data write and publish")
+
+    monkeypatch.setattr(VersionedTable, "_publish", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        sk.compact(spark)
+    monkeypatch.setattr(VersionedTable, "_publish", real_publish)
+    # nothing visible changed: no manifest committed, partials intact
+    assert sk._latest_compact() == (None, None)
+    assert _rows(sk.current(spark)) == before
+    # rerun is clean despite the orphaned data/v1 dir from the crash
+    assert sk.compact(spark) == 1
+    assert _rows(sk.current(spark)) == before
+    # the orphan is reclaimed by the maintenance vacuum
+    sk.compact(spark, assume_idle=True)
+    sk.vacuum_partials(keep_compact_versions=1)
+    vt = VersionedTable(str(tmp_path / "sk" / "_compact"))
+    datadirs = os.listdir(os.path.join(vt.path, "data"))
+    assert all(any(m["data_dir"] == f"data/{d}" for m in vt.history()) for d in datadirs)
+
+
+def test_reader_pinned_before_compact_survives_it(spark, tmp_path):
+    """current() pins the compact snapshot's immutable dir: a DataFrame
+    planned before a LATER compact still collects correctly after it (the
+    new compact writes a NEW dir; vacuum keeps the last 2 versions)."""
+    docs, sk = _three_batches(spark, tmp_path)
+    sk.compact(spark)  # v1 (through 1)
+    pinned = sk.current(spark)
+    expect = _rows(pinned)
+    sk.compact(spark, assume_idle=True)  # v2 (through 2)
+    assert _rows(pinned) == expect  # re-collect after the second compact
+
+
+def test_compact_during_live_stream(spark, tmp_path):
+    """VERDICT r5 #3: compaction runs CONCURRENTLY with the stream — and
+    the interleaving is DETERMINISTIC, not timing-dependent: the
+    foreachBatch hook blocks batch 2 until the main thread has compacted,
+    so the compact provably races a live query with a micro-batch in
+    flight. Final fold equals the batch-built sketch."""
+    import threading
+
+    docs = load_tables(spark, SF)["documents"]
+    src = tmp_path / "streamsrc"
+    docs.repartition(4).write.mode("overwrite").parquet(
+        str(src / "documents.parquet")
+    )
+    stream = read_document_stream(spark, str(src), max_files_per_trigger=1)
+    sk = StreamingQuantileSketch(str(tmp_path / "sk"), "n", ["lang"], k=64)
+    two_batches_in = threading.Event()
+    compact_done = threading.Event()
+
+    def hook(batch, bid):
+        if bid >= 2 and not compact_done.wait(120):
+            raise TimeoutError("main thread never compacted")
+        sk.process_batch(batch, bid)
+        if bid >= 1:
+            two_batches_in.set()
+
+    q = (
+        _tok(stream)
+        .writeStream.foreachBatch(hook)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert two_batches_in.wait(120)
+    # query live, batch 2 in flight (blocked before its write): compact
+    # folds batch 0, holds back the newest committed partition (1)
+    assert sk.compact(spark) == 1
+    _, through = sk._latest_compact()
+    assert through == 0
+    compact_done.set()
+    assert q.awaitTermination(300)
+    q.stop()
+    sk.compact(spark, assume_idle=True)
+    whole = quantile_sketch_grouped(_tok(docs), "n", ["lang"], k=64)
+    assert _rows(sk.current(spark)) == _rows(whole)
 
 
 def test_real_stream_matches_batch_sketch(spark, tmp_path):

@@ -80,12 +80,31 @@ class ShardRouter:
             )
             try:
                 with urllib.request.urlopen(req, timeout=timeout) as r:
-                    return r.status, json.loads(r.read())
+                    return r.status, _decode_body(r.status, r.read())
             except urllib.error.HTTPError as e:
-                return e.code, json.loads(e.read())
+                # a LIVE worker's 4xx/5xx is the answer, not a routing
+                # failure — but its body may not be JSON (a proxy error
+                # page, a half-written response); never let JSONDecodeError
+                # escape forward() and kill the handler connection
+                return e.code, _decode_body(e.code, e.read())
             except Exception as e:  # worker down / timeout -> try next replica
                 last_err = f"worker {base}: {type(e).__name__}: {e}"
         return 502, {"message": f"all replicas failed; last: {last_err}"}
+
+
+def _decode_body(status: int, raw: bytes) -> dict:
+    """Worker response body -> dict, tolerating non-JSON bodies (ADVICE r5:
+    json.loads on an arbitrary HTTP body can raise and previously escaped
+    forward(), dropping the client connection instead of answering)."""
+    try:
+        out = json.loads(raw)
+        if isinstance(out, dict):
+            return out
+    except ValueError:
+        pass
+    return {
+        "message": raw.decode(errors="replace")[:2000] or f"HTTP {status}"
+    }
 
 
 def make_router_server(

@@ -12,6 +12,7 @@ scripts at this process and run every query they run today —
   POST /v3/tree_of_life/induced_subtree
   POST /v3/tree_of_life/source_tree
   POST /v2/tree_of_life/{about,mrca,induced_tree,subtree,node_info}
+  POST /v3/stats/quantiles        (beyond-reference: streaming sketch stats)
 
 Error semantics match the reference: BadInputError/TreeTooBigError → 400
 with {"message": ...}; BadIdsError → 400 carrying the partial response
@@ -53,7 +54,13 @@ class ResponseCache:
         self.hits = 0
         self.misses = 0
 
-    def get_or_compute(self, key, fn):
+    def get_or_compute(self, key, fn, still_valid=None):
+        """``still_valid`` (checked under the cache lock, right before the
+        insert) lets the owner veto caching a result whose inputs changed
+        while it was computing — the swap_store generation guard. The
+        result is still RETURNED to the caller either way (snapshot
+        isolation: a request that began against the old store finishes
+        against it); it just never enters the post-swap cache."""
         while True:
             with self._lock:
                 if key in self._data:
@@ -70,9 +77,10 @@ class ResponseCache:
             status, resp = fn()
             if status != 500:
                 with self._lock:
-                    self._data[key] = (status, resp)
-                    while len(self._data) > self.maxsize:
-                        self._data.popitem(last=False)
+                    if still_valid is None or still_valid():
+                        self._data[key] = (status, resp)
+                        while len(self._data) > self.maxsize:
+                            self._data.popitem(last=False)
             return status, resp
         finally:
             with self._lock:
@@ -101,6 +109,9 @@ _ROUTES = {
 # the reference accepts "format" for subtree's tree format (curl scripts
 # use it); the Python API names it tree_format to avoid shadowing builtins
 _ARG_ALIASES = {"/v3/tree_of_life/subtree": {"format": "tree_format"}}
+
+# beyond-reference: quantile estimates over the streaming stats sketch
+STATS_ROUTE = "/v3/stats/quantiles"
 
 
 def _dispatch(apis: dict, path: str, body: dict) -> tuple[int, dict]:
@@ -140,9 +151,21 @@ class ServerCore:
         store,
         cache_size: int = 256,
         pruned_closure_table: str | None = None,
+        stats_sketch=None,
     ):
+        # optional streaming/stats.StreamingQuantileSketch serving
+        # POST /v3/stats/quantiles (per-group quantile estimates over the
+        # running sketch — the streaming sketch's serving consumer)
+        self.stats_sketch = stats_sketch
         self.cache = ResponseCache(cache_size) if cache_size > 0 else None
         self.pruned_closure_table = pruned_closure_table
+        # Store generation: bumped by swap_store AFTER the new APIs are
+        # bound, under the cache lock. A request captures the generation
+        # before computing; the cache skips the insert when it changed
+        # mid-compute, so a slow request that began against the OLD
+        # snapshot can never deposit a stale response into the post-swap
+        # cache (clearing alone leaves that window open).
+        self._generation = 0
         self._build(store)
 
     def _build(self, store) -> None:
@@ -160,13 +183,23 @@ class ServerCore:
         objects and invalidates every cached response in one step; requests
         in flight against the old snapshot finish against their pinned
         DataFrames (snapshot isolation), new requests see only the new
-        store."""
+        store. The generation bump (under the cache lock, after the new
+        APIs are bound) closes the in-flight window: a request that
+        started pre-swap finds the generation changed and skips its cache
+        insert, so the cleared cache cannot be repopulated with
+        old-snapshot responses."""
         self._build(store)
         if self.cache is not None:
             with self.cache._lock:
+                self._generation += 1
                 self.cache._data.clear()
+        else:
+            self._generation += 1
 
     def handle(self, path: str, body: dict) -> tuple[int, dict]:
+        if path == STATS_ROUTE:
+            return self._handle_stats(body)
+
         def run() -> tuple[int, dict]:
             try:
                 # bind apis at call time so a concurrent swap_store cannot
@@ -177,8 +210,88 @@ class ServerCore:
 
         if self.cache is None:
             return run()
+        # capture the generation BEFORE the apis read inside run(): the
+        # only interleaving this allows is (old gen, new apis), which
+        # merely skips caching a valid result — never (new gen, old apis)
+        gen = self._generation
         key = (path, json.dumps(body, sort_keys=True))
-        return self.cache.get_or_compute(key, run)
+        return self.cache.get_or_compute(
+            key, run, still_valid=lambda: self._generation == gen
+        )
+
+    def _handle_stats(self, body: dict) -> tuple[int, dict]:
+        """POST /v3/stats/quantiles: per-group quantile estimates over the
+        RUNNING streaming sketch (grouped_quantile_estimates over
+        stats_sketch.current() — never touches the source table). Unlike
+        tree routes, the backing state ADVANCES between requests, so the
+        cache key carries the sketch's state token: a new micro-batch or
+        compact naturally invalidates cached stats while identical state
+        still coalesces concurrent identical requests. swap_store's
+        generation guard applies on top (the sketch may be republished
+        with the store)."""
+
+        def run() -> tuple[int, dict]:
+            try:
+                return self._compute_stats(body)
+            except (BadInputError, TreeTooBigError) as e:
+                return 400, {"message": str(e)}
+            except Exception as e:
+                return 500, {"message": f"{type(e).__name__}: {e}"}
+
+        if self.stats_sketch is None:
+            return 404, {"message": "no stats sketch configured on this server"}
+        if self.cache is None:
+            return run()
+        gen = self._generation
+        key = (
+            STATS_ROUTE,
+            json.dumps(body, sort_keys=True),
+            self.stats_sketch.state_token(),
+        )
+        return self.cache.get_or_compute(
+            key, run, still_valid=lambda: self._generation == gen
+        )
+
+    def _compute_stats(self, body: dict) -> tuple[int, dict]:
+        from treemachine_spark.functions.sketches import (
+            grouped_quantile_estimates,
+        )
+
+        unknown = set(body) - {"qs"}
+        if unknown:
+            return 400, {"message": f"unknown arguments: {sorted(unknown)}"}
+        qs = body.get("qs", [0.5, 0.9])
+        if (
+            not isinstance(qs, list)
+            or not qs
+            or not all(
+                isinstance(q, (int, float)) and 0 < q <= 1 for q in qs
+            )
+        ):
+            raise BadInputError(
+                "qs must be a non-empty list of quantiles in (0, 1]"
+            )
+        sk = self.stats_sketch
+        spark = self.store.nodes.sparkSession
+        est = grouped_quantile_estimates(
+            sk.current(spark), sk.groups, tuple(dict.fromkeys(qs))
+        )
+        rows = sorted(
+            est.collect(),
+            key=lambda r: ([r[g] for g in sk.groups], r["q_micro"]),
+        )
+        return 200, {
+            "col": sk.col,
+            "groups": sk.groups,
+            "quantiles": [
+                {
+                    "group": {g: r[g] for g in sk.groups},
+                    "q": r["q_micro"] / 1_000_000,
+                    "value": r["est_v"],
+                }
+                for r in rows
+            ],
+        }
 
 
 def make_server(
@@ -187,14 +300,17 @@ def make_server(
     port: int = 1984,
     cache_size: int = 256,
     pruned_closure_table: str | None = None,
+    stats_sketch=None,
 ) -> ThreadingHTTPServer:
     """Build (not start) the HTTP server for a loaded GraphStore.
     ``cache_size`` > 0 enables LRU response memoization with single-flight
     coalescing (valid because the served store is an immutable snapshot);
     0 disables it. The cache object is exposed as ``server.response_cache``
     for stats/tests; ``server.core.swap_store(new_store)`` re-serves a
-    republished snapshot without stale cache entries."""
-    core = ServerCore(store, cache_size, pruned_closure_table)
+    republished snapshot without stale cache entries. ``stats_sketch``
+    (a streaming/stats.StreamingQuantileSketch) additionally serves
+    POST /v3/stats/quantiles."""
+    core = ServerCore(store, cache_size, pruned_closure_table, stats_sketch)
 
     class Handler(BaseHTTPRequestHandler):
         def do_POST(self):  # noqa: N802 (http.server API)
@@ -233,6 +349,7 @@ def serve(
     port: int = 1984,
     cache_size: int = 256,
     pruned_closure_table: str | None = None,
+    stats_sketch=None,
 ) -> None:
     srv = make_server(
         store,
@@ -240,6 +357,7 @@ def serve(
         port,
         cache_size=cache_size,
         pruned_closure_table=pruned_closure_table,
+        stats_sketch=stats_sketch,
     )
     print(f"tree_of_life API serving on http://{host}:{port}")
     try:

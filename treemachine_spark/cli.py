@@ -96,6 +96,14 @@ def main(argv=None) -> int:
         "cached closure — for deployments where the closure cannot be "
         "cache-resident (NOTES_r5 trade-offs)",
     )
+    s.add_argument(
+        "--stats-sketch",
+        default=None,
+        metavar="PATH:COL:GROUP[,GROUP...]",
+        help="serve POST /v3/stats/quantiles from the streaming quantile "
+        "sketch table at PATH (streaming/stats.py partial-sketch layout), "
+        "e.g. /data/tokstats:n:lang",
+    )
 
     s = sub.add_parser(
         "route",
@@ -323,12 +331,26 @@ def main(argv=None) -> int:
     if args.cmd == "serve":
         from treemachine_spark.api.server import serve
 
+        sketch = None
+        if args.stats_sketch:
+            from treemachine_spark.streaming.stats import (
+                StreamingQuantileSketch,
+            )
+
+            try:
+                path, col, groups = args.stats_sketch.split(":", 2)
+            except ValueError:
+                raise SystemExit(
+                    "--stats-sketch expects PATH:COL:GROUP[,GROUP...]"
+                ) from None
+            sketch = StreamingQuantileSketch(path, col, groups.split(","))
         serve(
             store,
             host=args.host,
             port=args.port,
             cache_size=args.cache_size,
             pruned_closure_table=args.pruned_table,
+            stats_sketch=sketch,
         )
     elif args.cmd == "extractdrafttree_name":
         from treemachine_spark.api.v3 import TreeOfLifeV3

@@ -82,18 +82,43 @@ def quantized_cosine(a: Column, b: Column) -> Column:
     )
 
 
+class TooManyPairsError(ValueError):
+    """The all-pairs exact cosine was asked to cross-join more vectors than
+    its guard allows — the caller wants ``cosine_near_dup_pairs_lsh``."""
+
+
 def cosine_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_vectors: int | None = 20_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (exact, all-pairs):
     (id_a, id_b, cos) with id_a < id_b and cos >= threshold.
 
-    Quadratic — the exactness baseline for moderate corpora; at 100 TB use
-    the sign-bit LSH buckets (lsh_topk) or IVF cells to bound candidates.
+    Quadratic — the exactness BASELINE for moderate corpora, and therefore
+    SIZE-GATED like the driver-side tree fast paths (graph/traversal.py T2/
+    T6 pattern): above ``max_vectors`` inputs the plan is 200M+ candidate
+    pairs through a BroadcastNestedLoopJoin (the r5 sf1 sweep measured 2.5B
+    pairs blowing a 10-minute budget at 50k vectors), so the guard raises
+    :class:`TooManyPairsError` naming the banded twin instead of launching
+    a job that cannot finish. The count probe is LIMIT-bounded — it scans at
+    most ``max_vectors + 1`` ids, never the whole corpus. ``max_vectors=None``
+    disables the guard for callers that know their input is tiny.
+
+    At 100 TB use ``cosine_near_dup_pairs_lsh`` (band candidates + exact
+    verify) or IVF cells to bound candidates.
     """
+    if max_vectors is not None:
+        probe = embeddings.select(id_col).limit(max_vectors + 1).count()
+        if probe > max_vectors:
+            raise TooManyPairsError(
+                f"cosine_near_dup_pairs is all-pairs quadratic and guarded "
+                f"at {max_vectors} vectors (input has more): use "
+                f"cosine_near_dup_pairs_lsh (banded candidates + exact "
+                f"verify) or raise max_vectors explicitly"
+            )
     q = embeddings.select(
         F.col(id_col).alias("id_a"), quantize(F.col(vec_col)).alias("va")
     )

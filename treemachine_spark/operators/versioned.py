@@ -104,19 +104,36 @@ class VersionedTable:
         df: DataFrame,
         op: str = "overwrite",
         partition_by: str | None = None,
+        meta: dict | None = None,
     ) -> int:
         """Write ``df`` as a NEW immutable snapshot and publish it.
         Returns the committed version number. The version is computed ONCE
         so the data dir name and the manifest version cannot diverge, and
         the publish is put-if-absent so a concurrent commit of the same
-        version raises ConcurrentCommitError instead of silently winning."""
+        version raises ConcurrentCommitError instead of silently winning.
+        ``meta`` adds caller keys to the manifest (e.g. streaming/stats.py
+        records ``compacted_through``).
+
+        Crash recovery: a writer that died between the parquet write and
+        the publish leaves an ORPHAN data dir named for a version that was
+        never committed. A retry must not fail on it (and must not delete
+        it — a concurrent writer could be mid-write there): the manifest,
+        not the dir name, is the pointer, so the retry simply lands in a
+        fresh uniquely-suffixed dir. ``vacuum(orphans=True)`` reclaims
+        unreferenced dirs during maintenance windows."""
+        import uuid
+
         v = self.latest_version + 1
         rel = f"data/v{v}"
+        if os.path.exists(os.path.join(self.path, rel)):
+            rel = f"data/v{v}.{os.getpid()}.{uuid.uuid4().hex[:8]}"
         writer = df.write.mode("errorifexists")
         if partition_by:
             writer = writer.partitionBy(partition_by)
         writer.parquet(os.path.join(self.path, rel))
-        return self._publish(rel, op, {"partition_by": partition_by}, version=v)
+        return self._publish(
+            rel, op, {"partition_by": partition_by, **(meta or {})}, version=v
+        )
 
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
         """Latest snapshot, or time-travel to ``version``. The returned
@@ -197,12 +214,17 @@ class VersionedTable:
             return self.write(df, op="compact", partition_by=pby)
         return self.write(df.coalesce(target_files), op="compact")
 
-    def vacuum(self, keep_last: int = 2) -> list[str]:
+    def vacuum(self, keep_last: int = 2, orphans: bool = False) -> list[str]:
         """Delete snapshot DIRECTORIES no longer referenced by the last
         ``keep_last`` manifests (their manifests stay, marked vacuumed, so
         history remains auditable). Returns the removed data dirs.
         Time travel beyond the horizon is gone — the Delta VACUUM
-        trade-off, applied only after the retention window."""
+        trade-off, applied only after the retention window.
+
+        ``orphans=True`` additionally removes data dirs referenced by NO
+        manifest at all — leftovers of writers that crashed before their
+        publish. Only safe in a maintenance window: an in-flight writer's
+        dir is indistinguishable from a crash orphan."""
         import shutil
 
         ms = self._manifests()
@@ -214,6 +236,14 @@ class VersionedTable:
             if d not in keep and os.path.exists(full):
                 shutil.rmtree(full)
                 removed.append(d)
+        if orphans:
+            referenced = {m["data_dir"] for m in ms}
+            datadir = os.path.join(self.path, "data")
+            for name in sorted(os.listdir(datadir)) if os.path.isdir(datadir) else []:
+                d = f"data/{name}"
+                if d not in referenced:
+                    shutil.rmtree(os.path.join(self.path, d))
+                    removed.append(d)
         return removed
 
     def merge(

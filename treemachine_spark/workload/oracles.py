@@ -202,6 +202,44 @@ SELECT n_bip_t1, n_bip_t2, n_shared,
 FROM st
 """
 
+# c3: per-node max weighted distance to a descendant tip. Independent
+# recomputation: recursive closure + telescoping pre-order weights
+# (height(a) = max tip pre - pre(a)); integer micro-unit weights end-to-end
+# (DuckDB SUM(BIGINT) is HUGEINT -> CAST back).
+ORACLES["c3_node_heights"] = _GRAPH_CTE + """
+, ps AS (
+    SELECT node_id, ancestor_id, depth FROM paths
+    UNION ALL SELECT node_id, node_id, 0 FROM allnodes
+),
+node_w AS (
+    SELECT node_id,
+           ('0x' || substr(md5(node_id), 1, 8))::BIGINT % 900 + 100 AS w
+    FROM allnodes WHERE node_id <> 'root'
+),
+pre AS (
+    SELECT p.node_id, CAST(COALESCE(SUM(w.w), 0) AS BIGINT) AS pre
+    FROM ps p LEFT JOIN node_w w ON p.ancestor_id = w.node_id
+    GROUP BY p.node_id
+),
+tips AS (
+    -- EXCEPT is not allowed as a CTE under WITH RECURSIVE in DuckDB;
+    -- anti-join is the same leaf_set semantics (t5's definition)
+    SELECT a.node_id FROM allnodes a
+    LEFT JOIN (SELECT DISTINCT parent_id FROM edges) pp
+           ON a.node_id = pp.parent_id
+    WHERE pp.parent_id IS NULL
+),
+maxtip AS (
+    SELECT p.ancestor_id AS node_id, MAX(pr.pre) AS mx
+    FROM ps p
+    JOIN tips t ON p.node_id = t.node_id
+    JOIN pre pr ON p.node_id = pr.node_id
+    GROUP BY p.ancestor_id
+)
+SELECT m.node_id, CAST(m.mx - pr.pre AS BIGINT) AS height_micro
+FROM maxtip m JOIN pre pr ON m.node_id = pr.node_id
+"""
+
 ORACLES["l4_batch_resolution"] = _GRAPH_CTE + """
 SELECT v.lookup_id, (n.node_id IS NOT NULL) AS found
 FROM (VALUES ('c0'), ('c1'), ('c2'), ('n0'), ('nope1'), ('nope2')) v(lookup_id)

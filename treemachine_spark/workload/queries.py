@@ -372,6 +372,22 @@ def q_c1_rf_distance(spark, sf_dir):
     return C.rf_distance(ctx["rf_fp1"], ctx["rf_fp2"])
 
 
+def q_c3_node_heights(spark, sf_dir):
+    """C3 — per-node max weighted distance to a descendant tip
+    (graph/compare.node_heights; TreeUtils.java:15-52 parity). The in-edge
+    weight is a deterministic per-node BIGINT in micro-units
+    (h32(node_id) % 900 + 100 — integer algebra end-to-end, so the DuckDB
+    oracle's recursive-closure recomputation is value-exact)."""
+    from treemachine_spark.functions.hashing import h32
+    from treemachine_spark.graph import compare as C
+
+    ctx = get_ctx(spark, sf_dir)
+    node_w = ctx["nodes"].where(F.col("node_id") != "root").select(
+        "node_id", (F.pmod(h32(F.col("node_id")), F.lit(900)) + 100).alias("w")
+    )
+    return C.node_heights(ctx["paths_self"], ctx["leaves"], node_w)
+
+
 def q_l4_batch_resolution(spark, sf_dir):
     """L4/E4 — batch id resolution partitioned into found / not-in-tree
     (tree_of_life_v3.java:292-330): one join pass, no per-id loop."""
@@ -1236,6 +1252,7 @@ QUERIES = {
     "e1_leaf_set": q_e1_leaf_set,
     "c1_rf_distance": q_c1_rf_distance,
     "c2_node_distance": q_c2_node_distance,
+    "c3_node_heights": q_c3_node_heights,
     "l4_batch_resolution": q_l4_batch_resolution,
     "q1_pricing_summary": q_q1_pricing_summary,
     "q3_top_orders": q_q3_top_orders,
