@@ -1,0 +1,142 @@
+"""Product quantization (functions/pq.py): codebook training, Arrow
+encoding, and IVF-PQ ADC serving — verified against an independent numpy
+reference (full ||x-c||^2 argmin / direct LUT sums, NOT the expanded-form
+shortcuts the implementation uses) plus recall against the exact
+brute-force ranking."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from treemachine_spark.functions import pq, similarity
+from treemachine_spark.io.tables import load_tables
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def ctx(spark):
+    emb = load_tables(spark, SF)["embeddings"]
+    codebook = pq.pq_train(emb, m=8, n_codes=16, iters=3, train_rows=None)
+    vecs = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in emb.select("vec_id", "embedding").collect()
+    }
+    return {"emb": emb, "codebook": codebook, "vecs": vecs}
+
+
+def test_subspace_bounds_cover_dim_exactly():
+    for dim, m in [(64, 8), (64, 7), (10, 3), (5, 5)]:
+        b = pq._subspace_bounds(dim, m)
+        assert len(b) == m
+        assert b[0][0] == 0 and sum(ln for _, ln in b) == dim
+        # contiguous, no gaps
+        for (s0, l0), (s1, _) in zip(b, b[1:]):
+            assert s0 + l0 == s1
+
+
+def test_codebook_shape(ctx):
+    cb = ctx["codebook"]
+    assert len(cb) == 8 and all(len(sub) == 16 for sub in cb)
+    assert sum(len(sub[0]) for sub in cb) == 64  # subspace dims cover 64
+
+
+def test_encode_matches_numpy_reference(ctx, spark):
+    """Every (vector, subspace) code equals the naive numpy argmin of the
+    FULL squared distance (the UDF uses the expanded -2x.c + ||c||^2 form;
+    agreement proves the algebra and the tie-break)."""
+    codes = {
+        r["vec_id"]: r["codes"]
+        for r in pq.pq_encode(ctx["emb"], ctx["codebook"]).collect()
+    }
+    bounds = pq._subspace_bounds(64, 8)
+    cbs = [np.asarray(sub) for sub in ctx["codebook"]]
+    for vid, v in ctx["vecs"].items():
+        for s, (start, ln) in enumerate(bounds):
+            d = ((cbs[s] - v[start : start + ln]) ** 2).sum(axis=1)
+            assert codes[vid][s] == int(d.argmin()), (vid, s)
+
+
+def test_adc_scores_match_numpy_reference(ctx, spark):
+    """ivf_pq_topk's JVM-side aggregate(zip_with(element_at)) ADC sum must
+    equal the numpy LUT sum for the same (query, candidate) pairs."""
+    emb = ctx["emb"]
+    out = pq.ivf_pq_topk(
+        emb,
+        emb.where(F.col("vec_id") < 3),
+        k=5,
+        codebook=ctx["codebook"],
+    ).collect()
+    assert out, "ADC returned no rows"
+    codes = {
+        r["vec_id"]: r["codes"]
+        for r in pq.pq_encode(emb, ctx["codebook"]).collect()
+    }
+    bounds = pq._subspace_bounds(64, 8)
+    cbs = [np.asarray(sub) for sub in ctx["codebook"]]
+    for r in out:
+        qv = ctx["vecs"][r["query_id"]]
+        expect = sum(
+            float(qv[start : start + ln] @ cbs[s][codes[r["neighbor_id"]][s]])
+            for s, (start, ln) in enumerate(bounds)
+        )
+        assert abs(r["score"] - expect) < 1e-6, (r, expect)
+
+
+def test_recall_vs_brute_and_rerank_recovery(ctx, spark):
+    """ADC top-10 overlaps the exact brute-force top-10; exact re-ranking
+    of the ADC short-list can only improve agreement (the standard IVFADC
+    recall-recovery step). Thresholds pinned from measured behavior on the
+    deterministic corpus — this is a regression tripwire, not a theorem."""
+    emb = ctx["emb"]
+    q = emb.where(F.col("vec_id") < 5)
+    brute = similarity.brute_force_topk(emb, q, k=10).collect()
+    top = {}
+    for r in brute:
+        top.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    def recall(rows):
+        hits = sum(
+            1 for r in rows if r["neighbor_id"] in top.get(r["query_id"], ())
+        )
+        return hits / sum(len(v) for v in top.values())
+
+    adc = pq.ivf_pq_topk(
+        emb, q, k=10, n_probe=8, codebook=ctx["codebook"]
+    ).collect()
+    rr5 = pq.ivf_pq_topk(
+        emb, q, k=10, n_probe=8, codebook=ctx["codebook"],
+        rerank=True, rerank_factor=5,
+    ).collect()
+    rr10 = pq.ivf_pq_topk(
+        emb, q, k=10, n_probe=8, codebook=ctx["codebook"],
+        rerank=True, rerank_factor=10,
+    ).collect()
+    r_adc, r_rr5, r_rr10 = recall(adc), recall(rr5), recall(rr10)
+    # measured on the deterministic corpus (random vectors — PQ's worst
+    # case; real embeddings cluster and do far better): 0.30 / 0.66 / 0.84
+    assert r_adc >= 0.2, r_adc  # ADC alone finds a real fraction
+    assert r_rr5 >= max(r_adc, 0.55), r_rr5  # exact re-rank recovers
+    assert r_rr10 >= max(r_rr5, 0.75), r_rr10  # wider short-list, more recall
+    rr = rr10
+    # ranks are dense 1..10 per query
+    per_q: dict = {}
+    for r in rr:
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == list(range(1, 11)) for v in per_q.values())
+
+
+def test_precomputed_codes_path_matches_inline(ctx, spark):
+    """The ingest-artifact deployment (codebook + codes table reused) must
+    return exactly the inline derivation's rows."""
+    emb = ctx["emb"]
+    q = emb.where(F.col("vec_id") < 3)
+    codes = pq.pq_encode(emb, ctx["codebook"]).localCheckpoint(eager=True)
+    a = pq.ivf_pq_topk(emb, q, k=5, codebook=ctx["codebook"]).collect()
+    b = pq.ivf_pq_topk(
+        emb, q, k=5, codebook=ctx["codebook"], codes=codes
+    ).collect()
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    assert sorted(map(tuple, a), key=None) == sorted(map(tuple, b), key=None)

@@ -1,0 +1,298 @@
+"""Product quantization (PQ) for embedding columns: train per-subspace
+codebooks, compress vectors to m small codes, and serve IVF-PQ top-k with
+asymmetric distance computation (ADC).
+
+Beyond-reference (the reference has no vector surface at all); this is the
+standard memory/IO-compression layer of billion-vector ANN serving
+(Jégou, Douze, Schmid 2011, "Product Quantization for Nearest Neighbor
+Search", IEEE TPAMI 33(1); the IVFADC layout FAISS ships as its default).
+Why it matters at 100 TB: the existing IVF path (`similarity.ivf_topk`)
+still reads every candidate's FULL float vector inside the probed cells —
+dim·4 bytes per candidate. PQ stores m uint8-scale codes per vector
+(dim=64, m=8 → 8 bytes vs 256: a 32× scan reduction), and a query scores a
+candidate with m lookup-table adds instead of a dim-length dot product.
+Recall is the PQ approximation trade-off; the re-rank of the returned
+short-list against exact vectors (a request-scale join) is the standard
+recovery step and composes with `similarity.brute_force_topk`.
+
+Spark shapes:
+
+- **train** on a deterministic bounded sample (smallest-id rows — FAISS
+  trains its codebooks on ~100k samples for billion-vector indexes too),
+  one `kmeans_fit` per subspace over SLICED vectors; the codebook is
+  driver-side kilobytes.
+- **encode** is one Arrow-batched pandas UDF pass (a single numpy
+  distance computation per batch against the broadcast codebook) — a
+  per-row map, no shuffle; write the (id, codes) table once at ingest.
+- **serve**: the query side precomputes its (m × n_codes) LUT of exact
+  subvector dots (Arrow pass over the query set — request-scale), probes
+  its n_probe best coarse cells exactly like `ivf_topk`, and scores
+  candidates JVM-side with `aggregate(zip_with(codes, sequence), ...)` —
+  m `element_at` adds per candidate inside codegen, never touching the
+  float vectors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from treemachine_spark.functions.similarity import int_dot, quantize
+
+
+def _subspace_bounds(dim: int, m: int) -> list[tuple[int, int]]:
+    """Contiguous subspace (start, length) pairs; dim need not divide m
+    evenly (trailing subspaces are one shorter, like numpy.array_split)."""
+    base, extra = divmod(dim, m)
+    out, pos = [], 0
+    for s in range(m):
+        ln = base + (1 if s < extra else 0)
+        out.append((pos, ln))
+        pos += ln
+    return out
+
+
+def pq_train(
+    embeddings: DataFrame,
+    m: int = 8,
+    n_codes: int = 16,
+    iters: int = 5,
+    train_rows: int | None = 10_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Train the PQ codebook: one small k-means (`similarity.kmeans_fit` —
+    deterministic smallest-id init, literal-centroid E-step) per contiguous
+    subspace over the sliced vectors. ``train_rows`` bounds the training
+    sample deterministically (smallest ids); None trains on everything.
+
+    Returns ``codebook[s][c] -> list[float]`` (m × n_codes × sub_dim),
+    driver-side and broadcast-sized (dim · n_codes doubles total).
+    """
+    from treemachine_spark.functions.similarity import kmeans_fit
+
+    dim = len(
+        embeddings.select(F.col(vec_col).alias("v")).limit(1).collect()[0]["v"]
+    )
+    base = embeddings
+    if train_rows is not None:
+        base = base.orderBy(id_col).limit(train_rows)
+    base = base.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_vec")
+    ).localCheckpoint(eager=True)  # m k-means runs share one materialization
+    codebook = []
+    for start, ln in _subspace_bounds(dim, m):
+        sliced = base.select(
+            F.col(id_col), F.slice("_vec", start + 1, ln).alias("sub")
+        )
+        cents, _, _ = kmeans_fit(
+            sliced, k=n_codes, iters=iters, id_col=id_col, vec_col="sub"
+        )
+        rows = sorted(cents.collect(), key=lambda r: r["cent_id"])
+        codebook.append([list(map(float, r["centroid"])) for r in rows])
+    return codebook
+
+
+def pq_encode_udf(codebook):
+    """pandas UDF: embedding -> array<int> of m PQ codes (per-subspace
+    squared-L2 argmin against the broadcast codebook; ties break to the
+    lowest code id via numpy argmin's first-match). One vectorized numpy
+    distance computation per Arrow batch; the codebook rides the closure."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    cbs = [np.asarray(cb, dtype=np.float64) for cb in codebook]  # (K, L_s)
+    bounds_cache: dict[int, list[tuple[int, int]]] = {}
+
+    def _f(vecs: pd.Series) -> pd.Series:
+        X = np.asarray(list(vecs), dtype=np.float64)  # (n, dim)
+        bounds = bounds_cache.setdefault(
+            X.shape[1], _subspace_bounds(X.shape[1], len(cbs))
+        )
+        codes = np.empty((X.shape[0], len(cbs)), dtype=np.int32)
+        for s, (start, ln) in enumerate(bounds):
+            sub = X[:, start : start + ln]  # (n, L)
+            cb = cbs[s]  # (K, L)
+            # ||x - c||^2 = ||x||^2 - 2 x.c + ||c||^2 ; ||x||^2 constant in c
+            d = -2.0 * (sub @ cb.T) + (cb * cb).sum(axis=1)[None, :]
+            codes[:, s] = d.argmin(axis=1)
+        return pd.Series([row.tolist() for row in codes])
+
+    return pandas_udf(_f, ArrayType(IntegerType()), PandasUDFType.SCALAR)
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebook,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes): the compressed corpus — m ints per vector instead of
+    dim floats. Write once at ingest; every ADC query reads ONLY this."""
+    return embeddings.select(
+        F.col(id_col),
+        pq_encode_udf(codebook)(F.col(vec_col)).alias("codes"),
+    )
+
+
+def _query_lut_udf(codebook):
+    """pandas UDF: query embedding -> flat array<double> LUT of length
+    m*n_codes, LUT[s*K + c] = <query_sub_s, codebook[s][c]> (exact float64
+    dots). Request-scale work — one small matmul per query batch."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    cbs = [np.asarray(cb, dtype=np.float64) for cb in codebook]
+    bounds_cache: dict[int, list[tuple[int, int]]] = {}
+
+    def _f(vecs: pd.Series) -> pd.Series:
+        X = np.asarray(list(vecs), dtype=np.float64)
+        bounds = bounds_cache.setdefault(
+            X.shape[1], _subspace_bounds(X.shape[1], len(cbs))
+        )
+        parts = [
+            X[:, start : start + ln] @ cbs[s].T  # (n, K)
+            for s, (start, ln) in enumerate(bounds)
+        ]
+        lut = np.concatenate(parts, axis=1)  # (n, m*K)
+        return pd.Series([row.tolist() for row in lut])
+
+    return pandas_udf(_f, ArrayType(DoubleType()), PandasUDFType.SCALAR)
+
+
+def adc_score(codes, lut, n_codes: int):
+    """JVM-side asymmetric distance: sum over subspaces of
+    LUT[s*K + codes[s]] — m element_at adds in codegen, no vector math.
+    ``codes``/``lut`` are Columns; returns the approximate <q, x>."""
+    return F.aggregate(
+        F.zip_with(
+            codes,
+            F.sequence(F.lit(0), F.size(codes) - 1),
+            lambda c, s: F.element_at(lut, (s * n_codes + c + 1).cast("int")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def ivf_pq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    m: int = 8,
+    n_codes: int = 16,
+    codebook=None,
+    codes: DataFrame | None = None,
+    rerank: bool = False,
+    rerank_factor: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ (IVFADC) top-k: coarse cells exactly like ``ivf_topk``
+    (deterministic smallest-id centroids, broadcast argmax assignment,
+    n_probe best cells per query), but in-cell scoring reads ONLY the m
+    PQ codes per candidate and sums m LUT entries (``adc_score``).
+
+    ``codebook``/``codes`` accept a pre-trained codebook and a
+    pre-encoded (id, codes) table — the ingest-artifact deployment; both
+    are derived on the fly when omitted. ``rerank=True`` re-scores the
+    ADC short-list (``rerank_factor``·k per query) against the exact
+    quantized vectors —
+    a request-scale join, the standard PQ recall-recovery step — and
+    returns exact integer scores for the final top-k.
+
+    Returns (query_id, neighbor_id, score, rank); score is the ADC
+    approximation of <q, x> unless rerank (then the exact quantized dot).
+    """
+    if codebook is None:
+        codebook = pq_train(
+            embeddings, m=m, n_codes=n_codes, id_col=id_col, vec_col=vec_col
+        )
+    if codes is None:
+        codes = pq_encode(embeddings, codebook, id_col, vec_col)
+    n_codes = len(codebook[0])
+
+    cent = (
+        embeddings.orderBy(id_col)
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("cent_id"), quantize(F.col(vec_col)).alias("cvec"))
+    )
+    emb = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), quantize(F.col(vec_col)).alias("cv")
+    )
+    w_assign = Window.partitionBy("neighbor_id").orderBy(F.desc("cscore"), "cent_id")
+    assigned = (
+        emb.crossJoin(F.broadcast(cent))
+        .select(
+            "neighbor_id",
+            "cent_id",
+            int_dot(F.col("cv"), F.col("cvec")).alias("cscore"),
+        )
+        .withColumn("arn", F.row_number().over(w_assign))
+        .where(F.col("arn") == 1)
+        .select("neighbor_id", "cent_id")
+        # the compressed candidate table: cell + m codes per vector — at
+        # 100 TB this (not the float vectors) is the stored index
+        .join(codes.withColumnRenamed(id_col, "neighbor_id"), "neighbor_id")
+    )
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        quantize(F.col(vec_col)).alias("qv"),
+        _query_lut_udf(codebook)(F.col(vec_col)).alias("lut"),
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(F.desc("qscore"), "cent_id")
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .select(
+            "query_id",
+            "qv",
+            "lut",
+            "cent_id",
+            int_dot(F.col("qv"), F.col("cvec")).alias("qscore"),
+        )
+        .withColumn("prn", F.row_number().over(w_probe))
+        .where(F.col("prn") <= n_probe)
+        .select("query_id", "qv", "lut", "cent_id")
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "cent_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "qv",
+            "neighbor_id",
+            adc_score(F.col("codes"), F.col("lut"), n_codes).alias("adc"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), "neighbor_id")
+    if not rerank:
+        out = scored.select("query_id", "neighbor_id", F.col("adc").alias("score"))
+        return (
+            out.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "score", "rank")
+        )
+    # short-list by ADC, then exact re-rank against the quantized vectors
+    w_adc = Window.partitionBy("query_id").orderBy(F.desc("adc"), "neighbor_id")
+    short = (
+        scored.withColumn("srn", F.row_number().over(w_adc))
+        .where(F.col("srn") <= rerank_factor * k)
+        .select("query_id", "qv", "neighbor_id")
+    )
+    exact = short.join(
+        emb.select("neighbor_id", "cv"), "neighbor_id"
+    ).select(
+        "query_id", "neighbor_id", int_dot(F.col("qv"), F.col("cv")).alias("score")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )

@@ -92,16 +92,16 @@ def cosine_near_dup_pairs(
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    max_vectors: int | None = 20_000,
+    max_vectors: int | None = 10_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (exact, all-pairs):
     (id_a, id_b, cos) with id_a < id_b and cos >= threshold.
 
     Quadratic — the exactness BASELINE for moderate corpora, and therefore
     SIZE-GATED like the driver-side tree fast paths (graph/traversal.py T2/
-    T6 pattern): above ``max_vectors`` inputs the plan is 200M+ candidate
-    pairs through a BroadcastNestedLoopJoin (the r5 sf1 sweep measured 2.5B
-    pairs blowing a 10-minute budget at 50k vectors), so the guard raises
+    T6 pattern): above ``max_vectors`` inputs the plan is 100M+ candidate
+    pairs through a BroadcastNestedLoopJoin (the r5 sf1 sweep measured the
+    all-pairs run blowing a 10-minute budget), so the guard raises
     :class:`TooManyPairsError` naming the banded twin instead of launching
     a job that cannot finish. The count probe is LIMIT-bounded — it scans at
     most ``max_vectors + 1`` ids, never the whole corpus. ``max_vectors=None``

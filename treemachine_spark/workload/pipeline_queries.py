@@ -352,9 +352,9 @@ def q_v4_cosine_pairs(spark, sf_dir):
     """Exact embedding-cosine near-dup pairs (cos >= 0.4) — the quadratic
     all-pairs EXACTNESS BASELINE; production near-dup runs go through the
     bucketed v6 (cosine_near_dup_pairs_lsh). Size-gated (VERDICT r5 #2):
-    above 20k vectors (the derived sf1 corpus is 50k) the guard raises
-    TooManyPairsError in seconds instead of launching the 2.5B-pair
-    BroadcastNestedLoopJoin that blew the r5 sf1 sweep budget."""
+    above 10k vectors (the derived sf1 corpus is 20k) the guard raises
+    TooManyPairsError in seconds instead of launching the BNLJ that blew
+    the r5 sf1 sweep budget."""
     emb = load_tables(spark, sf_dir)["embeddings"]
     return similarity.cosine_near_dup_pairs(emb, threshold=0.4)
 
