@@ -25,15 +25,16 @@ from treemachine_spark.workload.queries import QUERIES  # noqa: E402
 # (insertion order). Two levers keep every operator family driver-verified:
 #
 # 1. _FRONT: ROTATION (VERDICT r3 #2, r4 #1, r5 #1). The r6 surface is the
-#    never-driver-signed gates first (k7/s9 born r5, c3 born r6), then 47
-#    of the 50 gates whose newest driver row is CORRECTNESS_r04.json.
-#    103 gates now exist, so one 50-row artifact cannot re-sign a full
-#    half: three r4-signed gates (closure_paths / q1_pricing_summary /
-#    q3_top_orders — each additionally pinned by dedicated pytest suites:
-#    the tree tests, bench EXPECTED_ROWS, test_cobucketed_facts) wait for
-#    the r7 front. Every other gate's freshness stays <= 2 rounds.
+#    never-driver-signed gates first (k7/s9 born r5, c3/k8 born r6), then
+#    46 of the 50 gates whose newest driver row is CORRECTNESS_r04.json.
+#    104 gates now exist, so one 50-row artifact cannot re-sign a full
+#    half: four r4-signed gates (closure_paths / q1_pricing_summary /
+#    q3_top_orders / q5_region_revenue — each additionally pinned by
+#    dedicated pytest suites: the tree tests, bench EXPECTED_ROWS at 3
+#    SFs, test_cobucketed_facts, test_plans broadcast assertions) wait
+#    for the r7 front. Every other gate's freshness stays <= 2 rounds.
 # 2. _DRIVER_EXCLUDED: the 50 gates green in CORRECTNESS_r05.json plus the
-#    three deferred r4 gates sit in the pytest tier this round — ALL gates
+#    four deferred r4 gates sit in the pytest tier this round — ALL gates
 #    remain verified by the DuckDB oracle pytest suite at sf0.001 AND the
 #    driver's sf0.01 (tests/test_workload_oracle.py iterates the full
 #    QUERIES/ORACLES dicts plus
@@ -43,6 +44,7 @@ _FRONT = [
     "k7_grouped_quantiles",  # born r5
     "s9_stream_quantiles",  # born r5
     "c3_node_heights",  # born r6
+    "k8_grouped_hll",  # born r6
     # newest driver row is the r4 artifact
     "c1_rf_distance",
     "c2_node_distance",
@@ -90,7 +92,6 @@ _FRONT = [
     "t12_degree_prune",
     "e1_leaf_set",
     "l4_batch_resolution",
-    "q5_region_revenue",
 ]
 
 # Every entry below is green in CORRECTNESS_r05.json (driver's DuckDB
@@ -150,10 +151,15 @@ _DRIVER_EXCLUDED = {
         "p3_props_decode",
     )
 }
-# ...plus the three r4-signed gates the 50-row artifact cannot fit this
-# round (103 gates total): deferred to the r7 front, still pytest-verified
+# ...plus the four r4-signed gates the 50-row artifact cannot fit this
+# round (104 gates total): deferred to the r7 front, still pytest-verified
 # at sf0.001 + the driver's sf0.01 every round.
-for _name in ("closure_paths", "q1_pricing_summary", "q3_top_orders"):
+for _name in (
+    "closure_paths",
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_region_revenue",
+):
     _DRIVER_EXCLUDED[_name] = (
         "r4 artifact row (CORRECTNESS_r04.json); deferred to the r7 front "
         "(50-row artifact cap); pytest oracle tier at sf0.001 + sf0.01"

@@ -185,3 +185,21 @@ def test_k7_grouped_quantiles_single_scan_partial_agg(spark):
     assert "partial_count" in s
     assert _parquet_scans(s) == 1, _parquet_scans(s)
     assert "ReadSchema: struct<text:string,lang:string>" in s  # pruned
+
+
+def test_c3_node_heights_broadcast_weights_and_partial_aggs(spark):
+    """c3 (graph/compare.node_heights): the node-scale weight table must
+    reach the closure as a BROADCAST join (never shuffling the closure for
+    the weight attach), and both closure-wide aggregations must combine
+    map-side (HashAggregate before the Exchange) so each data-scale
+    shuffle carries node-scale rows."""
+    s = plan_of(spark, "c3_node_heights")
+    assert "BroadcastHashJoin" in s  # weight attach + tip_pre joins
+    # no nested-loop anywhere (every join is keyed)
+    assert "BroadcastNestedLoopJoin" not in s and "CartesianProduct" not in s
+    # partial aggregation before the first exchange (map-side combine),
+    # and both closure-wide passes reduce to node-scale pre-shuffle
+    pre_exchange = s.split("Exchange")[0]
+    assert "HashAggregate" in pre_exchange
+    assert "partial_sum" in s  # pre build combines map-side
+    assert "partial_max" in s  # the maxtip pass combines map-side too

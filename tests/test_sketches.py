@@ -251,3 +251,48 @@ def test_grouped_quantile_merge_equals_whole(spark):
     assert sorted(map(tuple, merged.collect())) == sorted(
         map(tuple, whole.collect())
     )
+
+
+def test_grouped_hll_merge_equals_whole(spark):
+    """Grouped HLL merge law: register-wise max of disjoint halves equals
+    the whole-table register table (the HLL union is exact)."""
+    e = load_tables(spark, SF_SMOKE)["events"]
+    a = e.where(F.col("user_id") % 2 == 0)
+    b = e.where(F.col("user_id") % 2 == 1)
+    merged = sk.hll_merge_grouped(
+        sk.hll_sketch_grouped(a, "user_id", ["event_type"]),
+        sk.hll_sketch_grouped(b, "user_id", ["event_type"]),
+        ["event_type"],
+    )
+    whole = sk.hll_sketch_grouped(e, "user_id", ["event_type"])
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+
+
+def test_grouped_hll_estimates_accuracy(spark):
+    """Distributed per-group estimates vs exact per-group countDistinct:
+    within the standard HLL envelope (~1.04/sqrt(m), generous 5x at p=12
+    for the tiny-cardinality linear-counting branch this corpus hits), and
+    the distributed estimator must agree with the driver-side single-group
+    hll_estimate run per group (same algebra, two implementations)."""
+    e = load_tables(spark, SF_SMOKE)["events"]
+    exact = {
+        r["event_type"]: r["d"]
+        for r in e.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("d"))
+        .collect()
+    }
+    sketch = sk.hll_sketch_grouped(e, "user_id", ["event_type"], p=12)
+    ests = {
+        r["event_type"]: r["est"]
+        for r in sk.grouped_hll_estimates(sketch, ["event_type"], p=12).collect()
+    }
+    assert set(ests) == set(exact)
+    for g, d in exact.items():
+        assert abs(ests[g] - d) / d <= 5 * 1.04 / (1 << 6), (g, ests[g], d)
+        single = sk.hll_estimate(
+            sketch.where(F.col("event_type") == g).select("bucket", "max_rho"),
+            p=12,
+        )
+        assert abs(ests[g] - single) < 1e-6, (g, ests[g], single)

@@ -175,6 +175,96 @@ def hll_estimate(sketch: DataFrame, p: int = 12) -> float:
     return e_raw
 
 
+def hll_sketch_grouped(
+    df: DataFrame, col: str, groups: list[str], p: int = 12
+) -> DataFrame:
+    """Per-GROUP HyperLogLog register table — the distinct-count analog of
+    :func:`quantile_sketch_grouped` (k7): one partial-aggregating shuffle
+    carries at most (groups x 2^p) integer rows regardless of input size,
+    where exact per-group countDistinct must shuffle every distinct
+    (group, value) pair. Registers are integers derived from the md5 hash
+    — bit-identical cross-engine, so the GATE compares the sketch itself;
+    the float estimate stays a library function
+    (:func:`grouped_hll_estimates`).
+
+    The corpus-scale "distinct users per event type / distinct documents
+    per language per day" shape. Returns (groups..., bucket, max_rho)."""
+    m = 1 << p
+    maxrho = 32 - p + 1
+    h = h32(F.col(col).cast("string"))
+    bucket = (h % m).cast("int").alias("bucket")
+    w = F.floor(h / F.lit(m)).cast("long")
+    rho = (
+        F.when(w == 0, F.lit(maxrho))
+        .otherwise(F.lit(maxrho) - F.length(F.bin(w)))
+        .cast("int")
+        .alias("rho")
+    )
+    return (
+        df.where(F.col(col).isNotNull())
+        .select(*groups, bucket, rho)
+        .groupBy(*groups, "bucket")
+        .agg(F.max("rho").cast("int").alias("max_rho"))
+    )
+
+
+def hll_sketch_grouped_sql(
+    table: str, expr: str, groups: list[str], p: int = 12
+) -> str:
+    """DuckDB twin of :func:`hll_sketch_grouped`."""
+    m = 1 << p
+    maxrho = 32 - p + 1
+    hs = h32_sql(expr)
+    g = ", ".join(groups)
+    return f"""
+WITH hh AS (
+    SELECT {g}, {hs} AS h FROM {table} WHERE {expr} IS NOT NULL
+), reg AS (
+    SELECT {g}, CAST(h % {m} AS INTEGER) AS bucket,
+           CAST(CASE WHEN h // {m} = 0 THEN {maxrho}
+                     ELSE {maxrho} - length(bin(h // {m})) END AS INTEGER) AS rho
+    FROM hh
+)
+SELECT {g}, bucket, CAST(max(rho) AS INTEGER) AS max_rho
+FROM reg GROUP BY {g}, bucket
+"""
+
+
+def hll_merge_grouped(
+    a: DataFrame, b: DataFrame, groups: list[str]
+) -> DataFrame:
+    """Merge per-group HLL sketches: register-wise max within each group —
+    exact (the HLL union law), so per-day/per-partition sketches roll up
+    without touching source rows (the k7/s9 rollup discipline)."""
+    return (
+        a.unionByName(b)
+        .groupBy(*groups, "bucket")
+        .agg(F.max("max_rho").cast("int").alias("max_rho"))
+    )
+
+
+def grouped_hll_estimates(
+    sketch: DataFrame, groups: list[str], p: int = 12
+) -> DataFrame:
+    """Distributed bias-corrected estimates from a per-group register
+    table, linear-counting branch included — pure agg over the
+    register-scale sketch, never the source. Floats (harmonic mean / log)
+    — library surface, not gate-compared. Returns (groups..., est)."""
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    agg = sketch.groupBy(*groups).agg(
+        F.count("*").alias("filled"),
+        F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))).alias("inv_part"),
+    )
+    v_zero = (F.lit(m) - F.col("filled")).cast("double")
+    e_raw = F.lit(alpha * m * m) / (v_zero + F.col("inv_part"))
+    est = F.when(
+        (e_raw <= 2.5 * m) & (v_zero > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v_zero),
+    ).otherwise(e_raw)
+    return agg.select(*groups, est.alias("est"))
+
+
 # ---------------------------------------------------------------------------
 # Count-Min
 # ---------------------------------------------------------------------------

@@ -648,6 +648,14 @@ SELECT lang, h, v, cnt FROM (
 ) WHERE rn <= 64
 """
 
+from treemachine_spark.functions.sketches import (  # noqa: E402
+    hll_sketch_grouped_sql,
+)
+
+PIPELINE_ORACLES["k8_grouped_hll"] = hll_sketch_grouped_sql(
+    "events", "CAST(user_id AS VARCHAR)", ["event_type"], p=12
+)
+
 PIPELINE_ORACLES["k7_grouped_quantiles"] = grouped_quantile_sketch_sql(
     "documents",
     r"len(string_split_regex(trim(text), '\s+'))",

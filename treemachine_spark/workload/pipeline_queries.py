@@ -574,6 +574,20 @@ def q_k6_quantile_sketch(spark, sf_dir):
     return sk.quantile_sketch(d, "n", k=128)
 
 
+def q_k8_grouped_hll(spark, sf_dir):
+    """Per-event-type HLL register table for distinct users — the
+    distinct-count member of the grouped-sketch family (k7 = quantiles,
+    s9 = streaming fold). The GATE compares the integer register table
+    (bit-identical cross-engine); the float estimate is library surface
+    (grouped_hll_estimates, accuracy pinned in tests/test_sketches.py).
+    One partial-agg shuffle bounded by groups x 2^p rows at any input
+    size — the scale path for per-language/per-day distinct counts."""
+    from treemachine_spark.functions import sketches as sk
+
+    events = load_tables(spark, sf_dir)["events"]
+    return sk.hll_sketch_grouped(events, "user_id", ["event_type"], p=12)
+
+
 def q_k7_grouped_quantiles(spark, sf_dir):
     """Per-language sketch-estimated token-length p50/p90 — the
     quantile_sketch-backed variant of x8's exact percentile() shape
@@ -713,6 +727,7 @@ PIPELINE_QUERIES = {
     "k5_cms_topk": q_k5_cms_topk,
     "k6_quantile_sketch": q_k6_quantile_sketch,
     "k7_grouped_quantiles": q_k7_grouped_quantiles,
+    "k8_grouped_hll": q_k8_grouped_hll,
     "s9_stream_quantiles": q_s9_stream_quantiles,
     "k3_bloom_prune": q_k3_bloom_prune,
     "k4_zorder": q_k4_zorder,
