@@ -218,3 +218,28 @@ def test_real_stream_matches_batch_sketch(spark, tmp_path):
     )
     whole = quantile_sketch_grouped(_tok(docs), "n", ["lang"], k=64)
     assert _rows(out) == _rows(whole)
+
+
+def test_cli_sketchmaintain(spark, tmp_path, capsys):
+    """`cli sketchmaintain` drives compact + vacuum_partials from the
+    command line — the deployment surface for the live-safe maintenance
+    job (pairs with `cli serve --stats-sketch`)."""
+    from treemachine_spark import cli
+
+    docs, sk = _three_batches(spark, tmp_path)
+    before = _rows(sk.current(spark))
+    path = str(tmp_path / "sk")
+    assert cli.main(["sketchmaintain", path, "n", "lang"]) == 0
+    out = capsys.readouterr().out
+    assert "version 1" in out
+    # idle fold + vacuum reclaims every partial partition
+    assert (
+        cli.main(["sketchmaintain", path, "n", "lang", "--assume-idle", "--vacuum"])
+        == 0
+    )
+    out = capsys.readouterr().out
+    assert "version 2" in out and "vacuumed" in out
+    assert not [
+        d for d in os.listdir(path) if d.startswith("ingest_batch=")
+    ]
+    assert _rows(sk.current(spark)) == before

@@ -162,6 +162,29 @@ def main(argv=None) -> int:
     s.add_argument("sf_dir")
     s.add_argument("table")
 
+    s = sub.add_parser(
+        "sketchmaintain",
+        help="maintenance for a streaming quantile-sketch table "
+        "(streaming/stats.py): fold partials into a versioned compact "
+        "snapshot (safe while the stream runs) and optionally vacuum "
+        "folded partitions (maintenance window only)",
+    )
+    s.add_argument("path", help="partial-sketch table root")
+    s.add_argument("col")
+    s.add_argument("groups", help="comma-separated group columns")
+    s.add_argument(
+        "--assume-idle",
+        action="store_true",
+        help="fold the newest partition too (only when no stream is "
+        "writing — it may be an in-flight or replayable micro-batch)",
+    )
+    s.add_argument(
+        "--vacuum",
+        action="store_true",
+        help="delete folded per-batch partitions + old compact versions "
+        "(breaks readers pinned to older compact manifests)",
+    )
+
     args = p.parse_args(argv)
 
     # T14 tree surgery: request-scale driver-side mutations, no SparkSession
@@ -256,6 +279,17 @@ def main(argv=None) -> int:
         df = load_tables(spark, args.sf_dir)[args.table]
         for row in table_stats(df).collect():
             print(_json.dumps(row.asDict(), default=str))
+        return 0
+
+    if args.cmd == "sketchmaintain":
+        from treemachine_spark.streaming.stats import StreamingQuantileSketch
+
+        sk = StreamingQuantileSketch(args.path, args.col, args.groups.split(","))
+        v = sk.compact(spark, assume_idle=args.assume_idle)
+        print(f"compact: {'version ' + str(v) if v else 'nothing new to fold'}")
+        if args.vacuum:
+            removed = sk.vacuum_partials()
+            print(f"vacuumed partial partitions: {removed}")
         return 0
 
     if args.cmd == "rfdist":

@@ -286,8 +286,11 @@ def ivf_pq_topk(
         .where(F.col("srn") <= rerank_factor * k)
         .select("query_id", "qv", "neighbor_id")
     )
-    exact = short.join(
-        emb.select("neighbor_id", "cv"), "neighbor_id"
+    # the short-list is request-scale (rerank_factor*k per query) — hint it
+    # broadcast so the exact re-rank never shuffles the corpus vectors
+    # (Spark's size estimate sees the corpus-joined lineage, not the limit)
+    exact = emb.select("neighbor_id", "cv").join(
+        F.broadcast(short), "neighbor_id"
     ).select(
         "query_id", "neighbor_id", int_dot(F.col("qv"), F.col("cv")).alias("score")
     )
