@@ -243,3 +243,55 @@ def test_cli_sketchmaintain(spark, tmp_path, capsys):
         d for d in os.listdir(path) if d.startswith("ingest_batch=")
     ]
     assert _rows(sk.current(spark)) == before
+
+
+# ---------------------------------------------------------------------------
+# StreamingHLLSketch — the distinct-count family on the same machinery
+# ---------------------------------------------------------------------------
+
+
+def _ev(df):
+    return df.select("event_type", "user_id")
+
+
+def test_hll_stream_partials_fold_to_whole(spark, tmp_path):
+    """Per-batch grouped HLL partials fold (register-wise max) to exactly
+    the batch-built k8 sketch — the HLL union law on the shared durable
+    layout."""
+    from treemachine_spark.functions.sketches import hll_sketch_grouped
+    from treemachine_spark.streaming.stats import StreamingHLLSketch
+
+    events = load_tables(spark, SF)["events"]
+    sk = StreamingHLLSketch(str(tmp_path / "sk"), "user_id", ["event_type"])
+    for i in range(3):
+        sk.process_batch(_ev(events.where(F.col("event_id") % 3 == i)), i)
+    whole = hll_sketch_grouped(events, "user_id", ["event_type"])
+    assert _rows(sk.current(spark)) == _rows(whole)
+    # replay is a no-op; live-safe compact + vacuum preserve the fold
+    before = _rows(sk.current(spark))
+    sk.process_batch(_ev(events.where(F.col("event_id") % 3 == 1)), 1)
+    assert _rows(sk.current(spark)) == before
+    assert sk.compact(spark) == 1  # newest partition held back
+    assert sk.compact(spark, assume_idle=True) == 2
+    sk.vacuum_partials()
+    assert _rows(sk.current(spark)) == before
+
+
+def test_hll_real_stream_matches_batch_sketch(spark, tmp_path):
+    """End-to-end: a real checkpointed availableNow event stream folds to
+    the batch-built grouped HLL sketch."""
+    from treemachine_spark.functions.sketches import hll_sketch_grouped
+    from treemachine_spark.streaming.events import read_event_stream
+    from treemachine_spark.streaming.stats import running_hll_sketch
+
+    events = load_tables(spark, SF)["events"]
+    stream = read_event_stream(spark, SF)
+    out = running_hll_sketch(
+        _ev(stream),
+        str(tmp_path / "sk"),
+        str(tmp_path / "ckpt"),
+        "user_id",
+        ["event_type"],
+    )
+    whole = hll_sketch_grouped(events, "user_id", ["event_type"])
+    assert _rows(out) == _rows(whole)

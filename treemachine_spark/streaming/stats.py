@@ -72,10 +72,16 @@ class StreamingQuantileSketch:
         self.groups = list(groups)
         self.k = k
 
+    def _batch_sketch(self, batch: DataFrame) -> DataFrame:
+        """One micro-batch's partial sketch — the ONLY method a different
+        mergeable-sketch family overrides alongside ``_fold``/``_cols``
+        (see :class:`StreamingHLLSketch`)."""
+        return quantile_sketch_grouped(batch, self.col, self.groups, self.k)
+
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
         if not batch.columns:
             return
-        part = quantile_sketch_grouped(batch, self.col, self.groups, self.k)
+        part = self._batch_sketch(batch)
         (
             part.withColumn("ingest_batch", F.lit(batch_id))
             .write.mode("overwrite")
@@ -214,20 +220,45 @@ class StreamingQuantileSketch:
         return removed
 
 
-def running_quantile_sketch(
+class StreamingHLLSketch(StreamingQuantileSketch):
+    """Running per-group DISTINCT-COUNT sketch over a stream: per-batch
+    grouped HLL register tables (functions/sketches.hll_sketch_grouped,
+    gate k8) under the SAME durable layout, idempotent-replay, live-safe
+    compact/vacuum machinery as the quantile fold — the register-wise-max
+    merge law is exact, so the read-time fold equals the whole-history
+    sketch (pinned against the batch build, which IS the oracle-gated
+    k8 shape). Streaming 'distinct users per event type today' with
+    groups x 2^p integers of state per batch."""
+
+    def __init__(self, path: str, col: str, groups: list[str], p: int = 12):
+        super().__init__(path, col, groups, k=0)  # k unused by this family
+        self.p = p
+
+    @property
+    def _cols(self) -> list[str]:
+        return [*self.groups, "bucket", "max_rho"]
+
+    def _batch_sketch(self, batch: DataFrame) -> DataFrame:
+        from treemachine_spark.functions.sketches import hll_sketch_grouped
+
+        return hll_sketch_grouped(batch, self.col, self.groups, self.p)
+
+    def _fold(self, parts: DataFrame) -> DataFrame:
+        return parts.groupBy(*self.groups, "bucket").agg(
+            F.max("max_rho").cast("int").alias("max_rho")
+        )
+
+
+def _run_available_now(
+    sk: StreamingQuantileSketch,
     stream_df: DataFrame,
-    path: str,
     checkpoint_location: str,
-    col: str,
-    groups: list[str],
-    k: int = 1024,
-    await_seconds: int = 300,
+    await_seconds: int,
 ) -> DataFrame:
     """Run the stream to completion (availableNow) maintaining the partial
     sketch table; returns the folded running sketch. Restart-safe: the
     checkpoint replays unfinished batches and the per-batch overwrite makes
     the replay a no-op."""
-    sk = StreamingQuantileSketch(path, col, groups, k)
     q = (
         stream_df.writeStream.foreachBatch(sk.process_batch)
         .option("checkpointLocation", checkpoint_location)
@@ -237,7 +268,35 @@ def running_quantile_sketch(
     if not q.awaitTermination(await_seconds):
         q.stop()
         raise TimeoutError(
-            f"quantile-sketch stream did not finish within {await_seconds}s"
+            f"sketch stream did not finish within {await_seconds}s"
         )
     q.stop()
     return sk.current(stream_df.sparkSession)
+
+
+def running_quantile_sketch(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint_location: str,
+    col: str,
+    groups: list[str],
+    k: int = 1024,
+    await_seconds: int = 300,
+) -> DataFrame:
+    """availableNow runner for the quantile family (see _run_available_now)."""
+    sk = StreamingQuantileSketch(path, col, groups, k)
+    return _run_available_now(sk, stream_df, checkpoint_location, await_seconds)
+
+
+def running_hll_sketch(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint_location: str,
+    col: str,
+    groups: list[str],
+    p: int = 12,
+    await_seconds: int = 300,
+) -> DataFrame:
+    """availableNow runner for the distinct-count family."""
+    sk = StreamingHLLSketch(path, col, groups, p)
+    return _run_available_now(sk, stream_df, checkpoint_location, await_seconds)
