@@ -262,6 +262,15 @@ def test_stats_quantiles_route(spark, base_url, tmp_path):
     status, resp = post(base_url, "/v3/stats/quantiles", {})
     assert status == 404 and "no stats sketch" in resp["message"]
 
+    # a sketch with no ingested partials yet is a 400, not a 500
+    empty = StreamingQuantileSketch(str(tmp_path / "empty"), "n", ["lang"])
+    srv0 = make_server(
+        _SRV["srv"].core.store, host="127.0.0.1", port=0, stats_sketch=empty
+    )
+    status, resp = srv0.core.handle("/v3/stats/quantiles", {})
+    assert status == 400 and "no partial sketches" in resp["message"]
+    srv0.server_close()
+
     docs = load_tables(spark, "/root/testdata/sf0.001")["documents"]
     tok = lambda df: df.select("lang", token_count(F.col("text")).alias("n"))  # noqa: E731
     sk = StreamingQuantileSketch(str(tmp_path / "sk"), "n", ["lang"], k=64)

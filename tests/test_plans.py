@@ -203,3 +203,19 @@ def test_c3_node_heights_broadcast_weights_and_partial_aggs(spark):
     assert "HashAggregate" in pre_exchange
     assert "partial_sum" in s  # pre build combines map-side
     assert "partial_max" in s  # the maxtip pass combines map-side too
+
+
+def test_k8_grouped_hll_partial_agg_bounded_shuffle(spark):
+    """k8 (hll_sketch_grouped): the register build must combine map-side
+    (partial_max before the exchange) so the shuffle carries at most
+    groups x 2^p integer rows regardless of input size — the whole point
+    of sketching over exact countDistinct — and the scan must prune to
+    the two used columns."""
+    s = plan_of(spark, "k8_grouped_hll")
+    # partial_max runs in the aggregate BELOW the exchange (map-side): in
+    # formatted explain the tree is final-agg -> Exchange -> partial-agg,
+    # so assert the partial function exists and there is exactly ONE
+    # shuffle in the whole plan
+    assert "partial_max" in s
+    assert s.count("+- Exchange") == 1
+    assert "ReadSchema: struct<user_id:bigint,event_type:string>" in s

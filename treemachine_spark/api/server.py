@@ -273,8 +273,14 @@ class ServerCore:
             )
         sk = self.stats_sketch
         spark = self.store.nodes.sparkSession
+        try:
+            cur = sk.current(spark)
+        except ValueError as e:
+            # sketch configured but no partials ingested yet — a contract
+            # 400 (like an unknown id), not a 500
+            return 400, {"message": str(e)}
         est = grouped_quantile_estimates(
-            sk.current(spark), sk.groups, tuple(dict.fromkeys(qs))
+            cur, sk.groups, tuple(dict.fromkeys(qs))
         )
         rows = sorted(
             est.collect(),
