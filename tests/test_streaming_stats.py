@@ -295,3 +295,47 @@ def test_hll_real_stream_matches_batch_sketch(spark, tmp_path):
     )
     whole = hll_sketch_grouped(events, "user_id", ["event_type"])
     assert _rows(out) == _rows(whole)
+
+
+def test_randomized_op_sequences_match_model(spark, tmp_path):
+    """Model-based check over random interleavings: apply a seeded random
+    sequence of {new batch, replay of any earlier batch, live compact,
+    idle compact, vacuum} and assert after every step that current() ==
+    the batch sketch of the MODEL (the set of distinct batches applied so
+    far) — replays must never double-count and no maintenance op may
+    change the fold. Catches ordering holes the targeted tests miss."""
+    import random
+
+    docs = load_tables(spark, SF)["documents"].limit(120).cache()
+    docs.count()
+    rng = random.Random(20260815)
+    sk = StreamingQuantileSketch(str(tmp_path / "sk"), "n", ["lang"], k=32)
+    applied: set[int] = set()
+    next_batch = 0
+
+    def batch_df(i):
+        return _tok(docs.where(F.col("doc_id") % 7 == i % 7))
+
+    def model_fold():
+        parts = [batch_df(i) for i in sorted(applied)]
+        whole = parts[0]
+        for p in parts[1:]:
+            whole = whole.unionByName(p)
+        return _rows(quantile_sketch_grouped(whole, "n", ["lang"], k=32))
+
+    for step in range(12):
+        op = rng.choice(["batch", "batch", "replay", "compact", "idle", "vacuum"])
+        if op == "batch" or not applied:
+            sk.process_batch(batch_df(next_batch), next_batch)
+            applied.add(next_batch)
+            next_batch += 1
+        elif op == "replay":
+            b = rng.choice(sorted(applied))
+            sk.process_batch(batch_df(b), b)
+        elif op == "compact":
+            sk.compact(spark)
+        elif op == "idle":
+            sk.compact(spark, assume_idle=True)
+        else:
+            sk.vacuum_partials()
+        assert _rows(sk.current(spark)) == model_fold(), (step, op, sorted(applied))
