@@ -140,3 +140,35 @@ def test_precomputed_codes_path_matches_inline(ctx, spark):
     ).collect()
     key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
     assert sorted(map(tuple, a), key=None) == sorted(map(tuple, b), key=None)
+
+
+def test_recall_on_clustered_corpus(spark):
+    """The random driver embeddings are PQ's theoretical WORST case; real
+    embedding corpora cluster. Pin the claim with a deterministic
+    clustered corpus (20 Gaussian clusters, seeded): ADC recall jumps to
+    ~0.74 and the factor-5 exact re-rank reaches 1.0 (measured; vs
+    0.30/0.66 on the random corpus)."""
+    rng = np.random.RandomState(7)
+    centers = rng.randn(20, 64) * 3.0
+    X = np.vstack([c + rng.randn(25, 64) * 0.4 for c in centers])
+    rows = [(i, [float(x) for x in X[i]]) for i in range(len(X))]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cb = pq.pq_train(emb, m=8, n_codes=16, iters=3, train_rows=None)
+    q = emb.where(F.col("vec_id") < 5)
+    brute = similarity.brute_force_topk(emb, q, k=10).collect()
+    top: dict = {}
+    for r in brute:
+        top.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    def recall(rows_):
+        hits = sum(
+            1 for r in rows_ if r["neighbor_id"] in top.get(r["query_id"], ())
+        )
+        return hits / sum(len(v) for v in top.values())
+
+    adc = pq.ivf_pq_topk(emb, q, k=10, n_probe=8, codebook=cb).collect()
+    rr = pq.ivf_pq_topk(
+        emb, q, k=10, n_probe=8, codebook=cb, rerank=True, rerank_factor=5
+    ).collect()
+    assert recall(adc) >= 0.6
+    assert recall(rr) >= 0.95
