@@ -172,3 +172,33 @@ def test_recall_on_clustered_corpus(spark):
     ).collect()
     assert recall(adc) >= 0.6
     assert recall(rr) >= 0.95
+
+
+def test_persisted_index_roundtrip_and_cli(ctx, spark, tmp_path, capsys):
+    """write_pq_index / read_pq_index: the persisted ingest artifact
+    (codebook.json + codes parquet) serves identically to the inline
+    derivation, and `cli pqbuild` produces the same layout."""
+    emb = ctx["emb"]
+    out = str(tmp_path / "pqidx")
+    cb = pq.write_pq_index(emb, out, m=8, n_codes=16, iters=3, train_rows=None)
+    cb2, codes = pq.read_pq_index(spark, out)
+    assert cb2 == cb  # json round-trip is exact (floats serialized)
+    q = emb.where(F.col("vec_id") < 3)
+    a = pq.ivf_pq_topk(emb, q, k=5, codebook=cb2, codes=codes).collect()
+    b = pq.ivf_pq_topk(emb, q, k=5, codebook=ctx["codebook"]).collect()
+    # cb was trained with the same params as ctx codebook -> same results
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    from treemachine_spark import cli
+
+    out2 = str(tmp_path / "pqidx_cli")
+    assert (
+        cli.main(
+            ["pqbuild", SF, out2, "--m", "8", "--codes", "16"]
+        )
+        == 0
+    )
+    assert "pq index at" in capsys.readouterr().out
+    cb3, codes3 = pq.read_pq_index(spark, out2)
+    assert len(cb3) == 8 and len(cb3[0]) == 16
+    assert codes3.count() == emb.count()

@@ -185,6 +185,24 @@ def main(argv=None) -> int:
         "(breaks readers pinned to older compact manifests)",
     )
 
+    s = sub.add_parser(
+        "pqbuild",
+        help="build + persist a product-quantization index for the "
+        "embeddings table (functions/pq.py): codebook.json + the "
+        "m-ints-per-vector codes parquet — the ingest artifact IVF-PQ "
+        "serving scans instead of the float vectors",
+    )
+    s.add_argument("sf_dir")
+    s.add_argument("out_dir")
+    s.add_argument("--m", type=int, default=8, help="subvector count")
+    s.add_argument("--codes", type=int, default=16, help="codes per subspace")
+    s.add_argument(
+        "--train-rows",
+        type=int,
+        default=10_000,
+        help="deterministic training-sample bound (smallest ids)",
+    )
+
     args = p.parse_args(argv)
 
     # T14 tree surgery: request-scale driver-side mutations, no SparkSession
@@ -279,6 +297,24 @@ def main(argv=None) -> int:
         df = load_tables(spark, args.sf_dir)[args.table]
         for row in table_stats(df).collect():
             print(_json.dumps(row.asDict(), default=str))
+        return 0
+
+    if args.cmd == "pqbuild":
+        from treemachine_spark.functions.pq import write_pq_index
+        from treemachine_spark.io.tables import load_tables
+
+        emb = load_tables(spark, args.sf_dir)["embeddings"]
+        cb = write_pq_index(
+            emb,
+            args.out_dir,
+            m=args.m,
+            n_codes=args.codes,
+            train_rows=args.train_rows,
+        )
+        print(
+            f"pq index at {args.out_dir}: m={len(cb)} "
+            f"n_codes={len(cb[0])} (codebook.json + codes.parquet)"
+        )
         return 0
 
     if args.cmd == "sketchmaintain":

@@ -299,3 +299,46 @@ def ivf_pq_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "score", "rank")
     )
+
+
+def write_pq_index(
+    embeddings: DataFrame,
+    out_dir: str,
+    m: int = 8,
+    n_codes: int = 16,
+    iters: int = 5,
+    train_rows: int | None = 10_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list:
+    """Build and PERSIST the PQ index — the ingest-artifact deployment:
+    ``<out_dir>/codebook.json`` (driver-side kilobytes) plus
+    ``<out_dir>/codes.parquet`` (the m-ints-per-vector compressed corpus,
+    the only thing ADC serving scans). Returns the codebook."""
+    import json
+    import os
+
+    codebook = pq_train(
+        embeddings, m=m, n_codes=n_codes, iters=iters,
+        train_rows=train_rows, id_col=id_col, vec_col=vec_col,
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "codebook.json"), "w") as fh:
+        json.dump({"m": m, "n_codes": n_codes, "codebook": codebook}, fh)
+    pq_encode(embeddings, codebook, id_col, vec_col).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(out_dir, "codes.parquet"))
+    return codebook
+
+
+def read_pq_index(spark, out_dir: str):
+    """(codebook, codes DataFrame) persisted by :func:`write_pq_index` —
+    feed both into ``ivf_pq_topk(codebook=..., codes=...)`` so serving
+    never re-trains or re-encodes."""
+    import json
+    import os
+
+    with open(os.path.join(out_dir, "codebook.json")) as fh:
+        blob = json.load(fh)
+    codes = spark.read.parquet(os.path.join(out_dir, "codes.parquet"))
+    return blob["codebook"], codes
