@@ -79,3 +79,32 @@ def test_distributed_equals_driver_assembly(big_api):
         api.DISTRIBUTED_NEWICK_THRESHOLD = 200_000
     driver = api.subtree(node_id="n1", label_format="id")["newick"]
     assert dist == driver
+
+
+def test_supporting_sources_collect_is_vocabulary_scale(big_api, spark):
+    """VERDICT r6 #2 (A2): the supporting-studies set must be deduped
+    EXECUTOR-side — the DataFrame that crosses to the driver has one row
+    per distinct source id, not one per (member edge x annotation key).
+    Pin it on a store where 50k member nodes share 3 sources."""
+    api = big_api
+    member = api.store.edges.select(
+        F.col("child_id").alias("node_id")
+    ).limit(50_000)
+    n_members = member.count()
+    ann = member.select(
+        "node_id",
+        F.create_map(
+            F.concat(F.lit("src_"), (F.crc32(F.col("node_id")) % 3).cast("string")),
+            F.lit("nodeX"),
+        ).alias("supported_by"),
+    )
+    orig = api.store.node_annotations
+    api.store.node_annotations = ann
+    try:
+        df = api._distinct_sources_df(member)
+        rows = df.collect()  # THE driver transfer
+        assert n_members >= 50_000 - 1  # subtree-scale input...
+        assert len(rows) <= 3  # ...vocabulary-scale transfer
+        assert {r["s"] for r in rows} <= {"src_0", "src_1", "src_2"}
+    finally:
+        api.store.node_annotations = orig

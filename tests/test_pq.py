@@ -202,3 +202,42 @@ def test_persisted_index_roundtrip_and_cli(ctx, spark, tmp_path, capsys):
     cb3, codes3 = pq.read_pq_index(spark, out2)
     assert len(cb3) == 8 and len(cb3[0]) == 16
     assert codes3.count() == emb.count()
+
+
+def test_codes_without_codebook_rejected(ctx, spark):
+    """ADVICE r6: a pre-encoded codes table with codebook=None would be
+    scored against a freshly-trained codebook — silently meaningless ADC
+    sums. Must raise instead."""
+    emb = ctx["emb"]
+    q = emb.where(F.col("vec_id") < 2)
+    codes = pq.pq_encode(emb, ctx["codebook"])
+    with pytest.raises(ValueError, match="requires the `codebook`"):
+        pq.ivf_pq_topk(emb, q, k=5, codes=codes)
+
+
+def test_mismatched_codes_shape_rejected(ctx, spark):
+    """Codes encoded with different m / n_codes than the supplied codebook
+    are caught by the shape probe, not silently mis-scored."""
+    emb = ctx["emb"]
+    q = emb.where(F.col("vec_id") < 2)
+    # m=4 codes vs the m=8 ctx codebook
+    cb4 = pq.pq_train(emb, m=4, n_codes=16, iters=1, train_rows=200)
+    codes4 = pq.pq_encode(emb, cb4)
+    with pytest.raises(ValueError, match="does not match codebook"):
+        pq.ivf_pq_topk(emb, q, k=5, codebook=ctx["codebook"], codes=codes4)
+    # out-of-range code values vs a narrower codebook
+    cb8_small = [sub[:8] for sub in ctx["codebook"]]
+    codes16 = pq.pq_encode(emb, ctx["codebook"])
+    with pytest.raises(ValueError, match="does not match codebook"):
+        pq.ivf_pq_topk(emb, q, k=5, codebook=cb8_small, codes=codes16)
+
+
+def test_pq_udfs_tolerate_empty_arrow_batch(ctx):
+    """ADVICE r6: a zero-row Arrow batch reaches the UDF as a (0,) array
+    with no shape[1] — both UDF bodies must short-circuit."""
+    import pandas as pd
+
+    enc = pq.pq_encode_udf(ctx["codebook"]).func
+    assert list(enc(pd.Series([], dtype=object))) == []
+    lut = pq._query_lut_udf(ctx["codebook"]).func
+    assert list(lut(pd.Series([], dtype=object))) == []

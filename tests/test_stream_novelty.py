@@ -183,3 +183,24 @@ def test_durable_restart_resume_sf001(spark, tmp_path):
     assert len(clean) > 0
     assert crashed == clean
     assert len(crashed) == len(set(crashed))
+
+
+def test_driver_list_guard_names_durable_twin(spark):
+    """VERDICT r6 #3: the in-memory filter's driver-side novel-id list is
+    bounded — exceeding max_novel_ids raises an error pointing at the
+    sink-backed DurableNoveltyFilter instead of growing without bound."""
+    import pytest
+
+    from treemachine_spark.streaming.documents import NovelListTooBigError
+
+    idx = minhash_bands(_docs(spark, [(0, OTHER)])).localCheckpoint(eager=True)
+    f = NoveltyFilter(idx, grow_index=False, max_novel_ids=2)
+    f.process_batch(_docs(spark, [(1, BASE), (5, NOVEL)]), 0)
+    with pytest.raises(NovelListTooBigError, match="DurableNoveltyFilter"):
+        f.process_batch(
+            _docs(spark, [(9, "another brand new never seen text body")]), 1
+        )
+    # opt-out keeps the old open-ended harness behavior
+    f2 = NoveltyFilter(idx, grow_index=False, max_novel_ids=None)
+    f2.process_batch(_docs(spark, [(1, BASE), (5, NOVEL)]), 0)
+    assert sorted(f2.novel_ids) == [1, 5]

@@ -133,10 +133,18 @@ def test_crash_mid_compact_loses_nothing(spark, tmp_path, monkeypatch):
     # rerun is clean despite the orphaned data/v1 dir from the crash
     assert sk.compact(spark) == 1
     assert _rows(sk.current(spark)) == before
-    # the orphan is reclaimed by the maintenance vacuum
+    # ADVICE r6: the DEFAULT vacuum leaves the orphan alone — a concurrent
+    # compact's not-yet-published dir looks identical to a crash leftover
     sk.compact(spark, assume_idle=True)
     sk.vacuum_partials(keep_compact_versions=1)
     vt = VersionedTable(str(tmp_path / "sk" / "_compact"))
+    datadirs = os.listdir(os.path.join(vt.path, "data"))
+    assert any(
+        not any(m["data_dir"] == f"data/{d}" for m in vt.history())
+        for d in datadirs
+    )  # the crash orphan survived the default vacuum
+    # the explicit maintenance-window flag reclaims it
+    sk.vacuum_partials(keep_compact_versions=1, orphans=True)
     datadirs = os.listdir(os.path.join(vt.path, "data"))
     assert all(any(m["data_dir"] == f"data/{d}" for m in vt.history()) for d in datadirs)
 

@@ -112,6 +112,8 @@ _ARG_ALIASES = {"/v3/tree_of_life/subtree": {"format": "tree_format"}}
 
 # beyond-reference: quantile estimates over the streaming stats sketch
 STATS_ROUTE = "/v3/stats/quantiles"
+# beyond-reference: distinct-count estimates over the streaming HLL sketch
+DISTINCT_ROUTE = "/v3/stats/distinct"
 
 
 def _dispatch(apis: dict, path: str, body: dict) -> tuple[int, dict]:
@@ -152,11 +154,15 @@ class ServerCore:
         cache_size: int = 256,
         pruned_closure_table: str | None = None,
         stats_sketch=None,
+        distinct_sketch=None,
     ):
         # optional streaming/stats.StreamingQuantileSketch serving
         # POST /v3/stats/quantiles (per-group quantile estimates over the
-        # running sketch — the streaming sketch's serving consumer)
+        # running sketch — the streaming sketch's serving consumer), and
+        # streaming/stats.StreamingHLLSketch serving POST /v3/stats/distinct
+        # (per-group distinct-count estimates; same state-token caching)
         self.stats_sketch = stats_sketch
+        self.distinct_sketch = distinct_sketch
         self.cache = ResponseCache(cache_size) if cache_size > 0 else None
         self.pruned_closure_table = pruned_closure_table
         # Store generation: bumped by swap_store AFTER the new APIs are
@@ -198,7 +204,13 @@ class ServerCore:
 
     def handle(self, path: str, body: dict) -> tuple[int, dict]:
         if path == STATS_ROUTE:
-            return self._handle_stats(body)
+            return self._handle_sketch(
+                STATS_ROUTE, self.stats_sketch, self._compute_stats, body
+            )
+        if path == DISTINCT_ROUTE:
+            return self._handle_sketch(
+                DISTINCT_ROUTE, self.distinct_sketch, self._compute_distinct, body
+            )
 
         def run() -> tuple[int, dict]:
             try:
@@ -219,10 +231,11 @@ class ServerCore:
             key, run, still_valid=lambda: self._generation == gen
         )
 
-    def _handle_stats(self, body: dict) -> tuple[int, dict]:
-        """POST /v3/stats/quantiles: per-group quantile estimates over the
-        RUNNING streaming sketch (grouped_quantile_estimates over
-        stats_sketch.current() — never touches the source table). Unlike
+    def _handle_sketch(self, route, sketch, compute, body) -> tuple[int, dict]:
+        """Shared path for the streaming-sketch stats routes
+        (POST /v3/stats/quantiles, POST /v3/stats/distinct): per-group
+        estimates over the RUNNING sketch (read-time fold over
+        ``sketch.current()`` — never touches the source table). Unlike
         tree routes, the backing state ADVANCES between requests, so the
         cache key carries the sketch's state token: a new micro-batch or
         compact naturally invalidates cached stats while identical state
@@ -232,27 +245,33 @@ class ServerCore:
 
         def run() -> tuple[int, dict]:
             try:
-                return self._compute_stats(body)
+                return compute(sketch, body)
             except (BadInputError, TreeTooBigError) as e:
                 return 400, {"message": str(e)}
             except Exception as e:
                 return 500, {"message": f"{type(e).__name__}: {e}"}
 
-        if self.stats_sketch is None:
+        if sketch is None:
             return 404, {"message": "no stats sketch configured on this server"}
         if self.cache is None:
             return run()
         gen = self._generation
-        key = (
-            STATS_ROUTE,
-            json.dumps(body, sort_keys=True),
-            self.stats_sketch.state_token(),
-        )
+        key = (route, json.dumps(body, sort_keys=True), sketch.state_token())
         return self.cache.get_or_compute(
             key, run, still_valid=lambda: self._generation == gen
         )
 
-    def _compute_stats(self, body: dict) -> tuple[int, dict]:
+    @staticmethod
+    def _group_sort_key(row, groups):
+        """None group values sort first (Spark's NULLS FIRST ascending
+        default); the (not-None, value) tuple avoids the None-vs-str
+        TypeError that would 500 a valid sketch read."""
+        return [
+            (row[g] is not None, "" if row[g] is None else row[g])
+            for g in groups
+        ]
+
+    def _compute_stats(self, sk, body: dict) -> tuple[int, dict]:
         from treemachine_spark.functions.sketches import (
             grouped_quantile_estimates,
         )
@@ -271,7 +290,6 @@ class ServerCore:
             raise BadInputError(
                 "qs must be a non-empty list of quantiles in (0, 1]"
             )
-        sk = self.stats_sketch
         spark = self.store.nodes.sparkSession
         try:
             cur = sk.current(spark)
@@ -284,7 +302,7 @@ class ServerCore:
         )
         rows = sorted(
             est.collect(),
-            key=lambda r: ([r[g] for g in sk.groups], r["q_micro"]),
+            key=lambda r: (self._group_sort_key(r, sk.groups), r["q_micro"]),
         )
         return 200, {
             "col": sk.col,
@@ -299,6 +317,34 @@ class ServerCore:
             ],
         }
 
+    def _compute_distinct(self, sk, body: dict) -> tuple[int, dict]:
+        from treemachine_spark.functions.sketches import grouped_hll_estimates
+
+        unknown = set(body)
+        if unknown:
+            return 400, {"message": f"unknown arguments: {sorted(unknown)}"}
+        spark = self.store.nodes.sparkSession
+        try:
+            cur = sk.current(spark)
+        except ValueError as e:
+            # sketch configured but no partials ingested yet — contract 400
+            return 400, {"message": str(e)}
+        est = grouped_hll_estimates(cur, sk.groups, sk.p)
+        rows = sorted(
+            est.collect(), key=lambda r: self._group_sort_key(r, sk.groups)
+        )
+        return 200, {
+            "col": sk.col,
+            "groups": sk.groups,
+            "counts": [
+                {
+                    "group": {g: r[g] for g in sk.groups},
+                    "estimate": r["est"],
+                }
+                for r in rows
+            ],
+        }
+
 
 def make_server(
     store,
@@ -307,6 +353,7 @@ def make_server(
     cache_size: int = 256,
     pruned_closure_table: str | None = None,
     stats_sketch=None,
+    distinct_sketch=None,
 ) -> ThreadingHTTPServer:
     """Build (not start) the HTTP server for a loaded GraphStore.
     ``cache_size`` > 0 enables LRU response memoization with single-flight
@@ -315,8 +362,11 @@ def make_server(
     for stats/tests; ``server.core.swap_store(new_store)`` re-serves a
     republished snapshot without stale cache entries. ``stats_sketch``
     (a streaming/stats.StreamingQuantileSketch) additionally serves
-    POST /v3/stats/quantiles."""
-    core = ServerCore(store, cache_size, pruned_closure_table, stats_sketch)
+    POST /v3/stats/quantiles; ``distinct_sketch`` (a StreamingHLLSketch)
+    serves POST /v3/stats/distinct."""
+    core = ServerCore(
+        store, cache_size, pruned_closure_table, stats_sketch, distinct_sketch
+    )
 
     class Handler(BaseHTTPRequestHandler):
         def do_POST(self):  # noqa: N802 (http.server API)
@@ -356,6 +406,7 @@ def serve(
     cache_size: int = 256,
     pruned_closure_table: str | None = None,
     stats_sketch=None,
+    distinct_sketch=None,
 ) -> None:
     srv = make_server(
         store,
@@ -364,6 +415,7 @@ def serve(
         cache_size=cache_size,
         pruned_closure_table=pruned_closure_table,
         stats_sketch=stats_sketch,
+        distinct_sketch=distinct_sketch,
     )
     print(f"tree_of_life API serving on http://{host}:{port}")
     try:

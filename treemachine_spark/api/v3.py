@@ -18,6 +18,7 @@ are collected for response assembly, so each endpoint scales with its
 
 from __future__ import annotations
 
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from treemachine_spark.api.errors import BadIdsError, BadInputError, TreeTooBigError
@@ -231,6 +232,20 @@ class TreeOfLifeV3:
             else:
                 out[s] = {}
         return out
+
+    def _distinct_sources_df(self, member: DataFrame) -> DataFrame:
+        """Vocabulary-scale distinct supported_by source keys for a member
+        node set (A2 input). The explode is subtree-scale (member edges ×
+        annotation keys) but the DISTINCT runs executor-side, so the
+        DataFrame this returns — the only thing collected — has one row
+        per distinct source id (hundreds at most). VERDICT r6 #2:
+        GraphExplorer.getSupportingStudies (GraphExplorer.java:358-399) is
+        a set union; distinct() is that union before the driver transfer."""
+        ann = self.store.node_annotations.join(member, "node_id", "left_semi")
+        return (
+            ann.select(F.explode(F.map_keys("supported_by")).alias("s"))
+            .distinct()
+        )
 
     def _supporting_studies(self, sources: set) -> list[str]:
         """A2 — GraphExplorer.getSupportingStudies (GraphExplorer.java:
@@ -505,11 +520,10 @@ class TreeOfLifeV3:
         edges = self._subtree_edges(qid, depth)
         n_edges = edges.count()
 
-        sources: set = set()
         member = edges.select(F.col("child_id").alias("node_id"))
-        ann = self.store.node_annotations.join(member, "node_id", "left_semi")
-        for r in ann.select(F.explode(F.map_keys("supported_by")).alias("s")).collect():
-            sources.add(r["s"])
+        sources: set = {
+            r["s"] for r in self._distinct_sources_df(member).collect()
+        }
 
         if n_edges > self.DISTRIBUTED_NEWICK_THRESHOLD:
             from treemachine_spark.exporters.newick_sink import distributed_newick
@@ -631,10 +645,12 @@ class TreeOfLifeV3:
         node_rows = self.store.nodes.join(F.broadcast(mdf), "node_id", "left_semi").collect()
         labels = self._labels(node_rows, label_format, ids_for_unnamed=True)
 
-        sources: set = set()
-        ann = self.store.node_annotations.join(F.broadcast(mdf), "node_id", "left_semi")
-        for r in ann.select(F.explode(F.map_keys("supported_by")).alias("s")).collect():
-            sources.add(r["s"])
+        # request-scale input, but dedup executor-side anyway (same
+        # vocabulary-scale-collect shape as _subtree_newick)
+        sources: set = {
+            r["s"]
+            for r in self._distinct_sources_df(F.broadcast(mdf)).collect()
+        }
 
         res: dict = {}
         if bad_otts:

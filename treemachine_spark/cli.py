@@ -104,6 +104,14 @@ def main(argv=None) -> int:
         "sketch table at PATH (streaming/stats.py partial-sketch layout), "
         "e.g. /data/tokstats:n:lang",
     )
+    s.add_argument(
+        "--distinct-sketch",
+        default=None,
+        metavar="PATH:COL:GROUP[,GROUP...]",
+        help="serve POST /v3/stats/distinct from the streaming HLL "
+        "register table at PATH (streaming/stats.StreamingHLLSketch "
+        "layout), e.g. /data/userstats:user_id:event_type",
+    )
 
     s = sub.add_parser(
         "route",
@@ -183,6 +191,14 @@ def main(argv=None) -> int:
         action="store_true",
         help="delete folded per-batch partitions + old compact versions "
         "(breaks readers pinned to older compact manifests)",
+    )
+    s.add_argument(
+        "--vacuum-orphans",
+        action="store_true",
+        help="with --vacuum, also reclaim compact data dirs referenced by "
+        "no manifest (crash leftovers). Only safe when NO compact can be "
+        "in flight: an unpublished concurrent compact's dir looks "
+        "identical to a crash orphan",
     )
 
     s = sub.add_parser(
@@ -324,7 +340,7 @@ def main(argv=None) -> int:
         v = sk.compact(spark, assume_idle=args.assume_idle)
         print(f"compact: {'version ' + str(v) if v else 'nothing new to fold'}")
         if args.vacuum:
-            removed = sk.vacuum_partials()
+            removed = sk.vacuum_partials(orphans=args.vacuum_orphans)
             print(f"vacuumed partial partitions: {removed}")
         return 0
 
@@ -401,19 +417,31 @@ def main(argv=None) -> int:
     if args.cmd == "serve":
         from treemachine_spark.api.server import serve
 
+        def _parse_sketch(spec, flag, cls):
+            try:
+                path, col, groups = spec.split(":", 2)
+            except ValueError:
+                raise SystemExit(
+                    f"{flag} expects PATH:COL:GROUP[,GROUP...]"
+                ) from None
+            return cls(path, col, groups.split(","))
+
         sketch = None
         if args.stats_sketch:
             from treemachine_spark.streaming.stats import (
                 StreamingQuantileSketch,
             )
 
-            try:
-                path, col, groups = args.stats_sketch.split(":", 2)
-            except ValueError:
-                raise SystemExit(
-                    "--stats-sketch expects PATH:COL:GROUP[,GROUP...]"
-                ) from None
-            sketch = StreamingQuantileSketch(path, col, groups.split(","))
+            sketch = _parse_sketch(
+                args.stats_sketch, "--stats-sketch", StreamingQuantileSketch
+            )
+        dsketch = None
+        if args.distinct_sketch:
+            from treemachine_spark.streaming.stats import StreamingHLLSketch
+
+            dsketch = _parse_sketch(
+                args.distinct_sketch, "--distinct-sketch", StreamingHLLSketch
+            )
         serve(
             store,
             host=args.host,
@@ -421,6 +449,7 @@ def main(argv=None) -> int:
             cache_size=args.cache_size,
             pruned_closure_table=args.pruned_table,
             stats_sketch=sketch,
+            distinct_sketch=dsketch,
         )
     elif args.cmd == "extractdrafttree_name":
         from treemachine_spark.api.v3 import TreeOfLifeV3

@@ -107,6 +107,8 @@ def pq_encode_udf(codebook):
     bounds_cache: dict[int, list[tuple[int, int]]] = {}
 
     def _f(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:  # empty Arrow batch: (0,) array has no shape[1]
+            return pd.Series([], dtype=object)
         X = np.asarray(list(vecs), dtype=np.float64)  # (n, dim)
         bounds = bounds_cache.setdefault(
             X.shape[1], _subspace_bounds(X.shape[1], len(cbs))
@@ -150,6 +152,8 @@ def _query_lut_udf(codebook):
     bounds_cache: dict[int, list[tuple[int, int]]] = {}
 
     def _f(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:  # empty Arrow batch: (0,) array has no shape[1]
+            return pd.Series([], dtype=object)
         X = np.asarray(list(vecs), dtype=np.float64)
         bounds = bounds_cache.setdefault(
             X.shape[1], _subspace_bounds(X.shape[1], len(cbs))
@@ -210,12 +214,41 @@ def ivf_pq_topk(
     Returns (query_id, neighbor_id, score, rank); score is the ADC
     approximation of <q, x> unless rerank (then the exact quantized dot).
     """
+    if codes is not None and codebook is None:
+        # a freshly-trained codebook cannot score someone else's codes —
+        # the ADC sums would be silently meaningless
+        raise ValueError(
+            "ivf_pq_topk: `codes` requires the `codebook` those codes were "
+            "encoded with (read both via read_pq_index)"
+        )
     if codebook is None:
         codebook = pq_train(
             embeddings, m=m, n_codes=n_codes, id_col=id_col, vec_col=vec_col
         )
     if codes is None:
         codes = pq_encode(embeddings, codebook, id_col, vec_col)
+    else:
+        # LIMIT-bounded shape probe (the v4 guard discipline): never a
+        # full-table scan, but enough rows to catch out-of-range codes
+        probe = [
+            r["c"]
+            for r in codes.select(F.col("codes").alias("c")).limit(256).collect()
+        ]
+        bad = next(
+            (
+                row
+                for row in probe
+                if len(row) != len(codebook)
+                or any(c < 0 or c >= len(codebook[0]) for c in row)
+            ),
+            None,
+        )
+        if bad is not None:
+            raise ValueError(
+                f"ivf_pq_topk: codes shape (m={len(bad)}, "
+                f"max_code={max(bad)}) does not match codebook "
+                f"(m={len(codebook)}, n_codes={len(codebook[0])})"
+            )
     n_codes = len(codebook[0])
 
     cent = (

@@ -68,6 +68,11 @@ def read_document_stream(
     return reader.parquet(stage)
 
 
+class NovelListTooBigError(ValueError):
+    """NoveltyFilter's driver-side novel-id list exceeded its bound; the
+    durable sink-backed twin is the production path."""
+
+
 class NoveltyFilter:
     """The per-batch near-dup filter behind ``novel_documents``, exposed as
     a plain object so the batch recipe is unit-testable without the
@@ -88,11 +93,24 @@ class NoveltyFilter:
     it the plan re-derives every prior batch's bands each time — and is
     exactly the "append novel bands to the index table" write a durable
     deployment does.
+
+    TEST-HARNESS TIER: novel doc_ids accumulate in a DRIVER-SIDE list —
+    corpus-scale on a mostly-novel stream. ``max_novel_ids`` bounds it
+    (:class:`NovelListTooBigError` names the production twin); the
+    deployment shape is :class:`DurableNoveltyFilter` /
+    :func:`novel_documents_durable`, which writes novel ROWS to a
+    partitioned sink and keeps nothing on the driver.
     """
 
-    def __init__(self, index_bands: DataFrame, grow_index: bool = False):
+    def __init__(
+        self,
+        index_bands: DataFrame,
+        grow_index: bool = False,
+        max_novel_ids: int | None = 1_000_000,
+    ):
         self.index_bands = index_bands
         self.grow_index = grow_index
+        self.max_novel_ids = max_novel_ids
         self.novel_ids: list[int] = []
 
     def process_batch(self, batch: DataFrame, _batch_id: int) -> None:
@@ -114,6 +132,19 @@ class NoveltyFilter:
         )
         ids = [r["doc_id"] for r in novel.collect()]
         self.novel_ids.extend(ids)
+        if (
+            self.max_novel_ids is not None
+            and len(self.novel_ids) > self.max_novel_ids
+        ):
+            raise NovelListTooBigError(
+                f"NoveltyFilter accumulated {len(self.novel_ids)} novel "
+                f"doc_ids on the driver (max_novel_ids="
+                f"{self.max_novel_ids}). This in-memory filter is "
+                "test-harness tier; use DurableNoveltyFilter / "
+                "novel_documents_durable, which sink novel rows "
+                "partition-wise with no driver-side accumulation "
+                "(max_novel_ids=None opts out)."
+            )
         if self.grow_index and ids:
             novel_bands = bands.join(
                 F.broadcast(novel.select("doc_id")), "doc_id", "left_semi"
@@ -128,10 +159,16 @@ def novel_documents(
     index_bands: DataFrame,
     await_seconds: int = 120,
     grow_index: bool = False,
+    max_novel_ids: int | None = 1_000_000,
 ) -> list[int]:
     """Run the stream to completion (availableNow) filtering out near-dup
-    candidates (see NoveltyFilter); returns the sorted novel doc_ids."""
-    filt = NoveltyFilter(index_bands, grow_index=grow_index)
+    candidates (see NoveltyFilter); returns the sorted novel doc_ids.
+
+    TEST-HARNESS TIER (driver-side id list, bounded by ``max_novel_ids``);
+    production streams use :func:`novel_documents_durable`."""
+    filt = NoveltyFilter(
+        index_bands, grow_index=grow_index, max_novel_ids=max_novel_ids
+    )
     q = (
         doc_stream.writeStream.foreachBatch(filt.process_batch)
         .trigger(availableNow=True)

@@ -198,13 +198,21 @@ class StreamingQuantileSketch:
             folded, op="compact", meta={"compacted_through": max(todo)}
         )
 
-    def vacuum_partials(self, keep_compact_versions: int = 2) -> list[int]:
+    def vacuum_partials(
+        self, keep_compact_versions: int = 2, orphans: bool = False
+    ) -> list[int]:
         """Delete per-batch partial partitions already folded into the
         LATEST compact snapshot, and vacuum old compact versions beyond
         ``keep_compact_versions``. Maintenance-window only: a reader
         pinned to an older compact manifest may still need the folded
         partials above ITS ``compacted_through``. Returns the removed
-        partition ids."""
+        partition ids.
+
+        ``orphans=False`` (default) leaves unreferenced compact data dirs
+        alone: a CONCURRENT compact's written-but-not-yet-published dir is
+        indistinguishable from a crash leftover, so reclaiming orphans is
+        only safe when no compact can be in flight — pass ``orphans=True``
+        explicitly in that window (``cli sketchmaintain --vacuum-orphans``)."""
         vt, through = self._latest_compact()
         if vt is None:
             return []
@@ -216,7 +224,7 @@ class StreamingQuantileSketch:
                     ignore_errors=True,
                 )
                 removed.append(b)
-        vt.vacuum(keep_last=keep_compact_versions, orphans=True)
+        vt.vacuum(keep_last=keep_compact_versions, orphans=orphans)
         return removed
 
 
