@@ -183,6 +183,20 @@ def test_arguson(api):
     assert "source_id_map" in arg
 
 
+def test_arguson_distributed_matches_driver(api):
+    """The distributed fragment path round-trips the REAL annotation maps
+    (supported_by & co. via to_json → _blob_from_dict) byte-equal to the
+    driver assembly, lineage and source_id_map included."""
+    driver = api.subtree(ott_id=81461, tree_format="arguson")["arguson"]
+    try:
+        api.DISTRIBUTED_ARGUSON_THRESHOLD = 0  # force distributed path
+        dist = api.subtree(ott_id=81461, tree_format="arguson")["arguson"]
+    finally:
+        api.DISTRIBUTED_ARGUSON_THRESHOLD = 200_000
+    assert dist == driver
+    assert dist["source_id_map"]  # real sources crossed the json boundary
+
+
 def test_induced_subtree(api):
     res = api.induced_subtree(ott_ids=[536234, 810751, 316878])
     # kept internals: mrca of the two left tips + root; Gavia hangs off root

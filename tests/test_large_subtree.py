@@ -25,15 +25,18 @@ def big_api(spark):
         .cache()
     )
     paths = build_closure(edges.select("child_id", "parent_id")).cache()
+    # ~1% of nodes are unnamed (taxon-less blobs + descendant_name_list
+    # on the arguson path); named nodes carry deterministic ott_ids
+    named = F.crc32(F.col("node_id")) % 97 != 0
     nodes = (
         edges.select(F.col("child_id").alias("node_id"))
         .unionByName(spark.createDataFrame([("n0",)], "node_id string"))
         .select(
             F.lit("big").alias("tree_id"),
             "node_id",
-            F.lit(None).cast("long").alias("ott_id"),
-            F.col("node_id").alias("name"),
-            F.col("node_id").alias("unique_name"),
+            F.when(named, F.abs(F.crc32(F.col("node_id"))).cast("long")).alias("ott_id"),
+            F.when(named, F.col("node_id")).alias("name"),
+            F.when(named, F.col("node_id")).alias("unique_name"),
             F.lit("species").alias("rank"),
             F.array().cast("array<string>").alias("tax_sources"),
             F.lit(True).alias("is_leaf"),
@@ -108,3 +111,22 @@ def test_supporting_sources_collect_is_vocabulary_scale(big_api, spark):
         assert {r["s"] for r in rows} <= {"src_0", "src_1", "src_2"}
     finally:
         api.store.node_annotations = orig
+
+
+def test_distributed_arguson_equals_driver(big_api):
+    """VERDICT r6 #4: the arguson sink gets the distributed_newick
+    fragment treatment — per-anchor applyInPandas assembly, driver
+    stitches the top levels. Structurally identical to the driver-side
+    build on a deep subtree (incl. taxon blobs and descendant_name_list
+    for the fixture's unnamed nodes)."""
+    api = big_api
+    try:
+        api.DISTRIBUTED_ARGUSON_THRESHOLD = 10  # force distributed path
+        dist = api.subtree(node_id="n1", tree_format="arguson")["arguson"]
+    finally:
+        api.DISTRIBUTED_ARGUSON_THRESHOLD = 200_000
+    driver = api.subtree(node_id="n1", tree_format="arguson")["arguson"]
+    assert dist == driver
+    # the blob tree is real: nested children + num_tips + lineage present
+    assert dist["node_id"] == "n1" and dist["children"]
+    assert "lineage" in dist and "source_id_map" in dist

@@ -37,6 +37,86 @@ _ANN_FIELDS = [
 
 LABEL_FORMATS = ("name", "id", "name_and_id")
 
+
+def _blob_from_dict(d: dict, default_num_tips: int) -> dict:
+    """One node's arguson/node_info blob from a plain field dict — shared
+    by the driver path (Row.asDict()) and the distributed arguson path
+    (json.loads of a to_json'd struct, where null fields are OMITTED), so
+    both assemble structurally identical blobs. P1/P2 field semantics:
+    GraphExplorer.getTaxonBlob/getNodeBlob (GraphExplorer.java:180-214);
+    descendant_name_list for unnamed nodes per getNodeBlobArguson
+    (GraphExplorer.java:415-429), present only when a first/last named
+    descendant was joined in (``first_name``/``last_name`` keys)."""
+    blob: dict = {"node_id": d["node_id"]}
+    if d.get("name") is not None:
+        blob["taxon"] = {
+            "name": d.get("name"),
+            "unique_name": d.get("unique_name"),
+            "rank": d.get("rank"),
+            "ott_id": int(d["ott_id"]),
+            "tax_sources": list(d.get("tax_sources") or []),
+        }
+    td = d.get("tip_descendants")
+    # root has no outgoing edge: num_tips from tree metadata
+    # (GraphExplorer.getNumTipDescendants:245-260)
+    blob["num_tips"] = default_num_tips if td is None else int(td)
+    for f in _ANN_FIELDS:
+        v = d.get(f)
+        if v:
+            blob[f] = {
+                k: list(x) if isinstance(x, (list, tuple)) else x
+                for k, x in v.items()
+            }
+    if d.get("name") is None and d.get("first_name") is not None:
+        blob["descendant_name_list"] = [d["first_name"], d["last_name"]]
+    return blob
+
+
+def _make_arguson_asm(default_num_tips: int):
+    """applyInPandas assembler for the distributed arguson path: one call
+    per anchor subtree, building the anchor's fully-nested blob dict from
+    flat (child_id, parent_id, child_index, blob_json) rows and returning
+    it as ONE json string (the driver only stitches fragment dicts into
+    the top levels — same shape as exporters.newick_sink.distributed_newick).
+
+    Children are attached by dict REFERENCE in one linear pass (no
+    recursive build), so assembly is O(subtree); only json.dumps nests.
+    """
+    import sys
+
+    import pandas as pd
+
+    def _null(v):
+        return v is None or (isinstance(v, float) and v != v)  # None/NaN
+
+    def asm(pdf: pd.DataFrame) -> pd.DataFrame:
+        import json as _json
+
+        anchor = pdf["anchor"].iloc[0]
+        blobs: dict[str, dict] = {}
+        recs = []
+        for cid, pid, ci, bj in zip(
+            pdf["child_id"], pdf["parent_id"], pdf["child_index"], pdf["blob_json"]
+        ):
+            d = _json.loads(bj) if isinstance(bj, str) else {}
+            d["node_id"] = cid
+            blobs[cid] = _blob_from_dict(d, default_num_tips)
+            if not _null(pid):  # the anchor's own row has parent_id null
+                recs.append((pid, 0 if _null(ci) else int(ci), cid))
+        kids: dict[str, list] = {}
+        for pid, ci, cid in sorted(recs):
+            kids.setdefault(pid, []).append(cid)
+        for pid, lst in kids.items():
+            blobs[pid]["children"] = [blobs[c] for c in lst]
+        # json.dumps recurses per nesting level; size the limit to the
+        # fragment (the driver assembly path has the same floor)
+        sys.setrecursionlimit(max(sys.getrecursionlimit(), len(blobs) + 1000))
+        return pd.DataFrame(
+            {"anchor": [anchor], "frag": [_json.dumps(blobs[anchor])]}
+        )
+
+    return asm
+
 # The reference's static files host for preprocessed source trees
 # (tree_of_life_v3.java:893-895).
 DEFAULT_SOURCE_BASE = "http://files.opentreeoflife.org/preprocessed"
@@ -193,30 +273,18 @@ class TreeOfLifeV3:
             .collect()
         )
         blobs: dict[str, dict] = {}
+        default = int(self.store.tree_meta.get("num_tips", 0))
+        # leaf num_tips: the reference stores tip_descendants of the
+        # subtree below the edge; keep stored semantics (ingest A1, the
+        # reference's getDescendantLeavesNumbers).
         for r in rows:
             d = r.asDict()
-            blob: dict = {"node_id": d["node_id"]}
-            if d.get("name") is not None:
-                blob["taxon"] = self._taxon_blob(d)
-            # root has no outgoing edge: num_tips from metadata
-            # (GraphExplorer.getNumTipDescendants:245-260)
-            if d.get("tip_descendants") is None:
-                blob["num_tips"] = int(self.store.tree_meta.get("num_tips", 0))
-            else:
-                blob["num_tips"] = int(d["tip_descendants"])
-            # leaf num_tips: the reference stores tip_descendants of the
-            # subtree below the edge; a leaf's own count reads 1 in storage —
-            # normalize to 0 tips below a leaf? No: reference reports the
-            # stored edge value. Keep stored semantics (leaves -> 1? see
-            # ingest A1: a leaf's edge stores count of leaves under the leaf
-            # node itself = 1 in reference's getDescendantLeavesNumbers).
-            for f in _ANN_FIELDS:
-                v = d.get(f)
-                if v:
-                    blob[f] = {k: list(x) if isinstance(x, list) else x for k, x in v.items()}
-                    if unique_sources is not None:
+            blobs[d["node_id"]] = _blob_from_dict(d, default)
+            if unique_sources is not None:
+                for f in _ANN_FIELDS:
+                    v = d.get(f)
+                    if v:
                         unique_sources.update(v.keys())
-            blobs[d["node_id"]] = blob
         return blobs
 
     def _source_id_map(self, sources: set) -> dict:
@@ -233,19 +301,28 @@ class TreeOfLifeV3:
                 out[s] = {}
         return out
 
-    def _distinct_sources_df(self, member: DataFrame) -> DataFrame:
-        """Vocabulary-scale distinct supported_by source keys for a member
+    def _distinct_sources_df(
+        self, member: DataFrame, fields: tuple = ("supported_by",)
+    ) -> DataFrame:
+        """Vocabulary-scale distinct annotation source keys for a member
         node set (A2 input). The explode is subtree-scale (member edges ×
         annotation keys) but the DISTINCT runs executor-side, so the
         DataFrame this returns — the only thing collected — has one row
         per distinct source id (hundreds at most). VERDICT r6 #2:
         GraphExplorer.getSupportingStudies (GraphExplorer.java:358-399) is
-        a set union; distinct() is that union before the driver transfer."""
+        a set union; distinct() is that union before the driver transfer.
+        ``fields`` widens the key scan to more annotation maps (arguson
+        collects keys from all of _ANN_FIELDS, getSourceIDMap input)."""
         ann = self.store.node_annotations.join(member, "node_id", "left_semi")
-        return (
-            ann.select(F.explode(F.map_keys("supported_by")).alias("s"))
-            .distinct()
+        keys = F.flatten(
+            F.array(
+                *[
+                    F.coalesce(F.map_keys(f), F.array().cast("array<string>"))
+                    for f in fields
+                ]
+            )
         )
+        return ann.select(F.explode(keys).alias("s")).distinct()
 
     def _supporting_studies(self, sources: set) -> list[str]:
         """A2 — GraphExplorer.getSupportingStudies (GraphExplorer.java:
@@ -576,33 +653,78 @@ class TreeOfLifeV3:
             F.when(F.col("name").isNotNull(), named).otherwise(unnamed).alias("label"),
         )
 
+    # above this many subtree edges, arguson blob assembly shifts to the
+    # distributed fragment path (per-anchor applyInPandas, the
+    # distributed_newick trick) — the reference instead refuses requests
+    # over 25k tips (tree_of_life_v3.java:592,711-716)
+    DISTRIBUTED_ARGUSON_THRESHOLD = 200_000
+
     def _arguson(self, qid: str, depth: int, cap: int | None) -> dict:
         """S9 — getArgusonData (GraphExplorer.java:342-354,434-447): nested
         node blobs with children (depth-limited) + lineage + source_id_map.
         Unnamed nodes get descendant_name_list (getNodeBlobArguson,
         GraphExplorer.java:415-429) via the T9 min/max-named-descendant
-        recipe — one batched aggregation instead of per-node recursion."""
+        recipe — one batched aggregation instead of per-node recursion.
+        Past DISTRIBUTED_ARGUSON_THRESHOLD edges the nested blobs are
+        assembled executor-side per anchor subtree (VERDICT r6 #4 — the
+        cap the reference hard-codes becomes opt-in, like newick's)."""
         self._guard(qid, depth, cap)
         edges = self._subtree_edges(qid, depth)
-        rows = edges.select("child_id", "parent_id", "child_index").collect()
-        member = [r["child_id"] for r in rows] + [qid]
-        sources: set = set()
-        blobs = self._node_blobs(member, sources)
+        spark = self.store.nodes.sparkSession
+        member = edges.select(F.col("child_id").alias("node_id"))
+        member_plus = member.unionByName(
+            T.local_df(spark, [(qid,)], "node_id string")
+        )
+        # arguson collects source keys from ALL annotation maps
+        # (getSourceIDMap input) — vocabulary-scale distinct, A2 discipline
+        sources: set = {
+            r["s"]
+            for r in self._distinct_sources_df(
+                member_plus, fields=tuple(_ANN_FIELDS)
+            ).collect()
+        }
+        n_edges = edges.count()
+        if n_edges > self.DISTRIBUTED_ARGUSON_THRESHOLD:
+            top = self._arguson_distributed(qid, edges, member)
+        else:
+            top = self._arguson_driver(qid, edges)
+        anc = [r["ancestor_id"] for r in T.path_to_root(self.store.paths, qid).collect()]
+        lineage_blobs = self._node_blobs(anc, sources) if anc else {}
+        top["lineage"] = [lineage_blobs[a] for a in anc]
+        top["source_id_map"] = self._source_id_map(sources)
+        return top
+
+    def _fill_descendant_names(self, blobs: dict[str, dict], skip=()) -> None:
+        """descendant_name_list for unnamed blobs (request-scale isin over
+        the T9 aggregate)."""
         from treemachine_spark.graph.traversal import representative_names
 
-        unnamed = [nid for nid, b in blobs.items() if "taxon" not in b]
-        if unnamed:
-            reps = (
-                representative_names(self.store.paths, self.store.nodes)
-                .where(F.col("ancestor_id").isin(unnamed))
-                .collect()
-            )
-            rep_map = {
-                r["ancestor_id"]: [r["first_name"], r["last_name"]] for r in reps
-            }
-            for nid in unnamed:
-                if nid in rep_map:
-                    blobs[nid]["descendant_name_list"] = rep_map[nid]
+        unnamed = [
+            nid
+            for nid, b in blobs.items()
+            if "taxon" not in b and nid not in skip
+        ]
+        if not unnamed:
+            return
+        reps = (
+            representative_names(self.store.paths, self.store.nodes)
+            .where(F.col("ancestor_id").isin(unnamed))
+            .collect()
+        )
+        rep_map = {
+            r["ancestor_id"]: [r["first_name"], r["last_name"]] for r in reps
+        }
+        for nid in unnamed:
+            if nid in rep_map:
+                blobs[nid]["descendant_name_list"] = rep_map[nid]
+
+    def _arguson_driver(self, qid: str, edges) -> dict:
+        """Driver-side nested-blob assembly (requests within the
+        reference's own working envelope; default depth 5)."""
+        rows = edges.select("child_id", "parent_id", "child_index").collect()
+        member = [r["child_id"] for r in rows] + [qid]
+        blobs = self._node_blobs(member)
+        self._fill_descendant_names(blobs)
         kids: dict[str, list] = {}
         for r in sorted(rows, key=lambda r: (r["parent_id"], r["child_index"] or 0)):
             kids.setdefault(r["parent_id"], []).append(r["child_id"])
@@ -611,12 +733,131 @@ class TreeOfLifeV3:
             if nid in kids:
                 blob["children"] = [build(c) for c in kids[nid]]
             return blob
-        top = build(qid)
-        anc = [r["ancestor_id"] for r in T.path_to_root(self.store.paths, qid).collect()]
-        lineage_blobs = self._node_blobs(anc, sources) if anc else {}
-        top["lineage"] = [lineage_blobs[a] for a in anc]
-        top["source_id_map"] = self._source_id_map(sources)
-        return top
+        return build(qid)
+
+    def _arguson_distributed(
+        self, qid: str, edges, member, anchor_depth: int = 2
+    ) -> dict:
+        """Scalable arguson assembly (VERDICT r6 #4): per-node blob fields
+        are serialized executor-side (to_json struct — null fields omitted,
+        matching _blob_from_dict's .get semantics), nested fragments are
+        built per 'anchor' subtree in ONE applyInPandas pass, and the
+        driver stitches only the top ``anchor_depth`` levels — so driver
+        work is O(result dict), never O(edge rows collected + per-row
+        Python blob building). Same anchor decomposition as
+        exporters.newick_sink.distributed_newick; removes the reason for
+        the reference's 25k-tip arguson cap (tree_of_life_v3.java:592)."""
+        import json as _json
+
+        from treemachine_spark.graph.traversal import representative_names
+
+        e = edges.select("child_id", "parent_id", "child_index")
+        rd = (
+            self.store.paths.where(F.col("ancestor_id") == qid)
+            .select("node_id", "depth")
+            .join(member, "node_id", "left_semi")
+        )
+        anchors = rd.where(F.col("depth") == anchor_depth).select(
+            F.col("node_id").alias("anchor")
+        )
+
+        # ---- executor-side blob fields for every fragment member -------
+        # rep names only for unnamed members (pre-filter paths so the T9
+        # aggregate runs over the request's subtree, not the whole store)
+        unnamed_members = (
+            self.store.nodes.where(F.col("name").isNull())
+            .select("node_id")
+            .join(member, "node_id", "left_semi")
+        )
+        reps = representative_names(
+            self.store.paths.join(
+                unnamed_members.withColumnRenamed("node_id", "ancestor_id"),
+                "ancestor_id",
+                "left_semi",
+            ),
+            self.store.nodes,
+        ).withColumnRenamed("ancestor_id", "node_id")
+        info = (
+            self.store.nodes.join(self.store.node_annotations, "node_id", "left")
+            .join(
+                self.store.edges.select(
+                    F.col("child_id").alias("node_id"), "tip_descendants"
+                ),
+                "node_id",
+                "left",
+            )
+            .join(reps, "node_id", "left")
+            .select(
+                F.col("node_id").alias("child_id"),
+                F.to_json(
+                    F.struct(
+                        "name",
+                        "unique_name",
+                        "rank",
+                        "ott_id",
+                        "tax_sources",
+                        "tip_descendants",
+                        *_ANN_FIELDS,
+                        "first_name",
+                        "last_name",
+                    )
+                ).alias("blob_json"),
+            )
+        )
+
+        # ---- per-anchor fragments (one shuffle + one applyInPandas) ----
+        amembers = (
+            self.store.paths.join(
+                anchors.withColumnRenamed("anchor", "ancestor_id"), "ancestor_id"
+            )
+            .select(
+                F.col("node_id").alias("child_id"),
+                F.col("ancestor_id").alias("anchor"),
+            )
+            .join(
+                member.withColumnRenamed("node_id", "child_id"),
+                "child_id",
+                "left_semi",
+            )
+        )
+        anchor_self = anchors.select(
+            F.col("anchor").alias("child_id"),
+            F.lit(None).cast("string").alias("parent_id"),
+            F.lit(0).alias("child_index"),
+            "anchor",
+        )
+        frag_rows = e.join(amembers, "child_id").unionByName(anchor_self)
+        asm = _make_arguson_asm(int(self.store.tree_meta.get("num_tips", 0)))
+        frags = {
+            r["anchor"]: _json.loads(r["frag"])
+            for r in frag_rows.join(info, "child_id", "left")
+            .groupBy("anchor")
+            .applyInPandas(asm, "anchor string, frag string")
+            .collect()
+        }
+
+        # ---- driver stitch: the top anchor_depth levels only ------------
+        top_edges = e.join(
+            rd.where(F.col("depth") <= anchor_depth).select(
+                F.col("node_id").alias("child_id")
+            ),
+            "child_id",
+            "left_semi",
+        )
+        rows = top_edges.collect()
+        blobs = self._node_blobs([r["child_id"] for r in rows] + [qid])
+        # anchors' blobs (incl. their descendant_name_list) live in frags
+        self._fill_descendant_names(blobs, skip=frags)
+        blobs.update(frags)
+        kids: dict[str, list] = {}
+        for r in sorted(rows, key=lambda r: (r["parent_id"], r["child_index"] or 0)):
+            kids.setdefault(r["parent_id"], []).append(r["child_id"])
+        def build(nid: str) -> dict:
+            blob = dict(blobs[nid])
+            if nid in kids:
+                blob["children"] = [build(c) for c in kids[nid]]
+            return blob
+        return build(qid)
 
     def induced_subtree(self, node_ids=None, ott_ids=None, label_format=None) -> dict:
         """doInducedSubtree (tree_of_life_v3.java:411-518): T6 over the
