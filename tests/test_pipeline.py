@@ -366,3 +366,46 @@ def test_connected_components_chain_bounded_rounds(spark):
     a = {(r["node_id"], r["component"]) for r in connected_components(pairs).collect()}
     b = {(r["node_id"], r["component"]) for r in connected_components_labelprop(pairs).collect()}
     assert a == b
+
+
+def test_exactness_baseline_guards(spark):
+    """VERDICT r6 #8 guard-consistency sweep: every quadratic or
+    driver-bound exactness baseline carries the v4-style size gate —
+    brute_force_topk's broadcast QUERY side, node_distance's
+    driver-resident pair list, mrp_text's driver-side dense pivot — each
+    raising an error that names its scale twin, each with an explicit
+    opt-out, each unchanged below the gate."""
+    emb = load_tables(spark, SF_SMOKE)["embeddings"]  # 500 vectors
+    q = emb.where(F.col("vec_id") < 5)
+
+    # brute_force_topk: corpus-as-queries trips the guard
+    with pytest.raises(similarity.TooManyPairsError, match="ivf_topk"):
+        similarity.brute_force_topk(emb, emb, k=5, max_queries=499)
+    ok = similarity.brute_force_topk(emb, q, k=5, max_queries=5).collect()
+    off = similarity.brute_force_topk(emb, q, k=5, max_queries=None).collect()
+    assert sorted(map(tuple, ok)) == sorted(map(tuple, off)) and ok
+
+    # node_distance: pair-list bound is a pure len() check (no Spark job)
+    from treemachine_spark.graph import compare
+
+    pairs = [("a", "b")] * 3
+    with pytest.raises(ValueError, match="pair TABLE"):
+        compare.node_distance(None, pairs, max_pairs=2)
+
+    # mrp_text: dense pivot guarded by a LIMIT-bounded sparse-cell probe
+    from treemachine_spark.exporters import exports
+    from treemachine_spark.ingest import ingest_synthesis_data
+    from pathlib import Path
+
+    fix = Path(__file__).parent / "fixtures"
+    store = ingest_synthesis_data(
+        spark,
+        str(fix / "labelled_supertree.tre"),
+        str(fix / "annotations.json"),
+        str(fix / "taxonomy.tsv"),
+    )
+    with pytest.raises(exports.MRPTooBigError, match="mrp_matrix"):
+        exports.mrp_text(store, max_cells=1)
+    txt_g = exports.mrp_text(store, max_cells=10_000_000)
+    txt_off = exports.mrp_text(store, max_cells=None)
+    assert txt_g == txt_off and txt_g.splitlines()[0].split()[0].isdigit()

@@ -288,8 +288,34 @@ def mrp_matrix(store: GraphStore, start_node: str | None = None) -> DataFrame:
     )
 
 
-def mrp_text(store: GraphStore, start_node: str | None = None) -> str:
-    """Dense MRP text (small trees / compatibility sink)."""
+class MRPTooBigError(ValueError):
+    """The dense MRP text was asked to collect more sparse cells than its
+    guard allows — the caller wants the distributed ``mrp_matrix`` form."""
+
+
+def mrp_text(
+    store: GraphStore,
+    start_node: str | None = None,
+    max_cells: int | None = 10_000_000,
+) -> str:
+    """Dense MRP text (small trees / compatibility sink).
+
+    DRIVER-BOUND by construction: the dense matrix is one text artifact, so
+    the sparse (tip, internal) cells are collected and pivoted on the
+    driver — O(tips x internals) memory in the worst case. ``max_cells``
+    gates it (v4/T2 size-gate discipline) with a LIMIT-bounded probe that
+    scans at most ``max_cells + 1`` sparse rows; past the gate, use the
+    distributed ``mrp_matrix`` (sparse, scales to any tree — write it to
+    parquet/CSV and pivot downstream). ``max_cells=None`` opts out."""
+    if max_cells is not None:
+        probe = mrp_matrix(store, start_node).limit(max_cells + 1).count()
+        if probe > max_cells:
+            raise MRPTooBigError(
+                f"mrp_text pivots on the driver and is guarded at "
+                f"{max_cells} sparse cells (input has more): write "
+                f"mrp_matrix (the distributed sparse form) instead, or "
+                f"raise max_cells explicitly"
+            )
     sparse = mrp_matrix(store, start_node).collect()
     internals = sorted({r["internal_id"] for r in sparse})
     by_tip: dict[str, set] = {}

@@ -47,10 +47,27 @@ def brute_force_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_queries: int | None = 10_000,
 ) -> DataFrame:
     """Exact top-k by quantized dot product:
     (query_id, neighbor_id, score, rank). Query set is broadcast; ranking is
-    a per-query window (tie-break on neighbor id for determinism)."""
+    a per-query window (tie-break on neighbor id for determinism).
+
+    The corpus side streams (one scan — linear), so the exactness baseline
+    is safe at any corpus size; the quadratic failure mode is a CORPUS
+    passed as ``queries`` (corpus x corpus = all-pairs through a broadcast
+    nested loop). ``max_queries`` gates that: a LIMIT-bounded probe (scans
+    at most ``max_queries + 1`` ids) raises :class:`TooManyPairsError`
+    naming the sublinear twins. ``max_queries=None`` opts out."""
+    if max_queries is not None:
+        probe = queries.select(id_col).limit(max_queries + 1).count()
+        if probe > max_queries:
+            raise TooManyPairsError(
+                f"brute_force_topk broadcasts the query side and is guarded "
+                f"at {max_queries} queries (input has more): use ivf_topk / "
+                f"lsh_topk / ivf_pq_topk for corpus-scale query sets, or "
+                f"raise max_queries explicitly"
+            )
     q = queries.select(
         F.col(id_col).alias("query_id"), quantize(F.col(vec_col)).alias("qv")
     )

@@ -145,7 +145,9 @@ def rf_distance_newick(spark, newick1: str, newick2: str) -> DataFrame:
     return rf_distance(fps[0], fps[1])
 
 
-def node_distance(paths_self: DataFrame, pairs: list[tuple]) -> DataFrame:
+def node_distance(
+    paths_self: DataFrame, pairs: list[tuple], max_pairs: int | None = 100_000
+) -> DataFrame:
     """Pairwise hop distance between nodes of one tree:
     ``dist(a, b) = min over common ancestors c of (depth_a(c) + depth_b(c))``
     — the minimum is attained at the MRCA, so one join + one MIN replaces
@@ -156,12 +158,24 @@ def node_distance(paths_self: DataFrame, pairs: list[tuple]) -> DataFrame:
     ``pairs`` is request-scale (an HTTP request's id pairs): it becomes a
     broadcast local relation; the closure is hit with one literal IN-filter
     (the t2_mrca discipline). ``paths_self`` must include depth-0 self
-    rows so identical and ancestor-descendant pairs resolve.
+    rows so identical and ancestor-descendant pairs resolve. Because the
+    pair list is both driver-resident and rendered into the plan as
+    literals, ``max_pairs`` bounds it (guard-consistency with the v4/T2
+    size gates): corpus-scale ALL-pairs belongs in a join over a pair
+    table, not this request-path helper. ``max_pairs=None`` opts out.
 
     Returns (a, b, hop_distance).
     """
     from treemachine_spark.graph.traversal import local_df
 
+    if max_pairs is not None and len(pairs) > max_pairs:
+        raise ValueError(
+            f"node_distance is a request-path helper guarded at {max_pairs} "
+            f"pairs (got {len(pairs)}): the pair list is driver-resident and "
+            f"becomes plan literals — for corpus-scale all-pairs distances "
+            f"join the closure on a pair TABLE instead, or raise max_pairs "
+            f"explicitly"
+        )
     spark = paths_self.sparkSession
     ids = sorted({x for p in pairs for x in p})
     sub = paths_self.where(F.col("node_id").isin(ids)).select(
