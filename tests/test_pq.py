@@ -181,8 +181,9 @@ def test_persisted_index_roundtrip_and_cli(ctx, spark, tmp_path, capsys):
     emb = ctx["emb"]
     out = str(tmp_path / "pqidx")
     cb = pq.write_pq_index(emb, out, m=8, n_codes=16, iters=3, train_rows=None)
-    cb2, codes = pq.read_pq_index(spark, out)
+    cb2, codes, rot = pq.read_pq_index(spark, out)
     assert cb2 == cb  # json round-trip is exact (floats serialized)
+    assert rot is None  # plain-PQ index carries no rotation
     q = emb.where(F.col("vec_id") < 3)
     a = pq.ivf_pq_topk(emb, q, k=5, codebook=cb2, codes=codes).collect()
     b = pq.ivf_pq_topk(emb, q, k=5, codebook=ctx["codebook"]).collect()
@@ -199,7 +200,7 @@ def test_persisted_index_roundtrip_and_cli(ctx, spark, tmp_path, capsys):
         == 0
     )
     assert "pq index at" in capsys.readouterr().out
-    cb3, codes3 = pq.read_pq_index(spark, out2)
+    cb3, codes3, _ = pq.read_pq_index(spark, out2)
     assert len(cb3) == 8 and len(cb3[0]) == 16
     assert codes3.count() == emb.count()
 
@@ -241,3 +242,71 @@ def test_pq_udfs_tolerate_empty_arrow_batch(ctx):
     assert list(enc(pd.Series([], dtype=object))) == []
     lut = pq._query_lut_udf(ctx["codebook"]).func
     assert list(lut(pd.Series([], dtype=object))) == []
+
+
+def test_opq_rotation_beats_plain_pq_on_correlated_corpus(spark):
+    """VERDICT r6 #7: OPQ (learned orthogonal rotation before PQ, Ge et
+    al. 2013) at IDENTICAL bytes per vector. Measured on deterministic
+    corpora: isotropic clusters 0.74/0.74 (tie — nothing to rebalance),
+    correlated clusters 0.84 -> 0.92, anisotropic-rotated 0.62 -> 0.68.
+    Pin the correlated case (real embedding models are correlated; a
+    tie would mean the rotation learns nothing)."""
+    rng = np.random.RandomState(11)
+    # correlated coordinates: decaying per-direction scales then a dense
+    # orthogonal mix, so contiguous subspaces see wildly uneven variance
+    A = rng.randn(64, 64) * (0.95 ** np.arange(64))[None, :]
+    Q_, _ = np.linalg.qr(rng.randn(64, 64))
+    centers = rng.randn(20, 64) * 3.0
+    Z = np.vstack([c + rng.randn(25, 64) * 0.4 for c in centers])
+    X = Z @ (A @ Q_)
+    rows = [(i, [float(x) for x in X[i]]) for i in range(len(X))]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.where(F.col("vec_id") < 5)
+    brute = similarity.brute_force_topk(emb, q, k=10).collect()
+    top: dict = {}
+    for r in brute:
+        top.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    def recall(rows_):
+        hits = sum(
+            1 for r in rows_ if r["neighbor_id"] in top.get(r["query_id"], ())
+        )
+        return hits / sum(len(v) for v in top.values())
+
+    cb = pq.pq_train(emb, m=8, n_codes=16, iters=3, train_rows=None)
+    rot, cbo = pq.opq_train(
+        emb, m=8, n_codes=16, iters=3, opq_iters=8, train_rows=None
+    )
+    # the learned rotation is orthogonal (R R^T = I) — ADC scores stay
+    # approximations of the ORIGINAL <q, x>
+    R = np.asarray(rot)
+    assert np.abs(R @ R.T - np.eye(64)).max() < 1e-8
+    r_pq = recall(pq.ivf_pq_topk(emb, q, k=10, n_probe=8, codebook=cb).collect())
+    r_opq = recall(
+        pq.ivf_pq_topk(
+            emb, q, k=10, n_probe=8, codebook=cbo, rotation=rot
+        ).collect()
+    )
+    assert r_opq >= r_pq, (r_opq, r_pq)  # never worse at the same bytes
+    assert r_opq >= 0.88 and r_pq <= 0.88  # measured 0.92 vs 0.84
+
+
+def test_opq_persisted_index_roundtrip(spark, tmp_path):
+    """write_pq_index(opq=True) persists the rotation inside
+    codebook.json; the reloaded (codebook, codes, rotation) triple serves
+    byte-identical results to the inline derivation."""
+    rng = np.random.RandomState(11)
+    X = rng.randn(300, 64) @ (rng.randn(64, 64) * (0.9 ** np.arange(64))[None, :])
+    rows = [(i, [float(x) for x in X[i]]) for i in range(len(X))]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = str(tmp_path / "opqidx")
+    pq.write_pq_index(emb, out, m=8, n_codes=16, iters=2, train_rows=None, opq=True)
+    cb, codes, rot = pq.read_pq_index(spark, out)
+    assert rot is not None and len(rot) == 64
+    q = emb.where(F.col("vec_id") < 3)
+    a = pq.ivf_pq_topk(
+        emb, q, k=5, codebook=cb, codes=codes, rotation=rot
+    ).collect()
+    rot2, cb2 = pq.opq_train(emb, m=8, n_codes=16, iters=2, train_rows=None)
+    b = pq.ivf_pq_topk(emb, q, k=5, codebook=cb2, rotation=rot2).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

@@ -218,6 +218,13 @@ def main(argv=None) -> int:
         default=10_000,
         help="deterministic training-sample bound (smallest ids)",
     )
+    s.add_argument(
+        "--opq",
+        action="store_true",
+        help="learn an OPQ rotation before quantizing (Ge et al. 2013) — "
+        "better recall at identical bytes on clustered/correlated "
+        "embedding corpora; rotation persists inside codebook.json",
+    )
 
     args = p.parse_args(argv)
 
@@ -326,10 +333,12 @@ def main(argv=None) -> int:
             m=args.m,
             n_codes=args.codes,
             train_rows=args.train_rows,
+            opq=args.opq,
         )
         print(
             f"pq index at {args.out_dir}: m={len(cb)} "
-            f"n_codes={len(cb[0])} (codebook.json + codes.parquet)"
+            f"n_codes={len(cb[0])}{' opq' if args.opq else ''} "
+            f"(codebook.json + codes.parquet)"
         )
         return 0
 

@@ -93,23 +93,124 @@ def pq_train(
     return codebook
 
 
-def pq_encode_udf(codebook):
+def _np_kmeans(X, k: int, iters: int):
+    """Deterministic driver-side Lloyd for OPQ's inner loop: init = first k
+    rows (the training sample is already smallest-id-ordered, matching
+    kmeans_fit's init discipline); empty clusters keep their centroid."""
+    import numpy as np
+
+    cents = X[:k].copy()
+    for _ in range(iters):
+        d = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(k):
+            mask = assign == c
+            if mask.any():
+                cents[c] = X[mask].mean(axis=0)
+    return cents
+
+
+def _np_pq_train(X, m: int, n_codes: int, iters: int):
+    """numpy PQ codebook over an in-memory (sample) matrix: one _np_kmeans
+    per contiguous subspace. Used only inside opq_train's alternation."""
+    bounds = _subspace_bounds(X.shape[1], m)
+    return [
+        _np_kmeans(X[:, s : s + ln], n_codes, iters) for s, ln in bounds
+    ]
+
+
+def _np_pq_reconstruct(X, cbs):
+    """Encode-then-decode an in-memory matrix against numpy codebooks:
+    each subvector snaps to its nearest codeword. The OPQ target matrix."""
+    import numpy as np
+
+    m = len(cbs)
+    bounds = _subspace_bounds(X.shape[1], m)
+    Y = np.empty_like(X)
+    for s, (start, ln) in enumerate(bounds):
+        sub = X[:, start : start + ln]
+        d = -2.0 * (sub @ cbs[s].T) + (cbs[s] * cbs[s]).sum(axis=1)[None, :]
+        Y[:, start : start + ln] = cbs[s][d.argmin(axis=1)]
+    return Y
+
+
+def opq_train(
+    embeddings: DataFrame,
+    m: int = 8,
+    n_codes: int = 16,
+    iters: int = 5,
+    opq_iters: int = 8,
+    train_rows: int | None = 10_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """OPQ (Ge, He, Ke, Sun 2013, "Optimized Product Quantization for
+    Approximate Nearest Neighbor Search", CVPR): learn an orthogonal
+    rotation R that minimizes PQ reconstruction error before slicing into
+    subspaces, by alternating (a) PQ codebook training on the rotated
+    sample with (b) the orthogonal-Procrustes solve
+    ``min_R ||X R^T - Y||_F`` (SVD of ``X^T Y``) against the
+    reconstruction Y. Plain PQ quantizes CONTIGUOUS coordinate blocks, so
+    it loses recall when variance is unevenly spread or correlated across
+    coordinates (any real embedding model); the rotation rebalances
+    variance across subspaces at ZERO serving cost beyond one matmul in
+    the encode/LUT UDFs — same m·n_codes bytes per vector.
+
+    Training is driver-side numpy over the deterministic bounded sample
+    (``train_rows`` smallest ids — the same FAISS train-on-sample
+    discipline as pq_train; the alternation re-encodes the sample every
+    iteration, which distributed k-means would pay a Spark job for per
+    subspace per iteration). Returns ``(rotation, codebook)`` ready for
+    ``pq_encode(..., rotation=...)`` / ``ivf_pq_topk(..., rotation=...)``.
+    """
+    import numpy as np
+
+    base = embeddings
+    if train_rows is not None:
+        base = base.orderBy(id_col).limit(train_rows)
+    rows = base.select(F.col(id_col), F.col(vec_col).alias("v")).collect()
+    X = np.asarray(
+        [r["v"] for r in sorted(rows, key=lambda r: r[0])], dtype=np.float64
+    )
+    dim = X.shape[1]
+    R = np.eye(dim)
+    for _ in range(opq_iters):
+        Xr = X @ R.T
+        cbs = _np_pq_train(Xr, m, n_codes, iters)
+        Y = _np_pq_reconstruct(Xr, cbs)
+        # Procrustes: min over orthogonal Omega of ||X Omega - Y||_F with
+        # Omega = R^T  ->  Omega = U V^T for X^T Y = U S V^T
+        U, _, Vt = np.linalg.svd(X.T @ Y)
+        R = (U @ Vt).T
+    cbs = _np_pq_train(X @ R.T, m, n_codes, iters)
+    return (
+        [[float(x) for x in row] for row in R],
+        [[[float(x) for x in c] for c in cb] for cb in cbs],
+    )
+
+
+def pq_encode_udf(codebook, rotation=None):
     """pandas UDF: embedding -> array<int> of m PQ codes (per-subspace
     squared-L2 argmin against the broadcast codebook; ties break to the
     lowest code id via numpy argmin's first-match). One vectorized numpy
-    distance computation per Arrow batch; the codebook rides the closure."""
+    distance computation per Arrow batch; the codebook rides the closure.
+    ``rotation`` (OPQ, Ge et al. 2013) applies the learned orthogonal
+    dim×dim matrix before slicing — one extra matmul per batch."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import PandasUDFType, pandas_udf
     from pyspark.sql.types import ArrayType, IntegerType
 
     cbs = [np.asarray(cb, dtype=np.float64) for cb in codebook]  # (K, L_s)
+    rot = None if rotation is None else np.asarray(rotation, dtype=np.float64)
     bounds_cache: dict[int, list[tuple[int, int]]] = {}
 
     def _f(vecs: pd.Series) -> pd.Series:
         if len(vecs) == 0:  # empty Arrow batch: (0,) array has no shape[1]
             return pd.Series([], dtype=object)
         X = np.asarray(list(vecs), dtype=np.float64)  # (n, dim)
+        if rot is not None:
+            X = X @ rot.T  # x' = R x, row form
         bounds = bounds_cache.setdefault(
             X.shape[1], _subspace_bounds(X.shape[1], len(cbs))
         )
@@ -130,31 +231,39 @@ def pq_encode(
     codebook,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    rotation=None,
 ) -> DataFrame:
     """(id, codes): the compressed corpus — m ints per vector instead of
-    dim floats. Write once at ingest; every ADC query reads ONLY this."""
+    dim floats. Write once at ingest; every ADC query reads ONLY this.
+    ``rotation`` must be the OPQ matrix the codebook was trained with."""
     return embeddings.select(
         F.col(id_col),
-        pq_encode_udf(codebook)(F.col(vec_col)).alias("codes"),
+        pq_encode_udf(codebook, rotation)(F.col(vec_col)).alias("codes"),
     )
 
 
-def _query_lut_udf(codebook):
+def _query_lut_udf(codebook, rotation=None):
     """pandas UDF: query embedding -> flat array<double> LUT of length
     m*n_codes, LUT[s*K + c] = <query_sub_s, codebook[s][c]> (exact float64
-    dots). Request-scale work — one small matmul per query batch."""
+    dots). Request-scale work — one small matmul per query batch. With an
+    OPQ ``rotation`` the query is rotated first: R is orthogonal, so the
+    ADC sum approximates <Rq, Rx> = <q, x> — scores stay comparable to
+    the unrotated exact ranking."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import PandasUDFType, pandas_udf
     from pyspark.sql.types import ArrayType, DoubleType
 
     cbs = [np.asarray(cb, dtype=np.float64) for cb in codebook]
+    rot = None if rotation is None else np.asarray(rotation, dtype=np.float64)
     bounds_cache: dict[int, list[tuple[int, int]]] = {}
 
     def _f(vecs: pd.Series) -> pd.Series:
         if len(vecs) == 0:  # empty Arrow batch: (0,) array has no shape[1]
             return pd.Series([], dtype=object)
         X = np.asarray(list(vecs), dtype=np.float64)
+        if rot is not None:
+            X = X @ rot.T
         bounds = bounds_cache.setdefault(
             X.shape[1], _subspace_bounds(X.shape[1], len(cbs))
         )
@@ -193,6 +302,7 @@ def ivf_pq_topk(
     n_codes: int = 16,
     codebook=None,
     codes: DataFrame | None = None,
+    rotation=None,
     rerank: bool = False,
     rerank_factor: int = 3,
     id_col: str = "vec_id",
@@ -205,7 +315,11 @@ def ivf_pq_topk(
 
     ``codebook``/``codes`` accept a pre-trained codebook and a
     pre-encoded (id, codes) table — the ingest-artifact deployment; both
-    are derived on the fly when omitted. ``rerank=True`` re-scores the
+    are derived on the fly when omitted. ``rotation`` is the OPQ matrix
+    the codebook was trained with (opq_train): it rotates the on-the-fly
+    encode and the query LUT; coarse cells and the exact re-rank use the
+    ORIGINAL vectors (rotation is orthogonal — rankings are invariant).
+    ``rerank=True`` re-scores the
     ADC short-list (``rerank_factor``·k per query) against the exact
     quantized vectors —
     a request-scale join, the standard PQ recall-recovery step — and
@@ -226,7 +340,7 @@ def ivf_pq_topk(
             embeddings, m=m, n_codes=n_codes, id_col=id_col, vec_col=vec_col
         )
     if codes is None:
-        codes = pq_encode(embeddings, codebook, id_col, vec_col)
+        codes = pq_encode(embeddings, codebook, id_col, vec_col, rotation)
     else:
         # LIMIT-bounded shape probe (the v4 guard discipline): never a
         # full-table scan, but enough rows to catch out-of-range codes
@@ -278,7 +392,7 @@ def ivf_pq_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         quantize(F.col(vec_col)).alias("qv"),
-        _query_lut_udf(codebook)(F.col(vec_col)).alias("lut"),
+        _query_lut_udf(codebook, rotation)(F.col(vec_col)).alias("lut"),
     )
     w_probe = Window.partitionBy("query_id").orderBy(F.desc("qscore"), "cent_id")
     probes = (
@@ -343,35 +457,54 @@ def write_pq_index(
     train_rows: int | None = 10_000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    opq: bool = False,
 ) -> list:
     """Build and PERSIST the PQ index — the ingest-artifact deployment:
-    ``<out_dir>/codebook.json`` (driver-side kilobytes) plus
-    ``<out_dir>/codes.parquet`` (the m-ints-per-vector compressed corpus,
-    the only thing ADC serving scans). Returns the codebook."""
+    ``<out_dir>/codebook.json`` (driver-side kilobytes, with the OPQ
+    rotation when ``opq=True``) plus ``<out_dir>/codes.parquet`` (the
+    m-ints-per-vector compressed corpus, the only thing ADC serving
+    scans). Returns the codebook."""
     import json
     import os
 
-    codebook = pq_train(
-        embeddings, m=m, n_codes=n_codes, iters=iters,
-        train_rows=train_rows, id_col=id_col, vec_col=vec_col,
-    )
+    rotation = None
+    if opq:
+        rotation, codebook = opq_train(
+            embeddings, m=m, n_codes=n_codes, iters=iters,
+            train_rows=train_rows, id_col=id_col, vec_col=vec_col,
+        )
+    else:
+        codebook = pq_train(
+            embeddings, m=m, n_codes=n_codes, iters=iters,
+            train_rows=train_rows, id_col=id_col, vec_col=vec_col,
+        )
     os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, "codebook.json"), "w") as fh:
-        json.dump({"m": m, "n_codes": n_codes, "codebook": codebook}, fh)
-    pq_encode(embeddings, codebook, id_col, vec_col).write.mode(
+        json.dump(
+            {
+                "m": m,
+                "n_codes": n_codes,
+                "codebook": codebook,
+                "rotation": rotation,
+            },
+            fh,
+        )
+    pq_encode(embeddings, codebook, id_col, vec_col, rotation).write.mode(
         "overwrite"
     ).parquet(os.path.join(out_dir, "codes.parquet"))
     return codebook
 
 
 def read_pq_index(spark, out_dir: str):
-    """(codebook, codes DataFrame) persisted by :func:`write_pq_index` —
-    feed both into ``ivf_pq_topk(codebook=..., codes=...)`` so serving
-    never re-trains or re-encodes."""
+    """(codebook, codes DataFrame, rotation) persisted by
+    :func:`write_pq_index` — feed them into
+    ``ivf_pq_topk(codebook=..., codes=..., rotation=...)`` so serving
+    never re-trains or re-encodes. ``rotation`` is None for plain-PQ
+    indexes (including every pre-OPQ index on disk)."""
     import json
     import os
 
     with open(os.path.join(out_dir, "codebook.json")) as fh:
         blob = json.load(fh)
     codes = spark.read.parquet(os.path.join(out_dir, "codes.parquet"))
-    return blob["codebook"], codes
+    return blob["codebook"], codes, blob.get("rotation")
