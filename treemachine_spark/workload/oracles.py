@@ -264,9 +264,11 @@ INTERSECT
 SELECT DISTINCT o_custkey FROM orders
 """
 
+# price sum in DECIMAL (exact, order-independent), cast back to double:
+# ROUND(SUM(double)) flips on sum-order 1-ulp noise past ~1e12 (sf10)
 ORACLES["a11_rollup"] = """
 SELECT r_name, n_name, COUNT(*) AS n_orders,
-       ROUND(SUM(o_totalprice), 2) AS total_price
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
 FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey

@@ -427,7 +427,11 @@ def q_e2_intersect(spark, sf_dir):
 
 def q_a11_rollup(spark, sf_dir):
     """Rollup aggregation (beyond-reference §2.9: the reference has no
-    grouping sets at all): revenue by region, region+nation, grand total."""
+    grouping sets at all): revenue by region, region+nation, grand total.
+    The price sum runs in DECIMAL(18,2) (exact, order-independent) and
+    casts back to double — ROUND(SUM(double), 2) flips on 1-ulp sum-order
+    differences once the grand total reaches ~1e12 (caught by the r7 sf10
+    sweep; the x15/x16/x20 integer-unit lesson applied to currency)."""
     t = load_tables(spark, sf_dir)
     return (
         t["customer"]
@@ -437,7 +441,9 @@ def q_a11_rollup(spark, sf_dir):
         .rollup("r_name", "n_name")
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
         )
     )
 
