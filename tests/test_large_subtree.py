@@ -130,3 +130,23 @@ def test_distributed_arguson_equals_driver(big_api):
     # the blob tree is real: nested children + num_tips + lineage present
     assert dist["node_id"] == "n1" and dist["children"]
     assert "lineage" in dist and "source_id_map" in dist
+
+
+def test_arguson_full_tree_beyond_reference_cap(big_api):
+    """The reference 400s arguson past 25k tips (tree_of_life_v3.java:592);
+    the distributed fragment path serves the FULL ~111k-node fixture tree
+    (4.4x that cap; measured ~12 s cold on local[32])."""
+    api = big_api
+    try:
+        api.DISTRIBUTED_ARGUSON_THRESHOLD = 10
+        arg = api.subtree(
+            node_id="n0", tree_format="arguson", height_limit=99
+        )["arguson"]
+    finally:
+        api.DISTRIBUTED_ARGUSON_THRESHOLD = 200_000
+    n, stack = 0, [arg]
+    while stack:
+        b = stack.pop()
+        n += 1
+        stack.extend(b.get("children", ()))
+    assert n == 111_111  # every node of the 100k-tip tree is in the blob
