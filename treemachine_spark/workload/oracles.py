@@ -288,12 +288,17 @@ SELECT n_regionkey, packed,
 FROM packed
 """
 
+# money sums in DECIMAL (exact, order-independent — the a11 sf10 lesson),
+# cast back to double so gate schemas are unchanged
 ORACLES["q1_pricing_summary"] = """
 SELECT l_returnflag, l_linestatus,
-       ROUND(SUM(l_quantity), 2) AS sum_qty,
-       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_base_price,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS sum_disc_price,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                      * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))), 2) AS DOUBLE) AS sum_charge,
        ROUND(AVG(l_quantity), 4) AS avg_qty,
        ROUND(AVG(l_discount), 4) AS avg_disc,
        COUNT(*) AS count_order
@@ -316,7 +321,8 @@ LIMIT 10
 
 ORACLES["q5_region_revenue"] = """
 SELECT r_name, n_name,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue,
        COUNT(*) AS n_items
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
@@ -359,7 +365,8 @@ JOIN customer ON o_custkey = c_custkey
 """
 
 ORACLES["q6_forecast_revenue"] = """
-SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(l_discount AS DECIMAL(4,2))), 2) AS DOUBLE) AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
   AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
@@ -384,9 +391,13 @@ GROUP BY 1, 2, 3
 
 ORACLES["q8_market_share"] = """
 SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
-       ROUND(SUM(CASE WHEN sn.n_name = 'NATION_3'
-                      THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
-             / SUM(l_extendedprice * (1 - l_discount)), 4) AS mkt_share
+       ROUND(CAST(SUM(CASE WHEN sn.n_name = 'NATION_3'
+                      THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                           * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                      ELSE CAST(0 AS DECIMAL(3,2)) END) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE),
+             4) AS mkt_share
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -415,9 +426,13 @@ LIMIT 20
 """
 
 ORACLES["q14_promo_share"] = """
-SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
-                              THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
-             / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+SELECT ROUND(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                              THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                                   * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                              ELSE CAST(0 AS DECIMAL(3,2)) END) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE),
+             4) AS promo_revenue_pct
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-04-01'
 """
@@ -444,13 +459,14 @@ WITH li AS (
     SELECT l_partkey AS ap_partkey, 0.2 * AVG(l_quantity) AS qty_limit
     FROM li GROUP BY l_partkey
 )
-SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 2) AS avg_yearly
 FROM li JOIN avg_qty ON l_partkey = ap_partkey
 WHERE l_quantity < qty_limit
 """
 
 ORACLES["q19_disjunctive_join"] = """
-SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
    OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20 AND l_quantity BETWEEN 10 AND 20)

@@ -469,19 +469,39 @@ def q_p4_packed_map_roundtrip(spark, sf_dir):
     )
 
 
+def _dec_disc_price():
+    """l_extendedprice * (1 - l_discount) in exact DECIMAL arithmetic: the
+    a11/r7-sf10 lesson — SUM(double) is sum-order-dependent, and once a
+    group's total crosses ~1e11 the noise flips ROUND(x, 2). Money sums
+    run in DECIMAL end-to-end and cast back to double at the end, so gate
+    schemas are unchanged and values are engine-exact at ANY density."""
+    one = F.lit(1).cast("decimal(3,2)")
+    return F.col("l_extendedprice").cast("decimal(18,2)") * (
+        one - F.col("l_discount").cast("decimal(4,2)")
+    )
+
+
 def q_q1_pricing_summary(spark, sf_dir):
     """A-family — grouped aggregation (TPC-H Q1 shape): map-side partial agg,
-    one shuffle on (returnflag, linestatus)."""
+    one shuffle on (returnflag, linestatus). Money sums in DECIMAL
+    (_dec_disc_price rationale); averages stay double (group-constant
+    denominators, far from rounding boundaries)."""
     li = load_tables(spark, sf_dir)["lineitem"]
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    disc_price = _dec_disc_price()
+    one = F.lit(1).cast("decimal(3,2)")
+    charge = disc_price * (one + F.col("l_tax").cast("decimal(4,2)"))
     return (
         li.where(F.col("l_shipdate") <= F.lit("1998-09-01"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.sum(F.col("l_quantity").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).cast("double").alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
             F.count("*").alias("count_order"),
@@ -534,9 +554,8 @@ def q5_plan(lineitem, orders, customer, nation, region):
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("r_name", "n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            ),
+            # money sum in DECIMAL (the a11 sf10 lesson — _dec_disc_price)
+            F.round(F.sum(_dec_disc_price()), 2).cast("double").alias("revenue"),
             F.count("*").alias("n_items"),
         )
     )
@@ -625,9 +644,16 @@ def q_q6_forecast_revenue(spark, sf_dir):
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
-                "revenue"
+            # money sum in DECIMAL (the a11 sf10 lesson)
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * F.col("l_discount").cast("decimal(4,2)")
+                ),
+                2,
             )
+            .cast("double")
+            .alias("revenue")
         )
     )
 
@@ -677,7 +703,7 @@ def q_q8_market_share(spark, sf_dir):
     """Market share (TPC-H Q8 shape): conditional aggregation over a 5-way
     star join; every dimension side is broadcast."""
     t = load_tables(spark, sf_dir)
-    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    vol = _dec_disc_price()  # exact DECIMAL volume (the a11 sf10 lesson)
     supp_n = t["supplier"].join(
         F.broadcast(t["nation"].select("n_nationkey", F.col("n_name").alias("supp_nation"))),
         t["supplier"].s_nationkey == F.col("n_nationkey"),
@@ -703,9 +729,14 @@ def q_q8_market_share(spark, sf_dir):
         .join(F.broadcast(supp_n), t["lineitem"].l_suppkey == supp_n.s_suppkey)
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
+            # both sums exact DECIMAL -> one deterministic double division
             F.round(
-                F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(0.0))
-                / F.sum(vol),
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(
+                        F.lit(0).cast("decimal(3,2)")
+                    )
+                ).cast("double")
+                / F.sum(vol).cast("double"),
                 4,
             ).alias("mkt_share")
         )
@@ -752,7 +783,7 @@ def q_q14_promo_share(spark, sf_dir):
     """Promo revenue share (TPC-H Q14 shape): conditional aggregation over a
     broadcast part join within one ship-month."""
     t = load_tables(spark, sf_dir)
-    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    vol = _dec_disc_price()  # exact DECIMAL volume (the a11 sf10 lesson)
     return (
         t["lineitem"]
         .where(
@@ -766,8 +797,12 @@ def q_q14_promo_share(spark, sf_dir):
         .agg(
             F.round(
                 F.lit(100.0)
-                * F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(0.0))
-                / F.sum(vol),
+                * F.sum(
+                    F.when(F.col("p_type") == "PROMO", vol).otherwise(
+                        F.lit(0).cast("decimal(3,2)")
+                    )
+                ).cast("double")
+                / F.sum(vol).cast("double"),
                 4,
             ).alias("promo_revenue_pct")
         )
@@ -817,7 +852,14 @@ def q_q17_small_qty_revenue(spark, sf_dir):
         li.join(F.broadcast(avg_qty), li.p_partkey == F.col("ap_partkey"))
         .where(F.col("l_quantity") < F.col("qty_limit"))
         .agg(
-            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly")
+            # exact DECIMAL sum -> one deterministic double division
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast(
+                    "double"
+                )
+                / 7.0,
+                2,
+            ).alias("avg_yearly")
         )
     )
 
@@ -849,9 +891,8 @@ def q_q19_disjunctive_join(spark, sf_dir):
         )
     )
     return li.where(cond).agg(
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-        ).alias("revenue")
+        # money sum in DECIMAL (the a11 sf10 lesson)
+        F.round(F.sum(_dec_disc_price()), 2).cast("double").alias("revenue")
     )
 
 
