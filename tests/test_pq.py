@@ -233,6 +233,42 @@ def test_mismatched_codes_shape_rejected(ctx, spark):
         pq.ivf_pq_topk(emb, q, k=5, codebook=cb8_small, codes=codes16)
 
 
+def test_rotation_without_codebook_rejected(ctx, spark):
+    """ADVICE r7: rotation with codebook=None would train a plain-PQ
+    codebook on UNROTATED vectors and then encode/LUT in rotated space —
+    silently degraded recall. Must raise instead."""
+    emb = ctx["emb"]
+    q = emb.where(F.col("vec_id") < 2)
+    ident = np.eye(64).tolist()
+    with pytest.raises(ValueError, match="`rotation` requires the `codebook`"):
+        pq.ivf_pq_topk(emb, q, k=5, rotation=ident)
+
+
+def test_degenerate_codes_rows_get_clean_diagnostic(ctx, spark):
+    """ADVICE r7: an empty codes array used to crash the probe's error
+    formatting with 'max() arg is an empty sequence', and a NULL codes
+    value with a TypeError — both must surface the shape diagnostic."""
+    emb = ctx["emb"]
+    q = emb.where(F.col("vec_id") < 2)
+    empty = emb.select("vec_id", F.array().cast("array<int>").alias("codes"))
+    with pytest.raises(ValueError, match="codes empty"):
+        pq.ivf_pq_topk(emb, q, k=5, codebook=ctx["codebook"], codes=empty)
+    nulls = emb.select(
+        "vec_id", F.lit(None).cast("array<int>").alias("codes")
+    )
+    with pytest.raises(ValueError, match="codes=NULL"):
+        pq.ivf_pq_topk(emb, q, k=5, codebook=ctx["codebook"], codes=nulls)
+
+
+def test_opq_undersized_training_sample_rejected(ctx, spark):
+    """ADVICE r7: _np_kmeans inits centroids as X[:k]; a sample smaller
+    than n_codes would silently persist a codebook below the advertised
+    m x n_codes shape. opq_train must refuse."""
+    emb = ctx["emb"]
+    with pytest.raises(ValueError, match="fewer than"):
+        pq.opq_train(emb, m=8, n_codes=16, train_rows=8)
+
+
 def test_pq_udfs_tolerate_empty_arrow_batch(ctx):
     """ADVICE r6: a zero-row Arrow batch reaches the UDF as a (0,) array
     with no shape[1] — both UDF bodies must short-circuit."""

@@ -204,3 +204,26 @@ def test_driver_list_guard_names_durable_twin(spark):
     f2 = NoveltyFilter(idx, grow_index=False, max_novel_ids=None)
     f2.process_batch(_docs(spark, [(1, BASE), (5, NOVEL)]), 0)
     assert sorted(f2.novel_ids) == [1, 5]
+
+
+def test_stream_runner_translates_overflow_to_documented_type(spark, tmp_path):
+    """ADVICE r7: the streaming engine wraps any foreachBatch raise in
+    StreamingQueryException, so callers of novel_documents catching the
+    DOCUMENTED NovelListTooBigError would miss it. The runner translates
+    the wrapped overflow back to the documented type."""
+    import pytest
+
+    from treemachine_spark.streaming.documents import (
+        NovelListTooBigError,
+        novel_documents,
+    )
+
+    sf = tmp_path / "sfmini"
+    _docs(
+        spark,
+        [(1, BASE), (5, NOVEL), (9, "another brand new never seen text body")],
+    ).write.parquet(str(sf / "documents.parquet"))
+    idx = minhash_bands(_docs(spark, [(0, OTHER)])).localCheckpoint(eager=True)
+    stream = read_document_stream(spark, str(sf))
+    with pytest.raises(NovelListTooBigError, match="DurableNoveltyFilter"):
+        novel_documents(stream, idx, max_novel_ids=1)

@@ -172,6 +172,14 @@ def opq_train(
     X = np.asarray(
         [r["v"] for r in sorted(rows, key=lambda r: r[0])], dtype=np.float64
     )
+    if X.shape[0] < n_codes:
+        # _np_kmeans inits centroids as X[:k]; fewer sample rows than codes
+        # would silently persist a codebook smaller than the advertised
+        # m x n_codes index shape (ADVICE r7) — refuse instead
+        raise ValueError(
+            f"opq_train: training sample has {X.shape[0]} rows, fewer than "
+            f"n_codes={n_codes}; lower n_codes or raise train_rows"
+        )
     dim = X.shape[1]
     R = np.eye(dim)
     for _ in range(opq_iters):
@@ -335,6 +343,15 @@ def ivf_pq_topk(
             "ivf_pq_topk: `codes` requires the `codebook` those codes were "
             "encoded with (read both via read_pq_index)"
         )
+    if rotation is not None and codebook is None:
+        # training a plain-PQ codebook on UNROTATED vectors and then
+        # encoding/LUT-ing in rotated space would silently degrade recall
+        # (ADVICE r7) — a rotation only makes sense with the codebook
+        # opq_train learned alongside it
+        raise ValueError(
+            "ivf_pq_topk: `rotation` requires the `codebook` it was trained "
+            "with (both come from opq_train / read_pq_index)"
+        )
     if codebook is None:
         codebook = pq_train(
             embeddings, m=m, n_codes=n_codes, id_col=id_col, vec_col=vec_col
@@ -348,20 +365,25 @@ def ivf_pq_topk(
             r["c"]
             for r in codes.select(F.col("codes").alias("c")).limit(256).collect()
         ]
-        bad = next(
-            (
-                row
-                for row in probe
-                if len(row) != len(codebook)
-                or any(c < 0 or c >= len(codebook[0]) for c in row)
-            ),
-            None,
-        )
+        # a NULL codes value is itself the offense — len()/iteration on it
+        # (or max() of an empty array) would mask the diagnostic with a
+        # TypeError / 'max() arg is an empty sequence' (ADVICE r7)
+        def _row_shape(row):
+            if row is None:
+                return "codes=NULL"
+            if len(row) != len(codebook) or any(
+                c < 0 or c >= len(codebook[0]) for c in row
+            ):
+                return f"m={len(row)}" + (
+                    f", max_code={max(row)}" if row else ", codes empty"
+                )
+            return None
+
+        bad = next((s for s in map(_row_shape, probe) if s is not None), None)
         if bad is not None:
             raise ValueError(
-                f"ivf_pq_topk: codes shape (m={len(bad)}, "
-                f"max_code={max(bad)}) does not match codebook "
-                f"(m={len(codebook)}, n_codes={len(codebook[0])})"
+                f"ivf_pq_topk: codes shape ({bad}) does not match "
+                f"codebook (m={len(codebook)}, n_codes={len(codebook[0])})"
             )
     n_codes = len(codebook[0])
 

@@ -56,21 +56,34 @@ def brute_force_topk(
     The corpus side streams (one scan — linear), so the exactness baseline
     is safe at any corpus size; the quadratic failure mode is a CORPUS
     passed as ``queries`` (corpus x corpus = all-pairs through a broadcast
-    nested loop). ``max_queries`` gates that: a LIMIT-bounded probe (scans
-    at most ``max_queries + 1`` ids) raises :class:`TooManyPairsError`
-    naming the sublinear twins. ``max_queries=None`` opts out."""
+    nested loop). ``max_queries`` gates that with the ``_resolve_tips``
+    pattern (graph/traversal.py:57): ONE LIMIT-bounded collect both sizes
+    the query set (raising :class:`TooManyPairsError` past the gate, naming
+    the sublinear twins) and doubles as the broadcast payload fetch — the
+    main job then broadcasts a LocalRelation instead of re-executing the
+    caller's query subplan under a second action (the repo invariant), so
+    the guard costs no extra Spark job. ``max_queries=None`` opts out and
+    keeps the query side fully lazy."""
     if max_queries is not None:
-        probe = queries.select(id_col).limit(max_queries + 1).count()
-        if probe > max_queries:
+        qsel = queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qraw")
+        )
+        rows = qsel.limit(max_queries + 1).collect()
+        if len(rows) > max_queries:
             raise TooManyPairsError(
                 f"brute_force_topk broadcasts the query side and is guarded "
                 f"at {max_queries} queries (input has more): use ivf_topk / "
                 f"lsh_topk / ivf_pq_topk for corpus-scale query sets, or "
                 f"raise max_queries explicitly"
             )
-    q = queries.select(
-        F.col(id_col).alias("query_id"), quantize(F.col(vec_col)).alias("qv")
-    )
+        q = (
+            embeddings.sparkSession.createDataFrame(rows, schema=qsel.schema)
+            .select("query_id", quantize(F.col("_qraw")).alias("qv"))
+        )
+    else:
+        q = queries.select(
+            F.col(id_col).alias("query_id"), quantize(F.col(vec_col)).alias("qv")
+        )
     c = embeddings.select(
         F.col(id_col).alias("neighbor_id"), quantize(F.col(vec_col)).alias("cv")
     )

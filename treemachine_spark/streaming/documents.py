@@ -112,6 +112,10 @@ class NoveltyFilter:
         self.grow_index = grow_index
         self.max_novel_ids = max_novel_ids
         self.novel_ids: list[int] = []
+        # set before the in-batch raise: the streaming engine wraps any
+        # foreachBatch exception in StreamingQueryException, so the runner
+        # (novel_documents) uses this flag to re-raise the DOCUMENTED type
+        self.overflow_msg: str | None = None
 
     def process_batch(self, batch: DataFrame, _batch_id: int) -> None:
         from treemachine_spark.functions.dedup import minhash_bands, minhash_index
@@ -136,6 +140,11 @@ class NoveltyFilter:
             self.max_novel_ids is not None
             and len(self.novel_ids) > self.max_novel_ids
         ):
+            self.overflow_msg = (
+                f"NoveltyFilter accumulated {len(self.novel_ids)} novel "
+                f"doc_ids on the driver (max_novel_ids="
+                f"{self.max_novel_ids})"
+            )
             raise NovelListTooBigError(
                 f"NoveltyFilter accumulated {len(self.novel_ids)} novel "
                 f"doc_ids on the driver (max_novel_ids="
@@ -165,7 +174,15 @@ def novel_documents(
     candidates (see NoveltyFilter); returns the sorted novel doc_ids.
 
     TEST-HARNESS TIER (driver-side id list, bounded by ``max_novel_ids``);
-    production streams use :func:`novel_documents_durable`."""
+    production streams use :func:`novel_documents_durable`.
+
+    Raises :class:`NovelListTooBigError` past ``max_novel_ids`` — the
+    streaming engine wraps the in-batch raise in StreamingQueryException,
+    so this runner translates it back to the documented type (ADVICE r7):
+    callers catching NovelListTooBigError work whether the filter runs
+    batch-wise or under the engine."""
+    from pyspark.errors import StreamingQueryException
+
     filt = NoveltyFilter(
         index_bands, grow_index=grow_index, max_novel_ids=max_novel_ids
     )
@@ -174,13 +191,25 @@ def novel_documents(
         .trigger(availableNow=True)
         .start()
     )
-    if not q.awaitTermination(await_seconds):
+    try:
+        finished = q.awaitTermination(await_seconds)
+    except StreamingQueryException as e:
+        if filt.overflow_msg is not None:
+            raise NovelListTooBigError(
+                filt.overflow_msg
+                + ". This in-memory filter is test-harness tier; use "
+                "DurableNoveltyFilter / novel_documents_durable, which "
+                "sink novel rows partition-wise with no driver-side "
+                "accumulation (max_novel_ids=None opts out)."
+            ) from e
+        raise
+    finally:
         q.stop()
+    if not finished:
         raise TimeoutError(
             f"novelty stream did not finish within {await_seconds}s; "
             "a truncated novel-id list would be a silent wrong answer"
         )
-    q.stop()
     return sorted(filt.novel_ids)
 
 
