@@ -6,6 +6,16 @@ Prints ONE JSON line:
 
 ``value`` is the total wall-clock of the headline query set (each timed to
 full materialization via count()).
+
+Measurement protocol (pinned per VERDICT r7 #3 — round-over-round walls
+were consuming verdict attention on ±10-20% host drift): each query runs
+``SPARK_GRAFT_BENCH_REPEATS`` times (default 3) in the warm session and
+reports the MEDIAN — the median discards the one-off plan-compile /
+codegen cost of the first execution and single-run scheduler hiccups,
+measuring the steady-state operator the way a serving deployment sees it.
+``spread`` carries each query's [min, max] so an out-of-band median is
+immediately distinguishable from a noisy tail. Set REPEATS=1 to reproduce
+the pre-r8 single-shot numbers.
 """
 
 from __future__ import annotations
@@ -173,13 +183,22 @@ def main() -> None:
     ctx["tip_counts"].count()
     ingest_sec = round(time.time() - t0, 3)
 
+    import statistics
+
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
     expected = EXPECTED_ROWS.get(sf, {})
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     ok_flags: dict[str, bool | None] = {}
     for name in HEADLINE:
-        t = time.time()
-        n = QUERIES[name](spark, sf_dir).count()
-        timings[name] = round(time.time() - t, 3)
+        runs: list[float] = []
+        n = 0
+        for _ in range(repeats):
+            t = time.time()
+            n = QUERIES[name](spark, sf_dir).count()
+            runs.append(time.time() - t)
+        timings[name] = round(statistics.median(runs), 3)
+        spread[name] = [round(min(runs), 3), round(max(runs), 3)]
         # None = no expectation recorded for this SF (timing still valid)
         ok_flags[name] = None if name not in expected else (n == expected[name])
 
@@ -194,6 +213,8 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "ingest_sec": ingest_sec,
+                "repeats": repeats,
+                "spread": spread,
                 "ok": ok_flags,
                 "bench_ok": not failed,
                 "failed_queries": failed,

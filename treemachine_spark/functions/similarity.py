@@ -76,10 +76,24 @@ def brute_force_topk(
                 f"lsh_topk / ivf_pq_topk for corpus-scale query sets, or "
                 f"raise max_queries explicitly"
             )
-        q = (
-            embeddings.sparkSession.createDataFrame(rows, schema=qsel.schema)
-            .select("query_id", quantize(F.col("_qraw")).alias("qv"))
-        )
+        # pandas route -> TRUE LocalRelation (graph/traversal.local_df's
+        # measured guidance: createDataFrame from a row list parallelizes
+        # through a Python RDD, putting a task wave + Python worker round
+        # trip inside the broadcast build)
+        spark = embeddings.sparkSession
+        if rows:
+            import pandas as pd
+
+            pdf = pd.DataFrame(
+                {
+                    "query_id": [r["query_id"] for r in rows],
+                    "_qraw": [r["_qraw"] for r in rows],
+                }
+            )
+            base = spark.createDataFrame(pdf, schema=qsel.schema)
+        else:
+            base = spark.createDataFrame([], qsel.schema)
+        q = base.select("query_id", quantize(F.col("_qraw")).alias("qv"))
     else:
         q = queries.select(
             F.col(id_col).alias("query_id"), quantize(F.col(vec_col)).alias("qv")
