@@ -132,6 +132,48 @@ def test_distributed_arguson_equals_driver(big_api):
     assert "lineage" in dist and "source_id_map" in dist
 
 
+def test_anchor_depth_auto_balanced_vs_caterpillar(spark):
+    """VERDICT r7 #7: the fanout-aware anchor pick. On a balanced
+    fanout-10 tree it returns the shallowest level whose largest fragment
+    fits the target (the fixed depth=2 falls out as the computed answer
+    at production shape); on a caterpillar — where NO level has small
+    fragments — it goes as deep as the driver-stitch budget allows
+    instead of pinning a near-root anchor that owns the whole tree."""
+    from treemachine_spark.api.v3 import pick_anchor_depth
+    from treemachine_spark.graph.closure import build_closure
+
+    def closure_for(edge_list):
+        edges = spark.createDataFrame(edge_list, "child_id string, parent_id string")
+        paths = build_closure(edges).localCheckpoint(eager=True)
+        member = edges.select(F.col("child_id").alias("node_id"))
+        rd = paths.where(F.col("ancestor_id") == "n0").select("node_id", "depth")
+        return rd, member, paths
+
+    # balanced: n0 -> 10 children -> 10 grandchildren each -> 10 leaves
+    bal = []
+    for i in range(10):
+        bal.append((f"a{i}", "n0"))
+        for j in range(10):
+            bal.append((f"b{i}_{j}", f"a{i}"))
+            bal.extend((f"c{i}_{j}_{k}", f"b{i}_{j}") for k in range(10))
+    rd, member, paths = closure_for(bal)
+    # depth-1 fragments hold 111 nodes, depth-2 fragments 11
+    assert pick_anchor_depth(rd, member, paths, frag_target=200) == 1
+    assert pick_anchor_depth(rd, member, paths, frag_target=50) == 2
+
+    # caterpillar: 60-node spine, one leaf per spine node
+    cat = []
+    prev = "n0"
+    for i in range(60):
+        cat.append((f"s{i}", prev))
+        cat.append((f"t{i}", f"s{i}"))
+        prev = f"s{i}"
+    rd, member, paths = closure_for(cat)
+    # no level satisfies a tiny fragment target; the pick must go as deep
+    # as the top budget allows (cum width 2/level -> depth 10 at top_max 20)
+    assert pick_anchor_depth(rd, member, paths, frag_target=5, top_max=20) == 10
+
+
 def test_arguson_full_tree_beyond_reference_cap(big_api):
     """The reference 400s arguson past 25k tips (tree_of_life_v3.java:592);
     the distributed fragment path serves the FULL ~111k-node fixture tree

@@ -122,6 +122,70 @@ def _make_arguson_asm(default_num_tips: int):
 DEFAULT_SOURCE_BASE = "http://files.opentreeoflife.org/preprocessed"
 
 
+# auto anchor-depth bounds (VERDICT r7 #7): a fragment is one
+# applyInPandas group, so its size is executor-memory-bound; the top
+# stitch levels are collected, so their cumulative width is driver-bound
+ARGUSON_FRAGMENT_TARGET = 100_000
+ARGUSON_TOP_MAX = 200_000
+
+
+def pick_anchor_depth(
+    rd,
+    member,
+    paths,
+    frag_target: int = ARGUSON_FRAGMENT_TARGET,
+    top_max: int = ARGUSON_TOP_MAX,
+):
+    """Fanout-aware anchor depth for the distributed fragment assemblers
+    (VERDICT r7 #7): instead of the fixed depth=2 (right for the
+    production tree's ~10-fanout, wrong for skewed stores), read the
+    subtree's actual shape — per-level width and the LARGEST single
+    fragment an anchor at that level would own — and take the shallowest
+    level whose max fragment fits ``frag_target``, never letting the
+    collected top levels exceed ``top_max`` rows. One subtree-scale
+    aggregation (descendant counts over the request's closure) + a
+    depth-profile collect of O(tree height) rows.
+
+    On a balanced fanout-f tree this returns the smallest d with
+    n/f^d <= frag_target (depth 2 for the 2.42M-tip production shape —
+    the r7 static default falls out as the computed answer); on a
+    caterpillar every level has one giant fragment, so it returns the
+    deepest level the driver stitch can afford — the best decomposition
+    that exists for that shape.
+    """
+    desc = (
+        paths.join(
+            member.withColumnRenamed("node_id", "ancestor_id"),
+            "ancestor_id",
+            "left_semi",
+        )
+        .join(member, "node_id", "left_semi")
+        .groupBy("ancestor_id")
+        .agg(F.count("*").alias("cnt"))
+    )
+    stats = sorted(
+        rd.join(desc.withColumnRenamed("ancestor_id", "node_id"), "node_id", "left")
+        .groupBy("depth")
+        .agg(
+            F.count("*").alias("width"),
+            (F.max(F.coalesce(F.col("cnt"), F.lit(0))) + 1).alias("max_frag"),
+        )
+        .collect(),
+        key=lambda r: r["depth"],
+    )
+    cum = 0
+    best = None  # (max_frag, depth)
+    for r in stats:
+        cum += r["width"]
+        if cum > top_max:
+            break
+        if best is None or r["max_frag"] < best[0]:
+            best = (r["max_frag"], r["depth"])
+        if r["max_frag"] <= frag_target:
+            return r["depth"]
+    return best[1] if best else 1
+
+
 def fetch_source_newick(source: str, synth_id: str, base: str = DEFAULT_SOURCE_BASE) -> str | None:
     """Fetch the processed source-tree newick for ``source``
     (``{study_id}_{tree_id}``), mirroring getSourceTree
@@ -736,7 +800,7 @@ class TreeOfLifeV3:
         return build(qid)
 
     def _arguson_distributed(
-        self, qid: str, edges, member, anchor_depth: int = 2
+        self, qid: str, edges, member, anchor_depth: int | str = "auto"
     ) -> dict:
         """Scalable arguson assembly (VERDICT r6 #4): per-node blob fields
         are serialized executor-side (to_json struct — null fields omitted,
@@ -752,11 +816,15 @@ class TreeOfLifeV3:
         from treemachine_spark.graph.traversal import representative_names
 
         e = edges.select("child_id", "parent_id", "child_index")
+        # rd feeds up to three actions (depth pick, anchors, top stitch) —
+        # materialize once instead of re-deriving the paths subplan
         rd = (
             self.store.paths.where(F.col("ancestor_id") == qid)
             .select("node_id", "depth")
             .join(member, "node_id", "left_semi")
-        )
+        ).localCheckpoint(eager=True)
+        if anchor_depth == "auto":
+            anchor_depth = pick_anchor_depth(rd, member, self.store.paths)
         anchors = rd.where(F.col("depth") == anchor_depth).select(
             F.col("node_id").alias("anchor")
         )
