@@ -18,7 +18,7 @@ from common import SF10, compare_rows, duck_con, get_spark, sampled_col, sampled
 
 import os
 
-K = int(os.environ.get("SWEEP_K", "125003"))  # default ~40 of 5M docs
+K = int(os.environ.get("SWEEP_K", "12503"))  # default ~40 of 500k docs
 
 SAMPLED_ORACLE_TAIL = f"""
 , ex AS (SELECT doc_id, unnest(sh) AS s FROM sh)

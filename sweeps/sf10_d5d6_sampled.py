@@ -25,7 +25,7 @@ from common import SF10, duck_con, get_spark, sampled_sql, stage
 
 import os
 
-K_SEED = int(os.environ.get("SWEEP_K", "624997"))  # default ~8 of 5M docs
+K_SEED = int(os.environ.get("SWEEP_K", "62497"))  # default ~8 of 500k docs
 MAX_ROUNDS = 12
 MAX_MEMBERS = 200_000
 

@@ -31,7 +31,7 @@ import os
 
 from common import SF10, compare_rows, duck_con, get_spark, sampled_col, sampled_sql, stage
 
-K = int(os.environ.get("SWEEP_K", "12503"))  # ~40 of 500k vectors
+K = int(os.environ.get("SWEEP_K", "4999"))  # default ~40 of 200k vectors
 N_BANDS = 8
 BAND_PLANES = int(os.environ.get("SWEEP_BP", "14"))
 
