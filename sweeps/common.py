@@ -50,6 +50,13 @@ def get_spark(app: str):
         .config("spark.sql.shuffle.partitions", "64")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", "48g")
+        # the d4/d5 exact-jaccard join streams ~2.5B pair-shingle rows
+        # into the per-pair aggregate at sf10 (every shingle is shared by
+        # the ~100-replica cluster) — its agg spill is ~60-80 GB under
+        # lz4, past this box's ~75 GB usable /tmp. zstd halves it at a
+        # few % CPU; on a real cluster this is simply shuffle across
+        # executors' disks
+        .config("spark.io.compression.codec", "zstd")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
