@@ -36,39 +36,49 @@ _QCOS = (
     "* sqrt(list_dot_product(b.v, b.v))), 4)"
 )
 
-ORACLE_SQL = f"""
+# assignment via two narrow hash aggregations, NOT a row_number window:
+# the window would sort the n x k cross join WITH the 64-double vector
+# in every row (~50 GB spill at 200k x 450 — it blew the temp cap on
+# the first pass). Scoring keeps only (vec_id, cent_id, integer dot) in
+# flight; MAX then MIN-on-ties reproduces centroid_assign's
+# (max score, min cent_id) tie-break exactly (quantized dots are
+# integer-valued, so the BIGINT cast is lossless). Vectors are joined
+# back afterwards only for the sampled cells' verify step.
+_ASSIGN_CTE = f"""
 WITH base AS (SELECT vec_id, {_QUANT} AS v FROM embeddings),
 cent AS (SELECT vec_id AS cent_id, v AS cvec FROM base ORDER BY vec_id LIMIT {N_CENT}),
-assigned AS (
-    SELECT vec_id, cent_id, v FROM (
-        SELECT b.vec_id, c.cent_id, b.v,
-               ROW_NUMBER() OVER (
-                   PARTITION BY b.vec_id
-                   ORDER BY list_dot_product(b.v, c.cvec) DESC, c.cent_id) AS arn
-        FROM base b CROSS JOIN cent c
-    ) WHERE arn = 1
+scored AS (
+    SELECT b.vec_id, c.cent_id,
+           CAST(list_dot_product(b.v, c.cvec) AS BIGINT) AS s
+    FROM base b CROSS JOIN cent c
 ),
-smp_cells AS (
-    SELECT DISTINCT cent_id FROM assigned
+mx AS (SELECT vec_id, MAX(s) AS ms FROM scored GROUP BY vec_id),
+asg AS (
+    SELECT s.vec_id, MIN(s.cent_id) AS cent_id
+    FROM scored s JOIN mx ON s.vec_id = mx.vec_id AND s.s = mx.ms
+    GROUP BY s.vec_id
+)
+"""
+
+ORACLE_SQL = _ASSIGN_CTE + f"""
+, smp_cells AS (
+    SELECT DISTINCT cent_id FROM asg
     WHERE {sampled_sql("CAST(vec_id AS VARCHAR)", K)}
+),
+am AS (
+    SELECT g.vec_id, g.cent_id, b.v
+    FROM asg g
+    JOIN smp_cells USING (cent_id)
+    JOIN base b USING (vec_id)
 )
 SELECT a.cent_id, a.vec_id AS id_a, b.vec_id AS id_b, {_QCOS} AS cos
-FROM assigned a
-JOIN assigned b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
-JOIN smp_cells s ON a.cent_id = s.cent_id
+FROM am a JOIN am b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
 WHERE {_QCOS} >= 0.4
 """
 
-ASSIGN_SQL = f"""
-WITH base AS (SELECT vec_id, {_QUANT} AS v FROM embeddings),
-cent AS (SELECT vec_id AS cent_id, v AS cvec FROM base ORDER BY vec_id LIMIT {N_CENT})
-SELECT vec_id, cent_id FROM (
-    SELECT b.vec_id, c.cent_id,
-           ROW_NUMBER() OVER (
-               PARTITION BY b.vec_id
-               ORDER BY list_dot_product(b.v, c.cvec) DESC, c.cent_id) AS arn
-    FROM base b CROSS JOIN cent c
-) WHERE arn = 1 AND {sampled_sql("CAST(vec_id AS VARCHAR)", K)}
+ASSIGN_SQL = _ASSIGN_CTE + f"""
+SELECT vec_id, cent_id FROM asg
+WHERE {sampled_sql("CAST(vec_id AS VARCHAR)", K)}
 """
 
 
