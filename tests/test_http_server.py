@@ -576,3 +576,96 @@ def test_stats_distinct_route(spark, base_url, tmp_path):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_similarity_topk_route(spark, base_url):
+    """r8: the ANN serving surface — POST /v3/similarity/topk over a
+    loaded AnnIndex (api/ann.py) completes the pipeline family's
+    ingest -> index -> serve loop. Route correctness = the library
+    operators' (gated v1/v3 + test_pq); this test pins the serving
+    contract: method dispatch, exact score pass-through, contract 400s,
+    404 when unconfigured, and snapshot caching."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from treemachine_spark.api.ann import AnnIndex
+    from treemachine_spark.api.server import make_server
+    from treemachine_spark.functions import pq, similarity
+    from treemachine_spark.io.tables import load_tables
+
+    # no index configured on the module server -> 404
+    status, resp = post(base_url, "/v3/similarity/topk", {"vector": [0.0]})
+    assert status == 404 and "no ANN index" in resp["message"]
+
+    emb = load_tables(spark, "/root/testdata/sf0.001")["embeddings"].cache()
+    codebook = pq.pq_train(emb, m=8, n_codes=16, iters=2, train_rows=None)
+    codes = pq.pq_encode(emb, codebook)
+    idx = AnnIndex(emb, codebook=codebook, codes=codes)
+    srv = make_server(
+        _SRV["srv"].core.store, host="127.0.0.1", port=0, ann_index=idx
+    )
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        vec = [
+            float(x)
+            for x in emb.where(F.col("vec_id") == 0).head()["embedding"]
+        ]
+
+        # brute == the library exact operator on the same one-row query
+        status, blob = post(
+            base, "/v3/similarity/topk",
+            {"vector": vec, "k": 5, "method": "brute"},
+        )
+        assert status == 200 and blob["method"] == "brute" and blob["k"] == 5
+        qdf = spark.createDataFrame(
+            pd.DataFrame({"vec_id": [-1], "embedding": [vec]}),
+            schema="vec_id long, embedding array<double>",
+        )
+        want = [
+            (r["neighbor_id"], float(r["score"]), r["rank"])
+            for r in similarity.brute_force_topk(
+                emb, qdf, k=5, max_queries=None
+            ).orderBy("rank").collect()
+        ]
+        got = [
+            (n["neighbor_id"], n["score"], n["rank"]) for n in blob["neighbors"]
+        ]
+        assert got == want
+        # the query IS corpus vector 0 — exact search must surface it first
+        assert got[0][0] == 0 and got[0][2] == 1
+
+        # default method over a PQ-loaded index is pq; the identical vector
+        # survives ADC + exact re-rank at rank 1
+        status, pq_blob = post(base, "/v3/similarity/topk", {"vector": vec})
+        assert status == 200 and pq_blob["method"] == "pq"
+        assert pq_blob["neighbors"][0]["neighbor_id"] == 0
+        # ivf: the query's best cell contains its identical vector
+        status, ivf_blob = post(
+            base, "/v3/similarity/topk", {"vector": vec, "method": "ivf"}
+        )
+        assert status == 200 and ivf_blob["neighbors"][0]["neighbor_id"] == 0
+
+        # snapshot caching: identical body replays without recompute
+        m = srv.core.cache.misses
+        status2, blob2 = post(
+            base, "/v3/similarity/topk",
+            {"vector": vec, "k": 5, "method": "brute"},
+        )
+        assert (status2, blob2) == (200, blob)
+        assert srv.core.cache.misses == m and srv.core.cache.hits >= 1
+
+        # contract 400s
+        for bad, msg in [
+            ({"vector": vec[:3]}, "dimensions"),
+            ({"vector": vec, "method": "faiss"}, "Invalid 'method'"),
+            ({"vector": vec, "k": 0}, "'k' must be"),
+            ({"vector": "nope"}, "'vector' must be"),
+            ({}, "'vector' must be"),
+            ({"vector": vec, "nope": 1}, "unknown arguments"),
+        ]:
+            status, resp = post(base, "/v3/similarity/topk", bad)
+            assert status == 400 and msg in resp["message"], (bad, resp)
+    finally:
+        srv.shutdown()
+        srv.server_close()

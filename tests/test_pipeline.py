@@ -409,3 +409,36 @@ def test_exactness_baseline_guards(spark):
     txt_g = exports.mrp_text(store, max_cells=10_000_000)
     txt_off = exports.mrp_text(store, max_cells=None)
     assert txt_g == txt_off and txt_g.splitlines()[0].split()[0].isdigit()
+
+
+def test_jaccard_probe_matches_batch_restriction(spark):
+    """r8: ngram_jaccard_probe == ngram_jaccard_pairs filtered to pairs
+    touching the probe set (identical shingle space and rows), with the
+    request-scale guard on the probe size. The probe plan is linear in
+    the corpus — the shape that still runs where the batch recipe's
+    pair-shingle intermediate is box-bound (sf10 sweep)."""
+    from treemachine_spark.functions.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_probe,
+    )
+    from treemachine_spark.io.tables import load_tables
+
+    docs = load_tables(spark, "/root/testdata/sf0.001")["documents"]
+    probe = list(range(15))
+    got = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in ngram_jaccard_probe(docs, probe).collect()
+    }
+    batch = ngram_jaccard_pairs(docs, threshold=0.3)
+    want = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in batch.where(
+            F.col("doc_a").isin(probe) | F.col("doc_b").isin(probe)
+        ).collect()
+    }
+    assert got == want and want  # non-vacuous on the fixture corpus
+
+    with pytest.raises(ValueError, match="empty probe_ids"):
+        ngram_jaccard_probe(docs, [])
+    with pytest.raises(ValueError, match="request-scale"):
+        ngram_jaccard_probe(docs, list(range(10_001)))

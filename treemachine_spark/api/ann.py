@@ -1,0 +1,141 @@
+"""ANN serving surface: a loaded vector index behind POST
+/v3/similarity/topk (beyond-reference — the reference has no vector
+search; this completes the pipeline family's ingest -> index -> SERVE
+loop the way api/server.py's stats routes do for sketches).
+
+Serving shape: the corpus stays a cached DataFrame (at cluster scale a
+bucketed table); each request is ONE broadcast of a single-row
+LocalRelation query frame against the chosen operator —
+``brute_force_topk`` (exact, linear scan), ``ivf_topk`` (coarse cells),
+or ``ivf_pq_topk`` over a persisted PQ index (``functions/pq.py``
+read_pq_index artifact: ADC scoring over codes, exact re-rank). Scores
+are the engine's exact integer quantized dots, so responses are
+deterministic and cacheable under the server's snapshot contract.
+"""
+
+from __future__ import annotations
+
+from treemachine_spark.api.errors import BadInputError
+
+MAX_K = 1000
+
+
+class AnnIndex:
+    """A served vector corpus + optional PQ index artifact.
+
+    ``methods``: "brute" (exact), "ivf" (coarse cells + in-cell exact),
+    "pq" (IVFADC over the persisted codes, exact re-rank) — "pq" only
+    when a PQ artifact is loaded; the default method is the best loaded
+    tier (pq if present, else ivf).
+    """
+
+    def __init__(
+        self,
+        embeddings,
+        codebook=None,
+        codes=None,
+        rotation=None,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        n_centroids: int = 8,
+    ):
+        self.embeddings = embeddings
+        self.codebook = codebook
+        self.codes = codes
+        self.rotation = rotation
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.n_centroids = n_centroids
+        head = embeddings.select(vec_col).head()
+        if head is None:
+            raise BadInputError("ANN index: embeddings table is empty")
+        self.dim = len(head[0])
+
+    @classmethod
+    def from_paths(cls, spark, emb_path: str, pq_dir: str | None = None, **kw):
+        """Load the serving corpus (cached — the snapshot every request
+        scans) and, when given, the persisted PQ artifact."""
+        emb = spark.read.parquet(emb_path).cache()
+        emb.count()
+        codebook = codes = rotation = None
+        if pq_dir is not None:
+            from treemachine_spark.functions.pq import read_pq_index
+
+            codebook, codes, rotation = read_pq_index(spark, pq_dir)
+            codes = codes.cache()
+            codes.count()
+        return cls(emb, codebook, codes, rotation, **kw)
+
+    def _query_frame(self, vector):
+        import pandas as pd
+
+        spark = self.embeddings.sparkSession
+        # pandas -> LocalRelation under Arrow; vec_id -1 is outside the
+        # corpus id space so the operators' self-exclusion never triggers
+        pdf = pd.DataFrame({self.id_col: [-1], self.vec_col: [vector]})
+        schema = f"{self.id_col} long, {self.vec_col} array<double>"
+        return spark.createDataFrame(pdf, schema=schema)
+
+    def topk(
+        self,
+        vector=None,
+        k: int = 10,
+        method: str | None = None,
+        n_probe: int = 2,
+    ) -> dict:
+        if not isinstance(vector, (list, tuple)) or not vector or not all(
+            isinstance(x, (int, float)) and not isinstance(x, bool) for x in vector
+        ):
+            raise BadInputError("'vector' must be a non-empty list of numbers")
+        if len(vector) != self.dim:
+            raise BadInputError(
+                f"'vector' has {len(vector)} dimensions; the index serves "
+                f"{self.dim}-dimensional embeddings"
+            )
+        if not isinstance(k, int) or isinstance(k, bool) or not 1 <= k <= MAX_K:
+            raise BadInputError(f"'k' must be an integer in [1, {MAX_K}]")
+        if not isinstance(n_probe, int) or isinstance(n_probe, bool) or n_probe < 1:
+            raise BadInputError("'n_probe' must be a positive integer")
+        methods = ("brute", "ivf") + (("pq",) if self.codebook is not None else ())
+        method = method or ("pq" if self.codebook is not None else "ivf")
+        if method not in methods:
+            raise BadInputError(
+                f"Invalid 'method': {method!r}. Loaded methods: {list(methods)}"
+            )
+
+        from treemachine_spark.functions import similarity
+
+        q = self._query_frame([float(x) for x in vector])
+        if method == "brute":
+            out = similarity.brute_force_topk(
+                self.embeddings, q, k=k,
+                id_col=self.id_col, vec_col=self.vec_col,
+                max_queries=None,  # one request vector by construction
+            )
+        elif method == "ivf":
+            out = similarity.ivf_topk(
+                self.embeddings, q, k=k, n_centroids=self.n_centroids,
+                n_probe=n_probe, id_col=self.id_col, vec_col=self.vec_col,
+            )
+        else:
+            from treemachine_spark.functions.pq import ivf_pq_topk
+
+            out = ivf_pq_topk(
+                self.embeddings, q, k=k, n_centroids=self.n_centroids,
+                n_probe=n_probe, codebook=self.codebook, codes=self.codes,
+                rotation=self.rotation, rerank=True,
+                id_col=self.id_col, vec_col=self.vec_col,
+            )
+        rows = out.orderBy("rank").collect()
+        return {
+            "method": method,
+            "k": k,
+            "neighbors": [
+                {
+                    "neighbor_id": r["neighbor_id"],
+                    "score": float(r["score"]),
+                    "rank": r["rank"],
+                }
+                for r in rows
+            ],
+        }

@@ -114,6 +114,8 @@ _ARG_ALIASES = {"/v3/tree_of_life/subtree": {"format": "tree_format"}}
 STATS_ROUTE = "/v3/stats/quantiles"
 # beyond-reference: distinct-count estimates over the streaming HLL sketch
 DISTINCT_ROUTE = "/v3/stats/distinct"
+# beyond-reference: vector top-k over a loaded AnnIndex (api/ann.py)
+ANN_ROUTE = "/v3/similarity/topk"
 
 
 def _dispatch(apis: dict, path: str, body: dict) -> tuple[int, dict]:
@@ -155,6 +157,7 @@ class ServerCore:
         pruned_closure_table: str | None = None,
         stats_sketch=None,
         distinct_sketch=None,
+        ann_index=None,
     ):
         # optional streaming/stats.StreamingQuantileSketch serving
         # POST /v3/stats/quantiles (per-group quantile estimates over the
@@ -163,6 +166,10 @@ class ServerCore:
         # (per-group distinct-count estimates; same state-token caching)
         self.stats_sketch = stats_sketch
         self.distinct_sketch = distinct_sketch
+        # optional api/ann.AnnIndex serving POST /v3/similarity/topk —
+        # an immutable corpus snapshot like the tree store, so responses
+        # cache under the plain (route, body) key + generation guard
+        self.ann_index = ann_index
         self.cache = ResponseCache(cache_size) if cache_size > 0 else None
         self.pruned_closure_table = pruned_closure_table
         # Store generation: bumped by swap_store AFTER the new APIs are
@@ -211,6 +218,8 @@ class ServerCore:
             return self._handle_sketch(
                 DISTINCT_ROUTE, self.distinct_sketch, self._compute_distinct, body
             )
+        if path == ANN_ROUTE:
+            return self._handle_ann(body)
 
         def run() -> tuple[int, dict]:
             try:
@@ -257,6 +266,34 @@ class ServerCore:
             return run()
         gen = self._generation
         key = (route, json.dumps(body, sort_keys=True), sketch.state_token())
+        return self.cache.get_or_compute(
+            key, run, still_valid=lambda: self._generation == gen
+        )
+
+    def _handle_ann(self, body: dict) -> tuple[int, dict]:
+        """POST /v3/similarity/topk over the loaded AnnIndex (api/ann.py):
+        snapshot serving like the tree routes — the corpus and PQ artifact
+        are immutable for the server's lifetime, so the plain
+        (route, body) cache key + generation guard apply."""
+        if self.ann_index is None:
+            return 404, {"message": "no ANN index configured on this server"}
+        allowed = {"vector", "k", "method", "n_probe"}
+        unknown = set(body) - allowed
+        if unknown:
+            return 400, {"message": f"unknown arguments: {sorted(unknown)}"}
+
+        def run() -> tuple[int, dict]:
+            try:
+                return 200, self.ann_index.topk(**body)
+            except BadInputError as e:
+                return 400, {"message": str(e)}
+            except Exception as e:
+                return 500, {"message": f"{type(e).__name__}: {e}"}
+
+        if self.cache is None:
+            return run()
+        gen = self._generation
+        key = (ANN_ROUTE, json.dumps(body, sort_keys=True))
         return self.cache.get_or_compute(
             key, run, still_valid=lambda: self._generation == gen
         )
@@ -354,6 +391,7 @@ def make_server(
     pruned_closure_table: str | None = None,
     stats_sketch=None,
     distinct_sketch=None,
+    ann_index=None,
 ) -> ThreadingHTTPServer:
     """Build (not start) the HTTP server for a loaded GraphStore.
     ``cache_size`` > 0 enables LRU response memoization with single-flight
@@ -363,9 +401,11 @@ def make_server(
     republished snapshot without stale cache entries. ``stats_sketch``
     (a streaming/stats.StreamingQuantileSketch) additionally serves
     POST /v3/stats/quantiles; ``distinct_sketch`` (a StreamingHLLSketch)
-    serves POST /v3/stats/distinct."""
+    serves POST /v3/stats/distinct; ``ann_index`` (an api/ann.AnnIndex)
+    serves POST /v3/similarity/topk."""
     core = ServerCore(
-        store, cache_size, pruned_closure_table, stats_sketch, distinct_sketch
+        store, cache_size, pruned_closure_table, stats_sketch, distinct_sketch,
+        ann_index,
     )
 
     class Handler(BaseHTTPRequestHandler):
@@ -407,6 +447,7 @@ def serve(
     pruned_closure_table: str | None = None,
     stats_sketch=None,
     distinct_sketch=None,
+    ann_index=None,
 ) -> None:
     srv = make_server(
         store,
@@ -416,6 +457,7 @@ def serve(
         pruned_closure_table=pruned_closure_table,
         stats_sketch=stats_sketch,
         distinct_sketch=distinct_sketch,
+        ann_index=ann_index,
     )
     print(f"tree_of_life API serving on http://{host}:{port}")
     try:

@@ -675,7 +675,7 @@ class TreeOfLifeV3:
             )
             labels_df = self._labels_df(member_plus, label_format, ids_for_unnamed)
             newick = distributed_newick(
-                edges, self.store.paths, qid, labels_df, anchor_depth=2
+                edges, self.store.paths, qid, labels_df, anchor_depth="auto"
             )
         else:
             rows = edges.select(

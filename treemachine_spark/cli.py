@@ -112,6 +112,14 @@ def main(argv=None) -> int:
         "register table at PATH (streaming/stats.StreamingHLLSketch "
         "layout), e.g. /data/userstats:user_id:event_type",
     )
+    s.add_argument(
+        "--ann-index",
+        default=None,
+        metavar="EMB_PARQUET[:PQ_DIR]",
+        help="serve POST /v3/similarity/topk over the embeddings parquet "
+        "(cached corpus; brute/ivf methods), optionally with a persisted "
+        "PQ index directory (cli pqbuild output) enabling method=pq",
+    )
 
     s = sub.add_parser(
         "route",
@@ -451,6 +459,14 @@ def main(argv=None) -> int:
             dsketch = _parse_sketch(
                 args.distinct_sketch, "--distinct-sketch", StreamingHLLSketch
             )
+        ann = None
+        if args.ann_index:
+            from treemachine_spark.api.ann import AnnIndex
+
+            emb_path, _, pq_dir = args.ann_index.partition(":")
+            ann = AnnIndex.from_paths(
+                store.nodes.sparkSession, emb_path, pq_dir or None
+            )
         serve(
             store,
             host=args.host,
@@ -459,6 +475,7 @@ def main(argv=None) -> int:
             pruned_closure_table=args.pruned_table,
             stats_sketch=sketch,
             distinct_sketch=dsketch,
+            ann_index=ann,
         )
     elif args.cmd == "extractdrafttree_name":
         from treemachine_spark.api.v3 import TreeOfLifeV3

@@ -112,7 +112,7 @@ def distributed_newick(
     paths,
     root_id: str,
     labels=None,
-    anchor_depth: int = 2,
+    anchor_depth: int | str = "auto",
     include_branch_lengths: bool = False,
 ) -> str:
     """Scalable newick assembly: fragments are built executor-side per
@@ -142,6 +142,16 @@ def distributed_newick(
     e = edges.select(*sel)
 
     rd = paths.where(F.col("ancestor_id") == root_id).select("node_id", "depth")
+    if anchor_depth == "auto":
+        # fanout-aware pick (api/v3.pick_anchor_depth, VERDICT r7 #7):
+        # shallowest level whose largest fragment fits executor memory,
+        # bounded by the driver-stitch collect. rd feeds three actions in
+        # auto mode — materialize it once.
+        from treemachine_spark.api.v3 import pick_anchor_depth
+
+        member = e.select(F.col("child_id").alias("node_id"))
+        rd = rd.join(member, "node_id", "left_semi").localCheckpoint(eager=True)
+        anchor_depth = pick_anchor_depth(rd, member, paths)
     anchors = rd.where(F.col("depth") == anchor_depth).select(
         F.col("node_id").alias("anchor")
     )

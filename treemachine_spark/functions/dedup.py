@@ -425,6 +425,87 @@ def ngram_jaccard_pairs(
     return out
 
 
+MAX_PROBE_DOCS = 10_000
+
+
+def ngram_jaccard_probe(
+    docs: DataFrame,
+    probe_ids,
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Request-scale exact-Jaccard near-dup PROBE: the pairs of
+    :func:`ngram_jaccard_pairs` restricted to those touching a bounded
+    ``probe_ids`` set — "which corpus docs duplicate THESE documents".
+
+    Same shingle space and the identical (doc_a, doc_b, jaccard) output
+    rows as the batch recipe, but the plan is LINEAR in the corpus: the
+    probe docs' shingles become the broadcast hash side and the full
+    inverted index streams through once, so no all-pairs intermediate
+    exists. The batch recipe's cost is sum-over-shingles C(df,2) — on a
+    duplicate-heavy corpus that is quadratic in cluster size (the sf10
+    derived set's 2.5B pair-shingle incidences exceed a single box's
+    spill); this probe is the serving/decontamination shape that stays
+    cheap at any corpus size, the same request-vs-batch split as
+    ``brute_force_topk`` vs ``cosine_near_dup_pairs_lsh``.
+
+    ``probe_ids`` is a driver-resident id list (request-scale contract,
+    like ``node_distance``'s pair list) bounded by MAX_PROBE_DOCS —
+    corpus-scale probing is the batch recipe's job.
+    """
+    ids = list(dict.fromkeys(probe_ids))
+    if not ids:
+        raise ValueError("ngram_jaccard_probe: empty probe_ids")
+    if len(ids) > MAX_PROBE_DOCS:
+        raise ValueError(
+            f"ngram_jaccard_probe is a request-scale operator bounded at "
+            f"{MAX_PROBE_DOCS} probe docs ({len(ids)} given): use "
+            f"ngram_jaccard_pairs / minhash_near_dup_pairs for corpus-scale"
+        )
+    arr = docs.select(
+        "doc_id", shingle_array_udf(k)(F.col(text_col)).alias("sh")
+    )
+    sh = arr.select("doc_id", F.explode("sh").alias("s"))
+    px = sh.where(F.col("doc_id").isin(ids)).select(
+        F.col("doc_id").alias("pid"), "s"
+    )
+    # ordered (pid, other) intersection counts; both-probe pairs arrive in
+    # both orientations with equal counts, so the least/greatest + MAX
+    # normalization dedupes without double-counting (the oracle's recipe)
+    inter = (
+        sh.join(F.broadcast(px), "s")
+        .where(F.col("doc_id") != F.col("pid"))
+        .groupBy("pid", "doc_id")
+        .agg(F.count("*").alias("n1"))
+        .groupBy(
+            F.least("pid", "doc_id").alias("doc_a"),
+            F.greatest("pid", "doc_id").alias("doc_b"),
+        )
+        .agg(F.max("n1").alias("n_inter"))
+    )
+    # |A| from the shingle arrays directly (distinct per doc) — no second
+    # explode pass; the pair side is request-scale, so it broadcasts
+    sizes = arr.select("doc_id", F.size("sh").alias("n"))
+    return (
+        sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n", "n_a")
+        .join(F.broadcast(inter), "doc_a")
+        .join(
+            sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "n_b"),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 4
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
 def connected_components(
     pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b", max_rounds: int = 64
 ) -> DataFrame:

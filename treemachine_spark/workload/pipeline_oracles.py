@@ -200,6 +200,32 @@ JOIN sizes sb ON doc_b = sb.doc_id
 WHERE n_inter / (sa.n + sb.n - n_inter) >= 0.3
 """
 
+# d8: the probe recipe's oracle — probe shingles as the small join side,
+# one inverted-index pass; least/greatest + MAX dedupes both-probe pairs
+# (each arrives in both orientations with equal counts)
+PIPELINE_ORACLES["d8_jaccard_probe"] = _SHINGLES_CTE + f"""
+, ex AS (SELECT doc_id, unnest(sh) AS s FROM sh)
+, px AS (SELECT doc_id AS pid, s FROM ex
+         WHERE doc_id IN ({", ".join(str(i) for i in range(20))}))
+, inter1 AS (
+    SELECT x.pid, y.doc_id, COUNT(*) AS n1
+    FROM px x JOIN ex y ON x.s = y.s AND y.doc_id != x.pid
+    GROUP BY 1, 2
+)
+, inter AS (
+    SELECT LEAST(pid, doc_id) AS doc_a, GREATEST(pid, doc_id) AS doc_b,
+           MAX(n1) AS n_inter
+    FROM inter1 GROUP BY 1, 2
+)
+, sizes AS (SELECT doc_id, len(sh) AS n FROM sh)
+SELECT doc_a, doc_b,
+       ROUND(n_inter / (sa.n + sb.n - n_inter), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE n_inter / (sa.n + sb.n - n_inter) >= 0.3
+"""
+
 # multimodal: the fake decoder is pure byte arithmetic, so DuckDB can
 # re-derive it (text is ASCII: unicode(char) == byte value)
 PIPELINE_ORACLES["m1_media_features"] = """

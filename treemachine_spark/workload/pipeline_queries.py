@@ -127,6 +127,17 @@ def q_d4_ngram_jaccard(spark, sf_dir):
     )
 
 
+def q_d8_jaccard_probe(spark, sf_dir):
+    """Request-scale exact-Jaccard near-dup probe (dedup.ngram_jaccard_probe,
+    r8): pairs touching a bounded probe set — broadcast probe shingles
+    against one inverted-index stream, LINEAR in the corpus where the d4
+    batch recipe's pair-shingle intermediate is quadratic in cluster size
+    (box-bound at sf10; this shape is what runs there, and at 100 TB)."""
+    return dedup.ngram_jaccard_probe(
+        load_tables(spark, sf_dir)["documents"], probe_ids=list(range(20))
+    )
+
+
 def q_m1_media_features(spark, sf_dir):
     """Multimodal plumbing under the oracle: binary media column (encoded
     payload + typed metadata) -> mapInPandas feature extraction over Arrow
@@ -698,6 +709,7 @@ PIPELINE_QUERIES = {
     "d3_simhash": q_d3_simhash,
     "d4_ngram_jaccard": q_d4_ngram_jaccard,
     "d7_jaccard_capped": q_d7_jaccard_capped,
+    "d8_jaccard_probe": q_d8_jaccard_probe,
     "x6_hash_split": q_x6_hash_split,
     "x7_chunking": q_x7_chunking,
     "x8_token_percentiles": q_x8_token_percentiles,
