@@ -46,6 +46,7 @@ from treemachine_spark.workload.queries import QUERIES  # noqa: E402
 _FRONT = [
     # NEW in r8 (never driver-verified — leads the front)
     "d8_jaccard_probe",
+    "t15_deepest_exemplified",
     # newest driver row is the r5 artifact (deferred from the r7 front)
     "s7_sessionize_stream",
     "s8_stream_novelty",
@@ -53,7 +54,6 @@ _FRONT = [
     "m1_media_features",
     # newest driver row is the r6 artifact
     "k7_grouped_quantiles",
-    "s9_stream_quantiles",
     "c3_node_heights",
     "k8_grouped_hll",
     "c1_rf_distance",
@@ -156,22 +156,24 @@ _DRIVER_EXCLUDED = {
         "p3_props_decode",
     )
 }
-# ...plus the five r6-signed gates the 50-row artifact cannot fit this
-# round (105 gates total now that r8 adds d8_jaccard_probe, which takes
-# the never-verified lead slot): deferred to the r9 front, still
-# pytest-verified at sf0.001 + the driver's sf0.01 every round. Chosen
-# for the densest extra pinning: t2/t6 carry the large-tipset and
-# golden-newick / distributed-equality test files (plus sf10 sweep rows),
-# a1's counts are ingest-stored and sf10-signed including the one-time
-# ingest, d2 has the dedicated minhash test family and a 27.3M-row sf10
-# rows-only sign, x15 has the dedicated tfidf test file and an sf10
-# value sign.
+# ...plus the six r6-signed gates the 50-row artifact cannot fit this
+# round (106 gates total now that r8 adds d8_jaccard_probe and
+# t15_deepest_exemplified, which take the never-verified lead slots):
+# deferred to the r9 front, still pytest-verified at sf0.001 + the
+# driver's sf0.01 every round. Chosen for the densest extra pinning:
+# t2/t6 carry the large-tipset and golden-newick / distributed-equality
+# test files (plus sf10 sweep rows), a1's counts are ingest-stored and
+# sf10-signed including the one-time ingest, d2 has the dedicated minhash
+# test family and a 27.3M-row sf10 rows-only sign, x15 has the dedicated
+# tfidf test file and an sf10 value sign, s9 has the dedicated
+# test_streaming_stats crash/merge-law family and a 3-SF pytest tier.
 for _name in (
     "t2_mrca",
     "t6_induced_subtree",
     "a1_tip_counts",
     "d2_minhash_pairs",
     "x15_tfidf",
+    "s9_stream_quantiles",
 ):
     _DRIVER_EXCLUDED[_name] = (
         "r6 artifact row (CORRECTNESS_r06.json); deferred to the r9 front "

@@ -164,3 +164,93 @@ def test_extend_closure_matches_full_rebuild(spark):
     incr = extend_closure(build_closure(mk(old)), mk(new))
     assert incr.exceptAll(full).count() == 0
     assert full.exceptAll(incr).count() == 0
+
+
+def py_deepest_exemplified(parents, matched):
+    """Literal reference climb (GraphImporter.java:445-479): walk up while
+    the parent's tip-descendant set misses the union of the OTHER matched
+    nodes' tip sets; return the last node below the first intersecting
+    parent (the matched node itself when its own parent intersects)."""
+    children: dict[int, list[int]] = {}
+    for c, p in parents.items():
+        children.setdefault(p, []).append(c)
+
+    def tipset(x):
+        out, stack = set(), [x]
+        while stack:
+            y = stack.pop()
+            kids = children.get(y)
+            if kids:
+                stack.extend(kids)
+            else:
+                out.add(y)
+        return out
+
+    res = {}
+    for m in matched:
+        outgroup = set()
+        for j in matched:
+            if j != m:
+                outgroup |= tipset(j)
+        cur, depth = m, 0
+        while True:
+            par = parents[cur]  # matched root is reference-undefined
+            if tipset(par) & outgroup:
+                break
+            cur, depth = par, depth + 1
+        res[m] = (cur, depth)
+    return res
+
+
+@pytest.mark.parametrize("seed", [3, 11, 99])
+def test_deepest_exemplified_vs_python_oracle(spark, seed):
+    """T15 differential: the closure-join operator (tree-comparability
+    shortcut) against the literal BitSet-intersection climb, random trees
+    x random matched sets (nested matches included — they pin the
+    remap-to-self floor)."""
+    rng = random.Random(seed)
+    n = 150
+    pairs = random_tree(rng, n)
+    parents = {c: p for c, p in pairs}
+    edges = spark.createDataFrame(
+        [(f"v{c}", f"v{p}") for c, p in pairs], "child_id string, parent_id string"
+    )
+    paths = build_closure(edges)
+    nodes = edges.select(F.col("child_id").alias("node_id")).unionByName(
+        spark.createDataFrame([("v0",)], "node_id string")
+    )
+    ps = with_self_paths(paths, nodes)
+    for _ in range(3):
+        k = rng.randrange(2, 9)
+        matched = rng.sample(range(1, n), k)  # root excluded: climb undefined
+        want = {
+            f"v{m}": (f"v{r}", d)
+            for m, (r, d) in py_deepest_exemplified(parents, matched).items()
+        }
+        got = {
+            r["node_id"]: (r["remap_id"], r["remap_depth"])
+            for r in T.deepest_exemplified_remap(
+                ps, [f"v{m}" for m in matched]
+            ).collect()
+        }
+        assert got == want
+
+    # a nested pair always floors to self (the reference's
+    # first-parent-already-intersects return)
+    leafy = next(c for c in range(1, n) if c not in set(parents.values()))
+    anc = parents[leafy]
+    got = {
+        r["node_id"]: (r["remap_id"], r["remap_depth"])
+        for r in T.deepest_exemplified_remap(
+            ps, [f"v{leafy}", f"v{anc}", f"v{leafy}"]  # dupes dedup
+        ).collect()
+    }
+    assert got == {
+        f"v{leafy}": (f"v{leafy}", 0),
+        f"v{anc}": (f"v{anc}", 0),
+    }
+
+    with pytest.raises(ValueError, match=">= 2 distinct"):
+        T.deepest_exemplified_remap(ps, [f"v1", f"v1"])
+    with pytest.raises(ValueError, match="request-scale"):
+        T.deepest_exemplified_remap(ps, [f"v{i}" for i in range(10_001)])

@@ -498,3 +498,104 @@ def bfs_capped(edges: DataFrame, start: str, max_nodes: int, max_depth: int = 20
         frontier = nxt
         total += n
     return visited
+
+
+MAX_REMAP_MATCHES = 10_000
+
+
+def deepest_exemplified_remap(paths_self: DataFrame, matched) -> DataFrame:
+    """T15 — deepest-exemplified-taxon remap, the legacy ingest step that
+    lifts each input-tree tip's taxon mapping to the HIGHEST taxonomic
+    ancestor it can exemplify without colliding with the other tips.
+
+    Reference: GraphImporter.getDeepestExemplifiedTaxon
+    (opentree/GraphImporter.java:445-479) climbs TAXCHILDOF one node at a
+    time, stopping when the parent's ``mrca`` descendant BitSet intersects
+    the union of the OTHER matched nodes' BitSets (the outgroup built by
+    relabelDeepest, :174-229). Declarative form: ancestor tip sets are
+    supersets of their children's, so disjointness is monotone up the
+    chain and the climb returns exactly the max-depth ancestor whose
+    tip-descendant set misses the outgroup — with the node itself as the
+    floor when even its own set intersects (nested matches; the reference
+    hits that as "first parent already intersects, return inNode").
+
+    On a tree closure no tip sets are needed at all: two nodes' tip sets
+    intersect iff one is an ancestor-or-self of the other, so "candidate x
+    intersects matched j" is just closure membership between x and j in
+    either direction. The whole operator is then IN-pushed closure scans
+    + request-scale joins — no per-node BitSets, no corpus-scale shuffle
+    (the gate's DuckDB oracle recomputes the literal tip-set-intersection
+    semantics, cross-checking this equivalence every run).
+
+    ``matched`` is a driver-resident id list (the reference's per-input-
+    tree leaf map — request-scale by construction, bounded like the other
+    literal-IN request ops). Needs >= 2 distinct ids: with an empty
+    outgroup the reference climb runs off the root (its documented
+    IllegalStateException). Returns one row per distinct matched id:
+    (node_id, remap_id, remap_depth).
+    """
+    ids = list(dict.fromkeys(matched))
+    if len(ids) < 2:
+        raise ValueError(
+            "deepest_exemplified_remap needs >= 2 distinct matched nodes: "
+            "with an empty outgroup every ancestor is exemplified and the "
+            "climb has no stopping point (the reference raises hitting the "
+            "graph root)"
+        )
+    if len(ids) > MAX_REMAP_MATCHES:
+        raise ValueError(
+            f"deepest_exemplified_remap is a request-scale operator bounded "
+            f"at {MAX_REMAP_MATCHES} matched nodes ({len(ids)} given): remap "
+            f"trees one at a time (the reference's unit of work)"
+        )
+    spark = paths_self.sparkSession
+    # candidate ancestors of each matched node, self included (depth 0):
+    # one IN-pushed closure scan, |matched| x height rows
+    cand = paths_self.where(F.col("node_id").isin(ids)).select(
+        F.col("node_id").alias("m"),
+        F.col("ancestor_id").alias("cand"),
+        "depth",
+    )
+    # "x intersects matched j" pairs via tree comparability:
+    #  - x is an ancestor-or-self of j: the cand rows themselves, re-read
+    #  - x is a descendant-or-self of j: rows below a matched node,
+    #    semi-joined to the candidate set to stay request-scale (only
+    #    candidates are ever consulted by the anti-join)
+    above = cand.select(F.col("cand"), F.col("m").alias("mj"))
+    below = (
+        paths_self.where(F.col("ancestor_id").isin(ids))
+        .select(F.col("node_id").alias("cand"), F.col("ancestor_id").alias("mj"))
+        .join(
+            F.broadcast(cand.select("cand").distinct()), "cand", "left_semi"
+        )
+    )
+    pairs = above.unionByName(below)
+    # unblocked = candidates intersecting no OTHER matched node; keep the
+    # highest (max depth — unique per depth on a tree, struct-max is
+    # deterministic regardless)
+    # pairs derives from cand, so the anti-join is a self-join: explicit
+    # aliases keep the condition's two 'cand' columns from resolving to
+    # the same lineage (Spark would silently plan `cand == cand` as true)
+    best = (
+        cand.alias("c")
+        .join(
+            pairs.alias("p"),
+            (F.col("p.cand") == F.col("c.cand")) & (F.col("p.mj") != F.col("c.m")),
+            "left_anti",
+        )
+        .groupBy("m")
+        .agg(F.max(F.struct("depth", "cand")).alias("b"))
+        .select("m", F.col("b.cand").alias("remap_id"), F.col("b.depth").alias("d"))
+    )
+    # floor: a matched node whose own tip set intersects the outgroup
+    # (nested matches) has NO unblocked candidate — it remaps to itself,
+    # exactly the reference's first-parent-intersects return
+    matched_df = local_df(spark, [(i,) for i in ids], "m string")
+    return (
+        matched_df.join(best, "m", "left")
+        .select(
+            F.col("m").alias("node_id"),
+            F.coalesce("remap_id", "m").alias("remap_id"),
+            F.coalesce("d", F.lit(0)).cast("int").alias("remap_depth"),
+        )
+    )

@@ -135,6 +135,61 @@ WHERE ancestor_id = 'root' OR regexp_matches(ancestor_id, '^[rn][0-9]+$')
 GROUP BY ancestor_id
 """
 
+# T15 oracle computes the reference's LITERAL tip-set-intersection
+# semantics (GraphImporter.java:445-479: parent's mrca BitSet vs the
+# outgroup union) — the Spark operator uses the tree-comparability
+# shortcut instead, so every gate run cross-checks that equivalence.
+ORACLES["t15_deepest_exemplified"] = _GRAPH_CTE + """
+, pself AS (
+    SELECT node_id, ancestor_id, depth FROM paths
+    UNION ALL SELECT node_id, node_id, 0 FROM allnodes
+),
+lv(node_id) AS (
+    SELECT DISTINCT child_id FROM edges e
+    WHERE NOT EXISTS (SELECT 1 FROM edges p WHERE p.parent_id = e.child_id)
+),
+matched AS (
+    SELECT 'c' || CAST(MIN(c_custkey) AS VARCHAR) AS m, c_nationkey
+    FROM customer
+    WHERE c_custkey IN (SELECT DISTINCT o_custkey FROM orders)
+    GROUP BY c_nationkey ORDER BY c_nationkey LIMIT 6
+),
+cand AS (
+    SELECT p.node_id AS m, p.ancestor_id AS cand, p.depth
+    FROM pself p JOIN matched ON p.node_id = matched.m
+),
+xmt AS (  -- each matched node's tip-descendant set (its mrca array)
+    SELECT p.ancestor_id AS mj, p.node_id AS tip
+    FROM pself p
+    JOIN matched ON p.ancestor_id = matched.m
+    JOIN lv ON p.node_id = lv.node_id
+),
+xct AS (  -- candidate ancestors' tip sets
+    SELECT DISTINCT p.ancestor_id AS cand, p.node_id AS tip
+    FROM pself p
+    JOIN (SELECT DISTINCT cand FROM cand) c ON p.ancestor_id = c.cand
+    JOIN lv ON p.node_id = lv.node_id
+),
+blocked AS (  -- BitSet.intersects(candidate, matched j)
+    SELECT DISTINCT xct.cand, xmt.mj FROM xct
+    JOIN xmt ON xct.tip = xmt.tip
+),
+ub AS (
+    SELECT c.m, c.cand, c.depth FROM cand c
+    WHERE NOT EXISTS (
+        SELECT 1 FROM blocked b WHERE b.cand = c.cand AND b.mj <> c.m
+    )
+),
+best AS (
+    SELECT m, arg_max(cand, depth) AS remap_id, MAX(depth) AS d
+    FROM ub GROUP BY m
+)
+SELECT matched.m AS node_id,
+       COALESCE(best.remap_id, matched.m) AS remap_id,
+       CAST(COALESCE(best.d, 0) AS INTEGER) AS remap_depth
+FROM matched LEFT JOIN best ON matched.m = best.m
+"""
+
 ORACLES["t12_degree_prune"] = _GRAPH_CTE + """
 SELECT parent_id AS node_id, COUNT(*) AS n_children
 FROM edges GROUP BY parent_id HAVING COUNT(*) >= 5

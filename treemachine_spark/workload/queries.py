@@ -416,6 +416,33 @@ def q_t9_repr_descendants(spark, sf_dir):
     )
 
 
+def q_t15_deepest_exemplified(spark, sf_dir):
+    """T15 — deepest-exemplified-taxon remap (the last reference op:
+    GraphImporter.java:445-479 + relabelDeepest :174-229). Matched set =
+    the min customer-with-orders of each of the 6 lowest nations (one per
+    nation, so each can climb to its nation; 6 nations over 5 regions, so
+    by pigeonhole at least two share a region and stay at nation level
+    while lone-in-region ones climb to region — both stop conditions
+    exercised). Deriving the matched ids is request construction (the
+    reference's caller owns the leaf->taxon map); the operator itself is
+    IN-pushed closure scans, no tip sets."""
+    ctx = get_ctx(spark, sf_dir)
+    orders = ctx["tables"]["orders"].select(
+        F.col("o_custkey").alias("c_custkey")
+    ).distinct()
+    matched = [
+        r["m"]
+        for r in ctx["tables"]["customer"]
+        .join(orders, "c_custkey", "left_semi")
+        .groupBy("c_nationkey")
+        .agg(F.concat(F.lit("c"), F.min("c_custkey").cast("string")).alias("m"))
+        .orderBy("c_nationkey")
+        .limit(6)
+        .collect()
+    ]
+    return T.deepest_exemplified_remap(ctx["paths_self"], matched)
+
+
 def q_e2_intersect(spark, sf_dir):
     """E2 — set intersection (retainAll prune, GraphExplorer.java:751-753):
     customers in the BUILDING segment ∩ customers with >= 1 order."""
@@ -1291,6 +1318,7 @@ QUERIES = {
     "t5_subtree_num_tips": q_t5_subtree_num_tips,
     "t6_induced_subtree": q_t6_induced_subtree,
     "t9_repr_descendants": q_t9_repr_descendants,
+    "t15_deepest_exemplified": q_t15_deepest_exemplified,
     "e2_intersect": q_e2_intersect,
     "a11_rollup": q_a11_rollup,
     "p4_packed_map_roundtrip": q_p4_packed_map_roundtrip,
