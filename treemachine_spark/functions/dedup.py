@@ -463,37 +463,50 @@ def ngram_jaccard_probe(
             f"{MAX_PROBE_DOCS} probe docs ({len(ids)} given): use "
             f"ngram_jaccard_pairs / minhash_near_dup_pairs for corpus-scale"
         )
-    arr = docs.select(
-        "doc_id", shingle_array_udf(k)(F.col(text_col)).alias("sh")
+    # the exploded index stream carries each doc's shingle-set size on
+    # every row (shingles are distinct per doc, so n = size(sh)), so the
+    # corpus is shingled and scanned EXACTLY ONCE — deriving |A|/|B| from
+    # a second/third pass would re-run the Arrow UDF corpus-wide (the
+    # first cut did; the plan audit caught it), and caching the index for
+    # a single request is the wrong trade at corpus scale (the batch
+    # recipe persists it because ALL pairs consume it)
+    # explode_outer, not explode: plain explode makes the optimizer infer
+    # a size(sh) > 0 filter below the Generate, and that filter carries
+    # its own copy of the UDF — the Arrow pass would run TWICE per row
+    # (plan-audited); the outer variant infers nothing, and the null rows
+    # short texts produce are dropped by one cheap codegen filter
+    ex = (
+        docs.select("doc_id", shingle_array_udf(k)(F.col(text_col)).alias("sh"))
+        .select("doc_id", F.size("sh").alias("n"), F.explode_outer("sh").alias("s"))
+        .where(F.col("s").isNotNull())
     )
-    sh = arr.select("doc_id", F.explode("sh").alias("s"))
-    px = sh.where(F.col("doc_id").isin(ids)).select(
-        F.col("doc_id").alias("pid"), "s"
+    px = ex.where(F.col("doc_id").isin(ids)).select(
+        F.col("doc_id").alias("pid"), F.col("n").alias("pn"), "s"
     )
     # ordered (pid, other) intersection counts; both-probe pairs arrive in
-    # both orientations with equal counts, so the least/greatest + MAX
-    # normalization dedupes without double-counting (the oracle's recipe)
-    inter = (
-        sh.join(F.broadcast(px), "s")
+    # both orientations with equal counts and consistent sizes, so the
+    # least/greatest + MAX normalization dedupes without double-counting
+    # (the oracle's recipe); sizes ride the aggregation — no post-joins
+    ordered = (
+        ex.join(F.broadcast(px), "s")
         .where(F.col("doc_id") != F.col("pid"))
         .groupBy("pid", "doc_id")
-        .agg(F.count("*").alias("n1"))
-        .groupBy(
+        .agg(
+            F.count("*").alias("n1"),
+            F.max("pn").alias("pn"),
+            F.max("n").alias("n_doc"),
+        )
+    )
+    lo = F.col("pid") < F.col("doc_id")
+    return (
+        ordered.groupBy(
             F.least("pid", "doc_id").alias("doc_a"),
             F.greatest("pid", "doc_id").alias("doc_b"),
         )
-        .agg(F.max("n1").alias("n_inter"))
-    )
-    # |A| from the shingle arrays directly (distinct per doc) — no second
-    # explode pass; the pair side is request-scale, so it broadcasts
-    sizes = arr.select("doc_id", F.size("sh").alias("n"))
-    return (
-        sizes.withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("n", "n_a")
-        .join(F.broadcast(inter), "doc_a")
-        .join(
-            sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "n_b"),
-            "doc_b",
+        .agg(
+            F.max("n1").alias("n_inter"),
+            F.max(F.when(lo, F.col("pn")).otherwise(F.col("n_doc"))).alias("n_a"),
+            F.max(F.when(lo, F.col("n_doc")).otherwise(F.col("pn"))).alias("n_b"),
         )
         .select(
             "doc_a",
