@@ -1,0 +1,108 @@
+"""ANN serving bench: POST /v3/similarity/topk under the real HTTP facade.
+
+Serves the embeddings corpus (default /tmp/sf10, 200k x 64 — falls back
+to $SPARK_GRAFT_SF_DIR's) through api/server.py with an AnnIndex (PQ
+artifact trained in-process), then measures per-method request latency:
+
+- cold rows: every request a distinct query vector (cache useless) — the
+  number that matters is how much of the corpus each method's plan
+  touches (brute = full scan + top-k; ivf/pq = probed cells only);
+- cached row: one repeated body — the snapshot-cache replay path that
+  dominates production read-mostly traffic (single-flight, no Spark job).
+
+Prints one JSON line. Run: python bench_ann.py [sf_dir] [n_requests]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import threading
+import time
+
+from bench_http import _pctl, _post
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else (
+        "/tmp/sf10" if os.path.exists("/tmp/sf10/embeddings.parquet")
+        else os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    )
+    n_req = int(sys.argv[2]) if len(sys.argv) > 2 else 24
+
+    from treemachine_spark.api.ann import AnnIndex
+    from treemachine_spark.api.server import make_server
+    from treemachine_spark.functions import pq
+    from treemachine_spark.session import get_spark
+
+    spark = get_spark("bench-ann")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    t0 = time.time()
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).cache()
+    n_vec = emb.count()
+    # bench_pq's tested config: the literal-centroid k-means is built for
+    # small code alphabets (n_codes=256 compiles a 256-way argmin
+    # expression per subspace — measured 288 s of pure planning at 2k
+    # vectors; 16 codes train in seconds at identical serving shape)
+    codebook = pq.pq_train(emb, m=8, n_codes=16, iters=3, train_rows=10_000)
+    codes = pq.pq_encode(emb, codebook).cache()
+    codes.count()
+    idx = AnnIndex(emb, codebook=codebook, codes=codes, n_centroids=64)
+    build_s = round(time.time() - t0, 1)
+
+    # a small real store satisfies the server constructor (the bench only
+    # drives the ANN route)
+    from bench_http import build_synth_store
+
+    store, _, _, _ = build_synth_store(spark, 100)
+    srv = make_server(store, host="127.0.0.1", port=0, ann_index=idx)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+
+    qvecs = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.limit(n_req).collect()
+    ]
+    out: dict[str, dict] = {}
+    try:
+        for method in ("brute", "ivf", "pq"):
+            lats, errs = [], 0
+            for i, v in enumerate(qvecs):
+                body = {"vector": v, "k": 10, "method": method}
+                t = time.time()
+                status, _ = _post(base, "/v3/similarity/topk", body)
+                lats.append(time.time() - t)
+                errs += status != 200
+            out[method] = {
+                "p50": _pctl(lats, 0.5),
+                "p95": _pctl(lats, 0.95),
+                "max": _pctl(lats, 1.0),
+                "errors": errs,
+            }
+        # cached replay: identical body, served from the snapshot cache
+        body = {"vector": qvecs[0], "k": 10, "method": "pq"}
+        _post(base, "/v3/similarity/topk", body)  # prime
+        lats = []
+        for _ in range(50):
+            t = time.time()
+            status, _ = _post(base, "/v3/similarity/topk", body)
+            lats.append(time.time() - t)
+        out["cached"] = {"p50": _pctl(lats, 0.5), "p95": _pctl(lats, 0.95)}
+    finally:
+        srv.shutdown()
+        srv.server_close()
+    print(json.dumps({
+        "metric": "ann_topk_latency",
+        "unit": "sec",
+        "sf_dir": sf_dir,
+        "n_vectors": n_vec,
+        "n_requests": n_req,
+        "index_build_sec": build_s,
+        "methods": out,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -50,6 +50,18 @@ class AnnIndex:
         if head is None:
             raise BadInputError("ANN index: embeddings table is empty")
         self.dim = len(head[0])
+        # the IVF cell assignment is the INDEX-BUILD step — compute it once
+        # here and cache it, or every ivf/pq request re-runs the corpus ×
+        # centroids argmax (the r8 serving bench measured that rebuild at
+        # 4-6 s per request against 200k vectors; with the cached artifact
+        # a request only scans the probed cells). Repartitioned by cell so
+        # the cached batches are cell-pure.
+        from treemachine_spark.functions.similarity import ivf_cells
+
+        cent, assigned = ivf_cells(embeddings, n_centroids, id_col, vec_col)
+        assigned = assigned.repartition(n_centroids, "cent_id").cache()
+        assigned.count()
+        self._cells = (cent.cache(), assigned)
 
     @classmethod
     def from_paths(cls, spark, emb_path: str, pq_dir: str | None = None, **kw):
@@ -116,6 +128,7 @@ class AnnIndex:
             out = similarity.ivf_topk(
                 self.embeddings, q, k=k, n_centroids=self.n_centroids,
                 n_probe=n_probe, id_col=self.id_col, vec_col=self.vec_col,
+                cells=self._cells,
             )
         else:
             from treemachine_spark.functions.pq import ivf_pq_topk
@@ -124,7 +137,7 @@ class AnnIndex:
                 self.embeddings, q, k=k, n_centroids=self.n_centroids,
                 n_probe=n_probe, codebook=self.codebook, codes=self.codes,
                 rotation=self.rotation, rerank=True,
-                id_col=self.id_col, vec_col=self.vec_col,
+                id_col=self.id_col, vec_col=self.vec_col, cells=self._cells,
             )
         rows = out.orderBy("rank").collect()
         return {

@@ -315,6 +315,7 @@ def ivf_pq_topk(
     rerank_factor: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cells=None,
 ) -> DataFrame:
     """IVF-PQ (IVFADC) top-k: coarse cells exactly like ``ivf_topk``
     (deterministic smallest-id centroids, broadcast argmax assignment,
@@ -387,25 +388,17 @@ def ivf_pq_topk(
             )
     n_codes = len(codebook[0])
 
-    cent = (
-        embeddings.orderBy(id_col)
-        .limit(n_centroids)
-        .select(F.col(id_col).alias("cent_id"), quantize(F.col(vec_col)).alias("cvec"))
+    # coarse cells: a precomputed similarity.ivf_cells artifact when the
+    # caller serves many requests (api/ann.AnnIndex — the per-call rebuild
+    # was the serving bench's whole latency), derived on the fly otherwise
+    from treemachine_spark.functions.similarity import ivf_cells
+
+    cent, cell_assign = (
+        cells if cells is not None
+        else ivf_cells(embeddings, n_centroids, id_col, vec_col)
     )
-    emb = embeddings.select(
-        F.col(id_col).alias("neighbor_id"), quantize(F.col(vec_col)).alias("cv")
-    )
-    w_assign = Window.partitionBy("neighbor_id").orderBy(F.desc("cscore"), "cent_id")
     assigned = (
-        emb.crossJoin(F.broadcast(cent))
-        .select(
-            "neighbor_id",
-            "cent_id",
-            int_dot(F.col("cv"), F.col("cvec")).alias("cscore"),
-        )
-        .withColumn("arn", F.row_number().over(w_assign))
-        .where(F.col("arn") == 1)
-        .select("neighbor_id", "cent_id")
+        cell_assign.select("neighbor_id", "cent_id")
         # the compressed candidate table: cell + m codes per vector — at
         # 100 TB this (not the float vectors) is the stored index
         .join(codes.withColumnRenamed(id_col, "neighbor_id"), "neighbor_id")
@@ -458,7 +451,7 @@ def ivf_pq_topk(
     # the short-list is request-scale (rerank_factor*k per query) — hint it
     # broadcast so the exact re-rank never shuffles the corpus vectors
     # (Spark's size estimate sees the corpus-joined lineage, not the limit)
-    exact = emb.select("neighbor_id", "cv").join(
+    exact = cell_assign.select("neighbor_id", "cv").join(
         F.broadcast(short), "neighbor_id"
     ).select(
         "query_id", "neighbor_id", int_dot(F.col("qv"), F.col("cv")).alias("score")
