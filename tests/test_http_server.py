@@ -655,6 +655,24 @@ def test_similarity_topk_route(spark, base_url):
         assert (status2, blob2) == (200, blob)
         assert srv.core.cache.misses == m and srv.core.cache.hits >= 1
 
+        # batch form: per-index results == the single-vector responses
+        vec2 = [
+            float(x)
+            for x in emb.where(F.col("vec_id") == 7).head()["embedding"]
+        ]
+        status, bblob = post(
+            base, "/v3/similarity/topk",
+            {"vectors": [vec, vec2], "k": 5, "method": "brute"},
+        )
+        assert status == 200 and "neighbors" not in bblob
+        assert bblob["results"][0] == blob["neighbors"]
+        status, solo2 = post(
+            base, "/v3/similarity/topk",
+            {"vector": vec2, "k": 5, "method": "brute"},
+        )
+        assert bblob["results"][1] == solo2["neighbors"]
+        assert bblob["results"][1][0]["neighbor_id"] == 7
+
         # contract 400s
         for bad, msg in [
             ({"vector": vec[:3]}, "dimensions"),
@@ -662,6 +680,10 @@ def test_similarity_topk_route(spark, base_url):
             ({"vector": vec, "k": 0}, "'k' must be"),
             ({"vector": "nope"}, "'vector' must be"),
             ({}, "'vector' must be"),
+            ({"vector": vec, "vectors": [vec]}, "not both"),
+            ({"vectors": []}, "'vectors' must be"),
+            ({"vectors": [vec, vec2[:3]]}, "'vectors'[1] has"),
+            ({"vectors": [vec] * 257}, "bounded at 256"),
             ({"vector": vec, "nope": 1}, "unknown arguments"),
         ]:
             status, resp = post(base, "/v3/similarity/topk", bad)

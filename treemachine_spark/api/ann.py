@@ -18,6 +18,9 @@ from __future__ import annotations
 from treemachine_spark.api.errors import BadInputError
 
 MAX_K = 1000
+# batch lookups stay request-scale: the query frame is a broadcast
+# LocalRelation, so its size is part of the serving contract
+MAX_BATCH = 256
 
 
 class AnnIndex:
@@ -78,32 +81,62 @@ class AnnIndex:
             codes.count()
         return cls(emb, codebook, codes, rotation, **kw)
 
-    def _query_frame(self, vector):
+    def _query_frame(self, vectors):
         import pandas as pd
 
         spark = self.embeddings.sparkSession
-        # pandas -> LocalRelation under Arrow; vec_id -1 is outside the
+        # pandas -> LocalRelation under Arrow; ids -1..-n are outside the
         # corpus id space so the operators' self-exclusion never triggers
-        pdf = pd.DataFrame({self.id_col: [-1], self.vec_col: [vector]})
+        # (query i = id -(i+1))
+        pdf = pd.DataFrame(
+            {
+                self.id_col: [-(i + 1) for i in range(len(vectors))],
+                self.vec_col: list(vectors),
+            }
+        )
         schema = f"{self.id_col} long, {self.vec_col} array<double>"
         return spark.createDataFrame(pdf, schema=schema)
+
+    @staticmethod
+    def _check_vec(v, dim, what):
+        if not isinstance(v, (list, tuple)) or not v or not all(
+            isinstance(x, (int, float)) and not isinstance(x, bool) for x in v
+        ):
+            raise BadInputError(f"{what} must be a non-empty list of numbers")
+        if len(v) != dim:
+            raise BadInputError(
+                f"{what} has {len(v)} dimensions; the index serves "
+                f"{dim}-dimensional embeddings"
+            )
 
     def topk(
         self,
         vector=None,
+        vectors=None,
         k: int = 10,
         method: str | None = None,
         n_probe: int = 2,
     ) -> dict:
-        if not isinstance(vector, (list, tuple)) or not vector or not all(
-            isinstance(x, (int, float)) and not isinstance(x, bool) for x in vector
-        ):
-            raise BadInputError("'vector' must be a non-empty list of numbers")
-        if len(vector) != self.dim:
+        if (vector is None) == (vectors is None):
             raise BadInputError(
-                f"'vector' has {len(vector)} dimensions; the index serves "
-                f"{self.dim}-dimensional embeddings"
+                "'vector' must be a non-empty list of numbers (or pass a "
+                "'vectors' batch instead, not both)"
             )
+        if vector is not None:
+            self._check_vec(vector, self.dim, "'vector'")
+            batch = [vector]
+        else:
+            if not isinstance(vectors, (list, tuple)) or not vectors:
+                raise BadInputError("'vectors' must be a non-empty list of vectors")
+            if len(vectors) > MAX_BATCH:
+                raise BadInputError(
+                    f"'vectors' batch is bounded at {MAX_BATCH} "
+                    f"({len(vectors)} given): shard larger lookups, or run "
+                    f"the library operators over a vector table"
+                )
+            for i, v in enumerate(vectors):
+                self._check_vec(v, self.dim, f"'vectors'[{i}]")
+            batch = list(vectors)
         if not isinstance(k, int) or isinstance(k, bool) or not 1 <= k <= MAX_K:
             raise BadInputError(f"'k' must be an integer in [1, {MAX_K}]")
         if not isinstance(n_probe, int) or isinstance(n_probe, bool) or n_probe < 1:
@@ -117,12 +150,12 @@ class AnnIndex:
 
         from treemachine_spark.functions import similarity
 
-        q = self._query_frame([float(x) for x in vector])
+        q = self._query_frame([[float(x) for x in v] for v in batch])
         if method == "brute":
             out = similarity.brute_force_topk(
                 self.embeddings, q, k=k,
                 id_col=self.id_col, vec_col=self.vec_col,
-                max_queries=None,  # one request vector by construction
+                max_queries=None,  # request-scale by the MAX_BATCH contract
             )
         elif method == "ivf":
             out = similarity.ivf_topk(
@@ -139,16 +172,20 @@ class AnnIndex:
                 rotation=self.rotation, rerank=True,
                 id_col=self.id_col, vec_col=self.vec_col, cells=self._cells,
             )
-        rows = out.orderBy("rank").collect()
-        return {
-            "method": method,
-            "k": k,
-            "neighbors": [
+        rows = out.orderBy("query_id", "rank").collect() if len(batch) > 1 \
+            else out.orderBy("rank").collect()
+        results: list[list[dict]] = [[] for _ in batch]
+        for r in rows:
+            results[-r["query_id"] - 1].append(
                 {
                     "neighbor_id": r["neighbor_id"],
                     "score": float(r["score"]),
                     "rank": r["rank"],
                 }
-                for r in rows
-            ],
-        }
+            )
+        blob = {"method": method, "k": k}
+        if vector is not None:
+            blob["neighbors"] = results[0]
+        else:
+            blob["results"] = results
+        return blob

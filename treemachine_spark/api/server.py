@@ -277,7 +277,7 @@ class ServerCore:
         (route, body) cache key + generation guard apply."""
         if self.ann_index is None:
             return 404, {"message": "no ANN index configured on this server"}
-        allowed = {"vector", "k", "method", "n_probe"}
+        allowed = {"vector", "vectors", "k", "method", "n_probe"}
         unknown = set(body) - allowed
         if unknown:
             return 400, {"message": f"unknown arguments: {sorted(unknown)}"}
