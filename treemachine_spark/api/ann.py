@@ -41,6 +41,7 @@ class AnnIndex:
         id_col: str = "vec_id",
         vec_col: str = "embedding",
         n_centroids: int = 8,
+        cells=None,
     ):
         self.embeddings = embeddings
         self.codebook = codebook
@@ -53,16 +54,21 @@ class AnnIndex:
         if head is None:
             raise BadInputError("ANN index: embeddings table is empty")
         self.dim = len(head[0])
-        # the IVF cell assignment is the INDEX-BUILD step — compute it once
-        # here and cache it, or every ivf/pq request re-runs the corpus ×
-        # centroids argmax (the r8 serving bench measured that rebuild at
-        # 4-6 s per request against 200k vectors; with the cached artifact
-        # a request only scans the probed cells). Repartitioned by cell so
-        # the cached batches are cell-pure.
-        from treemachine_spark.functions.similarity import ivf_cells
+        # the IVF cell assignment is the INDEX-BUILD step — load the
+        # persisted artifact (write_pq_index(n_centroids=)) or compute it
+        # once here and cache it; every ivf/pq request re-running the
+        # corpus × centroids argmax is what the r8 serving bench measured
+        # at 4-6 s per request against 200k vectors (with the cached
+        # artifact a request only scans the probed cells). Repartitioned
+        # by cell so the cached batches are cell-pure.
+        if cells is None:
+            from treemachine_spark.functions.similarity import ivf_cells
 
-        cent, assigned = ivf_cells(embeddings, n_centroids, id_col, vec_col)
-        assigned = assigned.repartition(n_centroids, "cent_id").cache()
+            cent, assigned = ivf_cells(embeddings, n_centroids, id_col, vec_col)
+            assigned = assigned.repartition(n_centroids, "cent_id")
+        else:
+            cent, assigned = cells
+        assigned = assigned.cache()
         assigned.count()
         self._cells = (cent.cache(), assigned)
 
@@ -72,14 +78,20 @@ class AnnIndex:
         scans) and, when given, the persisted PQ artifact."""
         emb = spark.read.parquet(emb_path).cache()
         emb.count()
-        codebook = codes = rotation = None
+        codebook = codes = rotation = cells = None
         if pq_dir is not None:
-            from treemachine_spark.functions.pq import read_pq_index
+            from treemachine_spark.functions.pq import (
+                read_ivf_cells,
+                read_pq_index,
+            )
 
             codebook, codes, rotation = read_pq_index(spark, pq_dir)
             codes = codes.cache()
             codes.count()
-        return cls(emb, codebook, codes, rotation, **kw)
+            # persisted cell assignment (pqbuild --n-centroids): cold
+            # start skips the corpus x centroids argmax entirely
+            cells = read_ivf_cells(spark, pq_dir)
+        return cls(emb, codebook, codes, rotation, cells=cells, **kw)
 
     def _query_frame(self, vectors):
         import pandas as pd

@@ -233,6 +233,14 @@ def main(argv=None) -> int:
         "better recall at identical bytes on clustered/correlated "
         "embedding corpora; rotation persists inside codebook.json",
     )
+    s.add_argument(
+        "--n-centroids",
+        type=int,
+        default=None,
+        help="also persist the IVF cell assignment (cells.parquet "
+        "partitioned by cell + centroids.parquet) so `serve --ann-index` "
+        "cold-starts without re-running the corpus x centroids argmax",
+    )
 
     args = p.parse_args(argv)
 
@@ -342,11 +350,14 @@ def main(argv=None) -> int:
             n_codes=args.codes,
             train_rows=args.train_rows,
             opq=args.opq,
+            n_centroids=args.n_centroids,
+        )
+        parts = "codebook.json + codes.parquet" + (
+            " + cells.parquet + centroids.parquet" if args.n_centroids else ""
         )
         print(
             f"pq index at {args.out_dir}: m={len(cb)} "
-            f"n_codes={len(cb[0])}{' opq' if args.opq else ''} "
-            f"(codebook.json + codes.parquet)"
+            f"n_codes={len(cb[0])}{' opq' if args.opq else ''} ({parts})"
         )
         return 0
 

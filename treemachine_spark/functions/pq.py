@@ -473,12 +473,19 @@ def write_pq_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     opq: bool = False,
+    n_centroids: int | None = None,
 ) -> list:
     """Build and PERSIST the PQ index — the ingest-artifact deployment:
     ``<out_dir>/codebook.json`` (driver-side kilobytes, with the OPQ
     rotation when ``opq=True``) plus ``<out_dir>/codes.parquet`` (the
     m-ints-per-vector compressed corpus, the only thing ADC serving
-    scans). Returns the codebook."""
+    scans). With ``n_centroids`` the IVF cell assignment
+    (similarity.ivf_cells) persists too — ``cells.parquet`` partitioned
+    by cell + ``centroids.parquet`` — so a serving process
+    (api/ann.AnnIndex.from_paths) loads the whole index cold instead of
+    re-running the corpus × centroids argmax at startup (at corpus scale
+    that rebuild is an ingest job, not a boot step). Returns the
+    codebook."""
     import json
     import os
 
@@ -507,6 +514,16 @@ def write_pq_index(
     pq_encode(embeddings, codebook, id_col, vec_col, rotation).write.mode(
         "overwrite"
     ).parquet(os.path.join(out_dir, "codes.parquet"))
+    if n_centroids is not None:
+        from treemachine_spark.functions.similarity import ivf_cells
+
+        cent, assigned = ivf_cells(embeddings, n_centroids, id_col, vec_col)
+        assigned.repartition(n_centroids, "cent_id").write.mode(
+            "overwrite"
+        ).partitionBy("cent_id").parquet(os.path.join(out_dir, "cells.parquet"))
+        cent.write.mode("overwrite").parquet(
+            os.path.join(out_dir, "centroids.parquet")
+        )
     return codebook
 
 
@@ -523,3 +540,22 @@ def read_pq_index(spark, out_dir: str):
         blob = json.load(fh)
     codes = spark.read.parquet(os.path.join(out_dir, "codes.parquet"))
     return blob["codebook"], codes, blob.get("rotation")
+
+
+def read_ivf_cells(spark, out_dir: str):
+    """The persisted ``similarity.ivf_cells`` artifact written by
+    ``write_pq_index(n_centroids=...)``: (centroids, assigned) ready for
+    ``ivf_topk/ivf_pq_topk(cells=...)``, or None when the index on disk
+    predates cell persistence (the caller derives cells itself)."""
+    import os
+
+    path = os.path.join(out_dir, "centroids.parquet")
+    if not os.path.exists(path):
+        return None
+    cent = spark.read.parquet(path)
+    assigned = spark.read.parquet(os.path.join(out_dir, "cells.parquet")).select(
+        # partition-column inference narrows cent_id to int — restore the
+        # id dtype so the probe join keys match without implicit casts
+        "neighbor_id", "cv", F.col("cent_id").cast("long").alias("cent_id")
+    )
+    return cent, assigned
