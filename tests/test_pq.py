@@ -385,3 +385,43 @@ def test_persisted_cells_roundtrip(ctx, spark, tmp_path):
     # this pins that from_paths wired the artifact into serving
     assert got["neighbors"][0]["neighbor_id"] == 0
     assert [n["rank"] for n in got["neighbors"]] == [1, 2, 3, 4, 5]
+
+
+def test_pq_append_extends_persisted_index(ctx, spark, tmp_path):
+    """pq_append: new vectors encoded with the STORED codebook and
+    assigned against the STORED centroids — the appended index serves
+    exactly like one whose codes/cells were derived for the full corpus
+    with that same (half-trained) codebook and those same centroids."""
+    emb = ctx["emb"]
+    half = emb.where(F.col("vec_id") < 50)
+    rest = emb.where(F.col("vec_id") >= 50)
+    out = str(tmp_path / "pqidx_grow")
+    cb = pq.write_pq_index(
+        half, out, m=8, n_codes=16, iters=3, train_rows=None, n_centroids=4
+    )
+    n = pq.pq_append(rest, out)
+    assert n == rest.count()
+
+    cb2, codes, rot = pq.read_pq_index(spark, out)
+    cells = pq.read_ivf_cells(spark, out)
+    assert codes.count() == emb.count()
+    assert cells[1].count() == emb.count()
+    # centroids come from the half build (smallest ids live there), so the
+    # reference is: encode/assign the FULL corpus with the stored artifacts
+    q = emb.where(F.col("vec_id").isin(0, 60, 99))
+    got = pq.ivf_pq_topk(
+        emb, q, k=5, n_centroids=4, codebook=cb2, codes=codes,
+        rotation=rot, cells=cells, rerank=True,
+    ).collect()
+    want = pq.ivf_pq_topk(
+        emb, q, k=5, n_centroids=4, codebook=cb,
+        codes=pq.pq_encode(emb, cb), rerank=True,
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want)) and got
+
+    # an appended vector is findable through the served index
+    from treemachine_spark.api.ann import AnnIndex
+
+    idx = AnnIndex.from_paths(spark, f"{SF}/embeddings.parquet", out, n_centroids=4)
+    vec = [float(x) for x in emb.where(F.col("vec_id") == 60).head()["embedding"]]
+    assert idx.topk(vector=vec, k=3, method="ivf")["neighbors"][0]["neighbor_id"] == 60

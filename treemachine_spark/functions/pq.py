@@ -542,6 +542,41 @@ def read_pq_index(spark, out_dir: str):
     return blob["codebook"], codes, blob.get("rotation")
 
 
+def pq_append(
+    new_embeddings: DataFrame,
+    out_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Incrementally maintain a persisted index: encode NEW vectors with
+    the STORED codebook (+rotation) and append their codes — and, when
+    the index carries the IVF cell artifact, assign them against the
+    STORED centroids and append their cells. Nothing is retrained and no
+    existing row is touched, so an append costs one pass over the new
+    rows only — the production freshness path between full rebuilds
+    (codebook/centroid drift is a rebuild decision, not an append one).
+    The caller owns id uniqueness across appends, as with any keyed
+    table (operators/versioned.merge_upsert is the dedup tool when ids
+    can collide). Returns the number of rows appended."""
+    spark = new_embeddings.sparkSession
+    codebook, _, rotation = read_pq_index(spark, out_dir)
+    import os
+
+    n = new_embeddings.count()
+    pq_encode(new_embeddings, codebook, id_col, vec_col, rotation).write.mode(
+        "append"
+    ).parquet(os.path.join(out_dir, "codes.parquet"))
+    cells = read_ivf_cells(spark, out_dir)
+    if cells is not None:
+        from treemachine_spark.functions.similarity import ivf_assign
+
+        cent, _ = cells
+        ivf_assign(new_embeddings, cent, id_col, vec_col).write.mode(
+            "append"
+        ).partitionBy("cent_id").parquet(os.path.join(out_dir, "cells.parquet"))
+    return n
+
+
 def read_ivf_cells(spark, out_dir: str):
     """The persisted ``similarity.ivf_cells`` artifact written by
     ``write_pq_index(n_centroids=...)``: (centroids, assigned) ready for

@@ -350,13 +350,26 @@ def ivf_cells(
         .limit(n_centroids)
         .select(F.col(id_col).alias("cent_id"), quantize(F.col(vec_col)).alias("cvec"))
     )
+    return cent, ivf_assign(embeddings, cent, id_col, vec_col)
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    cent: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign vectors to their max-dot cell against GIVEN centroids (the
+    E-step of :func:`ivf_cells`, split out so incremental appends score
+    new vectors against the STORED centroids — re-deriving centroids for
+    an append would silently shift every existing cell boundary)."""
     emb = embeddings.select(
         F.col(id_col).alias("neighbor_id"), quantize(F.col(vec_col)).alias("cv")
     )
     w_assign = Window.partitionBy("neighbor_id").orderBy(
         F.desc("cscore"), "cent_id"
     )
-    assigned = (
+    return (
         emb.crossJoin(F.broadcast(cent))
         .select(
             "neighbor_id", "cv", "cent_id", int_dot(F.col("cv"), F.col("cvec")).alias("cscore")
@@ -365,7 +378,6 @@ def ivf_cells(
         .where(F.col("arn") == 1)
         .select("neighbor_id", "cv", "cent_id")
     )
-    return cent, assigned
 
 
 def ivf_topk(
