@@ -90,6 +90,42 @@ def main() -> None:
             status, _ = _post(base, "/v3/similarity/topk", body)
             lats.append(time.time() - t)
         out["cached"] = {"p50": _pctl(lats, 0.5), "p95": _pctl(lats, 0.95)}
+
+        # concurrent mixed-method load: the threaded handler runs Spark
+        # actions from many request threads at once (FIFO scheduler) —
+        # the row that proves serving is thread-safe, not just fast
+        n_clients, per_client = 12, 4
+        lats, errs = [], [0]
+        lock = threading.Lock()
+
+        def client(cid: int):
+            for i in range(per_client):
+                m = ("brute", "ivf", "pq")[(cid + i) % 3]
+                v = qvecs[(cid * per_client + i) % len(qvecs)]
+                t = time.time()
+                status, _ = _post(
+                    base, "/v3/similarity/topk",
+                    {"vector": v, "k": 10, "method": m},
+                )
+                with lock:
+                    lats.append(time.time() - t)
+                    errs[0] += status != 200
+        threads = [
+            threading.Thread(target=client, args=(c,)) for c in range(n_clients)
+        ]
+        t0c = time.time()
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        out["concurrent"] = {
+            "clients": n_clients,
+            "requests": n_clients * per_client,
+            "p50": _pctl(lats, 0.5),
+            "p95": _pctl(lats, 0.95),
+            "wall": round(time.time() - t0c, 3),
+            "errors": errs[0],
+        }
     finally:
         srv.shutdown()
         srv.server_close()

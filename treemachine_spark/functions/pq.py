@@ -557,7 +557,10 @@ def pq_append(
     (codebook/centroid drift is a rebuild decision, not an append one).
     The caller owns id uniqueness across appends, as with any keyed
     table (operators/versioned.merge_upsert is the dedup tool when ids
-    can collide). Returns the number of rows appended."""
+    can collide). A LIVE server's AnnIndex holds its loaded snapshot
+    (cached frames) and will not see appends — republish via a fresh
+    from_paths + swap, the same snapshot contract as the tree store's
+    swap_store. Returns the number of rows appended."""
     spark = new_embeddings.sparkSession
     codebook, _, rotation = read_pq_index(spark, out_dir)
     import os
