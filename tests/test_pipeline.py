@@ -442,3 +442,18 @@ def test_jaccard_probe_matches_batch_restriction(spark):
         ngram_jaccard_probe(docs, [])
     with pytest.raises(ValueError, match="request-scale"):
         ngram_jaccard_probe(docs, list(range(10_001)))
+
+    # the stop-shingle cap mirrors the batch twin exactly (capped-space
+    # Jaccard: sizes recomputed over the surviving shingles)
+    got_c = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in ngram_jaccard_probe(docs, probe, max_doc_freq=3).collect()
+    }
+    want_c = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in ngram_jaccard_pairs(docs, threshold=0.3, max_doc_freq=3)
+        .where(F.col("doc_a").isin(probe) | F.col("doc_b").isin(probe))
+        .collect()
+    }
+    assert got_c == want_c
+    assert got_c != want  # the cap actually changed the shingle space

@@ -434,6 +434,7 @@ def ngram_jaccard_probe(
     text_col: str = "text",
     k: int = 3,
     threshold: float = 0.3,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Request-scale exact-Jaccard near-dup PROBE: the pairs of
     :func:`ngram_jaccard_pairs` restricted to those touching a bounded
@@ -453,6 +454,16 @@ def ngram_jaccard_probe(
     ``probe_ids`` is a driver-resident id list (request-scale contract,
     like ``node_distance``'s pair list) bounded by MAX_PROBE_DOCS —
     corpus-scale probing is the batch recipe's job.
+
+    ``max_doc_freq`` is the same stop-shingle knob as the batch recipe's
+    (``ngram_jaccard_pairs``/d7): a hot shingle in a probe doc otherwise
+    pulls its entire document-frequency row set through the join, and at
+    corpus scale common boilerplate shingles have df in the millions
+    while carrying no dedup signal. With the cap, shingles above it drop
+    BEFORE the join and sizes recompute over the surviving shingle space
+    — exact capped-space Jaccard, identical to the batch twin's. Costs
+    one extra map-side-partial aggregation over the exploded stream (at
+    100 TB the df table is a precomputed index artifact).
     """
     ids = list(dict.fromkeys(probe_ids))
     if not ids:
@@ -480,6 +491,19 @@ def ngram_jaccard_probe(
         .select("doc_id", F.size("sh").alias("n"), F.explode_outer("sh").alias("s"))
         .where(F.col("s").isNotNull())
     )
+    if max_doc_freq is not None:
+        # capped shingle space: drop hot shingles BEFORE the join and
+        # recompute |A| over the survivors (the batch recipe's exact
+        # semantics — sizes must describe the space pairs are counted in)
+        rare = (
+            ex.groupBy("s")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") <= max_doc_freq)
+            .select("s")
+        )
+        kept = ex.join(rare, "s")
+        sizes = kept.groupBy("doc_id").agg(F.count("*").alias("n"))
+        ex = kept.drop("n").join(sizes, "doc_id")
     px = ex.where(F.col("doc_id").isin(ids)).select(
         F.col("doc_id").alias("pid"), F.col("n").alias("pn"), "s"
     )
