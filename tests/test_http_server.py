@@ -691,3 +691,77 @@ def test_similarity_topk_route(spark, base_url):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_sharded_similarity_scatter_gather(spark, base_url):
+    """r8: ANN scatter-gather through the shard router — two workers each
+    serving a DISJOINT corpus half; the router fans /v3/similarity/topk
+    to every shard and merges by (score desc, neighbor_id asc). For the
+    exact brute method the merged top-k must EQUAL the unsharded
+    full-corpus answer (every global top-k member is in its own shard's
+    top-k); unreachable shard -> 502 (never a silently-partial answer);
+    contract 400s pass through verbatim."""
+    from pyspark.sql import functions as F
+
+    from treemachine_spark.api.ann import AnnIndex
+    from treemachine_spark.api.router import ShardRouter, make_router_server
+    from treemachine_spark.api.server import make_server
+    from treemachine_spark.io.tables import load_tables
+
+    emb = load_tables(spark, "/root/testdata/sf0.001")["embeddings"].cache()
+    store = _SRV["srv"].core.store
+    servers, urls = [], []
+    for half in (emb.where(F.col("vec_id") % 2 == 0),
+                 emb.where(F.col("vec_id") % 2 == 1),
+                 emb):
+        srv = make_server(
+            store, host="127.0.0.1", port=0, ann_index=AnnIndex(half)
+        )
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        servers.append(srv)
+        urls.append(f"http://127.0.0.1:{srv.server_address[1]}")
+    router = make_router_server(
+        ShardRouter(
+            pools={"t": [urls[2]]}, default_pool=[urls[2]],
+            ann_shards=[[urls[0]], [urls[1]]],
+        )
+    )
+    threading.Thread(target=router.serve_forever, daemon=True).start()
+    rbase = f"http://127.0.0.1:{router.server_address[1]}"
+    try:
+        vec = [
+            float(x)
+            for x in emb.where(F.col("vec_id") == 0).head()["embedding"]
+        ]
+        body = {"vector": vec, "k": 7, "method": "brute"}
+        status, merged = post(rbase, "/v3/similarity/topk", body)
+        status2, full = post(urls[2], "/v3/similarity/topk", body)
+        assert status == status2 == 200 and merged["shards"] == 2
+        assert merged["neighbors"] == full["neighbors"]
+
+        # batch form merges per query index
+        vec2 = [
+            float(x)
+            for x in emb.where(F.col("vec_id") == 5).head()["embedding"]
+        ]
+        bb = {"vectors": [vec, vec2], "k": 7, "method": "brute"}
+        status, bm = post(rbase, "/v3/similarity/topk", bb)
+        status2, bf = post(urls[2], "/v3/similarity/topk", bb)
+        assert status == status2 == 200
+        assert bm["results"] == bf["results"]
+
+        # contract error passes through verbatim
+        status, resp = post(rbase, "/v3/similarity/topk", {"vector": vec, "k": 0})
+        assert status == 400 and "'k' must be" in resp["message"]
+
+        # one shard down -> 502, not a partial top-k
+        servers[1].shutdown()
+        servers[1].server_close()
+        status, resp = post(rbase, "/v3/similarity/topk", body)
+        assert status == 502 and "ANN shard failed" in resp["message"]
+    finally:
+        router.shutdown()
+        router.server_close()
+        for srv in (servers[0], servers[2]):
+            srv.shutdown()
+            srv.server_close()

@@ -27,6 +27,9 @@ import urllib.error
 import urllib.request
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
+# fan-out route: the ANN corpus shards across workers (api/server.ANN_ROUTE)
+ANN_ROUTE = "/v3/similarity/topk"
+
 
 class ShardRouter:
     """Round-robin forwarder over per-tree worker pools.
@@ -36,11 +39,21 @@ class ShardRouter:
     ``default_pool`` serves requests that name no synth_id (typically the
     most recent tree's pool, mirroring TreeRegistry.most_recent)."""
 
-    def __init__(self, pools: dict[str, list[str]], default_pool: list[str]):
+    def __init__(
+        self,
+        pools: dict[str, list[str]],
+        default_pool: list[str],
+        ann_shards: list[list[str]] | None = None,
+    ):
         self.pools = {k: list(v) for k, v in pools.items()}
         self.default_pool = list(default_pool)
         self._rr = {k: itertools.cycle(v) for k, v in self.pools.items()}
         self._rr_default = itertools.cycle(self.default_pool)
+        # ANN scatter-gather: each entry is one CORPUS SHARD's replica
+        # pool (disjoint corpus slices, identical within a pool) — see
+        # scatter_topk
+        self.ann_shards = [list(p) for p in (ann_shards or [])]
+        self._rr_ann = [itertools.cycle(p) for p in self.ann_shards]
         self._lock = threading.Lock()
 
     def _pool(self, synth_id: str | None) -> tuple[list[str], object] | None:
@@ -70,6 +83,12 @@ class ShardRouter:
             primary = next(cyc)  # ONE cycle step per request (round-robin)
         i = pool_list.index(primary)
         bases = pool_list[i:] + pool_list[:i]  # failover in wrap-around order
+        return self._try_bases(bases, path, body, timeout)
+
+    @staticmethod
+    def _try_bases(
+        bases: list[str], path: str, body: dict, timeout: float
+    ) -> tuple[int, dict]:
         last_err = None
         for base in bases:
             req = urllib.request.Request(
@@ -90,6 +109,78 @@ class ShardRouter:
             except Exception as e:  # worker down / timeout -> try next replica
                 last_err = f"worker {base}: {type(e).__name__}: {e}"
         return 502, {"message": f"all replicas failed; last: {last_err}"}
+
+    def scatter_topk(self, body: dict, timeout: float = 600.0) -> tuple[int, dict]:
+        """Scatter-gather similarity top-k over DISJOINT corpus shards:
+        fan the request out to one replica per shard (same round-robin +
+        wrap-around failover as forward), then merge the per-shard
+        neighbor lists by (score desc, neighbor_id asc) — the operators'
+        own ordering — and re-rank 1..k.
+
+        The merge is EXACT for exact scores: every global top-k member is
+        by definition in its own shard's top-k, so merging per-shard
+        top-k lists loses nothing (the classic distributed top-k
+        argument). For ivf/pq each shard probes its own cells/codebook —
+        sharded ANN semantics, recall comparable to the unsharded index.
+        Contract 4xxs are identical on every shard and pass through
+        verbatim; an UNREACHABLE shard is a 502, never a silently-partial
+        answer."""
+        if not self.ann_shards:
+            return 400, {"message": "no ANN shards configured on this router"}
+        with self._lock:
+            picks = []
+            for pool, cyc in zip(self.ann_shards, self._rr_ann):
+                primary = next(cyc)
+                i = pool.index(primary)
+                picks.append(pool[i:] + pool[:i])
+        out: list = [None] * len(picks)
+
+        def hit(idx: int) -> None:
+            out[idx] = self._try_bases(picks[idx], ANN_ROUTE, dict(body), timeout)
+
+        threads = [
+            threading.Thread(target=hit, args=(i,)) for i in range(len(picks))
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for status, resp in out:
+            if 400 <= status < 500:
+                return status, resp
+        for status, resp in out:
+            if status != 200:
+                return 502, {
+                    "message": f"ANN shard failed: {resp.get('message', '')}"
+                }
+        blobs = [resp for _, resp in out]
+        k = blobs[0].get("k", body.get("k", 10))
+
+        def merge(lists: list[list[dict]]) -> list[dict]:
+            alln = [n for lst in lists for n in lst]
+            alln.sort(key=lambda nb: (-nb["score"], nb["neighbor_id"]))
+            return [
+                {
+                    "neighbor_id": nb["neighbor_id"],
+                    "score": nb["score"],
+                    "rank": i + 1,
+                }
+                for i, nb in enumerate(alln[:k])
+            ]
+
+        merged: dict = {
+            "method": blobs[0].get("method"),
+            "k": k,
+            "shards": len(blobs),
+        }
+        if "neighbors" in blobs[0]:
+            merged["neighbors"] = merge([b.get("neighbors", []) for b in blobs])
+        else:
+            nq = len(blobs[0].get("results", []))
+            merged["results"] = [
+                merge([b["results"][i] for b in blobs]) for i in range(nq)
+            ]
+        return 200, merged
 
 
 def _decode_body(status: int, raw: bytes) -> dict:
@@ -123,7 +214,10 @@ def make_router_server(
             except ValueError as e:
                 status, resp = 400, {"message": f"invalid JSON body: {e}"}
             else:
-                status, resp = router.forward(self.path, body)
+                if self.path == ANN_ROUTE and router.ann_shards:
+                    status, resp = router.scatter_topk(body)
+                else:
+                    status, resp = router.forward(self.path, body)
             data = json.dumps(resp).encode()
             self.send_response(status)
             self.send_header("Content-Type", "application/json")

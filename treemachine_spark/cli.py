@@ -130,6 +130,15 @@ def main(argv=None) -> int:
     s.add_argument("pools", nargs="+", metavar="synth_id=url[,url...]")
     s.add_argument("--host", default="127.0.0.1")
     s.add_argument("--port", type=int, default=1985)
+    s.add_argument(
+        "--ann-shard",
+        action="append",
+        default=[],
+        metavar="url[,url...]",
+        help="one ANN corpus shard's replica pool (repeatable; disjoint "
+        "corpus slices). /v3/similarity/topk then scatter-gathers: one "
+        "replica per shard, merged top-k (api/router.scatter_topk)",
+    )
 
     s = sub.add_parser(
         "rfdist",
@@ -272,12 +281,16 @@ def main(argv=None) -> int:
                 p.error(f"pool spec {spec!r} must be synth_id=url[,url...]")
             pools[synth_id] = urls.split(",")
         default_pool = pools[next(iter(pools))]
+        ann_shards = [spec.split(",") for spec in args.ann_shard]
         srv = make_router_server(
-            ShardRouter(pools, default_pool), host=args.host, port=args.port
+            ShardRouter(pools, default_pool, ann_shards=ann_shards),
+            host=args.host,
+            port=args.port,
         )
         print(
             f"shard router on http://{args.host}:{srv.server_address[1]} -> "
             + ", ".join(f"{k}:{len(v)} worker(s)" for k, v in pools.items())
+            + (f" + {len(ann_shards)} ANN shard(s)" if ann_shards else "")
         )
         try:
             srv.serve_forever()
