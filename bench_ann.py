@@ -126,6 +126,58 @@ def main() -> None:
             "wall": round(time.time() - t0c, 3),
             "errors": errs[0],
         }
+
+        # sharded scatter-gather: two half-corpus workers behind the
+        # router (api/router.scatter_topk) — measures the fan-out + merge
+        # overhead vs the unsharded index above (same process here; the
+        # CPU-disjoint multi-process evidence lives in bench_http shards)
+        from pyspark.sql import functions as F
+
+        from treemachine_spark.api.router import ShardRouter, make_router_server
+        from treemachine_spark.ingest import GraphStore  # noqa: F401 (store reuse)
+
+        shard_srvs, shard_urls = [], []
+        for half in (
+            emb.where(F.col("vec_id") % 2 == 0),
+            emb.where(F.col("vec_id") % 2 == 1),
+        ):
+            s = make_server(
+                store, host="127.0.0.1", port=0,
+                ann_index=AnnIndex(half.cache()),
+            )
+            threading.Thread(target=s.serve_forever, daemon=True).start()
+            shard_srvs.append(s)
+            shard_urls.append(f"http://127.0.0.1:{s.server_address[1]}")
+        rsrv = make_router_server(
+            ShardRouter(
+                pools={"t": shard_urls[:1]}, default_pool=shard_urls[:1],
+                ann_shards=[[u] for u in shard_urls],
+            )
+        )
+        threading.Thread(target=rsrv.serve_forever, daemon=True).start()
+        rbase = f"http://127.0.0.1:{rsrv.server_address[1]}"
+        try:
+            lats, errs2 = [], 0
+            for v in qvecs:
+                t = time.time()
+                status, _ = _post(
+                    rbase, "/v3/similarity/topk",
+                    {"vector": v, "k": 10, "method": "brute"},
+                )
+                lats.append(time.time() - t)
+                errs2 += status != 200
+            out["sharded_brute"] = {
+                "shards": 2,
+                "p50": _pctl(lats, 0.5),
+                "p95": _pctl(lats, 0.95),
+                "errors": errs2,
+            }
+        finally:
+            rsrv.shutdown()
+            rsrv.server_close()
+            for s in shard_srvs:
+                s.shutdown()
+                s.server_close()
     finally:
         srv.shutdown()
         srv.server_close()
