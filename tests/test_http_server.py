@@ -765,3 +765,75 @@ def test_sharded_similarity_scatter_gather(spark, base_url):
         for srv in (servers[0], servers[2]):
             srv.shutdown()
             srv.server_close()
+
+
+def test_documents_duplicates_route(spark, base_url):
+    """r8: the dedup serving surface — POST /v3/documents/duplicates over
+    a loaded DedupIndex (api/dedup.py). 'texts' = decontamination lookup
+    (query need not be in the corpus; exact self-match surfaces at
+    jaccard 1.0), 'doc_ids' = corpus-member probe (gate d8's operator);
+    route pins dispatch, operator pass-through, contract 400s,
+    404-unconfigured, and snapshot caching."""
+    from pyspark.sql import functions as F
+
+    from treemachine_spark.api.dedup import DedupIndex
+    from treemachine_spark.api.server import make_server
+    from treemachine_spark.functions.dedup import ngram_jaccard_probe
+    from treemachine_spark.io.tables import load_tables
+
+    status, resp = post(base_url, "/v3/documents/duplicates", {"texts": ["x"]})
+    assert status == 404 and "no dedup index" in resp["message"]
+
+    docs = load_tables(spark, "/root/testdata/sf0.001")["documents"].cache()
+    srv = make_server(
+        _SRV["srv"].core.store, host="127.0.0.1", port=0,
+        dedup_index=DedupIndex(docs),
+    )
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        row7 = docs.where(F.col("doc_id") == 7).head()
+        status, blob = post(
+            base, "/v3/documents/duplicates", {"texts": [row7["text"]]}
+        )
+        assert status == 200 and blob["threshold"] == 0.3
+        mine = blob["results"][0]
+        # the query IS corpus doc 7's text: exact self-match leads
+        assert mine[0] == {"doc_id": 7, "jaccard": 1.0}
+        # ...and the rest of the list == the d8 probe's pairs touching 7
+        want = {
+            (r["doc_a"] + r["doc_b"] - 7, r["jaccard"])
+            for r in ngram_jaccard_probe(docs, [7]).collect()
+        }
+        assert {(d["doc_id"], d["jaccard"]) for d in mine[1:]} == want
+
+        # doc_ids probe form: same pairs, keyed to the requested id
+        status, pblob = post(
+            base, "/v3/documents/duplicates", {"doc_ids": [7]}
+        )
+        assert status == 200
+        assert {(d["doc_id"], d["jaccard"]) for d in pblob["results"][0]} == want
+
+        # snapshot caching
+        m = srv.core.cache.misses
+        status2, blob2 = post(
+            base, "/v3/documents/duplicates", {"texts": [row7["text"]]}
+        )
+        assert (status2, blob2) == (200, blob)
+        assert srv.core.cache.misses == m and srv.core.cache.hits >= 1
+
+        for bad, msg in [
+            ({}, "exactly one of"),
+            ({"texts": ["x"], "doc_ids": [1]}, "exactly one of"),
+            ({"texts": []}, "'texts' must be"),
+            ({"texts": [1]}, "'texts' must be"),
+            ({"texts": ["x"] * 257}, "bounded at 256"),
+            ({"doc_ids": ["x"]}, "'doc_ids' must be"),
+            ({"texts": ["x"], "threshold": 0}, "'threshold' must be"),
+            ({"texts": ["x"], "nope": 1}, "unknown arguments"),
+        ]:
+            status, resp = post(base, "/v3/documents/duplicates", bad)
+            assert status == 400 and msg in resp["message"], (bad, resp)
+    finally:
+        srv.shutdown()
+        srv.server_close()

@@ -457,3 +457,42 @@ def test_jaccard_probe_matches_batch_restriction(spark):
     }
     assert got_c == want_c
     assert got_c != want  # the cap actually changed the shingle space
+
+
+def test_jaccard_lookup_matches_probe(spark):
+    """r8: ngram_jaccard_lookup (query texts NOT required to be corpus
+    members — the decontamination shape) agrees with the probe when the
+    query IS a corpus member's text: self-match at 1.0 plus exactly the
+    probe's partner pairs; a novel text matches nothing above threshold;
+    guards."""
+    from treemachine_spark.functions.dedup import (
+        ngram_jaccard_lookup,
+        ngram_jaccard_probe,
+    )
+    from treemachine_spark.io.tables import load_tables
+
+    docs = load_tables(spark, "/root/testdata/sf0.001")["documents"]
+    texts = [
+        r["text"] for r in docs.where(F.col("doc_id") < 3).orderBy("doc_id").collect()
+    ]
+    got: dict[int, set] = {0: set(), 1: set(), 2: set()}
+    for r in ngram_jaccard_lookup(docs, texts).collect():
+        got[r["query_idx"]].add((r["doc_id"], r["jaccard"]))
+    pairs = ngram_jaccard_probe(docs, [0, 1, 2]).collect()
+    for qi in (0, 1, 2):
+        want = {(qi, 1.0)} | {
+            (r["doc_a"] + r["doc_b"] - qi, r["jaccard"])
+            for r in pairs
+            if qi in (r["doc_a"], r["doc_b"])
+        }
+        assert got[qi] == want, qi
+
+    novel = ngram_jaccard_lookup(
+        docs, ["entirely novel words nowhere in the corpus at all"]
+    ).collect()
+    assert novel == []
+
+    with pytest.raises(ValueError, match="empty texts"):
+        ngram_jaccard_lookup(docs, [])
+    with pytest.raises(ValueError, match="request-scale"):
+        ngram_jaccard_lookup(docs, ["x"] * 10_001)

@@ -116,6 +116,8 @@ STATS_ROUTE = "/v3/stats/quantiles"
 DISTINCT_ROUTE = "/v3/stats/distinct"
 # beyond-reference: vector top-k over a loaded AnnIndex (api/ann.py)
 ANN_ROUTE = "/v3/similarity/topk"
+# beyond-reference: exact-Jaccard duplicate lookup/probe (api/dedup.py)
+DUP_ROUTE = "/v3/documents/duplicates"
 
 
 def _dispatch(apis: dict, path: str, body: dict) -> tuple[int, dict]:
@@ -158,6 +160,7 @@ class ServerCore:
         stats_sketch=None,
         distinct_sketch=None,
         ann_index=None,
+        dedup_index=None,
     ):
         # optional streaming/stats.StreamingQuantileSketch serving
         # POST /v3/stats/quantiles (per-group quantile estimates over the
@@ -170,6 +173,9 @@ class ServerCore:
         # an immutable corpus snapshot like the tree store, so responses
         # cache under the plain (route, body) key + generation guard
         self.ann_index = ann_index
+        # optional api/dedup.DedupIndex serving POST
+        # /v3/documents/duplicates on the same snapshot contract
+        self.dedup_index = dedup_index
         self.cache = ResponseCache(cache_size) if cache_size > 0 else None
         self.pruned_closure_table = pruned_closure_table
         # Store generation: bumped by swap_store AFTER the new APIs are
@@ -220,6 +226,15 @@ class ServerCore:
             )
         if path == ANN_ROUTE:
             return self._handle_ann(body)
+        if path == DUP_ROUTE:
+            return self._handle_snapshot_route(
+                DUP_ROUTE,
+                self.dedup_index,
+                "no dedup index configured on this server",
+                {"texts", "doc_ids", "threshold"},
+                lambda idx: idx.duplicates(**body),
+                body,
+            )
 
         def run() -> tuple[int, dict]:
             try:
@@ -271,20 +286,31 @@ class ServerCore:
         )
 
     def _handle_ann(self, body: dict) -> tuple[int, dict]:
-        """POST /v3/similarity/topk over the loaded AnnIndex (api/ann.py):
-        snapshot serving like the tree routes — the corpus and PQ artifact
-        are immutable for the server's lifetime, so the plain
-        (route, body) cache key + generation guard apply."""
-        if self.ann_index is None:
-            return 404, {"message": "no ANN index configured on this server"}
-        allowed = {"vector", "vectors", "k", "method", "n_probe"}
+        return self._handle_snapshot_route(
+            ANN_ROUTE,
+            self.ann_index,
+            "no ANN index configured on this server",
+            {"vector", "vectors", "k", "method", "n_probe"},
+            lambda idx: idx.topk(**body),
+            body,
+        )
+
+    def _handle_snapshot_route(
+        self, route: str, index, missing_msg: str, allowed: set, call, body: dict
+    ) -> tuple[int, dict]:
+        """Shared handler for index-snapshot routes (ANN top-k, dedup
+        lookup): the served corpus/artifacts are immutable for the
+        server's lifetime, so the plain (route, body) cache key + the
+        generation guard apply — exactly the tree routes' contract."""
+        if index is None:
+            return 404, {"message": missing_msg}
         unknown = set(body) - allowed
         if unknown:
             return 400, {"message": f"unknown arguments: {sorted(unknown)}"}
 
         def run() -> tuple[int, dict]:
             try:
-                return 200, self.ann_index.topk(**body)
+                return 200, call(index)
             except BadInputError as e:
                 return 400, {"message": str(e)}
             except Exception as e:
@@ -293,7 +319,7 @@ class ServerCore:
         if self.cache is None:
             return run()
         gen = self._generation
-        key = (ANN_ROUTE, json.dumps(body, sort_keys=True))
+        key = (route, json.dumps(body, sort_keys=True))
         return self.cache.get_or_compute(
             key, run, still_valid=lambda: self._generation == gen
         )
@@ -392,6 +418,7 @@ def make_server(
     stats_sketch=None,
     distinct_sketch=None,
     ann_index=None,
+    dedup_index=None,
 ) -> ThreadingHTTPServer:
     """Build (not start) the HTTP server for a loaded GraphStore.
     ``cache_size`` > 0 enables LRU response memoization with single-flight
@@ -402,10 +429,11 @@ def make_server(
     (a streaming/stats.StreamingQuantileSketch) additionally serves
     POST /v3/stats/quantiles; ``distinct_sketch`` (a StreamingHLLSketch)
     serves POST /v3/stats/distinct; ``ann_index`` (an api/ann.AnnIndex)
-    serves POST /v3/similarity/topk."""
+    serves POST /v3/similarity/topk; ``dedup_index`` (an
+    api/dedup.DedupIndex) serves POST /v3/documents/duplicates."""
     core = ServerCore(
         store, cache_size, pruned_closure_table, stats_sketch, distinct_sketch,
-        ann_index,
+        ann_index, dedup_index,
     )
 
     class Handler(BaseHTTPRequestHandler):
@@ -448,6 +476,7 @@ def serve(
     stats_sketch=None,
     distinct_sketch=None,
     ann_index=None,
+    dedup_index=None,
 ) -> None:
     srv = make_server(
         store,
@@ -458,6 +487,7 @@ def serve(
         stats_sketch=stats_sketch,
         distinct_sketch=distinct_sketch,
         ann_index=ann_index,
+        dedup_index=dedup_index,
     )
     print(f"tree_of_life API serving on http://{host}:{port}")
     try:

@@ -113,6 +113,14 @@ def main(argv=None) -> int:
         "layout), e.g. /data/userstats:user_id:event_type",
     )
     s.add_argument(
+        "--dedup-index",
+        default=None,
+        metavar="DOCS_PARQUET",
+        help="serve POST /v3/documents/duplicates over the documents "
+        "parquet (cached corpus): exact-Jaccard decontamination lookup "
+        "for request texts, membership probe for corpus doc_ids",
+    )
+    s.add_argument(
         "--ann-index",
         default=None,
         metavar="EMB_PARQUET[:PQ_DIR]",
@@ -483,6 +491,13 @@ def main(argv=None) -> int:
             dsketch = _parse_sketch(
                 args.distinct_sketch, "--distinct-sketch", StreamingHLLSketch
             )
+        dpi = None
+        if args.dedup_index:
+            from treemachine_spark.api.dedup import DedupIndex
+
+            dpi = DedupIndex.from_path(
+                store.nodes.sparkSession, args.dedup_index
+            )
         ann = None
         if args.ann_index:
             from treemachine_spark.api.ann import AnnIndex
@@ -500,6 +515,7 @@ def main(argv=None) -> int:
             stats_sketch=sketch,
             distinct_sketch=dsketch,
             ann_index=ann,
+            dedup_index=dpi,
         )
     elif args.cmd == "extractdrafttree_name":
         from treemachine_spark.api.v3 import TreeOfLifeV3

@@ -543,6 +543,73 @@ def ngram_jaccard_probe(
     )
 
 
+def ngram_jaccard_lookup(
+    docs: DataFrame,
+    texts,
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Decontamination LOOKUP: which corpus docs near-duplicate these
+    QUERY TEXTS — the texts need not be in the corpus (the eval-set vs
+    training-corpus shape; :func:`ngram_jaccard_probe` is the twin for
+    queries that ARE corpus members). Exact Jaccard over the same
+    k-word shingle space: query shingles are computed driver-side with
+    the UDF's own Python twin (``_py_shingles`` — byte-identical
+    pipeline) and broadcast, the corpus inverted index streams through
+    once (single Arrow pass, sizes riding the stream), so the plan is
+    the probe's: linear in the corpus, no all-pairs intermediate.
+    A query identical to a corpus doc surfaces it at jaccard 1.0 —
+    there is deliberately no self-exclusion (queries are not corpus
+    rows). Returns (query_idx, doc_id, jaccard) above ``threshold``.
+    """
+    tl = list(texts)
+    if not tl:
+        raise ValueError("ngram_jaccard_lookup: empty texts")
+    if len(tl) > MAX_PROBE_DOCS:
+        raise ValueError(
+            f"ngram_jaccard_lookup is a request-scale operator bounded at "
+            f"{MAX_PROBE_DOCS} query texts ({len(tl)} given): load the "
+            f"queries as a table and use ngram_jaccard_pairs for "
+            f"corpus-scale"
+        )
+    import pandas as pd
+
+    qrows = []
+    for qi, t in enumerate(tl):
+        qsh = _py_shingles(t, k)
+        for s in qsh:
+            qrows.append((qi, len(qsh), s))
+    spark = docs.sparkSession
+    px = spark.createDataFrame(
+        pd.DataFrame(qrows, columns=["query_idx", "qn", "s"]),
+        schema="query_idx int, qn int, s string",
+    )
+    ex = (
+        docs.select("doc_id", shingle_array_udf(k)(F.col(text_col)).alias("sh"))
+        .select("doc_id", F.size("sh").alias("n"), F.explode_outer("sh").alias("s"))
+        .where(F.col("s").isNotNull())
+    )
+    return (
+        ex.join(F.broadcast(px), "s")
+        .groupBy("query_idx", "doc_id")
+        .agg(
+            F.count("*").alias("n_inter"),
+            F.max("qn").alias("qn"),
+            F.max("n").alias("n_doc"),
+        )
+        .select(
+            "query_idx",
+            "doc_id",
+            F.round(
+                F.col("n_inter") / (F.col("qn") + F.col("n_doc") - F.col("n_inter")),
+                4,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
 def connected_components(
     pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b", max_rounds: int = 64
 ) -> DataFrame:
