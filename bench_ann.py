@@ -134,7 +134,6 @@ def main() -> None:
         from pyspark.sql import functions as F
 
         from treemachine_spark.api.router import ShardRouter, make_router_server
-        from treemachine_spark.ingest import GraphStore  # noqa: F401 (store reuse)
 
         shard_srvs, shard_urls = [], []
         for half in (
