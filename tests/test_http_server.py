@@ -758,7 +758,7 @@ def test_sharded_similarity_scatter_gather(spark, base_url):
         servers[1].shutdown()
         servers[1].server_close()
         status, resp = post(rbase, "/v3/similarity/topk", body)
-        assert status == 502 and "ANN shard failed" in resp["message"]
+        assert status == 502 and "shard failed" in resp["message"]
     finally:
         router.shutdown()
         router.server_close()
@@ -837,3 +837,66 @@ def test_documents_duplicates_route(spark, base_url):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_sharded_duplicates_scatter_gather(spark, base_url):
+    """r8: dedup scatter-gather — 'texts' lookups fan out to disjoint
+    document shards and the UNION of per-shard hits equals the unsharded
+    answer (jaccard(query, doc) involves one shard's doc only); 'doc_ids'
+    probes are rejected on a sharded router (cross-shard pairs would be
+    silently missing); contract 400s pass through; shard down -> 502."""
+    from pyspark.sql import functions as F
+
+    from treemachine_spark.api.dedup import DedupIndex
+    from treemachine_spark.api.router import ShardRouter, make_router_server
+    from treemachine_spark.api.server import make_server
+    from treemachine_spark.io.tables import load_tables
+
+    docs = load_tables(spark, "/root/testdata/sf0.001")["documents"].cache()
+    store = _SRV["srv"].core.store
+    servers, urls = [], []
+    for part in (docs.where(F.col("doc_id") % 2 == 0),
+                 docs.where(F.col("doc_id") % 2 == 1),
+                 docs):
+        srv = make_server(
+            store, host="127.0.0.1", port=0, dedup_index=DedupIndex(part)
+        )
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        servers.append(srv)
+        urls.append(f"http://127.0.0.1:{srv.server_address[1]}")
+    router = make_router_server(
+        ShardRouter(
+            pools={"t": [urls[2]]}, default_pool=[urls[2]],
+            dedup_shards=[[urls[0]], [urls[1]]],
+        )
+    )
+    threading.Thread(target=router.serve_forever, daemon=True).start()
+    rbase = f"http://127.0.0.1:{router.server_address[1]}"
+    try:
+        texts = [
+            r["text"]
+            for r in docs.where(F.col("doc_id").isin(7, 8)).orderBy("doc_id").collect()
+        ]
+        body = {"texts": texts}
+        status, merged = post(rbase, "/v3/documents/duplicates", body)
+        status2, full = post(urls[2], "/v3/documents/duplicates", body)
+        assert status == status2 == 200 and merged["shards"] == 2
+        assert merged["results"] == full["results"]
+        # non-vacuous: each query finds at least its own source doc
+        assert merged["results"][0][0]["jaccard"] == 1.0
+
+        status, resp = post(rbase, "/v3/documents/duplicates", {"doc_ids": [7]})
+        assert status == 400 and "shard-local" in resp["message"]
+        status, resp = post(rbase, "/v3/documents/duplicates", {"texts": []})
+        assert status == 400 and "'texts' must be" in resp["message"]
+
+        servers[0].shutdown()
+        servers[0].server_close()
+        status, resp = post(rbase, "/v3/documents/duplicates", body)
+        assert status == 502 and "shard failed" in resp["message"]
+    finally:
+        router.shutdown()
+        router.server_close()
+        for srv in servers[1:]:
+            srv.shutdown()
+            srv.server_close()

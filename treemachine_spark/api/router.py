@@ -27,8 +27,10 @@ import urllib.error
 import urllib.request
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
-# fan-out route: the ANN corpus shards across workers (api/server.ANN_ROUTE)
+# fan-out routes: the ANN / document corpora shard across workers
+# (api/server.ANN_ROUTE / DUP_ROUTE)
 ANN_ROUTE = "/v3/similarity/topk"
+DUP_ROUTE = "/v3/documents/duplicates"
 
 
 class ShardRouter:
@@ -44,16 +46,19 @@ class ShardRouter:
         pools: dict[str, list[str]],
         default_pool: list[str],
         ann_shards: list[list[str]] | None = None,
+        dedup_shards: list[list[str]] | None = None,
     ):
         self.pools = {k: list(v) for k, v in pools.items()}
         self.default_pool = list(default_pool)
         self._rr = {k: itertools.cycle(v) for k, v in self.pools.items()}
         self._rr_default = itertools.cycle(self.default_pool)
-        # ANN scatter-gather: each entry is one CORPUS SHARD's replica
-        # pool (disjoint corpus slices, identical within a pool) — see
-        # scatter_topk
+        # scatter-gather: each entry is one CORPUS SHARD's replica pool
+        # (disjoint corpus slices, identical within a pool) — see
+        # scatter_topk / scatter_duplicates
         self.ann_shards = [list(p) for p in (ann_shards or [])]
         self._rr_ann = [itertools.cycle(p) for p in self.ann_shards]
+        self.dedup_shards = [list(p) for p in (dedup_shards or [])]
+        self._rr_dedup = [itertools.cycle(p) for p in self.dedup_shards]
         self._lock = threading.Lock()
 
     def _pool(self, synth_id: str | None) -> tuple[list[str], object] | None:
@@ -127,33 +132,11 @@ class ShardRouter:
         answer."""
         if not self.ann_shards:
             return 400, {"message": "no ANN shards configured on this router"}
-        with self._lock:
-            picks = []
-            for pool, cyc in zip(self.ann_shards, self._rr_ann):
-                primary = next(cyc)
-                i = pool.index(primary)
-                picks.append(pool[i:] + pool[:i])
-        out: list = [None] * len(picks)
-
-        def hit(idx: int) -> None:
-            out[idx] = self._try_bases(picks[idx], ANN_ROUTE, dict(body), timeout)
-
-        threads = [
-            threading.Thread(target=hit, args=(i,)) for i in range(len(picks))
-        ]
-        for t in threads:
-            t.start()
-        for t in threads:
-            t.join()
-        for status, resp in out:
-            if 400 <= status < 500:
-                return status, resp
-        for status, resp in out:
-            if status != 200:
-                return 502, {
-                    "message": f"ANN shard failed: {resp.get('message', '')}"
-                }
-        blobs = [resp for _, resp in out]
+        err, blobs = self._fan_out(
+            self.ann_shards, self._rr_ann, ANN_ROUTE, body, timeout
+        )
+        if err is not None:
+            return err
         k = blobs[0].get("k", body.get("k", 10))
 
         def merge(lists: list[list[dict]]) -> list[dict]:
@@ -181,6 +164,79 @@ class ShardRouter:
                 merge([b["results"][i] for b in blobs]) for i in range(nq)
             ]
         return 200, merged
+
+    def scatter_duplicates(
+        self, body: dict, timeout: float = 600.0
+    ) -> tuple[int, dict]:
+        """Scatter-gather duplicate LOOKUP over disjoint document shards.
+        Only the ``texts`` form fans out: jaccard(query, doc) involves
+        one shard's doc only, so the union of per-shard result lists IS
+        the unsharded answer (threshold-filtered, no truncation to
+        merge). The ``doc_ids`` probe is shard-LOCAL by construction — a
+        probe doc's cross-shard near-dups live where its shingles don't —
+        so a sharded router rejects it instead of silently missing pairs
+        (look the doc's text up instead)."""
+        if not self.dedup_shards:
+            return 400, {
+                "message": "no dedup shards configured on this router"
+            }
+        if "doc_ids" in body:
+            return 400, {
+                "message": "doc_ids probes are shard-local: a sharded "
+                "router cannot see cross-shard pairs — send the "
+                "document's text via 'texts' instead"
+            }
+        err, blobs = self._fan_out(
+            self.dedup_shards, self._rr_dedup, DUP_ROUTE, body, timeout
+        )
+        if err is not None:
+            return err
+        nq = len(blobs[0].get("results", []))
+        results = []
+        for i in range(nq):
+            alln = [d for b in blobs for d in b["results"][i]]
+            alln.sort(key=lambda d: (-d["jaccard"], d["doc_id"]))
+            results.append(alln)
+        return 200, {
+            "threshold": blobs[0].get("threshold"),
+            "shards": len(blobs),
+            "results": results,
+        }
+
+    def _fan_out(self, shards, rrs, route, body, timeout):
+        """One replica per shard (round-robin + wrap-around failover),
+        concurrently. Returns (error_response_or_None, blobs): a 4xx from
+        any shard passes through verbatim (contract errors are identical
+        everywhere); an unreachable shard is a 502 — never a
+        silently-partial answer."""
+        with self._lock:
+            picks = []
+            for pool, cyc in zip(shards, rrs):
+                primary = next(cyc)
+                i = pool.index(primary)
+                picks.append(pool[i:] + pool[:i])
+        out: list = [None] * len(picks)
+
+        def hit(idx: int) -> None:
+            out[idx] = self._try_bases(picks[idx], route, dict(body), timeout)
+
+        threads = [
+            threading.Thread(target=hit, args=(i,)) for i in range(len(picks))
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for status, resp in out:
+            if 400 <= status < 500:
+                return (status, resp), None
+        for status, resp in out:
+            if status != 200:
+                return (
+                    502,
+                    {"message": f"shard failed: {resp.get('message', '')}"},
+                ), None
+        return None, [resp for _, resp in out]
 
 
 def _decode_body(status: int, raw: bytes) -> dict:
@@ -216,6 +272,8 @@ def make_router_server(
             else:
                 if self.path == ANN_ROUTE and router.ann_shards:
                     status, resp = router.scatter_topk(body)
+                elif self.path == DUP_ROUTE and router.dedup_shards:
+                    status, resp = router.scatter_duplicates(body)
                 else:
                     status, resp = router.forward(self.path, body)
             data = json.dumps(resp).encode()

@@ -147,6 +147,16 @@ def main(argv=None) -> int:
         "corpus slices). /v3/similarity/topk then scatter-gathers: one "
         "replica per shard, merged top-k (api/router.scatter_topk)",
     )
+    s.add_argument(
+        "--dedup-shard",
+        action="append",
+        default=[],
+        metavar="url[,url...]",
+        help="one document corpus shard's replica pool (repeatable). "
+        "/v3/documents/duplicates 'texts' lookups then scatter-gather "
+        "(union of per-shard hits — exact); doc_ids probes are rejected "
+        "as shard-local (api/router.scatter_duplicates)",
+    )
 
     s = sub.add_parser(
         "rfdist",
@@ -290,8 +300,12 @@ def main(argv=None) -> int:
             pools[synth_id] = urls.split(",")
         default_pool = pools[next(iter(pools))]
         ann_shards = [spec.split(",") for spec in args.ann_shard]
+        dedup_shards = [spec.split(",") for spec in args.dedup_shard]
         srv = make_router_server(
-            ShardRouter(pools, default_pool, ann_shards=ann_shards),
+            ShardRouter(
+                pools, default_pool,
+                ann_shards=ann_shards, dedup_shards=dedup_shards,
+            ),
             host=args.host,
             port=args.port,
         )
@@ -299,6 +313,7 @@ def main(argv=None) -> int:
             f"shard router on http://{args.host}:{srv.server_address[1]} -> "
             + ", ".join(f"{k}:{len(v)} worker(s)" for k, v in pools.items())
             + (f" + {len(ann_shards)} ANN shard(s)" if ann_shards else "")
+            + (f" + {len(dedup_shards)} dedup shard(s)" if dedup_shards else "")
         )
         try:
             srv.serve_forever()
