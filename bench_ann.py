@@ -24,6 +24,121 @@ import time
 from bench_http import _pctl, _post
 
 
+def _recall_phase(spark, store) -> dict:
+    """recall@10 for sharded ivf/pq vs unsharded (r8 verdict #4): the
+    scatter-gather merge is EXACT for brute (pinned in tests), but each
+    shard of a sharded ivf/pq index probes its OWN cells/codebook — the
+    sharded recall was measured nowhere. Protocol = test_pq's clustered
+    corpus (PQ's realistic case; the random driver embeddings are its
+    theoretical worst case): 50 seeded Gaussian clusters x 400 vectors,
+    32 held-out cluster-noise queries, ground truth = the engine's own
+    exact brute top-10, measured over 1-, 2- and 4-shard splits (each
+    shard trains its own codebook and cells from its slice — the honest
+    sharded-deployment shape)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from treemachine_spark.api.ann import AnnIndex
+    from treemachine_spark.api.router import ShardRouter, make_router_server
+    from treemachine_spark.api.server import make_server
+    from treemachine_spark.functions import pq
+
+    rng = np.random.RandomState(7)
+    centers = rng.randn(50, 64) * 3.0
+    X = np.vstack([c + rng.randn(400, 64) * 0.4 for c in centers])
+    emb = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": np.arange(len(X), dtype=np.int64),
+                "embedding": [[float(x) for x in row] for row in X],
+            }
+        ),
+        schema="vec_id long, embedding array<double>",
+    ).cache()
+    emb.count()
+    queries = [
+        [float(x) for x in centers[i] + rng.randn(64) * 0.4] for i in range(32)
+    ]
+
+    def build_index(frame):
+        cb = pq.pq_train(frame, m=8, n_codes=16, iters=3, train_rows=5_000)
+        codes = pq.pq_encode(frame, cb).cache()
+        codes.count()
+        return AnnIndex(frame, codebook=cb, codes=codes, n_centroids=64)
+
+    def serve(frames):
+        srvs, urls = [], []
+        for f in frames:
+            s = make_server(
+                store, host="127.0.0.1", port=0, ann_index=build_index(f)
+            )
+            threading.Thread(target=s.serve_forever, daemon=True).start()
+            srvs.append(s)
+            urls.append(f"http://127.0.0.1:{s.server_address[1]}")
+        return srvs, urls
+
+    out: dict = {"n_vectors": int(len(X)), "k": 10, "n_probe": 8, "queries": 32}
+    full_srvs, full_urls = serve([emb])
+    try:
+        # ground truth: the engine's own exact brute top-10
+        truth = []
+        for v in queries:
+            _, blob = _post(
+                full_urls[0], "/v3/similarity/topk",
+                {"vector": v, "k": 10, "method": "brute"},
+            )
+            truth.append({nb["neighbor_id"] for nb in blob["neighbors"]})
+
+        def recall_at(base: str) -> dict:
+            res = {}
+            for method in ("ivf", "pq"):
+                hits = 0
+                for v, t in zip(queries, truth):
+                    _, blob = _post(
+                        base, "/v3/similarity/topk",
+                        {"vector": v, "k": 10, "method": method, "n_probe": 8},
+                    )
+                    hits += len(
+                        {nb["neighbor_id"] for nb in blob["neighbors"]} & t
+                    )
+                res[method] = round(hits / (10 * len(queries)), 3)
+            return res
+
+        out["unsharded"] = recall_at(full_urls[0])
+        for n_shards in (2, 4):
+            frames = [
+                emb.where(F.col("vec_id") % n_shards == i).cache()
+                for i in range(n_shards)
+            ]
+            srvs, urls = serve(frames)
+            rsrv = make_router_server(
+                ShardRouter(
+                    pools={"t": urls[:1]}, default_pool=urls[:1],
+                    ann_shards=[[u] for u in urls],
+                )
+            )
+            threading.Thread(target=rsrv.serve_forever, daemon=True).start()
+            try:
+                out[f"sharded{n_shards}"] = recall_at(
+                    f"http://127.0.0.1:{rsrv.server_address[1]}"
+                )
+            finally:
+                rsrv.shutdown()
+                rsrv.server_close()
+                for s in srvs:
+                    s.shutdown()
+                    s.server_close()
+                for f in frames:
+                    f.unpersist()
+    finally:
+        for s in full_srvs:
+            s.shutdown()
+            s.server_close()
+        emb.unpersist()
+    return out
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else (
         "/tmp/sf10" if os.path.exists("/tmp/sf10/embeddings.parquet")
@@ -177,6 +292,10 @@ def main() -> None:
             for s in shard_srvs:
                 s.shutdown()
                 s.server_close()
+
+        # recall@10 table: sharded ivf/pq vs unsharded on the clustered
+        # corpus (r8 verdict #4)
+        out["recall"] = _recall_phase(spark, store)
     finally:
         srv.shutdown()
         srv.server_close()

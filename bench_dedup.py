@@ -1,0 +1,195 @@
+"""Dedup serving bench: POST /v3/documents/duplicates under the real HTTP
+facade — the dedup twin of bench_ann.py (r8 verdict #2: DedupIndex needed
+the ivf_cells index-artifact split, and a bench to prove it pays).
+
+Serves the documents corpus (default /tmp/sf10, 100k docs — falls back to
+$SPARK_GRAFT_SF_DIR's) through api/server.py with a DedupIndex, then
+measures request latency:
+
+- texts rows: every request a distinct query text (cache useless) — each
+  request is ONE broadcast of the query shingles against the CACHED
+  inverted shingle index (functions/dedup.shingle_index, built once at
+  construction); noindex_texts re-runs the same operator WITHOUT the
+  artifact (index=None), re-shingling the corpus per call — the per-request
+  cost the artifact deletes;
+- doc_ids rows: the corpus-member probe form (gate d8's operator) over the
+  same cached index;
+- cached row: one repeated body — snapshot-cache replay (no Spark job);
+- sharded rows: two half-corpus DedupIndex shards behind the router —
+  texts fan-out, plus the r9 doc_ids TEXT-INDIRECTION path (resolve text
+  from the owning shard, re-issue as a texts lookup), equality-checked
+  against the unsharded answer.
+
+Prints one JSON line. Run: python bench_dedup.py [sf_dir] [n_requests]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import threading
+import time
+
+from bench_http import _pctl, _post
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else (
+        "/tmp/sf10" if os.path.exists("/tmp/sf10/documents.parquet")
+        else os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    )
+    n_req = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+
+    from pyspark.sql import functions as F
+
+    from treemachine_spark.api.dedup import DedupIndex
+    from treemachine_spark.api.router import ShardRouter, make_router_server
+    from treemachine_spark.api.server import make_server
+    from treemachine_spark.functions.dedup import ngram_jaccard_lookup
+    from treemachine_spark.session import get_spark
+
+    spark = get_spark("bench-dedup")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    t0 = time.time()
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).cache()
+    n_docs = docs.count()
+    idx = DedupIndex(docs)  # materializes the shingle index (boot cost)
+    build_s = round(time.time() - t0, 1)
+
+    from bench_http import build_synth_store
+
+    store, _, _, _ = build_synth_store(spark, 100)
+    srv = make_server(store, host="127.0.0.1", port=0, dedup_index=idx)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+
+    sample = docs.limit(n_req).collect()
+    qtexts = [r["text"] for r in sample]
+    qids = [r["doc_id"] for r in sample]
+    out: dict[str, dict] = {}
+
+    def timed(fn, reqs):
+        lats, errs = [], 0
+        for req in reqs:
+            t = time.time()
+            ok = fn(req)
+            lats.append(time.time() - t)
+            errs += not ok
+        return {
+            "p50": _pctl(lats, 0.5),
+            "p95": _pctl(lats, 0.95),
+            "max": _pctl(lats, 1.0),
+            "errors": errs,
+        }
+
+    try:
+        out["texts"] = timed(
+            lambda t: _post(
+                base, "/v3/documents/duplicates", {"texts": [t]}
+            )[0] == 200,
+            qtexts,
+        )
+        out["doc_ids"] = timed(
+            lambda i: _post(
+                base, "/v3/documents/duplicates", {"doc_ids": [i]}
+            )[0] == 200,
+            qids,
+        )
+
+        # cached replay: identical body, served from the snapshot cache
+        body = {"texts": [qtexts[0]]}
+        _post(base, "/v3/documents/duplicates", body)  # prime
+        lats = []
+        for _ in range(50):
+            t = time.time()
+            _post(base, "/v3/documents/duplicates", body)
+            lats.append(time.time() - t)
+        out["cached"] = {"p50": _pctl(lats, 0.5), "p95": _pctl(lats, 0.95)}
+
+        # the artifact's counterfactual: same operator, index=None — the
+        # corpus-wide Arrow shingling pass runs INSIDE every request
+        lats = []
+        for t_ in qtexts[: max(4, n_req // 4)]:
+            t = time.time()
+            ngram_jaccard_lookup(docs, [t_]).collect()
+            lats.append(time.time() - t)
+        out["noindex_texts"] = {
+            "p50": _pctl(lats, 0.5),
+            "p95": _pctl(lats, 0.95),
+        }
+
+        # sharded scatter-gather: two half-corpus shards behind the router
+        shard_srvs, shard_urls = [], []
+        for half in (
+            docs.where(F.col("doc_id") % 2 == 0),
+            docs.where(F.col("doc_id") % 2 == 1),
+        ):
+            s = make_server(
+                store, host="127.0.0.1", port=0,
+                dedup_index=DedupIndex(half.cache()),
+            )
+            threading.Thread(target=s.serve_forever, daemon=True).start()
+            shard_srvs.append(s)
+            shard_urls.append(f"http://127.0.0.1:{s.server_address[1]}")
+        rsrv = make_router_server(
+            ShardRouter(
+                pools={"t": shard_urls[:1]}, default_pool=shard_urls[:1],
+                dedup_shards=[[u] for u in shard_urls],
+            )
+        )
+        threading.Thread(target=rsrv.serve_forever, daemon=True).start()
+        rbase = f"http://127.0.0.1:{rsrv.server_address[1]}"
+        try:
+            out["sharded_texts"] = timed(
+                lambda t: _post(
+                    rbase, "/v3/documents/duplicates", {"texts": [t]}
+                )[0] == 200,
+                qtexts,
+            )
+            out["sharded_texts"]["shards"] = 2
+            # doc_ids text indirection (one resolve fan-out + one lookup
+            # fan-out per request); the unsharded comparison runs OUTSIDE
+            # the timed window — the answers must match the probe's
+            lats, mism = [], 0
+            for i in qids:
+                t = time.time()
+                st, sh = _post(
+                    rbase, "/v3/documents/duplicates", {"doc_ids": [i]}
+                )
+                lats.append(time.time() - t)
+                st2, un = _post(
+                    base, "/v3/documents/duplicates", {"doc_ids": [i]}
+                )
+                mism += not (
+                    st == st2 == 200 and sh["results"] == un["results"]
+                )
+            out["sharded_doc_ids"] = {
+                "shards": 2,
+                "p50": _pctl(lats, 0.5),
+                "p95": _pctl(lats, 0.95),
+                "mismatches_vs_unsharded": mism,
+            }
+        finally:
+            rsrv.shutdown()
+            rsrv.server_close()
+            for s in shard_srvs:
+                s.shutdown()
+                s.server_close()
+    finally:
+        srv.shutdown()
+        srv.server_close()
+    print(json.dumps({
+        "metric": "dedup_duplicates_latency",
+        "unit": "sec",
+        "sf_dir": sf_dir,
+        "n_docs": n_docs,
+        "n_requests": n_req,
+        "index_build_sec": build_s,
+        "phases": out,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -598,6 +598,18 @@ def test_similarity_topk_route(spark, base_url):
     assert status == 404 and "no ANN index" in resp["message"]
 
     emb = load_tables(spark, "/root/testdata/sf0.001")["embeddings"].cache()
+
+    # r9 (ADVICE r8): the query frame's synthetic ids require an integral
+    # id column — a string-id corpus is rejected at CONSTRUCTION, not
+    # served through implicit casts
+    from treemachine_spark.api.errors import BadInputError
+
+    with pytest.raises(BadInputError, match="integral id column"):
+        AnnIndex(emb.withColumn("vec_id", F.col("vec_id").cast("string")))
+    # an int (not long) id corpus constructs and serves: the query frame
+    # adopts the corpus id type, no cross-type joins
+    AnnIndex(emb.withColumn("vec_id", F.col("vec_id").cast("int")).cache())
+
     codebook = pq.pq_train(emb, m=8, n_codes=16, iters=2, train_rows=None)
     codes = pq.pq_encode(emb, codebook)
     idx = AnnIndex(emb, codebook=codebook, codes=codes)
@@ -814,6 +826,29 @@ def test_documents_duplicates_route(spark, base_url):
         assert status == 200
         assert {(d["doc_id"], d["jaccard"]) for d in pblob["results"][0]} == want
 
+        # r9 (ADVICE r8): a request repeating an id gets one result entry
+        # PER POSITION — aligned to the original order, never silently
+        # shortened/shifted
+        status, dblob = post(
+            base, "/v3/documents/duplicates", {"doc_ids": [7, 7, 8]}
+        )
+        assert status == 200 and len(dblob["results"]) == 3
+        assert dblob["results"][0] == dblob["results"][1] == pblob["results"][0]
+
+        # r9: text resolution route (the sharded router's doc_ids
+        # indirection) — members resolve, unknowns map to null
+        status, tb = post(
+            base, "/v3/documents/text", {"doc_ids": [7, 999_999_999]}
+        )
+        assert status == 200 and tb["texts"]["7"] == row7["text"]
+        assert tb["texts"]["999999999"] is None
+        for bad, msg in [
+            ({"doc_ids": []}, "'doc_ids' must be"),
+            ({"doc_ids": [1], "nope": 2}, "unknown arguments"),
+        ]:
+            status, resp = post(base, "/v3/documents/text", bad)
+            assert status == 400 and msg in resp["message"], (bad, resp)
+
         # snapshot caching
         m = srv.core.cache.misses
         status2, blob2 = post(
@@ -840,11 +875,14 @@ def test_documents_duplicates_route(spark, base_url):
 
 
 def test_sharded_duplicates_scatter_gather(spark, base_url):
-    """r8: dedup scatter-gather — 'texts' lookups fan out to disjoint
+    """r8/r9: dedup scatter-gather — 'texts' lookups fan out to disjoint
     document shards and the UNION of per-shard hits equals the unsharded
     answer (jaccard(query, doc) involves one shard's doc only); 'doc_ids'
-    probes are rejected on a sharded router (cross-shard pairs would be
-    silently missing); contract 400s pass through; shard down -> 502."""
+    probes serve via TEXT INDIRECTION (r9, r8 verdict #5: resolve each
+    doc's text from its owning shard, re-issue as a texts lookup, strip
+    self-matches) and must equal the unsharded probe exactly, aligned to
+    the original request order with duplicates repeated; contract 400s
+    pass through; shard down -> 502."""
     from pyspark.sql import functions as F
 
     from treemachine_spark.api.dedup import DedupIndex
@@ -885,10 +923,62 @@ def test_sharded_duplicates_scatter_gather(spark, base_url):
         # non-vacuous: each query finds at least its own source doc
         assert merged["results"][0][0]["jaccard"] == 1.0
 
-        status, resp = post(rbase, "/v3/documents/duplicates", {"doc_ids": [7]})
-        assert status == 400 and "shard-local" in resp["message"]
+        # doc_ids via text indirection: sharded router == unsharded probe,
+        # aligned to the ORIGINAL (duplicate-bearing) request order, and an
+        # id no shard knows yields an empty list (the probe's silent-empty
+        # contract), never a 400
+        from treemachine_spark.functions.dedup import ngram_jaccard_probe
+
+        probed = ngram_jaccard_probe(docs, list(range(30))).collect()
+        seed = probed[0]["doc_a"] if probed else 7
+        pb = {"doc_ids": [seed, 8, seed, 999_999_999]}
+        status, sharded = post(rbase, "/v3/documents/duplicates", pb)
+        status2, unsharded = post(urls[2], "/v3/documents/duplicates", pb)
+        assert status == status2 == 200 and sharded["shards"] == 2
+        assert sharded["results"] == unsharded["results"]
+        assert sharded["results"][0] == sharded["results"][2]
+        assert sharded["results"][3] == []
+        if probed:  # non-vacuous when the corpus carries a near-dup pair
+            assert sharded["results"][0]
+
+        # doc_ids contract errors reproduce the unsharded messages
+        for bad, msg in [
+            ({"doc_ids": ["x"]}, "'doc_ids' must be"),
+            ({"doc_ids": [seed], "texts": ["x"]}, "exactly one of"),
+            ({"doc_ids": [seed], "threshold": 0}, "'threshold' must be"),
+        ]:
+            status, resp = post(rbase, "/v3/documents/duplicates", bad)
+            assert status == 400 and msg in resp["message"], (bad, resp)
         status, resp = post(rbase, "/v3/documents/duplicates", {"texts": []})
         assert status == 400 and "'texts' must be" in resp["message"]
+
+        # per-shard config skew — one shard lacking the dedup index answers
+        # 404 while the other answers 200: that is a 502 (ADVICE r8: a 4xx
+        # passes through only when every shard agrees), never a
+        # passed-through 404 masquerading as the contract answer
+        bare = make_server(store, host="127.0.0.1", port=0)
+        threading.Thread(target=bare.serve_forever, daemon=True).start()
+        skew = make_router_server(
+            ShardRouter(
+                pools={"t": [urls[2]]}, default_pool=[urls[2]],
+                dedup_shards=[
+                    [urls[1]],
+                    [f"http://127.0.0.1:{bare.server_address[1]}"],
+                ],
+            )
+        )
+        threading.Thread(target=skew.serve_forever, daemon=True).start()
+        try:
+            status, resp = post(
+                f"http://127.0.0.1:{skew.server_address[1]}",
+                "/v3/documents/duplicates", body,
+            )
+            assert status == 502 and "skew" in resp["message"], resp
+        finally:
+            skew.shutdown()
+            skew.server_close()
+            bare.shutdown()
+            bare.server_close()
 
         servers[0].shutdown()
         servers[0].server_close()
@@ -900,3 +990,72 @@ def test_sharded_duplicates_scatter_gather(spark, base_url):
         for srv in servers[1:]:
             srv.shutdown()
             srv.server_close()
+
+
+def test_pq_append_republish_served_end_to_end(spark, base_url, tmp_path):
+    """r9 (r8 verdict #6): the pq_append freshness flow as ONE served
+    path — a vector appended to the persisted PQ index is FOUND after
+    from_paths + ServerCore.swap_indexes, and the pre-swap cached
+    response for the identical body is invalidated by the generation
+    guard (never replayed from the old snapshot)."""
+    from pyspark.sql import functions as F
+
+    from treemachine_spark.api.ann import AnnIndex
+    from treemachine_spark.api.server import make_server
+    from treemachine_spark.functions import pq
+    from treemachine_spark.io.tables import load_tables
+
+    emb_path = "/root/testdata/sf0.001/embeddings.parquet"
+    emb = load_tables(spark, "/root/testdata/sf0.001")["embeddings"].cache()
+    half = emb.where(F.col("vec_id") < 50)
+    half_path = str(tmp_path / "half_emb.parquet")
+    half.write.parquet(half_path)
+    out = str(tmp_path / "pq_grow_served")
+    pq.write_pq_index(
+        half, out, m=8, n_codes=16, iters=2, train_rows=None, n_centroids=4
+    )
+
+    srv = make_server(
+        _SRV["srv"].core.store, host="127.0.0.1", port=0,
+        ann_index=AnnIndex.from_paths(spark, half_path, out, n_centroids=4),
+    )
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        vec60 = [
+            float(x)
+            for x in emb.where(F.col("vec_id") == 60).head()["embedding"]
+        ]
+        body = {"vector": vec60, "k": 3, "method": "ivf"}
+        status, before = post(base, "/v3/similarity/topk", body)
+        assert status == 200
+        assert all(n["neighbor_id"] != 60 for n in before["neighbors"])
+        # warm the cache: the identical body replays without a new miss
+        m = srv.core.cache.misses
+        status2, cached = post(base, "/v3/similarity/topk", body)
+        assert (status2, cached) == (200, before)
+        assert srv.core.cache.misses == m and srv.core.cache.hits >= 1
+
+        # append the rest of the corpus to the PERSISTED artifact, load a
+        # fresh snapshot, republish
+        n = pq.pq_append(emb.where(F.col("vec_id") >= 50), out)
+        assert n == emb.count() - half.count()
+        srv.core.swap_indexes(
+            ann_index=AnnIndex.from_paths(spark, emb_path, out, n_centroids=4)
+        )
+
+        # the appended vector is served (its own cell is the nearest
+        # probe), and the stale cached answer is gone
+        status, after = post(base, "/v3/similarity/topk", body)
+        assert status == 200
+        assert after["neighbors"][0]["neighbor_id"] == 60
+        # pq method serves the appended codes through the stored codebook
+        status, viapq = post(
+            base, "/v3/similarity/topk",
+            {"vector": vec60, "k": 3, "method": "pq"},
+        )
+        assert status == 200
+        assert any(nb["neighbor_id"] == 60 for nb in viapq["neighbors"])
+    finally:
+        srv.shutdown()
+        srv.server_close()

@@ -496,3 +496,45 @@ def test_jaccard_lookup_matches_probe(spark):
         ngram_jaccard_lookup(docs, [])
     with pytest.raises(ValueError, match="request-scale"):
         ngram_jaccard_lookup(docs, ["x"] * 10_001)
+
+
+def test_jaccard_precomputed_index_equivalence(spark):
+    """r9: probe/lookup given a precomputed shingle_index (the DedupIndex
+    serving artifact — r8 verdict's ivf_cells-for-dedup item) return rows
+    identical to the inline build: the index is pure factoring of the
+    corpus Arrow pass, never a semantic knob."""
+    from treemachine_spark.functions.dedup import (
+        ngram_jaccard_lookup,
+        ngram_jaccard_probe,
+        shingle_index,
+    )
+    from treemachine_spark.io.tables import load_tables
+
+    docs = load_tables(spark, "/root/testdata/sf0.001")["documents"]
+    idx = shingle_index(docs).cache()
+    try:
+        probe = list(range(15))
+        inline = {
+            (r["doc_a"], r["doc_b"], r["jaccard"])
+            for r in ngram_jaccard_probe(docs, probe).collect()
+        }
+        indexed = {
+            (r["doc_a"], r["doc_b"], r["jaccard"])
+            for r in ngram_jaccard_probe(docs, probe, index=idx).collect()
+        }
+        assert inline == indexed and inline
+        texts = [
+            r["text"]
+            for r in docs.where(F.col("doc_id") < 2).orderBy("doc_id").collect()
+        ]
+        a = {
+            (r["query_idx"], r["doc_id"], r["jaccard"])
+            for r in ngram_jaccard_lookup(docs, texts).collect()
+        }
+        b = {
+            (r["query_idx"], r["doc_id"], r["jaccard"])
+            for r in ngram_jaccard_lookup(docs, texts, index=idx).collect()
+        }
+        assert a == b and a
+    finally:
+        idx.unpersist()

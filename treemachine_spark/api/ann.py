@@ -50,6 +50,21 @@ class AnnIndex:
         self.id_col = id_col
         self.vec_col = vec_col
         self.n_centroids = n_centroids
+        # query frames use synthetic ids -1..-n (outside any corpus id
+        # space), so the served id column must be a signed integral type —
+        # a string/decimal id would make the operators' query_id !=
+        # neighbor_id exclusion and the cell joins compare mismatched
+        # types through implicit casts (ADVICE r8). Validated here, at
+        # construction, not per request.
+        id_type = dict(embeddings.dtypes).get(id_col)
+        if id_type not in ("tinyint", "smallint", "int", "bigint"):
+            raise BadInputError(
+                f"ANN index requires an integral id column; {id_col!r} is "
+                f"{id_type!r}"
+            )
+        # byte/short corpora upcast exactly into int (batch ids reach
+        # -MAX_BATCH, past tinyint's floor); int/long keep their own type
+        self._query_id_type = id_type if id_type in ("int", "bigint") else "int"
         head = embeddings.select(vec_col).head()
         if head is None:
             raise BadInputError("ANN index: embeddings table is empty")
@@ -106,7 +121,7 @@ class AnnIndex:
                 self.vec_col: list(vectors),
             }
         )
-        schema = f"{self.id_col} long, {self.vec_col} array<double>"
+        schema = f"{self.id_col} {self._query_id_type}, {self.vec_col} array<double>"
         return spark.createDataFrame(pdf, schema=schema)
 
     @staticmethod

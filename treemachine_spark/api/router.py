@@ -28,9 +28,13 @@ import urllib.request
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 # fan-out routes: the ANN / document corpora shard across workers
-# (api/server.ANN_ROUTE / DUP_ROUTE)
+# (api/server.ANN_ROUTE / DUP_ROUTE / DUP_TEXT_ROUTE)
 ANN_ROUTE = "/v3/similarity/topk"
 DUP_ROUTE = "/v3/documents/duplicates"
+DUP_TEXT_ROUTE = "/v3/documents/text"
+# the workers' per-request bound (api/dedup.MAX_REQUEST_DOCS) — kept as a
+# literal so the router stays stdlib-only/Spark-free
+MAX_REQUEST_DOCS = 256
 
 
 class ShardRouter:
@@ -169,23 +173,23 @@ class ShardRouter:
         self, body: dict, timeout: float = 600.0
     ) -> tuple[int, dict]:
         """Scatter-gather duplicate LOOKUP over disjoint document shards.
-        Only the ``texts`` form fans out: jaccard(query, doc) involves
+        The ``texts`` form fans out directly: jaccard(query, doc) involves
         one shard's doc only, so the union of per-shard result lists IS
         the unsharded answer (threshold-filtered, no truncation to
         merge). The ``doc_ids`` probe is shard-LOCAL by construction — a
-        probe doc's cross-shard near-dups live where its shingles don't —
-        so a sharded router rejects it instead of silently missing pairs
-        (look the doc's text up instead)."""
+        naive fan-out would silently miss cross-shard pairs — so the
+        router serves it by TEXT INDIRECTION (r8 verdict #5): resolve
+        each probe doc's text from its owning shard (one /v3/documents/
+        text fan-out), re-issue as a ``texts`` lookup, and strip each
+        query's self-match. Same exactness argument as the texts form —
+        the lookup's query shingle set is byte-identical to the member
+        doc's, so every jaccard value equals the probe's."""
         if not self.dedup_shards:
             return 400, {
                 "message": "no dedup shards configured on this router"
             }
         if "doc_ids" in body:
-            return 400, {
-                "message": "doc_ids probes are shard-local: a sharded "
-                "router cannot see cross-shard pairs — send the "
-                "document's text via 'texts' instead"
-            }
+            return self._scatter_doc_ids(body, timeout)
         err, blobs = self._fan_out(
             self.dedup_shards, self._rr_dedup, DUP_ROUTE, body, timeout
         )
@@ -203,22 +207,100 @@ class ShardRouter:
             "results": results,
         }
 
+    def _scatter_doc_ids(self, body: dict, timeout: float) -> tuple[int, dict]:
+        """doc_ids probe over shards via text indirection. Contract-shape
+        errors (doc_ids not a list of ints, texts+doc_ids together,
+        unknown args, over the per-request bound, bad threshold) are NOT
+        re-validated here: the original body fans out to the workers'
+        duplicates route instead, whose unanimous 4xx passes through —
+        the error message stays byte-identical to the unsharded server's.
+        An id no shard knows (or whose text is NULL) resolves to an empty
+        partner list, matching the unsharded probe's silent-empty
+        semantics for unknown ids."""
+        ids = body.get("doc_ids")
+        shape_ok = (
+            set(body) <= {"doc_ids", "threshold"}
+            and isinstance(ids, list)
+            and bool(ids)
+            and len(ids) <= MAX_REQUEST_DOCS
+            and all(isinstance(i, int) and not isinstance(i, bool) for i in ids)
+            and (
+                "threshold" not in body
+                or (
+                    isinstance(body["threshold"], (int, float))
+                    and not isinstance(body["threshold"], bool)
+                    and 0 < body["threshold"] <= 1
+                )
+            )
+        )
+        if not shape_ok:
+            # let the workers produce the exact unsharded contract error
+            err, _ = self._fan_out(
+                self.dedup_shards, self._rr_dedup, DUP_ROUTE, body, timeout
+            )
+            return err if err is not None else (
+                502,
+                {"message": "malformed doc_ids probe unexpectedly accepted"},
+            )
+        uniq = list(dict.fromkeys(ids))
+        err, blobs = self._fan_out(
+            self.dedup_shards, self._rr_dedup, DUP_TEXT_ROUTE,
+            {"doc_ids": uniq}, timeout,
+        )
+        if err is not None:
+            return err
+        text_of: dict[int, str] = {}
+        for b in blobs:
+            for key, t in (b.get("texts") or {}).items():
+                if t is not None:
+                    text_of.setdefault(int(key), t)
+        present = [i for i in uniq if i in text_of]
+        threshold = float(body.get("threshold", 0.3))
+        by_id: dict[int, list] = {i: [] for i in uniq}
+        if present:
+            lookup_body = {
+                "texts": [text_of[i] for i in present],
+                "threshold": threshold,
+            }
+            status, resp = self.scatter_duplicates(lookup_body, timeout)
+            if status != 200:
+                return status, resp
+            for i, lst in zip(present, resp["results"]):
+                # strip the query's own corpus row (the probe excludes
+                # self-pairs); exact 1.0 matches under OTHER ids stay
+                by_id[i] = [d for d in lst if d["doc_id"] != i]
+        return 200, {
+            "threshold": threshold,
+            "shards": len(self.dedup_shards),
+            "results": [list(by_id[i]) for i in ids],
+        }
+
     def _fan_out(self, shards, rrs, route, body, timeout):
         """One replica per shard (round-robin + wrap-around failover),
-        concurrently. Returns (error_response_or_None, blobs): a 4xx from
-        any shard passes through verbatim (contract errors are identical
-        everywhere); an unreachable shard is a 502 — never a
-        silently-partial answer."""
+        concurrently. Returns (error_response_or_None, blobs): a 4xx
+        passes through verbatim only when EVERY shard answered 4xx
+        (contract errors are identical everywhere; a 4xx from SOME shards
+        while others answered 200 reflects per-shard config skew, not a
+        request error — that is a 502, ADVICE r8); an unreachable shard
+        is a 502 — never a silently-partial answer."""
         with self._lock:
             picks = []
             for pool, cyc in zip(shards, rrs):
                 primary = next(cyc)
                 i = pool.index(primary)
                 picks.append(pool[i:] + pool[:i])
-        out: list = [None] * len(picks)
+        # sentinel: a hit thread that dies before assignment (MemoryError,
+        # an encoding failure outside _try_bases' catch) must read as the
+        # promised 502, not a TypeError unpacking None (ADVICE r8)
+        out: list = [
+            (502, {"message": "shard worker thread failed before replying"})
+        ] * len(picks)
 
         def hit(idx: int) -> None:
-            out[idx] = self._try_bases(picks[idx], route, dict(body), timeout)
+            try:
+                out[idx] = self._try_bases(picks[idx], route, dict(body), timeout)
+            except Exception as e:  # a shard fault is a 502, never a crash
+                out[idx] = (502, {"message": f"{type(e).__name__}: {e}"})
 
         threads = [
             threading.Thread(target=hit, args=(i,)) for i in range(len(picks))
@@ -227,15 +309,17 @@ class ShardRouter:
             t.start()
         for t in threads:
             t.join()
-        for status, resp in out:
-            if 400 <= status < 500:
-                return (status, resp), None
+        if all(400 <= status < 500 for status, _ in out):
+            return out[0], None
         for status, resp in out:
             if status != 200:
-                return (
-                    502,
-                    {"message": f"shard failed: {resp.get('message', '')}"},
-                ), None
+                detail = resp.get("message", "")
+                if 400 <= status < 500:
+                    detail = (
+                        f"shard answered {status} while others answered 200 "
+                        f"(per-shard config skew?): {detail}"
+                    )
+                return (502, {"message": f"shard failed: {detail}"}), None
         return None, [resp for _, resp in out]
 
 

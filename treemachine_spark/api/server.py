@@ -118,6 +118,10 @@ DISTINCT_ROUTE = "/v3/stats/distinct"
 ANN_ROUTE = "/v3/similarity/topk"
 # beyond-reference: exact-Jaccard duplicate lookup/probe (api/dedup.py)
 DUP_ROUTE = "/v3/documents/duplicates"
+# beyond-reference: corpus-member text resolution (the sharded router's
+# doc_ids indirection — resolve each probe doc's text from its owning
+# shard, then fan out as a 'texts' lookup; api/router.scatter_duplicates)
+DUP_TEXT_ROUTE = "/v3/documents/text"
 
 
 def _dispatch(apis: dict, path: str, body: dict) -> tuple[int, dict]:
@@ -208,6 +212,23 @@ class ServerCore:
         insert, so the cleared cache cannot be repopulated with
         old-snapshot responses."""
         self._build(store)
+        self._bump_generation()
+
+    def swap_indexes(self, ann_index=None, dedup_index=None) -> None:
+        """Republish served index snapshots — the pq_append freshness
+        flow (append to the persisted artifact, AnnIndex.from_paths a
+        fresh snapshot, swap it in here) and its dedup twin. Rebinds
+        under the same generation guard as :meth:`swap_store`: every
+        cached pre-swap response drops, and an in-flight request that
+        began against the old snapshot finishes (snapshot isolation) but
+        can never deposit its stale answer into the post-swap cache."""
+        if ann_index is not None:
+            self.ann_index = ann_index
+        if dedup_index is not None:
+            self.dedup_index = dedup_index
+        self._bump_generation()
+
+    def _bump_generation(self) -> None:
         if self.cache is not None:
             with self.cache._lock:
                 self._generation += 1
@@ -233,6 +254,15 @@ class ServerCore:
                 "no dedup index configured on this server",
                 {"texts", "doc_ids", "threshold"},
                 lambda idx: idx.duplicates(**body),
+                body,
+            )
+        if path == DUP_TEXT_ROUTE:
+            return self._handle_snapshot_route(
+                DUP_TEXT_ROUTE,
+                self.dedup_index,
+                "no dedup index configured on this server",
+                {"doc_ids"},
+                lambda idx: idx.resolve_texts(**body),
                 body,
             )
 

@@ -332,19 +332,18 @@ def minhash_near_dup_pairs(
         sh = docs.join(F.broadcast(ids), "doc_id", "left_semi").select(
             "doc_id", shingle_array_udf(k)(F.col(text_col)).alias("sh")
         )
+    # gate on the RAW ratio, round only in the projection: the DuckDB
+    # oracles' WHERE compares the unrounded ratio, so filtering the
+    # ROUND()ed value here would keep a raw jaccard in [t-5e-5, t) that
+    # the oracle drops — a knife-edge row-set divergence (ADVICE r8)
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
     out = (
         cand.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
         .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b")),
-                4,
-            ).alias("jaccard"),
-        )
-        .where(F.col("jaccard") >= threshold)
+        .where(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
     # materialize once (result is pair-scale), then release the temp caches
     out = out.localCheckpoint(eager=True)
@@ -407,17 +406,14 @@ def ngram_jaccard_pairs(
         )
         .agg(F.count("*").alias("n_inter"))
     )
+    # raw-ratio gate, ROUND in the projection only (oracle-WHERE parity —
+    # see minhash_near_dup_pairs)
+    jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
     out = (
         inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")), "doc_a")
         .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b")), "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(
-                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 4
-            ).alias("jaccard"),
-        )
-        .where(F.col("jaccard") >= threshold)
+        .where(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
     # materialize once (pair-scale result), then release the shingle cache
     out = out.localCheckpoint(eager=True)
@@ -428,6 +424,28 @@ def ngram_jaccard_pairs(
 MAX_PROBE_DOCS = 10_000
 
 
+def shingle_index(docs: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
+    """(doc_id, n, s): the exploded inverted shingle index — one row per
+    (document, distinct k-word shingle), with the doc's shingle-set size
+    riding every row. This is the dedup family's INDEX-BUILD artifact: a
+    served snapshot (api/dedup.DedupIndex) computes it once per corpus and
+    caches/persists it, so repeated probe/lookup requests skip the
+    corpus-wide Arrow shingling pass (the ivf_cells pattern — the r8
+    serving bench caught ANN rebuilding its cell assignment per request;
+    this is the dedup twin). One-off batch/gate callers build it inline.
+
+    explode_outer, not explode: plain explode makes the optimizer infer a
+    size(sh) > 0 filter below the Generate, and that filter carries its
+    own copy of the UDF — the Arrow pass would run TWICE per row
+    (plan-audited in d8's first cut); the outer variant infers nothing,
+    and the null rows short texts produce drop in one codegen filter."""
+    return (
+        docs.select("doc_id", shingle_array_udf(k)(F.col(text_col)).alias("sh"))
+        .select("doc_id", F.size("sh").alias("n"), F.explode_outer("sh").alias("s"))
+        .where(F.col("s").isNotNull())
+    )
+
+
 def ngram_jaccard_probe(
     docs: DataFrame,
     probe_ids,
@@ -435,6 +453,7 @@ def ngram_jaccard_probe(
     k: int = 3,
     threshold: float = 0.3,
     max_doc_freq: int | None = None,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """Request-scale exact-Jaccard near-dup PROBE: the pairs of
     :func:`ngram_jaccard_pairs` restricted to those touching a bounded
@@ -461,9 +480,21 @@ def ngram_jaccard_probe(
     corpus scale common boilerplate shingles have df in the millions
     while carrying no dedup signal. With the cap, shingles above it drop
     BEFORE the join and sizes recompute over the surviving shingle space
-    — exact capped-space Jaccard, identical to the batch twin's. Costs
-    one extra map-side-partial aggregation over the exploded stream (at
-    100 TB the df table is a precomputed index artifact).
+    — exact capped-space Jaccard, identical to the batch twin's. The df
+    table and the recomputed sizes are each materialized ONCE
+    (localCheckpoint) — left lazy, every consumer of the capped stream
+    re-executes the corpus-wide df aggregation, because Spark does not
+    reuse subplans (ADVICE r8 measured the broadcast side re-running it).
+    At 100 TB both are precomputed index artifacts.
+
+    ``index`` (optional): a precomputed :func:`shingle_index` frame for
+    the SAME (docs, k) — the served-snapshot path (DedupIndex caches it
+    once; repeated requests then skip the corpus Arrow pass entirely).
+    Left None, the index streams inline: the corpus is shingled and
+    scanned EXACTLY ONCE in the uncapped path (deriving |A|/|B| from a
+    second/third pass would re-run the Arrow UDF corpus-wide — the first
+    cut did; the plan audit caught it), which is the right trade for a
+    one-off probe.
     """
     ids = list(dict.fromkeys(probe_ids))
     if not ids:
@@ -474,35 +505,26 @@ def ngram_jaccard_probe(
             f"{MAX_PROBE_DOCS} probe docs ({len(ids)} given): use "
             f"ngram_jaccard_pairs / minhash_near_dup_pairs for corpus-scale"
         )
-    # the exploded index stream carries each doc's shingle-set size on
-    # every row (shingles are distinct per doc, so n = size(sh)), so the
-    # corpus is shingled and scanned EXACTLY ONCE — deriving |A|/|B| from
-    # a second/third pass would re-run the Arrow UDF corpus-wide (the
-    # first cut did; the plan audit caught it), and caching the index for
-    # a single request is the wrong trade at corpus scale (the batch
-    # recipe persists it because ALL pairs consume it)
-    # explode_outer, not explode: plain explode makes the optimizer infer
-    # a size(sh) > 0 filter below the Generate, and that filter carries
-    # its own copy of the UDF — the Arrow pass would run TWICE per row
-    # (plan-audited); the outer variant infers nothing, and the null rows
-    # short texts produce are dropped by one cheap codegen filter
-    ex = (
-        docs.select("doc_id", shingle_array_udf(k)(F.col(text_col)).alias("sh"))
-        .select("doc_id", F.size("sh").alias("n"), F.explode_outer("sh").alias("s"))
-        .where(F.col("s").isNotNull())
-    )
+    ex = shingle_index(docs, text_col, k) if index is None else index
     if max_doc_freq is not None:
         # capped shingle space: drop hot shingles BEFORE the join and
         # recompute |A| over the survivors (the batch recipe's exact
-        # semantics — sizes must describe the space pairs are counted in)
+        # semantics — sizes must describe the space pairs are counted in);
+        # materialize df-survivors and sizes once each so neither corpus
+        # aggregation re-runs under the probe's broadcast subtree
         rare = (
             ex.groupBy("s")
             .agg(F.count("*").alias("df"))
             .where(F.col("df") <= max_doc_freq)
             .select("s")
+            .localCheckpoint(eager=True)
         )
         kept = ex.join(rare, "s")
-        sizes = kept.groupBy("doc_id").agg(F.count("*").alias("n"))
+        sizes = (
+            kept.groupBy("doc_id")
+            .agg(F.count("*").alias("n"))
+            .localCheckpoint(eager=True)
+        )
         ex = kept.drop("n").join(sizes, "doc_id")
     px = ex.where(F.col("doc_id").isin(ids)).select(
         F.col("doc_id").alias("pid"), F.col("n").alias("pn"), "s"
@@ -522,6 +544,9 @@ def ngram_jaccard_probe(
         )
     )
     lo = F.col("pid") < F.col("doc_id")
+    # raw-ratio gate, ROUND in the projection only (oracle-WHERE parity —
+    # see minhash_near_dup_pairs)
+    jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
     return (
         ordered.groupBy(
             F.least("pid", "doc_id").alias("doc_a"),
@@ -532,14 +557,8 @@ def ngram_jaccard_probe(
             F.max(F.when(lo, F.col("pn")).otherwise(F.col("n_doc"))).alias("n_a"),
             F.max(F.when(lo, F.col("n_doc")).otherwise(F.col("pn"))).alias("n_b"),
         )
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(
-                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 4
-            ).alias("jaccard"),
-        )
-        .where(F.col("jaccard") >= threshold)
+        .where(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
 
 
@@ -549,6 +568,7 @@ def ngram_jaccard_lookup(
     text_col: str = "text",
     k: int = 3,
     threshold: float = 0.3,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """Decontamination LOOKUP: which corpus docs near-duplicate these
     QUERY TEXTS — the texts need not be in the corpus (the eval-set vs
@@ -562,6 +582,10 @@ def ngram_jaccard_lookup(
     A query identical to a corpus doc surfaces it at jaccard 1.0 —
     there is deliberately no self-exclusion (queries are not corpus
     rows). Returns (query_idx, doc_id, jaccard) above ``threshold``.
+
+    ``index`` (optional): a precomputed :func:`shingle_index` frame for
+    the SAME (docs, k) — the served-snapshot path (see
+    :func:`ngram_jaccard_probe`).
     """
     tl = list(texts)
     if not tl:
@@ -585,11 +609,10 @@ def ngram_jaccard_lookup(
         pd.DataFrame(qrows, columns=["query_idx", "qn", "s"]),
         schema="query_idx int, qn int, s string",
     )
-    ex = (
-        docs.select("doc_id", shingle_array_udf(k)(F.col(text_col)).alias("sh"))
-        .select("doc_id", F.size("sh").alias("n"), F.explode_outer("sh").alias("s"))
-        .where(F.col("s").isNotNull())
-    )
+    ex = shingle_index(docs, text_col, k) if index is None else index
+    # raw-ratio gate, ROUND in the projection only (oracle-WHERE parity —
+    # see minhash_near_dup_pairs)
+    jac = F.col("n_inter") / (F.col("qn") + F.col("n_doc") - F.col("n_inter"))
     return (
         ex.join(F.broadcast(px), "s")
         .groupBy("query_idx", "doc_id")
@@ -598,15 +621,8 @@ def ngram_jaccard_lookup(
             F.max("qn").alias("qn"),
             F.max("n").alias("n_doc"),
         )
-        .select(
-            "query_idx",
-            "doc_id",
-            F.round(
-                F.col("n_inter") / (F.col("qn") + F.col("n_doc") - F.col("n_inter")),
-                4,
-            ).alias("jaccard"),
-        )
-        .where(F.col("jaccard") >= threshold)
+        .where(jac >= threshold)
+        .select("query_idx", "doc_id", F.round(jac, 4).alias("jaccard"))
     )
 
 
