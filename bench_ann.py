@@ -21,7 +21,7 @@ import sys
 import threading
 import time
 
-from bench_http import _pctl, _post
+from bench_http import _pctl, _post, _post_json
 
 
 def _recall_phase(spark, store) -> dict:
@@ -84,7 +84,7 @@ def _recall_phase(spark, store) -> dict:
         # ground truth: the engine's own exact brute top-10
         truth = []
         for v in queries:
-            _, blob = _post(
+            _, blob = _post_json(
                 full_urls[0], "/v3/similarity/topk",
                 {"vector": v, "k": 10, "method": "brute"},
             )
@@ -95,7 +95,7 @@ def _recall_phase(spark, store) -> dict:
             for method in ("ivf", "pq"):
                 hits = 0
                 for v, t in zip(queries, truth):
-                    _, blob = _post(
+                    _, blob = _post_json(
                         base, "/v3/similarity/topk",
                         {"vector": v, "k": 10, "method": method, "n_probe": 8},
                     )

@@ -31,7 +31,7 @@ import sys
 import threading
 import time
 
-from bench_http import _pctl, _post
+from bench_http import _pctl, _post, _post_json
 
 
 def main() -> None:
@@ -155,11 +155,11 @@ def main() -> None:
             lats, mism = [], 0
             for i in qids:
                 t = time.time()
-                st, sh = _post(
+                st, sh = _post_json(
                     rbase, "/v3/documents/duplicates", {"doc_ids": [i]}
                 )
                 lats.append(time.time() - t)
-                st2, un = _post(
+                st2, un = _post_json(
                     base, "/v3/documents/duplicates", {"doc_ids": [i]}
                 )
                 mism += not (

@@ -39,6 +39,23 @@ def _post(base: str, path: str, body: dict) -> tuple[int, float]:
     return status, time.time() - t0
 
 
+def _post_json(base: str, path: str, body: dict) -> tuple[int, dict]:
+    """Like _post but returns the decoded JSON body (for benches that
+    check answers, e.g. bench_ann's recall phase / bench_dedup's
+    sharded-vs-unsharded equality)."""
+    req = urllib.request.Request(
+        base + path,
+        data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
 def _pctl(xs: list[float], q: float) -> float:
     xs = sorted(xs)
     return round(xs[min(len(xs) - 1, int(q * len(xs)))], 3)

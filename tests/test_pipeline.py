@@ -538,3 +538,39 @@ def test_jaccard_precomputed_index_equivalence(spark):
         assert a == b and a
     finally:
         idx.unpersist()
+
+
+def test_text_profile_arrow_matches_catalyst(spark):
+    """r9 (r8 verdict bench item): the Arrow profile fast path returns
+    rows IDENTICAL to the pure-Catalyst HOF form — including the
+    engine-semantics edge cases the Python twin must reproduce (Spark
+    trim strips ASCII spaces only; Java \\s is ASCII whitespace; ''
+    splits to [''], so every doc has >= 1 token)."""
+    from treemachine_spark.functions.text import text_profile
+    from treemachine_spark.io.tables import load_tables
+
+    edge = spark.createDataFrame(
+        [
+            (9001, ""),
+            (9002, "   "),
+            (9003, "\tthe quick fox"),
+            (9004, "the la und der die el les"),
+            (9005, "word"),
+            (9006, "a  b\t\tc\nd"),
+            (9007, " padded with spaces "),
+        ],
+        "doc_id long, text string",
+    )
+    docs = (
+        load_tables(spark, "/root/testdata/sf0.001")["documents"]
+        .select("doc_id", "text")
+        .unionByName(edge)
+    )
+    arrow = {r["doc_id"]: tuple(r)[1:] for r in text_profile(docs).collect()}
+    legacy = {
+        r["doc_id"]: tuple(r)[1:]
+        for r in text_profile(docs, use_arrow=False).collect()
+    }
+    assert arrow == legacy and len(arrow) == docs.count()
+    # schema parity too (the gate hashes dtypes)
+    assert text_profile(docs).dtypes == text_profile(docs, use_arrow=False).dtypes

@@ -50,24 +50,41 @@ def brute_force_topk(
     max_queries: int | None = 10_000,
 ) -> DataFrame:
     """Exact top-k by quantized dot product:
-    (query_id, neighbor_id, score, rank). Query set is broadcast; ranking is
-    a per-query window (tie-break on neighbor id for determinism).
+    (query_id, neighbor_id, score, rank). The query set rides the scoring
+    UDF's closure as a literal matrix; ranking is a per-query window
+    (tie-break on neighbor id for determinism).
 
     The corpus side streams (one scan — linear), so the exactness baseline
     is safe at any corpus size; the quadratic failure mode is a CORPUS
-    passed as ``queries`` (corpus x corpus = all-pairs through a broadcast
-    nested loop). ``max_queries`` gates that with the ``_resolve_tips``
-    pattern (graph/traversal.py:57): ONE LIMIT-bounded collect both sizes
-    the query set (raising :class:`TooManyPairsError` past the gate, naming
-    the sublinear twins) and doubles as the broadcast payload fetch — the
-    main job then broadcasts a LocalRelation instead of re-executing the
-    caller's query subplan under a second action (the repo invariant), so
-    the guard costs no extra Spark job. ``max_queries=None`` opts out and
-    keeps the query side fully lazy."""
+    passed as ``queries`` (corpus x corpus all-pairs). The query side is
+    ALWAYS materialized driver-side (request-scale contract, like
+    ``_resolve_tips``): one LIMIT-bounded collect both sizes the set —
+    raising :class:`TooManyPairsError` past ``max_queries``, naming the
+    sublinear twins — and doubles as the scoring payload, so the guard
+    costs no extra Spark job. ``max_queries=None`` skips the bound (the
+    serving route's MAX_BATCH already caps it) but still collects.
+
+    Scoring is one Arrow ``mapInPandas`` pass over the Spark-quantized
+    corpus: each batch is ONE numpy matmul against the query matrix
+    (r8 verdict's v1 bench item — the per-pair ``aggregate(zip_with)``
+    fold evaluates interpreted; A/B medians 0.50->0.45 s at sf0.1 and
+    0.87->0.67 s at sf1, the fixed scheduling floor owning the rest —
+    same lesson family as the shingle/simhash Arrow rewrites, and the
+    matmul's linear term keeps shrinking as the corpus grows).
+    Quantization stays in Spark (F.round's shortest-repr HALF_UP has no
+    cheap numpy twin — the knife-edge lesson), and the matmul of
+    integer-valued doubles is exact in float64 up to 2^53 regardless of
+    summation order, so scores are bit-identical to the fold's (DuckDB
+    oracle v1 + the AnnIndex route/sharded equality tests all pin this).
+    The corpus crosses Arrow ONCE; the old broadcast-cross-join shape
+    shipped each corpus row once per query."""
+    import numpy as np
+    import pandas as pd
+
+    qsel = queries.select(
+        F.col(id_col).alias("query_id"), quantize(F.col(vec_col)).alias("qv")
+    )
     if max_queries is not None:
-        qsel = queries.select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qraw")
-        )
         rows = qsel.limit(max_queries + 1).collect()
         if len(rows) > max_queries:
             raise TooManyPairsError(
@@ -76,39 +93,43 @@ def brute_force_topk(
                 f"lsh_topk / ivf_pq_topk for corpus-scale query sets, or "
                 f"raise max_queries explicitly"
             )
-        # pandas route -> TRUE LocalRelation (graph/traversal.local_df's
-        # measured guidance: createDataFrame from a row list parallelizes
-        # through a Python RDD, putting a task wave + Python worker round
-        # trip inside the broadcast build)
-        spark = embeddings.sparkSession
-        if rows:
-            import pandas as pd
+    else:
+        rows = qsel.collect()
+    spark = embeddings.sparkSession
+    nid_t = dict(embeddings.dtypes)[id_col]
+    qid_t = dict(queries.dtypes)[id_col]
+    out_schema = f"query_id {qid_t}, neighbor_id {nid_t}, score double"
+    if not rows:
+        return spark.createDataFrame(
+            [], out_schema + ", rank int"
+        )
+    qids = np.asarray([r["query_id"] for r in rows])
+    qmat_t = np.asarray(
+        [r["qv"] for r in rows], dtype=np.float64
+    ).T  # (dim, nq)
+    nq = len(rows)
 
-            pdf = pd.DataFrame(
+    def _score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.vstack(pdf["cv"].to_numpy())  # (b, dim)
+            s = x @ qmat_t  # exact: integer-valued float64, < 2^53
+            yield pd.DataFrame(
                 {
-                    "query_id": [r["query_id"] for r in rows],
-                    "_qraw": [r["_qraw"] for r in rows],
+                    "query_id": np.tile(qids, len(pdf)),
+                    "neighbor_id": np.repeat(
+                        pdf["neighbor_id"].to_numpy(), nq
+                    ),
+                    "score": s.ravel(),
                 }
             )
-            base = spark.createDataFrame(pdf, schema=qsel.schema)
-        else:
-            base = spark.createDataFrame([], qsel.schema)
-        q = base.select("query_id", quantize(F.col("_qraw")).alias("qv"))
-    else:
-        q = queries.select(
-            F.col(id_col).alias("query_id"), quantize(F.col(vec_col)).alias("qv")
-        )
+
     c = embeddings.select(
         F.col(id_col).alias("neighbor_id"), quantize(F.col(vec_col)).alias("cv")
     )
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            int_dot(F.col("qv"), F.col("cv")).alias("score"),
-        )
+    scored = c.mapInPandas(_score, schema=out_schema).where(
+        F.col("query_id") != F.col("neighbor_id")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), "neighbor_id")
     return (

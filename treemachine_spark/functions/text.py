@@ -149,15 +149,122 @@ def chunk_documents(
     )
 
 
-def text_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """One-pass profile: tokens, quality, predicted language, fingerprint."""
+def _py_words(t: str | None) -> list[str]:
+    """Python twin of words() == split(trim(text), r'\\s+'): Spark/DuckDB
+    trim strips ASCII SPACES only, and the Java/RE2 \\s class is ASCII
+    whitespace — Python's unicode-aware .strip()/\\s would diverge on
+    NBSP-bearing text, so both are pinned to the engines' semantics
+    (leading '\\t' after the trim yields the same empty first token the
+    engines produce; '' splits to [''])."""
+    import re
+
+    return re.split("[ \\t\\n\\x0b\\f\\r]+", (t or "").strip(" "))
+
+
+def _profile_udf():
+    """pandas UDF: text -> struct of the INTEGER profile components —
+    token count, union-stopword hits, per-language stopword hits, and the
+    rolling md5-Horner fingerprint. Arrow-batched twin of the Catalyst
+    HOF forms (token_count/quality_score ingredients/lang_scores/
+    fingerprint): Spark evaluates filter/transform/aggregate lambdas —
+    and the per-word md5 inside them — in INTERPRETED mode (the
+    shingle/simhash/dup_spans lesson; the r8 verdict's x1 bench item).
+    Only exact-integer values cross the boundary; the knife-edge-prone
+    float math (quality's ROUND) stays in Spark so the gate's values are
+    bit-identical by construction."""
+    import hashlib
+
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    langs = sorted(STOPWORDS)
+    stop_sets = {lang: frozenset(STOPWORDS[lang]) for lang in langs}
+    union = frozenset().union(*stop_sets.values())
+    p = MERSENNE31
+
+    def _f(texts: pd.Series) -> pd.DataFrame:
+        rows = []
+        for t in texts:
+            ws = _py_words(t)
+            acc = None
+            for w in ws:
+                h = int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % p
+                acc = h if acc is None else (acc * 31 + h) % p
+            rows.append(
+                (
+                    len(ws),
+                    sum(1 for w in ws if w in union),
+                    acc,
+                    *(sum(1 for w in ws if w in stop_sets[lang]) for lang in langs),
+                )
+            )
+        return pd.DataFrame(
+            rows,
+            columns=["n_tokens", "n_stop", "fingerprint", *[f"s_{x}" for x in langs]],
+        )
+
+    return pandas_udf(
+        _f,
+        StructType(
+            [
+                StructField("n_tokens", IntegerType()),
+                StructField("n_stop", IntegerType()),
+                StructField("fingerprint", LongType()),
+                *[StructField(f"s_{lang}", IntegerType()) for lang in langs],
+            ]
+        ),
+        PandasUDFType.SCALAR,
+    )
+
+
+def text_profile(
+    docs: DataFrame, text_col: str = "text", use_arrow: bool = True
+) -> DataFrame:
+    """One-pass profile: tokens, quality, predicted language, fingerprint.
+
+    Default path: ONE Arrow batch pass computes the integer components
+    (:func:`_profile_udf`) and the float/rounding/tie-break assembly stays
+    in Spark codegen — identical values to the pure-Catalyst form
+    (``use_arrow=False``, kept as the differential twin). A/B medians:
+    0.25 -> 0.15 s at sf0.1 (5k docs, cached) and 0.35 -> 0.18 s at sf1
+    (50k docs) — the HOF lambdas and their per-word md5 evaluate
+    interpreted, and the gap widens with corpus size."""
     t = F.col(text_col)
-    return docs.select(
+    if not use_arrow:
+        return docs.select(
+            "doc_id",
+            token_count(t).alias("n_tokens"),
+            quality_score(t).alias("quality"),
+            lang_id(t).alias("pred_lang"),
+            fingerprint(t).alias("fingerprint"),
+        )
+    st = docs.select("doc_id", _profile_udf()(t).alias("p"))
+    n = F.col("p.n_tokens")
+    quality = F.round(
+        0.5 * F.least(n / F.lit(100.0), F.lit(1.0))
+        + 0.5 * (F.col("p.n_stop") / n),
+        4,
+    )
+    # identical when-chain to lang_id(), over the precomputed hit counts
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    for lang in sorted(STOPWORDS):
+        score = F.col(f"p.s_{lang}")
+        is_better = score > best_score
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(is_better, score).otherwise(best_score)
+    return st.select(
         "doc_id",
-        token_count(t).alias("n_tokens"),
-        quality_score(t).alias("quality"),
-        lang_id(t).alias("pred_lang"),
-        fingerprint(t).alias("fingerprint"),
+        n.alias("n_tokens"),
+        quality.alias("quality"),
+        best_lang.alias("pred_lang"),
+        F.col("p.fingerprint").alias("fingerprint"),
     )
 
 
