@@ -490,11 +490,19 @@ def ngram_jaccard_probe(
     ``index`` (optional): a precomputed :func:`shingle_index` frame for
     the SAME (docs, k) — the served-snapshot path (DedupIndex caches it
     once; repeated requests then skip the corpus Arrow pass entirely).
-    Left None, the index streams inline: the corpus is shingled and
-    scanned EXACTLY ONCE in the uncapped path (deriving |A|/|B| from a
-    second/third pass would re-run the Arrow UDF corpus-wide — the first
-    cut did; the plan audit caught it), which is the right trade for a
-    one-off probe.
+    With an index (and no cap), the probe docs' shingles are collected
+    FIRST (request-scale: one IN-pushed job over the cached index) and
+    the stream side is pruned to rows whose shingle is in that set — a
+    pure prune, since a row whose shingle no probe doc carries cannot
+    join. Measured at 500k docs / 26.5M index rows: the un-pruned
+    broadcast join+agg streams every index row per request (~2.1 s); the
+    InSet prune cuts it ~3x (the bench_dedup delta — at cluster scale
+    the written index is bucketed by shingle, so the same InSet prunes
+    whole buckets, the read_pruned_closure pattern). Left None, the
+    index streams inline: the corpus is shingled and scanned EXACTLY
+    ONCE in the uncapped path (deriving |A|/|B| from a second/third pass
+    would re-run the Arrow UDF corpus-wide — the first cut did; the plan
+    audit caught it), which is the right trade for a one-off probe.
     """
     ids = list(dict.fromkeys(probe_ids))
     if not ids:
@@ -506,6 +514,23 @@ def ngram_jaccard_probe(
             f"ngram_jaccard_pairs / minhash_near_dup_pairs for corpus-scale"
         )
     ex = shingle_index(docs, text_col, k) if index is None else index
+    px = None
+    if index is not None and max_doc_freq is None:
+        prows = ex.where(F.col("doc_id").isin(ids)).collect()
+        if prows:
+            px = docs.sparkSession.createDataFrame(
+                pd.DataFrame(
+                    {
+                        "pid": [r["doc_id"] for r in prows],
+                        "pn": [r["n"] for r in prows],
+                        "s": [r["s"] for r in prows],
+                    }
+                ),
+                schema=f"pid {dict(docs.dtypes)['doc_id']}, pn int, s string",
+            )
+            ex = ex.where(
+                F.col("s").isin(sorted({r["s"] for r in prows}))
+            )
     if max_doc_freq is not None:
         # capped shingle space: drop hot shingles BEFORE the join and
         # recompute |A| over the survivors (the batch recipe's exact
@@ -526,9 +551,10 @@ def ngram_jaccard_probe(
             .localCheckpoint(eager=True)
         )
         ex = kept.drop("n").join(sizes, "doc_id")
-    px = ex.where(F.col("doc_id").isin(ids)).select(
-        F.col("doc_id").alias("pid"), F.col("n").alias("pn"), "s"
-    )
+    if px is None:
+        px = ex.where(F.col("doc_id").isin(ids)).select(
+            F.col("doc_id").alias("pid"), F.col("n").alias("pn"), "s"
+        )
     # ordered (pid, other) intersection counts; both-probe pairs arrive in
     # both orientations with equal counts and consistent sizes, so the
     # least/greatest + MAX normalization dedupes without double-counting
@@ -610,6 +636,13 @@ def ngram_jaccard_lookup(
         schema="query_idx int, qn int, s string",
     )
     ex = shingle_index(docs, text_col, k) if index is None else index
+    # stop-set prune (see ngram_jaccard_probe): index rows whose shingle
+    # appears in NO query text cannot join — the InSet filter cuts the
+    # join+agg input from the whole inverted index to the queries'
+    # neighborhoods (~3x at 500k docs; bucket-pruning at cluster scale).
+    # The query shingles are already driver-resident, so this costs no
+    # extra job on the inline path either.
+    ex = ex.where(F.col("s").isin(sorted({s for _, _, s in qrows})))
     # raw-ratio gate, ROUND in the projection only (oracle-WHERE parity —
     # see minhash_near_dup_pairs)
     jac = F.col("n_inter") / (F.col("qn") + F.col("n_doc") - F.col("n_inter"))
