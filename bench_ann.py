@@ -91,18 +91,27 @@ def _recall_phase(spark, store) -> dict:
             truth.append({nb["neighbor_id"] for nb in blob["neighbors"]})
 
         def recall_at(base: str) -> dict:
+            # pq measured at rerank_factor 5 (default) AND 40: ADC
+            # separates clusters, not neighbors inside one — on this
+            # 400-per-cluster corpus the exact re-rank pool must cover
+            # the query's cluster (the r9 finding that put rerank_factor
+            # on the route contract)
             res = {}
-            for method in ("ivf", "pq"):
+            for label, body_extra in (
+                ("ivf", {"method": "ivf"}),
+                ("pq_rf5", {"method": "pq", "rerank_factor": 5}),
+                ("pq_rf40", {"method": "pq", "rerank_factor": 40}),
+            ):
                 hits = 0
                 for v, t in zip(queries, truth):
                     _, blob = _post_json(
                         base, "/v3/similarity/topk",
-                        {"vector": v, "k": 10, "method": method, "n_probe": 8},
+                        {"vector": v, "k": 10, "n_probe": 8, **body_extra},
                     )
                     hits += len(
                         {nb["neighbor_id"] for nb in blob["neighbors"]} & t
                     )
-                res[method] = round(hits / (10 * len(queries)), 3)
+                res[label] = round(hits / (10 * len(queries)), 3)
             return res
 
         out["unsharded"] = recall_at(full_urls[0])

@@ -685,11 +685,36 @@ def test_similarity_topk_route(spark, base_url):
         assert bblob["results"][1] == solo2["neighbors"]
         assert bblob["results"][1][0]["neighbor_id"] == 7
 
+        # r9: rerank_factor is a request knob (the PQ recall lever —
+        # bench_ann's recall phase measures why); route == library
+        # operator at the same factor
+        status, rf_blob = post(
+            base, "/v3/similarity/topk",
+            {"vector": vec, "k": 5, "method": "pq", "rerank_factor": 7},
+        )
+        assert status == 200
+        from treemachine_spark.functions.pq import ivf_pq_topk
+
+        rf_want = [
+            (r["neighbor_id"], float(r["score"]), r["rank"])
+            for r in ivf_pq_topk(
+                emb, qdf, k=5, n_centroids=idx.n_centroids, n_probe=2,
+                codebook=codebook, codes=codes, rerank=True,
+                rerank_factor=7, cells=idx._cells,
+            ).orderBy("rank").collect()
+        ]
+        assert [
+            (n["neighbor_id"], n["score"], n["rank"])
+            for n in rf_blob["neighbors"]
+        ] == rf_want
+
         # contract 400s
         for bad, msg in [
             ({"vector": vec[:3]}, "dimensions"),
             ({"vector": vec, "method": "faiss"}, "Invalid 'method'"),
             ({"vector": vec, "k": 0}, "'k' must be"),
+            ({"vector": vec, "rerank_factor": 0}, "'rerank_factor' must be"),
+            ({"vector": vec, "rerank_factor": 1.5}, "'rerank_factor' must be"),
             ({"vector": "nope"}, "'vector' must be"),
             ({}, "'vector' must be"),
             ({"vector": vec, "vectors": [vec]}, "not both"),

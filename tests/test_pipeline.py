@@ -574,3 +574,88 @@ def test_text_profile_arrow_matches_catalyst(spark):
     assert arrow == legacy and len(arrow) == docs.count()
     # schema parity too (the gate hashes dtypes)
     assert text_profile(docs).dtypes == text_profile(docs, use_arrow=False).dtypes
+
+
+def test_persisted_shingle_index_roundtrip_append_and_serving(spark, tmp_path):
+    """r9: the dedup family's persisted index artifact
+    (write_shingle_index / read_shingle_index / shingle_index_append —
+    the write_pq_index twin): bucket layout round-trips, probe/lookup
+    against the on-disk index (bucket-pruned) return rows identical to
+    the inline build, append == full derivation, and a DedupIndex loaded
+    from the artifact answers exactly like the in-memory one."""
+    from treemachine_spark.functions.dedup import (
+        ngram_jaccard_lookup,
+        ngram_jaccard_probe,
+        read_shingle_index,
+        shingle_index,
+        shingle_index_append,
+        write_shingle_index,
+    )
+    from treemachine_spark.io.tables import load_tables
+
+    docs = load_tables(spark, "/root/testdata/sf0.001")["documents"].cache()
+    out = str(tmp_path / "shidx")
+    n = write_shingle_index(docs, out, n_buckets=32)
+    idx, k, nb = read_shingle_index(spark, out)
+    assert (k, nb) == (3, 32)
+    inline = shingle_index(docs)
+    assert n == idx.count() == inline.count()
+    assert dict(idx.dtypes)["bucket"] == "bigint"
+
+    probe = list(range(15))
+    want = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in ngram_jaccard_probe(docs, probe).collect()
+    }
+    got = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in ngram_jaccard_probe(
+            docs, probe, index=idx, index_n_buckets=nb
+        ).collect()
+    }
+    assert got == want and want
+    texts = [
+        r["text"]
+        for r in docs.where(F.col("doc_id") < 2).orderBy("doc_id").collect()
+    ]
+    a = {
+        (r["query_idx"], r["doc_id"], r["jaccard"])
+        for r in ngram_jaccard_lookup(docs, texts).collect()
+    }
+    b = {
+        (r["query_idx"], r["doc_id"], r["jaccard"])
+        for r in ngram_jaccard_lookup(
+            docs, texts, index=idx, index_n_buckets=nb
+        ).collect()
+    }
+    assert a == b and a
+
+    # append == full derivation (same bucket layout, stored k)
+    half = docs.where(F.col("doc_id") % 2 == 0)
+    rest = docs.where(F.col("doc_id") % 2 == 1)
+    out2 = str(tmp_path / "shidx_grow")
+    write_shingle_index(half, out2, n_buckets=32)
+    appended = shingle_index_append(rest, out2)
+    assert appended == shingle_index(rest).count()
+    grown, _, _ = read_shingle_index(spark, out2)
+    full_rows = {tuple(r) for r in idx.collect()}
+    assert {tuple(r) for r in grown.collect()} == full_rows
+
+    # served equality: artifact-backed DedupIndex == in-memory DedupIndex
+    from treemachine_spark.api.dedup import DedupIndex
+
+    mem = DedupIndex(docs)
+    disk = DedupIndex(docs, index_dir=out)
+    assert disk.n_buckets == 32 and disk.k == 3
+    for req in ({"doc_ids": [7, 8]}, {"texts": [texts[0]]}):
+        assert disk.duplicates(**req) == mem.duplicates(**req)
+
+    # cli artifact build smoke (same layout)
+    from treemachine_spark import cli
+
+    out3 = str(tmp_path / "shidx_cli")
+    assert cli.main(
+        ["dedupbuild", "/root/testdata/sf0.001", out3, "--n-buckets", "16"]
+    ) == 0
+    _, k3, nb3 = read_shingle_index(spark, out3)
+    assert (k3, nb3) == (3, 16)

@@ -143,6 +143,7 @@ class AnnIndex:
         k: int = 10,
         method: str | None = None,
         n_probe: int = 2,
+        rerank_factor: int = 5,
     ) -> dict:
         if (vector is None) == (vectors is None):
             raise BadInputError(
@@ -168,6 +169,22 @@ class AnnIndex:
             raise BadInputError(f"'k' must be an integer in [1, {MAX_K}]")
         if not isinstance(n_probe, int) or isinstance(n_probe, bool) or n_probe < 1:
             raise BadInputError("'n_probe' must be a positive integer")
+        # the PQ recall knob (r9, measured in bench_ann's recall phase):
+        # ADC separates clusters, not neighbors WITHIN a tight cluster —
+        # every member shares nearly the same code, so the exact re-rank
+        # pool (k * rerank_factor) must cover the query's cluster for
+        # intra-cluster top-k to surface (0.16 -> 1.0 recall@10 going
+        # rerank_factor 5 -> 40 on the 400-per-cluster corpus, at equal
+        # latency). Serving exposes it because cluster density is a
+        # corpus property the operator cannot see.
+        if (
+            not isinstance(rerank_factor, int)
+            or isinstance(rerank_factor, bool)
+            or not 1 <= rerank_factor <= 1000
+        ):
+            raise BadInputError(
+                "'rerank_factor' must be an integer in [1, 1000]"
+            )
         methods = ("brute", "ivf") + (("pq",) if self.codebook is not None else ())
         method = method or ("pq" if self.codebook is not None else "ivf")
         if method not in methods:
@@ -197,6 +214,7 @@ class AnnIndex:
                 self.embeddings, q, k=k, n_centroids=self.n_centroids,
                 n_probe=n_probe, codebook=self.codebook, codes=self.codes,
                 rotation=self.rotation, rerank=True,
+                rerank_factor=rerank_factor,
                 id_col=self.id_col, vec_col=self.vec_col, cells=self._cells,
             )
         rows = out.orderBy("query_id", "rank").collect() if len(batch) > 1 \

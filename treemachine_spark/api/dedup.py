@@ -43,27 +43,42 @@ class DedupIndex:
         text_col: str = "text",
         id_col: str = "doc_id",
         k: int = 3,
+        index_dir: str | None = None,
     ):
         self.docs = docs
         self.text_col = text_col
         self.id_col = id_col
-        self.k = k
         if docs.select(id_col).head() is None:
             raise BadInputError("dedup index: documents table is empty")
         from treemachine_spark.functions import dedup
 
-        # the (doc_id, n, s) inverted index — built once per snapshot,
-        # cached; every probe/lookup request streams it instead of
-        # re-running the corpus shingle UDF (shingle space is k-specific,
-        # and k is fixed per index)
-        self.index = dedup.shingle_index(docs, text_col=text_col, k=k).cache()
-        self.index.count()
+        if index_dir is not None:
+            # persisted bucket layout (functions/dedup.write_shingle_index,
+            # `cli dedupbuild`): cold boot is a metadata read, requests
+            # prune partition DIRECTORIES by the query shingles' buckets —
+            # no executor-cached copy of the index at all (the 100 TB
+            # shape). k comes from the artifact (the shingle space is
+            # k-specific).
+            self.index, self.k, self.n_buckets = dedup.read_shingle_index(
+                docs.sparkSession, index_dir
+            )
+        else:
+            # in-memory snapshot: the (doc_id, n, s) inverted index built
+            # once per snapshot and cached; every probe/lookup request
+            # streams the cache (stop-set-pruned) instead of re-running
+            # the corpus shingle UDF
+            self.k = k
+            self.n_buckets = None
+            self.index = dedup.shingle_index(
+                docs, text_col=text_col, k=k
+            ).cache()
+            self.index.count()
 
     @classmethod
-    def from_path(cls, spark, docs_path: str, **kw):
+    def from_path(cls, spark, docs_path: str, index_dir: str | None = None, **kw):
         docs = spark.read.parquet(docs_path).cache()
         docs.count()
-        return cls(docs, **kw)
+        return cls(docs, index_dir=index_dir, **kw)
 
     def texts_of(self, doc_ids) -> dict[int, str | None]:
         """Resolve corpus members' texts by id (request-scale IN-pushed
@@ -129,6 +144,7 @@ class DedupIndex:
             rows = dedup.ngram_jaccard_lookup(
                 self.docs, list(texts), text_col=self.text_col,
                 k=self.k, threshold=float(threshold), index=self.index,
+                index_n_buckets=self.n_buckets,
             ).collect()
             results: list[list[dict]] = [[] for _ in texts]
             for r in rows:
@@ -148,6 +164,7 @@ class DedupIndex:
             rows = dedup.ngram_jaccard_probe(
                 self.docs, list(doc_ids), text_col=self.text_col,
                 k=self.k, threshold=float(threshold), index=self.index,
+                index_n_buckets=self.n_buckets,
             ).collect()
             # pairs are (min, max)-normalized; expand to each REQUESTED id's
             # partner list (a both-probe pair lands in both lists). Results

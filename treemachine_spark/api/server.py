@@ -320,7 +320,7 @@ class ServerCore:
             ANN_ROUTE,
             self.ann_index,
             "no ANN index configured on this server",
-            {"vector", "vectors", "k", "method", "n_probe"},
+            {"vector", "vectors", "k", "method", "n_probe", "rerank_factor"},
             lambda idx: idx.topk(**body),
             body,
         )

@@ -115,10 +115,13 @@ def main(argv=None) -> int:
     s.add_argument(
         "--dedup-index",
         default=None,
-        metavar="DOCS_PARQUET",
+        metavar="DOCS_PARQUET[:IDX_DIR]",
         help="serve POST /v3/documents/duplicates over the documents "
-        "parquet (cached corpus): exact-Jaccard decontamination lookup "
-        "for request texts, membership probe for corpus doc_ids",
+        "parquet: exact-Jaccard decontamination lookup for request "
+        "texts, membership probe for corpus doc_ids. With a persisted "
+        "shingle-index directory (cli dedupbuild output), requests "
+        "bucket-prune the on-disk index and cold boot skips the corpus "
+        "shingling pass",
     )
     s.add_argument(
         "--ann-index",
@@ -269,6 +272,24 @@ def main(argv=None) -> int:
         "cold-starts without re-running the corpus x centroids argmax",
     )
 
+    s = sub.add_parser(
+        "dedupbuild",
+        help="build + persist the inverted shingle index for the "
+        "documents table, bucketed by shingle hash "
+        "(functions/dedup.write_shingle_index): duplicates requests "
+        "against `serve --dedup-index DOCS:IDX_DIR` prune whole bucket "
+        "directories at the parquet scan",
+    )
+    s.add_argument("sf_dir")
+    s.add_argument("out_dir")
+    s.add_argument("--k", type=int, default=3, help="shingle width (words)")
+    s.add_argument(
+        "--n-buckets",
+        type=int,
+        default=512,
+        help="shingle-hash bucket count (pruning selectivity vs file count)",
+    )
+
     args = p.parse_args(argv)
 
     # T14 tree surgery: request-scale driver-side mutations, no SparkSession
@@ -372,6 +393,20 @@ def main(argv=None) -> int:
         df = load_tables(spark, args.sf_dir)[args.table]
         for row in table_stats(df).collect():
             print(_json.dumps(row.asDict(), default=str))
+        return 0
+
+    if args.cmd == "dedupbuild":
+        from treemachine_spark.functions.dedup import write_shingle_index
+        from treemachine_spark.io.tables import load_tables
+
+        docs = load_tables(spark, args.sf_dir)["documents"]
+        n = write_shingle_index(
+            docs, args.out_dir, k=args.k, n_buckets=args.n_buckets
+        )
+        print(
+            f"shingle index at {args.out_dir}: {n} rows, k={args.k}, "
+            f"{args.n_buckets} buckets"
+        )
         return 0
 
     if args.cmd == "pqbuild":
@@ -510,8 +545,9 @@ def main(argv=None) -> int:
         if args.dedup_index:
             from treemachine_spark.api.dedup import DedupIndex
 
+            docs_path, _, idx_dir = args.dedup_index.partition(":")
             dpi = DedupIndex.from_path(
-                store.nodes.sparkSession, args.dedup_index
+                store.nodes.sparkSession, docs_path, index_dir=idx_dir or None
             )
         ann = None
         if args.ann_index:

@@ -446,6 +446,93 @@ def shingle_index(docs: DataFrame, text_col: str = "text", k: int = 3) -> DataFr
     )
 
 
+def write_shingle_index(
+    docs: DataFrame,
+    out_dir: str,
+    text_col: str = "text",
+    k: int = 3,
+    n_buckets: int = 512,
+) -> int:
+    """Persist the inverted shingle index BUCKETED BY SHINGLE HASH — the
+    100 TB serving artifact (the pq write_pq_index twin for the dedup
+    family). Layout: ``<out_dir>/shingles.parquet`` partitioned by
+    ``bucket = h32(s) % n_buckets`` plus ``meta.json`` (k, n_buckets).
+
+    Why buckets: a duplicates request touches only its own shingles, so
+    a reader that filters ``bucket IN (h32(query shingles) % n)`` prunes
+    whole partition DIRECTORIES at the parquet scan — the request reads
+    ~|query shingles|/n_buckets of the corpus index from disk, needs NO
+    executor-cached copy, and cold boot is a metadata read instead of a
+    corpus-wide Arrow shingling pass. ``n_buckets`` trades pruning
+    selectivity (one ~90-shingle text hits <=90 buckets) against file
+    count; at corpus scale each bucket is a healthy parquet file.
+    Returns the number of index rows written."""
+    import json
+    import os
+
+    idx = shingle_index(docs, text_col, k).withColumn(
+        "bucket", F.pmod(h32(F.col("s")), F.lit(n_buckets))
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    idx.write.mode("overwrite").partitionBy("bucket").parquet(
+        os.path.join(out_dir, "shingles.parquet")
+    )
+    with open(os.path.join(out_dir, "meta.json"), "w") as fh:
+        json.dump({"k": k, "n_buckets": n_buckets}, fh)
+    spark = docs.sparkSession
+    return spark.read.parquet(os.path.join(out_dir, "shingles.parquet")).count()
+
+
+def read_shingle_index(spark, out_dir: str):
+    """(index DataFrame, k, n_buckets) persisted by
+    :func:`write_shingle_index`. The frame is left UNcached on purpose:
+    its value is disk-partition pruning per request (feed it to
+    probe/lookup via ``index=`` + ``index_n_buckets=``)."""
+    import json
+    import os
+
+    with open(os.path.join(out_dir, "meta.json")) as fh:
+        meta = json.load(fh)
+    idx = spark.read.parquet(os.path.join(out_dir, "shingles.parquet")).select(
+        "doc_id", "n", "s",
+        # partition-column inference narrows to int; restore long so the
+        # driver-computed bucket literals match without implicit casts
+        F.col("bucket").cast("long").alias("bucket"),
+    )
+    return idx, meta["k"], meta["n_buckets"]
+
+
+def shingle_index_append(
+    new_docs: DataFrame, out_dir: str, text_col: str = "text"
+) -> int:
+    """Incrementally extend a persisted shingle index: shingle ONLY the
+    new documents with the STORED k and append their rows into the
+    bucket layout — one pass over the new rows, nothing rewritten (the
+    pq_append freshness discipline; the caller owns doc_id uniqueness).
+    A LIVE DedupIndex serves its loaded snapshot — republish via
+    from_path + ServerCore.swap_indexes. Returns rows appended."""
+    import json
+    import os
+
+    with open(os.path.join(out_dir, "meta.json")) as fh:
+        meta = json.load(fh)
+    idx = shingle_index(new_docs, text_col, meta["k"]).withColumn(
+        "bucket", F.pmod(h32(F.col("s")), F.lit(meta["n_buckets"]))
+    )
+    n = idx.count()
+    idx.write.mode("append").partitionBy("bucket").parquet(
+        os.path.join(out_dir, "shingles.parquet")
+    )
+    return n
+
+
+def _bucket_filter(shingle_set, n_buckets: int):
+    """Driver-side twin of the artifact's bucket column: h32 is
+    md5-derived, so ``_h32_py(s) % n_buckets`` reproduces
+    ``pmod(h32(s), n)`` exactly (both non-negative)."""
+    return sorted({_h32_py(s) % n_buckets for s in shingle_set})
+
+
 def ngram_jaccard_probe(
     docs: DataFrame,
     probe_ids,
@@ -454,6 +541,7 @@ def ngram_jaccard_probe(
     threshold: float = 0.3,
     max_doc_freq: int | None = None,
     index: DataFrame | None = None,
+    index_n_buckets: int | None = None,
 ) -> DataFrame:
     """Request-scale exact-Jaccard near-dup PROBE: the pairs of
     :func:`ngram_jaccard_pairs` restricted to those touching a bounded
@@ -516,21 +604,35 @@ def ngram_jaccard_probe(
     ex = shingle_index(docs, text_col, k) if index is None else index
     px = None
     if index is not None and max_doc_freq is None:
-        prows = ex.where(F.col("doc_id").isin(ids)).collect()
-        if prows:
+        # request-scale: fetch the probe docs' TEXTS (IN-pushed point
+        # lookup on the docs table — linear in the probe set, never in
+        # the index) and shingle them driver-side with the UDF's own
+        # Python twin; that yields the broadcast side AND the stop-set /
+        # bucket prunes in one step
+        drows = (
+            docs.where(F.col("doc_id").isin(ids))
+            .select("doc_id", text_col)
+            .collect()
+        )
+        qsh = []
+        for r in drows:
+            sh = _py_shingles(r[text_col], k)
+            qsh.extend((r["doc_id"], len(sh), s) for s in sh)
+        if qsh:
             px = docs.sparkSession.createDataFrame(
-                pd.DataFrame(
-                    {
-                        "pid": [r["doc_id"] for r in prows],
-                        "pn": [r["n"] for r in prows],
-                        "s": [r["s"] for r in prows],
-                    }
-                ),
+                pd.DataFrame(qsh, columns=["pid", "pn", "s"]),
                 schema=f"pid {dict(docs.dtypes)['doc_id']}, pn int, s string",
             )
-            ex = ex.where(
-                F.col("s").isin(sorted({r["s"] for r in prows}))
-            )
+            sset = {s for _, _, s in qsh}
+            if index_n_buckets:
+                # persisted bucket layout: prune partition DIRECTORIES
+                # before the row-level InSet (write_shingle_index)
+                ex = ex.where(
+                    F.col("bucket").isin(_bucket_filter(sset, index_n_buckets))
+                )
+            ex = ex.where(F.col("s").isin(sorted(sset)))
+            if "bucket" in ex.columns:
+                ex = ex.drop("bucket")
     if max_doc_freq is not None:
         # capped shingle space: drop hot shingles BEFORE the join and
         # recompute |A| over the survivors (the batch recipe's exact
@@ -595,6 +697,7 @@ def ngram_jaccard_lookup(
     k: int = 3,
     threshold: float = 0.3,
     index: DataFrame | None = None,
+    index_n_buckets: int | None = None,
 ) -> DataFrame:
     """Decontamination LOOKUP: which corpus docs near-duplicate these
     QUERY TEXTS — the texts need not be in the corpus (the eval-set vs
@@ -639,10 +742,18 @@ def ngram_jaccard_lookup(
     # stop-set prune (see ngram_jaccard_probe): index rows whose shingle
     # appears in NO query text cannot join — the InSet filter cuts the
     # join+agg input from the whole inverted index to the queries'
-    # neighborhoods (~3x at 500k docs; bucket-pruning at cluster scale).
+    # neighborhoods (~3x at 500k docs; with a persisted bucket layout the
+    # bucket InSet prunes partition directories at the parquet scan).
     # The query shingles are already driver-resident, so this costs no
     # extra job on the inline path either.
-    ex = ex.where(F.col("s").isin(sorted({s for _, _, s in qrows})))
+    sset = {s for _, _, s in qrows}
+    if index_n_buckets:
+        ex = ex.where(
+            F.col("bucket").isin(_bucket_filter(sset, index_n_buckets))
+        )
+    ex = ex.where(F.col("s").isin(sorted(sset)))
+    if "bucket" in ex.columns:
+        ex = ex.drop("bucket")
     # raw-ratio gate, ROUND in the projection only (oracle-WHERE parity —
     # see minhash_near_dup_pairs)
     jac = F.col("n_inter") / (F.col("qn") + F.col("n_doc") - F.col("n_inter"))
