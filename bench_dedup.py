@@ -9,12 +9,19 @@ measures request latency:
 - texts rows: every request a distinct query text (cache useless) — each
   request is ONE broadcast of the query shingles against the CACHED
   inverted shingle index (functions/dedup.shingle_index, built once at
-  construction); noindex_texts re-runs the same operator WITHOUT the
-  artifact (index=None), re-shingling the corpus per call — the per-request
-  cost the artifact deletes;
+  construction), stop-set-pruned to the query shingles' rows (the prune,
+  not the cache, is most of the win at 500k docs: un-pruned join+agg
+  streamed all 26.5M index rows at ~2.1 s/request); noindex_texts runs
+  the same (pruned) operator with index=None, re-shingling the corpus
+  per call — the artifact's margin is the Arrow pass, and it grows with
+  document length/corpus size;
 - doc_ids rows: the corpus-member probe form (gate d8's operator) over the
   same cached index;
 - cached row: one repeated body — snapshot-cache replay (no Spark job);
+- disk rows: the PERSISTED bucket layout (write_shingle_index) — boot is
+  a metadata read (~1 s vs ~11 s building the cached index) and requests
+  bucket-prune partition directories at the parquet scan, no executor
+  memory held; answers equality-checked against the cached server;
 - sharded rows: two half-corpus DedupIndex shards behind the router —
   texts fan-out, plus the r9 doc_ids TEXT-INDIRECTION path (resolve text
   from the owning shard, re-issue as a texts lookup), equality-checked
@@ -119,6 +126,49 @@ def main() -> None:
             "p50": _pctl(lats, 0.5),
             "p95": _pctl(lats, 0.95),
         }
+
+        # persisted bucket-layout artifact (write_shingle_index): cold
+        # boot is a metadata read; requests prune partition DIRECTORIES
+        # by the query shingles' buckets — no executor-cached index at
+        # all (the 100 TB shape)
+        import tempfile
+
+        from treemachine_spark.functions.dedup import write_shingle_index
+
+        idx_dir = tempfile.mkdtemp(prefix="dedup_idx_")
+        t0 = time.time()
+        write_shingle_index(docs, idx_dir)
+        out["disk_index_write_sec"] = {"sec": round(time.time() - t0, 1)}
+        t0 = time.time()
+        disk_idx = DedupIndex(docs, index_dir=idx_dir)
+        boot = round(time.time() - t0, 3)
+        dsrv = make_server(
+            store, host="127.0.0.1", port=0, dedup_index=disk_idx
+        )
+        threading.Thread(target=dsrv.serve_forever, daemon=True).start()
+        dbase = f"http://127.0.0.1:{dsrv.server_address[1]}"
+        try:
+            out["disk_texts"] = timed(
+                lambda t: _post(
+                    dbase, "/v3/documents/duplicates", {"texts": [t]}
+                )[0] == 200,
+                qtexts,
+            )
+            out["disk_texts"]["boot_sec"] = boot
+            # disk-served answers must equal the cached-index server's
+            mism = 0
+            for t_ in qtexts[:4]:
+                _, a = _post_json(
+                    dbase, "/v3/documents/duplicates", {"texts": [t_]}
+                )
+                _, b = _post_json(
+                    base, "/v3/documents/duplicates", {"texts": [t_]}
+                )
+                mism += a["results"] != b["results"]
+            out["disk_texts"]["mismatches_vs_cached"] = mism
+        finally:
+            dsrv.shutdown()
+            dsrv.server_close()
 
         # sharded scatter-gather: two half-corpus shards behind the router
         shard_srvs, shard_urls = [], []

@@ -52,9 +52,14 @@ def test_text_profile_no_shuffle(spark):
     assert "Exchange" not in s
 
 
-def test_ann_brute_broadcasts_queries(spark):
+def test_ann_brute_scores_in_one_arrow_pass(spark):
+    # r9 shape: the collected query matrix rides the scoring UDF's
+    # closure — ONE MapInPandas pass over the corpus, no join at all
+    # (the old broadcast nested loop shipped each corpus row per query);
+    # the only Exchange left is the per-query top-k window
     s = plan_of(spark, "v1_ann_brute")
-    assert "BroadcastNestedLoopJoin" in s or "BroadcastExchange" in s
+    assert "MapInPandas" in s
+    assert "BroadcastNestedLoopJoin" not in s and "Join" not in s
 
 
 def test_q6_all_predicates_pushed(spark):
