@@ -1084,3 +1084,34 @@ def test_pq_append_republish_served_end_to_end(spark, base_url, tmp_path):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_swap_indexes_republishes_dedup_snapshot(spark, base_url):
+    """r9: swap_indexes' dedup side — a republished DedupIndex serves the
+    new corpus and the generation guard drops responses cached against
+    the old snapshot (socket-free via ServerCore, mirroring the ANN
+    republish route test)."""
+    from pyspark.sql import functions as F
+
+    from treemachine_spark.api.dedup import DedupIndex
+    from treemachine_spark.api.server import ServerCore
+    from treemachine_spark.io.tables import load_tables
+
+    docs = load_tables(spark, "/root/testdata/sf0.001")["documents"].cache()
+    half = docs.where(F.col("doc_id") < 250)
+    core = ServerCore(_SRV["srv"].core.store, cache_size=64,
+                      dedup_index=DedupIndex(half))
+    row = docs.where(F.col("doc_id") == 400).head()
+    body = {"texts": [row["text"]]}
+    status, before = core.handle("/v3/documents/duplicates", body)
+    assert status == 200
+    # doc 400 is outside the half-corpus: no exact self-match served
+    assert all(d["doc_id"] != 400 for d in before["results"][0])
+    m = core.cache.misses
+    status2, cached = core.handle("/v3/documents/duplicates", body)
+    assert (status2, cached) == (200, before) and core.cache.misses == m
+
+    core.swap_indexes(dedup_index=DedupIndex(docs))
+    status, after = core.handle("/v3/documents/duplicates", body)
+    assert status == 200
+    assert after["results"][0][0] == {"doc_id": 400, "jaccard": 1.0}
