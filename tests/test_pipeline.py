@@ -659,3 +659,61 @@ def test_persisted_shingle_index_roundtrip_append_and_serving(spark, tmp_path):
     ) == 0
     _, k3, nb3 = read_shingle_index(spark, out3)
     assert (k3, nb3) == (3, 16)
+
+
+def test_persisted_minhash_index_roundtrip_and_append(spark, tmp_path):
+    """r9: the minhash LSH index persists like the PQ / exact-Jaccard
+    artifacts (write_minhash_index / read_minhash_index /
+    minhash_index_append): near-dup pairs computed from the stored table
+    (minhash_near_dup_pairs(sig=)) equal the inline build, and an
+    appended index equals one written for the full corpus (the fixed
+    affine permutations make appended rows bit-compatible by
+    construction)."""
+    from treemachine_spark.functions.dedup import (
+        minhash_index_append,
+        minhash_near_dup_pairs,
+        read_minhash_index,
+        write_minhash_index,
+    )
+    from treemachine_spark.io.tables import load_tables
+
+    docs = load_tables(spark, "/root/testdata/sf0.001")["documents"].cache()
+    out = str(tmp_path / "mhidx")
+    n = write_minhash_index(docs, out)
+    stored, k = read_minhash_index(spark, out)
+    assert n == docs.count() and k == 3
+    assert set(stored.columns) == {"doc_id", "sig", "sh"}
+
+    want = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in minhash_near_dup_pairs(docs).collect()
+    }
+    got = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in minhash_near_dup_pairs(docs, sig=stored.cache()).collect()
+    }
+    assert got == want and want
+
+    # append == full derivation
+    out2 = str(tmp_path / "mhidx_grow")
+    write_minhash_index(docs.where(F.col("doc_id") % 2 == 0), out2)
+    appended = minhash_index_append(docs.where(F.col("doc_id") % 2 == 1), out2)
+    grown, _ = read_minhash_index(spark, out2)
+    assert appended + (n - appended) == grown.count() == n
+    full_rows = {
+        (r["doc_id"], tuple(r["sig"]), tuple(sorted(r["sh"])))
+        for r in stored.collect()
+    }
+    grown_rows = {
+        (r["doc_id"], tuple(r["sig"]), tuple(sorted(r["sh"])))
+        for r in grown.collect()
+    }
+    assert grown_rows == full_rows
+
+    # cli smoke: same layout
+    from treemachine_spark import cli
+
+    out3 = str(tmp_path / "mhidx_cli")
+    assert cli.main(["minhashbuild", "/root/testdata/sf0.001", out3]) == 0
+    idx3, k3 = read_minhash_index(spark, out3)
+    assert k3 == 3 and idx3.count() == n

@@ -290,6 +290,23 @@ def main(argv=None) -> int:
         help="shingle-hash bucket count (pruning selectivity vs file count)",
     )
 
+    s = sub.add_parser(
+        "minhashbuild",
+        help="build + persist the minhash LSH index for the documents "
+        "table (functions/dedup.write_minhash_index): signature + "
+        "shingle-hash sets per doc — near-dup batches then serve from "
+        "the stored table (minhash_near_dup_pairs(sig=)) without "
+        "re-shingling",
+    )
+    s.add_argument("sf_dir")
+    s.add_argument("out_dir")
+    s.add_argument("--k", type=int, default=3, help="shingle width (words)")
+    s.add_argument(
+        "--no-shingles",
+        action="store_true",
+        help="store signatures only (verify falls back to re-shingling)",
+    )
+
     args = p.parse_args(argv)
 
     # T14 tree surgery: request-scale driver-side mutations, no SparkSession
@@ -406,6 +423,20 @@ def main(argv=None) -> int:
         print(
             f"shingle index at {args.out_dir}: {n} rows, k={args.k}, "
             f"{args.n_buckets} buckets"
+        )
+        return 0
+
+    if args.cmd == "minhashbuild":
+        from treemachine_spark.functions.dedup import write_minhash_index
+        from treemachine_spark.io.tables import load_tables
+
+        docs = load_tables(spark, args.sf_dir)["documents"]
+        n = write_minhash_index(
+            docs, args.out_dir, k=args.k, with_shingles=not args.no_shingles
+        )
+        print(
+            f"minhash index at {args.out_dir}: {n} rows, k={args.k}, "
+            f"shingles={'no' if args.no_shingles else 'yes'}"
         )
         return 0
 

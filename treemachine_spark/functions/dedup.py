@@ -234,6 +234,69 @@ def minhash_index(
     return docs.select("doc_id", minhash_sig_udf(k)(F.col(text_col)).alias("sig"))
 
 
+def write_minhash_index(
+    docs: DataFrame,
+    out_dir: str,
+    text_col: str = "text",
+    k: int = 3,
+    with_shingles: bool = True,
+) -> int:
+    """Persist the minhash LSH index — the d2 family's ingest artifact
+    (completing the lifecycle symmetry with write_pq_index /
+    write_shingle_index): ``<out_dir>/minhash.parquet`` (doc_id, sig[,
+    sh]) + ``meta.json`` (k, with_shingles). Production builds it once
+    at ingest; every near-dup batch serves from the stored table via
+    ``minhash_near_dup_pairs(sig=)`` — no re-shingling, and with the
+    ``sh`` column the exact-Jaccard verify stays index-only. Returns
+    rows written."""
+    import json
+    import os
+
+    idx = minhash_index(docs, text_col, k, with_shingles=with_shingles)
+    os.makedirs(out_dir, exist_ok=True)
+    idx.write.mode("overwrite").parquet(os.path.join(out_dir, "minhash.parquet"))
+    with open(os.path.join(out_dir, "meta.json"), "w") as fh:
+        json.dump({"k": k, "with_shingles": with_shingles}, fh)
+    return docs.sparkSession.read.parquet(
+        os.path.join(out_dir, "minhash.parquet")
+    ).count()
+
+
+def read_minhash_index(spark, out_dir: str):
+    """(index DataFrame, k) persisted by :func:`write_minhash_index` —
+    feed the frame to ``minhash_near_dup_pairs(sig=)`` /
+    ``minhash_bands(sig=)``."""
+    import json
+    import os
+
+    with open(os.path.join(out_dir, "meta.json")) as fh:
+        meta = json.load(fh)
+    return spark.read.parquet(os.path.join(out_dir, "minhash.parquet")), meta["k"]
+
+
+def minhash_index_append(
+    new_docs: DataFrame, out_dir: str, text_col: str = "text"
+) -> int:
+    """Extend a persisted minhash index with NEW documents: signatures
+    use the module's fixed affine permutations (MINHASH_PERMS — a global
+    constant, so appended rows are bit-compatible with stored ones by
+    construction) and the STORED k/with_shingles; one pass over the new
+    rows, nothing rewritten (pq_append discipline — the caller owns
+    doc_id uniqueness, a live server republishes via a fresh load).
+    Returns rows appended."""
+    import json
+    import os
+
+    with open(os.path.join(out_dir, "meta.json")) as fh:
+        meta = json.load(fh)
+    idx = minhash_index(
+        new_docs, text_col, meta["k"], with_shingles=meta["with_shingles"]
+    )
+    n = new_docs.count()
+    idx.write.mode("append").parquet(os.path.join(out_dir, "minhash.parquet"))
+    return n
+
+
 def minhash_bands(
     docs: DataFrame,
     text_col: str = "text",
