@@ -717,3 +717,78 @@ def test_persisted_minhash_index_roundtrip_and_append(spark, tmp_path):
     assert cli.main(["minhashbuild", "/root/testdata/sf0.001", out3]) == 0
     idx3, k3 = read_minhash_index(spark, out3)
     assert k3 == 3 and idx3.count() == n
+
+
+def test_jaccard_probe_paths_randomized_differential(spark, tmp_path):
+    """r9: all four probe/lookup execution paths (inline, cached index,
+    bucket-pruned disk index, and the batch restriction) agree on
+    randomized duplicate-heavy corpora — small vocab forces shared
+    shingles, short docs exercise the whole-text-shingle branch."""
+    import random
+
+    from treemachine_spark.functions.dedup import (
+        ngram_jaccard_lookup,
+        ngram_jaccard_pairs,
+        ngram_jaccard_probe,
+        read_shingle_index,
+        shingle_index,
+        write_shingle_index,
+    )
+
+    vocab = [f"w{i}" for i in range(12)]
+    for seed in range(3):
+        rng = random.Random(seed)
+        base = [
+            " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 18)))
+            for _ in range(40)
+        ]
+        # 20 near-duplicates: copies of base docs with one word appended —
+        # guaranteed high-jaccard pairs, ids 40..59 duplicating 0..19
+        rows = [(i, t) for i, t in enumerate(base)] + [
+            (40 + j, base[j] + " " + rng.choice(vocab)) for j in range(20)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        probe = [0, 1, 2, 3, 59]
+        thr = 0.25
+
+        inline = {
+            (r["doc_a"], r["doc_b"], r["jaccard"])
+            for r in ngram_jaccard_probe(docs, probe, threshold=thr).collect()
+        }
+        batch = {
+            (r["doc_a"], r["doc_b"], r["jaccard"])
+            for r in ngram_jaccard_pairs(docs, threshold=thr).collect()
+            if r["doc_a"] in probe or r["doc_b"] in probe
+        }
+        idx = shingle_index(docs).cache()
+        cached = {
+            (r["doc_a"], r["doc_b"], r["jaccard"])
+            for r in ngram_jaccard_probe(
+                docs, probe, threshold=thr, index=idx
+            ).collect()
+        }
+        d = str(tmp_path / f"ridx{seed}")
+        write_shingle_index(docs, d, n_buckets=8)
+        disk, _, nb = read_shingle_index(spark, d)
+        bucketed = {
+            (r["doc_a"], r["doc_b"], r["jaccard"])
+            for r in ngram_jaccard_probe(
+                docs, probe, threshold=thr, index=disk, index_n_buckets=nb
+            ).collect()
+        }
+        assert inline == batch == cached == bucketed, seed
+        assert inline  # duplicate-heavy by construction — non-vacuous
+
+        texts = [base[0], "novel words nowhere present"]
+        li = {
+            (r["query_idx"], r["doc_id"], r["jaccard"])
+            for r in ngram_jaccard_lookup(docs, texts, threshold=thr).collect()
+        }
+        lb = {
+            (r["query_idx"], r["doc_id"], r["jaccard"])
+            for r in ngram_jaccard_lookup(
+                docs, texts, threshold=thr, index=disk, index_n_buckets=nb
+            ).collect()
+        }
+        assert li == lb and (0, 0, 1.0) in li, seed
+        idx.unpersist()
