@@ -127,6 +127,42 @@ def main() -> None:
             "p95": _pctl(lats, 0.95),
         }
 
+        # concurrent mixed load: the threaded handler runs texts lookups
+        # and doc_ids probes from many request threads at once (FIFO
+        # scheduler) — the thread-safety row, mirroring bench_ann's
+        n_clients, per_client = 12, 4
+        lats, errs = [], [0]
+        lock = threading.Lock()
+
+        def client(cid: int):
+            for j in range(per_client):
+                if (cid + j) % 2 == 0:
+                    body = {"texts": [qtexts[(cid * per_client + j) % len(qtexts)]]}
+                else:
+                    body = {"doc_ids": [qids[(cid * per_client + j) % len(qids)]]}
+                t = time.time()
+                status, _ = _post(base, "/v3/documents/duplicates", body)
+                with lock:
+                    lats.append(time.time() - t)
+                    errs[0] += status != 200
+
+        threads = [
+            threading.Thread(target=client, args=(c,)) for c in range(n_clients)
+        ]
+        t0c = time.time()
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        out["concurrent"] = {
+            "clients": n_clients,
+            "requests": n_clients * per_client,
+            "p50": _pctl(lats, 0.5),
+            "p95": _pctl(lats, 0.95),
+            "wall": round(time.time() - t0c, 3),
+            "errors": errs[0],
+        }
+
         # persisted bucket-layout artifact (write_shingle_index): cold
         # boot is a metadata read; requests prune partition DIRECTORIES
         # by the query shingles' buckets — no executor-cached index at
