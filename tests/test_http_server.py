@@ -1005,6 +1005,28 @@ def test_sharded_duplicates_scatter_gather(spark, base_url):
             bare.shutdown()
             bare.server_close()
 
+        # replica failover THROUGH the indirection chain: shard 0's
+        # primary replica is dead, so BOTH fan-outs (text resolve + texts
+        # lookup) must wrap to the live replica — answers still equal the
+        # unsharded probe
+        dead = "http://127.0.0.1:9"  # discard port — connection refused
+        fo = make_router_server(
+            ShardRouter(
+                pools={"t": [urls[2]]}, default_pool=[urls[2]],
+                dedup_shards=[[dead, urls[0]], [urls[1]]],
+            )
+        )
+        threading.Thread(target=fo.serve_forever, daemon=True).start()
+        try:
+            status, failover = post(
+                f"http://127.0.0.1:{fo.server_address[1]}",
+                "/v3/documents/duplicates", pb,
+            )
+            assert status == 200 and failover["results"] == unsharded["results"]
+        finally:
+            fo.shutdown()
+            fo.server_close()
+
         servers[0].shutdown()
         servers[0].server_close()
         status, resp = post(rbase, "/v3/documents/duplicates", body)
