@@ -24,157 +24,162 @@ from treemachine_spark.workload.queries import QUERIES  # noqa: E402
 # The driver's CORRECTNESS artifact captures the first 50 queries() entries
 # (insertion order). Two levers keep every operator family driver-verified:
 #
-# 1. _FRONT: ROTATION (VERDICT r3 #2 ... r8 #1). The r9 surface leads with
-#    the six r6-signed gates deferred from the r8 rotation (t2_mrca /
-#    t6_induced_subtree / a1_tip_counts / d2_minhash_pairs / x15_tfidf /
-#    s9_stream_quantiles — 3 rounds stale, the oldest driver rows on the
-#    books, named by the r8 verdict), then 44 of the 50 gates whose newest
-#    driver row is CORRECTNESS_r07.json. With 106 gates and a 50-row
-#    artifact, six r7-signed gates wait for the r10 front — chosen, as
-#    every round, for the densest pinning beyond the oracle suite:
-#    closure_paths / q1 / v1 / x1 / s2 are row-tripwired in EVERY round's
-#    bench artifact (bench.py ok-flags at sf0.1), closure_paths and d4
-#    additionally carry sf10 value signs (292.9M-row closure; the sampled
-#    probe sweep), and v1/x1/s2 have dedicated similarity/text/sessionize
-#    test families. Steady-state freshness: no gate >3 rounds stale,
+# 1. _FRONT: ROTATION (VERDICT r3 #2 ... r9 #1). The r10 surface leads with
+#    the six r7-signed gates deferred from the r9 rotation (closure_paths /
+#    q1_pricing_summary / v1_ann_brute / x1_text_profile / s2_sessions_batch
+#    / d4_ngram_jaccard — 3 rounds stale, the oldest driver rows on the
+#    books, named by the r9 verdict; v1/x1 additionally get their FIRST
+#    driver rows over the r9 Arrow implementations), then 44 of the 50
+#    gates whose newest driver row is CORRECTNESS_r08.json. With 106 gates
+#    and a 50-row artifact, six r8-signed gates wait for the r11 front —
+#    chosen, as every round, for the densest pinning beyond the oracle
+#    suite: c1_rf_distance / s4_stream_enriched / t4_subtree are
+#    row-tripwired in EVERY round's bench artifact (bench.py ok-flags at
+#    sf0.1), d5_dup_clusters carries the sf10 value sign (mirrored-BFS 9
+#    clusters / 900 members), and t15 / s7 have dedicated
+#    literal-tip-set-semantics and applyInPandasWithState-sessionize test
+#    families. d8/s8 stay IN the front because this round's capped-space
+#    dedup artifact and minhash/novelty unification touch their code
+#    families. Steady-state freshness: no gate >3 rounds stale,
 #    alternating halves.
-# 2. _DRIVER_EXCLUDED: the 50 gates green in CORRECTNESS_r08.json plus the
-#    six deferred r7 gates sit in the pytest tier this round — ALL gates
+# 2. _DRIVER_EXCLUDED: the 50 gates green in CORRECTNESS_r09.json plus the
+#    six deferred r8 gates sit in the pytest tier this round — ALL gates
 #    remain verified by the DuckDB oracle pytest suite at sf0.001 AND the
 #    driver's sf0.01 (tests/test_workload_oracle.py iterates the full
 #    QUERIES/ORACLES dicts plus
 #    test_retired_gate_matches_oracle_at_driver_sf).
 _FRONT = [
-    # newest driver row is the r6 artifact (deferred from the r8 front —
-    # 3 rounds stale, leads per the r8 verdict's standing plan)
-    "t2_mrca",
-    "t6_induced_subtree",
-    "a1_tip_counts",
-    "d2_minhash_pairs",
-    "x15_tfidf",
-    "s9_stream_quantiles",
-    # newest driver row is the r7 artifact
-    "k6_quantile_sketch",
-    "t1_path_to_root",
-    "t5_subtree_num_tips",
-    "e2_intersect",
-    "x2_bpe_tokens",
-    "x8_token_percentiles",
-    "s1_event_windows",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q7_nation_volume",
-    "q13_customer_distribution",
-    "q16_supplier_part_types",
-    "q18_large_orders",
-    "q22_idle_customers",
-    "x4_lang_stats",
-    "x5_redaction",
-    "d1_exact_dedup",
-    "d3_simhash",
-    "d6_purge_list",
-    "d7_jaccard_capped",
-    "f1_funnel",
-    "x6_hash_split",
-    "x7_chunking",
-    "v2_ann_lsh",
-    "v3_ivf_topk",
-    "v5_centroid_cells",
-    "v6_cosine_pairs_lsh",
-    "q8_market_share",
-    "q10_returned_items",
-    "q14_promo_share",
-    "q15_top_supplier",
-    "q17_small_qty_revenue",
-    "q19_disjunctive_join",
-    "j3_asof_join",
-    "j4_range_join",
-    "l1_point_lookup",
-    "l9_distinct_sorted",
-    "o2_top1_latest",
-    "w1_window_topn",
-    "e4_anti_join",
-    "p10_id_codec",
-    "p3_props_decode",
-    "q3_top_orders",
-    "q5_region_revenue",
-]
-
-# Every entry below is green in CORRECTNESS_r08.json (driver's DuckDB
-# oracle at sf0.01) and stays in the pytest oracle tier this round...
-_DRIVER_EXCLUDED = {
-    name: "r8 artifact row (CORRECTNESS_r08.json); pytest oracle tier at sf0.001 + sf0.01"
-    for name in (
-        "d8_jaccard_probe",
-        "t15_deepest_exemplified",
-        "s7_sessionize_stream",
-        "s8_stream_novelty",
-        "v4_cosine_pairs",
-        "m1_media_features",
-        "k7_grouped_quantiles",
-        "c3_node_heights",
-        "k8_grouped_hll",
-        "c1_rf_distance",
-        "c2_node_distance",
-        "k1_kmv_distinct",
-        "k2_hll_sketch",
-        "k3_bloom_prune",
-        "k4_zorder",
-        "k5_cms_topk",
-        "q2_min_supplier",
-        "q9_product_profit",
-        "q11_important_parts",
-        "q12_ship_lag",
-        "q20_part_suppliers",
-        "q21_sole_blame",
-        "s5_sliding_windows",
-        "s6_native_sessions",
-        "u1_merge_upsert",
-        "v7_semantic_dedup",
-        "v8_hard_negatives",
-        "x9_decontaminate",
-        "x10_source_quota",
-        "x11_repetition",
-        "x12_sequence_packing",
-        "x13_pack_manifest",
-        "x14_mixture_sample",
-        "x16_keyword_search",
-        "x17_dup_spans",
-        "x18_mixture_weights",
-        "x19_strip_spans",
-        "x20_lm_score",
-        "x21_table_stats",
-        "d5_dup_clusters",
-        "s3_streaming_windows",
-        "s4_stream_enriched",
-        "t3_mrta",
-        "t4_subtree",
-        "t9_repr_descendants",
-        "a11_rollup",
-        "p4_packed_map_roundtrip",
-        "t12_degree_prune",
-        "e1_leaf_set",
-        "l4_batch_resolution",
-    )
-}
-# ...plus the six r7-signed gates the 50-row artifact cannot fit this
-# round: deferred to the r10 front, still pytest-verified at sf0.001 +
-# the driver's sf0.01 every round. Chosen for the densest extra pinning:
-# closure_paths / q1 / v1 / x1 / s2 are row-tripwired in every BENCH_r*
-# artifact (bench.py ok-flags at sf0.1 each round), closure_paths has the
-# sf10 full-value sign (292.9M rows both engines) and d4 the sf10
-# sampled-probe value sweep, and v1/x1/s2 carry dedicated
-# similarity/text/sessionize pytest families.
-for _name in (
+    # newest driver row is the r7 artifact (deferred from the r9 front —
+    # 3 rounds stale, leads per the r9 verdict's standing plan; v1/x1 get
+    # their first driver rows over the r9 Arrow matmul/profile paths)
     "closure_paths",
     "q1_pricing_summary",
     "v1_ann_brute",
     "x1_text_profile",
     "s2_sessions_batch",
     "d4_ngram_jaccard",
+    # newest driver row is the r8 artifact
+    "d8_jaccard_probe",
+    "s8_stream_novelty",
+    "v4_cosine_pairs",
+    "m1_media_features",
+    "k7_grouped_quantiles",
+    "c3_node_heights",
+    "k8_grouped_hll",
+    "c2_node_distance",
+    "k1_kmv_distinct",
+    "k2_hll_sketch",
+    "k3_bloom_prune",
+    "k4_zorder",
+    "k5_cms_topk",
+    "q2_min_supplier",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q12_ship_lag",
+    "q20_part_suppliers",
+    "q21_sole_blame",
+    "s5_sliding_windows",
+    "s6_native_sessions",
+    "u1_merge_upsert",
+    "v7_semantic_dedup",
+    "v8_hard_negatives",
+    "x9_decontaminate",
+    "x10_source_quota",
+    "x11_repetition",
+    "x12_sequence_packing",
+    "x13_pack_manifest",
+    "x14_mixture_sample",
+    "x16_keyword_search",
+    "x17_dup_spans",
+    "x18_mixture_weights",
+    "x19_strip_spans",
+    "x20_lm_score",
+    "x21_table_stats",
+    "s3_streaming_windows",
+    "t3_mrta",
+    "t9_repr_descendants",
+    "a11_rollup",
+    "p4_packed_map_roundtrip",
+    "t12_degree_prune",
+    "e1_leaf_set",
+    "l4_batch_resolution",
+]
+
+# Every entry below is green in CORRECTNESS_r09.json (driver's DuckDB
+# oracle at sf0.01) and stays in the pytest oracle tier this round...
+_DRIVER_EXCLUDED = {
+    name: "r9 artifact row (CORRECTNESS_r09.json); pytest oracle tier at sf0.001 + sf0.01"
+    for name in (
+        "t2_mrca",
+        "t6_induced_subtree",
+        "a1_tip_counts",
+        "d2_minhash_pairs",
+        "x15_tfidf",
+        "s9_stream_quantiles",
+        "k6_quantile_sketch",
+        "t1_path_to_root",
+        "t5_subtree_num_tips",
+        "e2_intersect",
+        "x2_bpe_tokens",
+        "x8_token_percentiles",
+        "s1_event_windows",
+        "q4_order_priority",
+        "q6_forecast_revenue",
+        "q7_nation_volume",
+        "q13_customer_distribution",
+        "q16_supplier_part_types",
+        "q18_large_orders",
+        "q22_idle_customers",
+        "x4_lang_stats",
+        "x5_redaction",
+        "d1_exact_dedup",
+        "d3_simhash",
+        "d6_purge_list",
+        "d7_jaccard_capped",
+        "f1_funnel",
+        "x6_hash_split",
+        "x7_chunking",
+        "v2_ann_lsh",
+        "v3_ivf_topk",
+        "v5_centroid_cells",
+        "v6_cosine_pairs_lsh",
+        "q8_market_share",
+        "q10_returned_items",
+        "q14_promo_share",
+        "q15_top_supplier",
+        "q17_small_qty_revenue",
+        "q19_disjunctive_join",
+        "j3_asof_join",
+        "j4_range_join",
+        "l1_point_lookup",
+        "l9_distinct_sorted",
+        "o2_top1_latest",
+        "w1_window_topn",
+        "e4_anti_join",
+        "p10_id_codec",
+        "p3_props_decode",
+        "q3_top_orders",
+        "q5_region_revenue",
+    )
+}
+# ...plus the six r8-signed gates the 50-row artifact cannot fit this
+# round: deferred to the r11 front, still pytest-verified at sf0.001 +
+# the driver's sf0.01 every round. Chosen for the densest extra pinning:
+# c1_rf_distance / s4_stream_enriched / t4_subtree are row-tripwired in
+# every BENCH_r* artifact (bench.py ok-flags at sf0.1 each round),
+# d5_dup_clusters carries the sf10 value sign (mirrored-BFS 9 clusters /
+# 900 members), and t15 / s7 have dedicated literal-tip-set-semantics and
+# applyInPandasWithState-sessionize pytest families.
+for _name in (
+    "c1_rf_distance",
+    "s4_stream_enriched",
+    "t4_subtree",
+    "d5_dup_clusters",
+    "t15_deepest_exemplified",
+    "s7_sessionize_stream",
 ):
     _DRIVER_EXCLUDED[_name] = (
-        "r7 artifact row (CORRECTNESS_r07.json); deferred to the r10 front "
+        "r8 artifact row (CORRECTNESS_r08.json); deferred to the r11 front "
         "(50-row artifact cap); pytest oracle tier at sf0.001 + sf0.01; "
         "bench row-tripwire / sf10 value sign per the _FRONT note"
     )

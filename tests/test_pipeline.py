@@ -558,6 +558,9 @@ def test_text_profile_arrow_matches_catalyst(spark):
             (9005, "word"),
             (9006, "a  b\t\tc\nd"),
             (9007, " padded with spaces "),
+            # NULL text (r9 ADVICE): both paths must yield NULL
+            # n_tokens/quality/fingerprint and 'und' lang
+            (9008, None),
         ],
         "doc_id long, text string",
     )

@@ -108,6 +108,22 @@ class AnnIndex:
             cells = read_ivf_cells(spark, pq_dir)
         return cls(emb, codebook, codes, rotation, cells=cells, **kw)
 
+    def unpersist(self) -> None:
+        """Release this snapshot's cached DataFrames (embeddings, PQ
+        codes, the IVF cell assignment + centroids; no-ops on uncached
+        frames). Called by ServerCore.swap_indexes on the REPLACED
+        snapshot so repeated republishes don't accumulate dead executor
+        cache (r9 ADVICE); non-blocking — an in-flight request against
+        the old snapshot merely recomputes."""
+        cent, assigned = self._cells
+        for df in (self.embeddings, self.codes, cent, assigned):
+            if df is None:
+                continue
+            try:
+                df.unpersist(blocking=False)
+            except Exception:
+                pass
+
     def _query_frame(self, vectors):
         import pandas as pd
 

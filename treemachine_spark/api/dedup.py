@@ -80,10 +80,27 @@ class DedupIndex:
         docs.count()
         return cls(docs, index_dir=index_dir, **kw)
 
+    def unpersist(self) -> None:
+        """Release this snapshot's cached DataFrames (docs + the inline
+        shingle index; no-ops on uncached frames, e.g. the bucketed-disk
+        index). Called by ServerCore.swap_indexes on the REPLACED snapshot
+        so repeated republishes don't accumulate dead executor cache (r9
+        ADVICE); non-blocking, and an in-flight request against the old
+        snapshot merely recomputes."""
+        for df in (self.docs, self.index):
+            try:
+                df.unpersist(blocking=False)
+            except Exception:
+                pass
+
     def texts_of(self, doc_ids) -> dict[int, str | None]:
         """Resolve corpus members' texts by id (request-scale IN-pushed
         point lookup). Missing ids map to None — the router's sharded
-        doc_ids indirection uses this to find each doc's owning shard."""
+        doc_ids indirection uses this to find each doc's owning shard.
+        A MEMBER whose text column is NULL maps to '' (its shingle twin:
+        both shingle to the single empty shingle), so the re-issued
+        sharded lookup reproduces the unsharded probe's jaccards instead
+        of silently treating the member as unknown (r9 ADVICE)."""
         from pyspark.sql import functions as F
 
         ids = list(dict.fromkeys(doc_ids))
@@ -92,14 +109,19 @@ class DedupIndex:
             .select(self.id_col, self.text_col)
             .collect()
         )
-        found = {r[self.id_col]: r[self.text_col] for r in rows}
+        found = {
+            r[self.id_col]: (r[self.text_col] if r[self.text_col] is not None else "")
+            for r in rows
+        }
         return {i: found.get(i) for i in ids}
 
     def resolve_texts(self, doc_ids=None) -> dict:
         """The /v3/documents/text blob: {"texts": {id: text-or-null}}.
-        Ids not in this corpus slice (or with a NULL text column) map to
-        null — the sharded router treats "null everywhere" as not-a-member
-        (matching the probe's silent-empty contract for unknown ids)."""
+        Ids not in this corpus slice map to null — the sharded router
+        treats "null everywhere" as not-a-member (matching the probe's
+        silent-empty contract for unknown ids). Members with a NULL text
+        column map to '' via texts_of (their shingle twin), so the
+        sharded indirection matches the unsharded probe on them too."""
         if not isinstance(doc_ids, (list, tuple)) or not doc_ids or not all(
             isinstance(i, int) and not isinstance(i, bool) for i in doc_ids
         ):

@@ -214,9 +214,11 @@ class ShardRouter:
         re-validated here: the original body fans out to the workers'
         duplicates route instead, whose unanimous 4xx passes through —
         the error message stays byte-identical to the unsharded server's.
-        An id no shard knows (or whose text is NULL) resolves to an empty
-        partner list, matching the unsharded probe's silent-empty
-        semantics for unknown ids."""
+        An id no shard knows resolves to an empty partner list, matching
+        the unsharded probe's silent-empty semantics for unknown ids; a
+        MEMBER with NULL text resolves to '' (its shingle twin — the
+        worker's texts_of maps it there), so its jaccards match the
+        unsharded probe's (r9 ADVICE)."""
         ids = body.get("doc_ids")
         shape_ok = (
             set(body) <= {"doc_ids", "threshold"}

@@ -221,12 +221,23 @@ class ServerCore:
         under the same generation guard as :meth:`swap_store`: every
         cached pre-swap response drops, and an in-flight request that
         began against the old snapshot finishes (snapshot isolation) but
-        can never deposit its stale answer into the post-swap cache."""
+        can never deposit its stale answer into the post-swap cache.
+
+        The REPLACED snapshot's cached DataFrames are unpersisted
+        (best-effort, non-blocking) so repeated republishes don't
+        accumulate dead executor cache (r9 ADVICE); an in-flight request
+        still holding the old snapshot recomputes instead of erroring.
+        Republish via fresh loads (from_paths/from_path) — a new snapshot
+        sharing cached frames with the outgoing one would lose them."""
+        old_ann = old_dedup = None
         if ann_index is not None:
-            self.ann_index = ann_index
+            old_ann, self.ann_index = self.ann_index, ann_index
         if dedup_index is not None:
-            self.dedup_index = dedup_index
+            old_dedup, self.dedup_index = self.dedup_index, dedup_index
         self._bump_generation()
+        for old, new in ((old_ann, ann_index), (old_dedup, dedup_index)):
+            if old is not None and old is not new and hasattr(old, "unpersist"):
+                old.unpersist()
 
     def _bump_generation(self) -> None:
         if self.cache is not None:

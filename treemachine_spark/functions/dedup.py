@@ -582,6 +582,11 @@ def shingle_index_append(
     idx = shingle_index(new_docs, text_col, meta["k"]).withColumn(
         "bucket", F.pmod(h32(F.col("s")), F.lit(meta["n_buckets"]))
     )
+    # materialize ONCE before count + write: a bare count() followed by
+    # write() re-executes the Arrow shingling pass over the new docs (the
+    # repo's never-re-execute-subplans invariant; r9 ADVICE) — append
+    # batches are bounded, so a localCheckpoint is the cheap fix
+    idx = idx.localCheckpoint(eager=True)
     n = idx.count()
     idx.write.mode("append").partitionBy("bucket").parquet(
         os.path.join(out_dir, "shingles.parquet")

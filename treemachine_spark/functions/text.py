@@ -188,9 +188,18 @@ def _profile_udf():
     union = frozenset().union(*stop_sets.values())
     p = MERSENNE31
 
+    width = 3 + len(langs)
+
     def _f(texts: pd.Series) -> pd.DataFrame:
         rows = []
         for t in texts:
+            if not isinstance(t, str):
+                # NULL text: the Catalyst twin yields NULL n_tokens /
+                # quality / fingerprint (size/split of NULL) and 'und'
+                # lang (NULL scores fall through the when-chain) — emit
+                # all-NULL components so both paths agree (r9 ADVICE).
+                rows.append((None,) * width)
+                continue
             ws = _py_words(t)
             acc = None
             for w in ws:
