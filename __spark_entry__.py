@@ -58,6 +58,9 @@ _FRONT = [
     "x1_text_profile",
     "s2_sessions_batch",
     "d4_ngram_jaccard",
+    # NEW gate this round (needs its first driver row): the capped-space
+    # dedup artifact probe (r9 verdict #2)
+    "d9_capped_artifact",
     # newest driver row is the r8 artifact
     "d8_jaccard_probe",
     "s8_stream_novelty",
@@ -101,7 +104,6 @@ _FRONT = [
     "a11_rollup",
     "p4_packed_map_roundtrip",
     "t12_degree_prune",
-    "e1_leaf_set",
     "l4_batch_resolution",
 ]
 
@@ -162,14 +164,17 @@ _DRIVER_EXCLUDED = {
         "q5_region_revenue",
     )
 }
-# ...plus the six r8-signed gates the 50-row artifact cannot fit this
-# round: deferred to the r11 front, still pytest-verified at sf0.001 +
-# the driver's sf0.01 every round. Chosen for the densest extra pinning:
-# c1_rf_distance / s4_stream_enriched / t4_subtree are row-tripwired in
-# every BENCH_r* artifact (bench.py ok-flags at sf0.1 each round),
-# d5_dup_clusters carries the sf10 value sign (mirrored-BFS 9 clusters /
-# 900 members), and t15 / s7 have dedicated literal-tip-set-semantics and
-# applyInPandasWithState-sessionize pytest families.
+# ...plus the seven r8-signed gates the 50-row artifact cannot fit this
+# round (one slot went to the NEW d9_capped_artifact gate): deferred to
+# the r11 front, still pytest-verified at sf0.001 + the driver's sf0.01
+# every round. Chosen for the densest extra pinning: c1_rf_distance /
+# s4_stream_enriched / t4_subtree are row-tripwired in every BENCH_r*
+# artifact (bench.py ok-flags at sf0.1 each round), d5_dup_clusters
+# carries the sf10 value sign (mirrored-BFS 9 clusters / 900 members),
+# t15 / s7 have dedicated literal-tip-set-semantics and
+# applyInPandasWithState-sessionize pytest families, and e1_leaf_set's
+# operator family has an r9-green sibling row (e2_intersect builds the
+# same leaf sets).
 for _name in (
     "c1_rf_distance",
     "s4_stream_enriched",
@@ -177,6 +182,7 @@ for _name in (
     "d5_dup_clusters",
     "t15_deepest_exemplified",
     "s7_sessionize_stream",
+    "e1_leaf_set",
 ):
     _DRIVER_EXCLUDED[_name] = (
         "r8 artifact row (CORRECTNESS_r08.json); deferred to the r11 front "

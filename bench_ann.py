@@ -61,11 +61,27 @@ def _recall_phase(spark, store) -> dict:
         [float(x) for x in centers[i] + rng.randn(64) * 0.4] for i in range(32)
     ]
 
+    import shutil
+    import tempfile
+
+    art_root = tempfile.mkdtemp(prefix="bench_ann_recall_")
+    built = {"n": 0}
+
     def build_index(frame):
-        cb = pq.pq_train(frame, m=8, n_codes=16, iters=3, train_rows=5_000)
-        codes = pq.pq_encode(frame, cb).cache()
-        codes.count()
-        return AnnIndex(frame, codebook=cb, codes=codes, n_centroids=64)
+        # the REAL artifact path (write_pq_index -> from_paths), so the
+        # measured no-knob config is the artifact's own rerank_pool
+        # default (r10, r9 verdict #3) — each shard trains its own
+        # codebook/cells from its slice, as an honest deployment would
+        built["n"] += 1
+        d = f"{art_root}/idx{built['n']}"
+        frame.write.mode("overwrite").parquet(f"{d}_emb.parquet")
+        pq.write_pq_index(
+            frame, d, m=8, n_codes=16, iters=3, train_rows=5_000,
+            n_centroids=64,
+        )
+        return AnnIndex.from_paths(
+            spark, f"{d}_emb.parquet", d, n_centroids=64
+        )
 
     def serve(frames):
         srvs, urls = [], []
@@ -101,6 +117,10 @@ def _recall_phase(spark, store) -> dict:
                 ("ivf", {"method": "ivf"}),
                 ("pq_rf5", {"method": "pq", "rerank_factor": 5}),
                 ("pq_rf40", {"method": "pq", "rerank_factor": 40}),
+                # no client knob: the artifact's stored rerank_pool
+                # (p95 cell occupancy) sizes the pool — the r10
+                # recall-safe default, must hold >= 0.95 here
+                ("pq_default", {"method": "pq"}),
             ):
                 hits = 0
                 for v, t in zip(queries, truth):
@@ -145,6 +165,7 @@ def _recall_phase(spark, store) -> dict:
             s.shutdown()
             s.server_close()
         emb.unpersist()
+        shutil.rmtree(art_root, ignore_errors=True)
     return out
 
 

@@ -47,6 +47,49 @@ def star_tree_edges(spark, n_hot: int, n_rest: int, fanout: int = 10):
     return spark.createDataFrame(rows, "child_id string, parent_id string")
 
 
+def tfidf_hot_term_phase(spark, n_docs: int) -> dict:
+    """The x15 df-window skew watch (r9 verdict #4), measured: a corpus
+    whose every document shares a handful of web-scale hot terms ("the"-
+    class boilerplate) while the rest of the vocabulary is near-unique.
+    The default window-count df plan partitions ALL tf rows by term, so
+    each hot term's n_docs rows land in ONE shuffle partition that AQE
+    cannot split (AQE splits skewed joins, not windows); the skew_safe
+    plan shrinks df map-side (vocabulary-scale partial agg) and joins it
+    back, where hot keys are AQE-splittable. Reports both walls and
+    pins identical result counts."""
+    import pandas as pd
+
+    hot = [f"hot{i}" for i in range(8)]
+    hot_text = " ".join(hot)
+
+    def text_of(i: int) -> str:
+        # 8 shared hot terms + 5 near-unique rare terms per doc
+        return hot_text + " " + " ".join(f"r{i}_{j}" for j in range(5))
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": range(n_docs), "text": [text_of(i) for i in range(n_docs)]}
+        ),
+        schema="doc_id long, text string",
+    ).cache()
+    docs.count()
+    from treemachine_spark.functions.text import tfidf_topk
+
+    out: dict = {"tfidf_n_docs": n_docs}
+    t0 = time.time()
+    n_win = tfidf_topk(docs, k=3).count()
+    out["tfidf_window_sec"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    n_safe = tfidf_topk(docs, k=3, skew_safe=True).count()
+    out["tfidf_skew_safe_sec"] = round(time.time() - t0, 2)
+    out["tfidf_rows_equal"] = bool(n_win == n_safe)
+    out["tfidf_window_over_safe"] = round(
+        out["tfidf_window_sec"] / max(out["tfidf_skew_safe_sec"], 1e-9), 2
+    )
+    docs.unpersist()
+    return out
+
+
 def main() -> None:
     n_hot = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     n_rest = n_hot // 2
@@ -123,6 +166,8 @@ def main() -> None:
 
         paths.unpersist()
         paths_self.unpersist()
+
+    out.update(tfidf_hot_term_phase(spark, max(100_000, n_hot // 5)))
 
     out["closure_star_over_balanced"] = round(
         out["closure_sec_star"] / max(out["closure_sec_balanced"], 1e-9), 2

@@ -425,3 +425,68 @@ def test_pq_append_extends_persisted_index(ctx, spark, tmp_path):
     idx = AnnIndex.from_paths(spark, f"{SF}/embeddings.parquet", out, n_centroids=4)
     vec = [float(x) for x in emb.where(F.col("vec_id") == 60).head()["embedding"]]
     assert idx.topk(vector=vec, k=3, method="ivf")["neighbors"][0]["neighbor_id"] == 60
+
+
+def test_rerank_pool_artifact_default(spark, tmp_path):
+    """r10 (r9 verdict #3): the recall-safe serving default. write_pq_index
+    measures p95 cell occupancy and stores it as rerank_pool; AnnIndex
+    sizes the exact re-rank pool from it when the client omits
+    rerank_factor, so an uninformed client keeps high recall on dense
+    clusters (where the old hard-wired k*5 collapsed); the explicit knob
+    still wins; pq_append refreshes the stored pool."""
+    from treemachine_spark.api.ann import AnnIndex
+
+    rng = np.random.RandomState(3)
+    centers = rng.randn(6, 16) * 12.0
+    X = np.vstack([c + rng.randn(120, 16) * 0.05 for c in centers])
+    rows = [(i, [float(x) for x in X[i]]) for i in range(len(X))]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    path = str(tmp_path / "emb.parquet")
+    emb.write.parquet(path)
+    out = str(tmp_path / "pqidx_pool")
+    pq.write_pq_index(
+        emb, out, m=8, n_codes=16, iters=3, train_rows=None, n_centroids=6
+    )
+    meta = pq.read_pq_meta(out)
+    # p95 occupancy of 720 rows over 6 cells: at least a full cluster
+    assert meta["rerank_pool"] and meta["rerank_pool"] >= 100
+
+    idx = AnnIndex.from_paths(spark, path, out, n_centroids=6)
+    assert idx.rerank_pool == meta["rerank_pool"]
+    qs = [[float(x) for x in X[i]] for i in (0, 120, 240)]
+    brute = idx.topk(vectors=qs, k=10, method="brute")
+
+    def recall(res):
+        hits = 0
+        for qi, got in enumerate(res["results"]):
+            want = {n["neighbor_id"] for n in brute["results"][qi]}
+            hits += len(want & {n["neighbor_id"] for n in got})
+        return hits / (10 * len(qs))
+
+    low = recall(idx.topk(vectors=qs, k=10, method="pq", rerank_factor=5))
+    dflt = recall(idx.topk(vectors=qs, k=10, method="pq"))
+    assert dflt >= 0.9, (dflt, low)
+    assert low <= 0.7, (dflt, low)  # the old default really was unsafe here
+
+    # pre-pool artifacts (no rerank_pool key) load with the legacy default
+    import json
+    import os
+
+    blob = pq.read_pq_meta(out)
+    blob.pop("rerank_pool")
+    with open(os.path.join(out, "codebook.json"), "w") as fh:
+        json.dump(blob, fh)
+    assert pq.read_pq_meta(out)["rerank_pool"] is None
+    legacy = AnnIndex.from_paths(spark, path, out, n_centroids=6)
+    assert legacy.rerank_pool is None
+
+    # pq_append refreshes the stored pool (occupancy changed)
+    out2 = str(tmp_path / "pqidx_pool_grow")
+    half = emb.where(F.col("vec_id") < 360)
+    pq.write_pq_index(
+        half, out2, m=8, n_codes=16, iters=3, train_rows=None, n_centroids=6
+    )
+    before = pq.read_pq_meta(out2)["rerank_pool"]
+    pq.pq_append(emb.where(F.col("vec_id") >= 360), out2)
+    after = pq.read_pq_meta(out2)["rerank_pool"]
+    assert after is not None and after >= before

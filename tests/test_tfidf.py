@@ -74,3 +74,29 @@ def test_lm_score_short_doc_zero(spark):
     got = {r["doc_id"]: (r["n_bigrams"], r["sum_logprob_micro"]) for r in lm_score(docs).collect()}
     assert got[1] == (0, 0)
     assert got[2][0] == 1
+
+
+def test_tfidf_skew_safe_path_identical_values(spark):
+    """r10 (r9 verdict #4): the skew-safe df plan (materialized tf +
+    vocabulary-scale groupBy + join back) returns rows IDENTICAL to the
+    default window-count plan — same integer micro-unit scores, same
+    deterministic tie-breaks — on a corpus with real hot terms (every doc
+    shares boilerplate) and df>1 rare terms."""
+    from treemachine_spark.io.tables import load_tables
+
+    docs = load_tables(spark, "/root/testdata/sf0.001")["documents"]
+    hot = spark.createDataFrame(
+        [
+            (900001, "the the the of of boiler plate common tokens"),
+            (900002, "the of boiler plate rare9 rare9 unique2"),
+            (900003, "the of boiler plate zeta"),
+        ],
+        "doc_id long, text string",
+    )
+    corpus = docs.select("doc_id", "text").unionByName(hot)
+    a = {tuple(r) for r in tfidf_topk(corpus, k=3).collect()}
+    b = {tuple(r) for r in tfidf_topk(corpus, k=3, skew_safe=True).collect()}
+    assert a == b and len(a) > 100
+    assert tfidf_topk(corpus, k=3).dtypes == tfidf_topk(
+        corpus, k=3, skew_safe=True
+    ).dtypes

@@ -57,11 +57,21 @@ class DedupIndex:
             # `cli dedupbuild`): cold boot is a metadata read, requests
             # prune partition DIRECTORIES by the query shingles' buckets —
             # no executor-cached copy of the index at all (the 100 TB
-            # shape). k comes from the artifact (the shingle space is
-            # k-specific).
-            self.index, self.k, self.n_buckets = dedup.read_shingle_index(
+            # shape). k (and the optional df cap + stoplist) come from the
+            # artifact (the shingle space is k- and cap-specific); the
+            # stored corpus fingerprint is validated against THIS docs
+            # snapshot at boot, so a drifted DOCS_PARQUET/IDX_DIR pair
+            # fails loudly instead of silently computing wrong jaccards
+            # (r9 ADVICE).
+            self.index, meta, self.stoplist = dedup.read_shingle_index(
                 docs.sparkSession, index_dir
             )
+            dedup.check_corpus_fingerprint(
+                docs, meta, "DedupIndex boot", id_col
+            )
+            self.k = meta["k"]
+            self.n_buckets = meta["n_buckets"]
+            self.max_doc_freq = meta["max_doc_freq"]
         else:
             # in-memory snapshot: the (doc_id, n, s) inverted index built
             # once per snapshot and cached; every probe/lookup request
@@ -69,6 +79,8 @@ class DedupIndex:
             # the corpus shingle UDF
             self.k = k
             self.n_buckets = None
+            self.max_doc_freq = None
+            self.stoplist = None
             self.index = dedup.shingle_index(
                 docs, text_col=text_col, k=k
             ).cache()
@@ -167,6 +179,8 @@ class DedupIndex:
                 self.docs, list(texts), text_col=self.text_col,
                 k=self.k, threshold=float(threshold), index=self.index,
                 index_n_buckets=self.n_buckets,
+                index_max_doc_freq=self.max_doc_freq,
+                index_stoplist=self.stoplist,
             ).collect()
             results: list[list[dict]] = [[] for _ in texts]
             for r in rows:
@@ -187,6 +201,8 @@ class DedupIndex:
                 self.docs, list(doc_ids), text_col=self.text_col,
                 k=self.k, threshold=float(threshold), index=self.index,
                 index_n_buckets=self.n_buckets,
+                index_max_doc_freq=self.max_doc_freq,
+                index_stoplist=self.stoplist,
             ).collect()
             # pairs are (min, max)-normalized; expand to each REQUESTED id's
             # partner list (a both-probe pair lands in both lists). Results

@@ -289,6 +289,15 @@ def main(argv=None) -> int:
         default=512,
         help="shingle-hash bucket count (pruning selectivity vs file count)",
     )
+    s.add_argument(
+        "--max-doc-freq",
+        type=int,
+        default=None,
+        help="bake the d7 capped shingle space into the artifact: drop "
+        "shingles appearing in more docs than this (stop shingles) and "
+        "store sizes over the survivors — requests then skip web-scale "
+        "posting lists; the dropped shingles persist in stoplist.parquet",
+    )
 
     s = sub.add_parser(
         "minhashbuild",
@@ -418,11 +427,17 @@ def main(argv=None) -> int:
 
         docs = load_tables(spark, args.sf_dir)["documents"]
         n = write_shingle_index(
-            docs, args.out_dir, k=args.k, n_buckets=args.n_buckets
+            docs, args.out_dir, k=args.k, n_buckets=args.n_buckets,
+            max_doc_freq=args.max_doc_freq,
+        )
+        cap = (
+            f", max_doc_freq={args.max_doc_freq}"
+            if args.max_doc_freq is not None
+            else ""
         )
         print(
             f"shingle index at {args.out_dir}: {n} rows, k={args.k}, "
-            f"{args.n_buckets} buckets"
+            f"{args.n_buckets} buckets{cap}"
         )
         return 0
 

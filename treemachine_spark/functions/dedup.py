@@ -256,21 +256,32 @@ def write_minhash_index(
     os.makedirs(out_dir, exist_ok=True)
     idx.write.mode("overwrite").parquet(os.path.join(out_dir, "minhash.parquet"))
     with open(os.path.join(out_dir, "meta.json"), "w") as fh:
-        json.dump({"k": k, "with_shingles": with_shingles}, fh)
+        json.dump(
+            {
+                "k": k,
+                "with_shingles": with_shingles,
+                "corpus": _corpus_fingerprint(docs),
+            },
+            fh,
+        )
     return docs.sparkSession.read.parquet(
         os.path.join(out_dir, "minhash.parquet")
     ).count()
 
 
-def read_minhash_index(spark, out_dir: str):
+def read_minhash_index(spark, out_dir: str, docs: DataFrame | None = None):
     """(index DataFrame, k) persisted by :func:`write_minhash_index` —
     feed the frame to ``minhash_near_dup_pairs(sig=)`` /
-    ``minhash_bands(sig=)``."""
+    ``minhash_bands(sig=)``. Pass the docs snapshot the index is meant
+    to describe via ``docs=`` to validate the stored corpus fingerprint
+    at load time (raises on drift — r9 ADVICE)."""
     import json
     import os
 
     with open(os.path.join(out_dir, "meta.json")) as fh:
         meta = json.load(fh)
+    if docs is not None:
+        check_corpus_fingerprint(docs, meta, "read_minhash_index")
     return spark.read.parquet(os.path.join(out_dir, "minhash.parquet")), meta["k"]
 
 
@@ -294,6 +305,16 @@ def minhash_index_append(
     )
     n = new_docs.count()
     idx.write.mode("append").parquet(os.path.join(out_dir, "minhash.parquet"))
+    if meta.get("corpus") is not None:
+        new_fp = _corpus_fingerprint(new_docs)
+        meta["corpus"] = {
+            "n_docs": meta["corpus"]["n_docs"] + new_fp["n_docs"],
+            "max_doc_id": max(
+                meta["corpus"]["max_doc_id"], new_fp["max_doc_id"]
+            ),
+        }
+        with open(os.path.join(out_dir, "meta.json"), "w") as fh:
+            json.dump(meta, fh)
     return n
 
 
@@ -509,17 +530,52 @@ def shingle_index(docs: DataFrame, text_col: str = "text", k: int = 3) -> DataFr
     )
 
 
+def _corpus_fingerprint(docs: DataFrame, id_col: str = "doc_id") -> dict:
+    """{n_docs, max_doc_id}: the cheap identity of a docs snapshot, stored
+    in index-artifact meta.json so a probe against an index built from a
+    DIFFERENT corpus fails loudly instead of silently computing wrong
+    jaccards (r9 ADVICE: nothing bound DOCS_PARQUET to IDX_DIR — docs
+    replaced without a rebuild, or an append applied to only one side,
+    drifted invisibly). One column-pruned agg job."""
+    row = docs.agg(
+        F.count("*").alias("n"), F.max(id_col).alias("m")
+    ).collect()[0]
+    return {"n_docs": row["n"], "max_doc_id": row["m"]}
+
+
+def check_corpus_fingerprint(
+    docs: DataFrame, meta: dict, what: str, id_col: str = "doc_id"
+) -> None:
+    """Validate a docs snapshot against an index artifact's stored corpus
+    fingerprint; raises ValueError on drift. Pre-fingerprint artifacts
+    (no 'corpus' key) pass — rebuild to opt in."""
+    fp = meta.get("corpus")
+    if fp is None:
+        return
+    cur = _corpus_fingerprint(docs, id_col)
+    if cur != fp:
+        raise ValueError(
+            f"{what}: corpus fingerprint mismatch — the index artifact was "
+            f"built from {fp} but the docs snapshot is {cur}; the two have "
+            f"drifted (docs replaced without a rebuild, or an append "
+            f"applied to only one side). Rebuild or re-append so they match."
+        )
+
+
 def write_shingle_index(
     docs: DataFrame,
     out_dir: str,
     text_col: str = "text",
     k: int = 3,
     n_buckets: int = 512,
+    max_doc_freq: int | None = None,
 ) -> int:
     """Persist the inverted shingle index BUCKETED BY SHINGLE HASH — the
     100 TB serving artifact (the pq write_pq_index twin for the dedup
     family). Layout: ``<out_dir>/shingles.parquet`` partitioned by
-    ``bucket = h32(s) % n_buckets`` plus ``meta.json`` (k, n_buckets).
+    ``bucket = h32(s) % n_buckets`` plus ``meta.json`` (k, n_buckets,
+    max_doc_freq, corpus fingerprint) and — capped only —
+    ``stoplist.parquet``.
 
     Why buckets: a duplicates request touches only its own shingles, so
     a reader that filters ``bucket IN (h32(query shingles) % n)`` prunes
@@ -529,40 +585,89 @@ def write_shingle_index(
     corpus-wide Arrow shingling pass. ``n_buckets`` trades pruning
     selectivity (one ~90-shingle text hits <=90 buckets) against file
     count; at corpus scale each bucket is a healthy parquet file.
+
+    ``max_doc_freq`` bakes the d7 capped shingle space INTO the artifact
+    (the 100 TB serving knob): shingles whose document frequency exceeds
+    the cap are dropped from the index — a boilerplate "stop shingle" at
+    web scale has df in the millions, so even a bucket-pruned request
+    would stream its whole posting list — and every doc's stored ``n``
+    is recomputed over the SURVIVING shingle space, so query-side sizes
+    must come from the index, never from re-shingling raw text (the
+    probe/lookup ``index_stoplist`` contract enforces this). The dropped
+    shingles land in ``stoplist.parquet`` (s, df): request texts filter
+    their own shingle sets against it (request-scale IN-pushed lookup)
+    to compute their capped |A| the same way. The capped space is a
+    WRITE-TIME snapshot — appends reuse it; rebuild to refresh dfs.
     Returns the number of index rows written."""
     import json
     import os
 
-    idx = shingle_index(docs, text_col, k).withColumn(
-        "bucket", F.pmod(h32(F.col("s")), F.lit(n_buckets))
-    )
     os.makedirs(out_dir, exist_ok=True)
-    idx.write.mode("overwrite").partitionBy("bucket").parquet(
+    idx = shingle_index(docs, text_col, k)
+    if max_doc_freq is not None:
+        # one Arrow shingling pass feeds the df agg, the anti-join and the
+        # size recompute (Spark does not reuse subplans — persist, spill-safe)
+        idx = idx.persist()
+        stop = (
+            idx.groupBy("s")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") > max_doc_freq)
+        )
+        stop.write.mode("overwrite").parquet(
+            os.path.join(out_dir, "stoplist.parquet")
+        )
+        stop_s = docs.sparkSession.read.parquet(
+            os.path.join(out_dir, "stoplist.parquet")
+        ).select("s")
+        kept = idx.join(stop_s, "s", "left_anti")
+        sizes = kept.groupBy("doc_id").agg(F.count("*").alias("n"))
+        out = kept.drop("n").join(sizes, "doc_id")
+    else:
+        out = idx
+    out = out.withColumn("bucket", F.pmod(h32(F.col("s")), F.lit(n_buckets)))
+    out.write.mode("overwrite").partitionBy("bucket").parquet(
         os.path.join(out_dir, "shingles.parquet")
     )
+    if max_doc_freq is not None:
+        idx.unpersist()
     with open(os.path.join(out_dir, "meta.json"), "w") as fh:
-        json.dump({"k": k, "n_buckets": n_buckets}, fh)
+        json.dump(
+            {
+                "k": k,
+                "n_buckets": n_buckets,
+                "max_doc_freq": max_doc_freq,
+                "corpus": _corpus_fingerprint(docs),
+            },
+            fh,
+        )
     spark = docs.sparkSession
     return spark.read.parquet(os.path.join(out_dir, "shingles.parquet")).count()
 
 
 def read_shingle_index(spark, out_dir: str):
-    """(index DataFrame, k, n_buckets) persisted by
-    :func:`write_shingle_index`. The frame is left UNcached on purpose:
+    """(index DataFrame, meta dict, stoplist DataFrame | None) persisted
+    by :func:`write_shingle_index`. meta carries k / n_buckets /
+    max_doc_freq / corpus fingerprint; stoplist is non-None exactly when
+    the artifact is capped. The index frame is left UNcached on purpose:
     its value is disk-partition pruning per request (feed it to
-    probe/lookup via ``index=`` + ``index_n_buckets=``)."""
+    probe/lookup via ``index=`` + ``index_n_buckets=`` — and, capped,
+    ``index_max_doc_freq=`` + ``index_stoplist=``)."""
     import json
     import os
 
     with open(os.path.join(out_dir, "meta.json")) as fh:
         meta = json.load(fh)
+    meta.setdefault("max_doc_freq", None)
     idx = spark.read.parquet(os.path.join(out_dir, "shingles.parquet")).select(
         "doc_id", "n", "s",
         # partition-column inference narrows to int; restore long so the
         # driver-computed bucket literals match without implicit casts
         F.col("bucket").cast("long").alias("bucket"),
     )
-    return idx, meta["k"], meta["n_buckets"]
+    stop = None
+    if meta["max_doc_freq"] is not None:
+        stop = spark.read.parquet(os.path.join(out_dir, "stoplist.parquet"))
+    return idx, meta, stop
 
 
 def shingle_index_append(
@@ -572,14 +677,27 @@ def shingle_index_append(
     new documents with the STORED k and append their rows into the
     bucket layout — one pass over the new rows, nothing rewritten (the
     pq_append freshness discipline; the caller owns doc_id uniqueness).
-    A LIVE DedupIndex serves its loaded snapshot — republish via
-    from_path + ServerCore.swap_indexes. Returns rows appended."""
+    On a CAPPED artifact the new rows are filtered against the stored
+    stoplist and their sizes recomputed over the survivors — the capped
+    space is the write-time snapshot (appended docs cannot push a shingle
+    onto the stoplist; rebuild to refresh dfs). The stored corpus
+    fingerprint is extended to cover the appended docs. A LIVE DedupIndex
+    serves its loaded snapshot — republish via from_path +
+    ServerCore.swap_indexes. Returns rows appended."""
     import json
     import os
 
     with open(os.path.join(out_dir, "meta.json")) as fh:
         meta = json.load(fh)
-    idx = shingle_index(new_docs, text_col, meta["k"]).withColumn(
+    idx = shingle_index(new_docs, text_col, meta["k"])
+    if meta.get("max_doc_freq") is not None:
+        stop_s = new_docs.sparkSession.read.parquet(
+            os.path.join(out_dir, "stoplist.parquet")
+        ).select("s")
+        kept = idx.join(stop_s, "s", "left_anti")
+        sizes = kept.groupBy("doc_id").agg(F.count("*").alias("n"))
+        idx = kept.drop("n").join(sizes, "doc_id")
+    idx = idx.withColumn(
         "bucket", F.pmod(h32(F.col("s")), F.lit(meta["n_buckets"]))
     )
     # materialize ONCE before count + write: a bare count() followed by
@@ -591,6 +709,16 @@ def shingle_index_append(
     idx.write.mode("append").partitionBy("bucket").parquet(
         os.path.join(out_dir, "shingles.parquet")
     )
+    if meta.get("corpus") is not None:
+        new_fp = _corpus_fingerprint(new_docs)
+        meta["corpus"] = {
+            "n_docs": meta["corpus"]["n_docs"] + new_fp["n_docs"],
+            "max_doc_id": max(
+                meta["corpus"]["max_doc_id"], new_fp["max_doc_id"]
+            ),
+        }
+        with open(os.path.join(out_dir, "meta.json"), "w") as fh:
+            json.dump(meta, fh)
     return n
 
 
@@ -599,6 +727,53 @@ def _bucket_filter(shingle_set, n_buckets: int):
     md5-derived, so ``_h32_py(s) % n_buckets`` reproduces
     ``pmod(h32(s), n)`` exactly (both non-negative)."""
     return sorted({_h32_py(s) % n_buckets for s in shingle_set})
+
+
+def _check_capped_index_args(
+    what: str, max_doc_freq, index, index_max_doc_freq, index_stoplist
+) -> None:
+    """Guard the capped-artifact contract (r9 verdict: mixing driver-side
+    shingle sizes with a capped artifact silently inflates |A| — make the
+    mix raise instead)."""
+    if index_max_doc_freq is not None:
+        if index is None:
+            raise ValueError(
+                f"{what}: index_max_doc_freq declares a capped ARTIFACT — "
+                f"pass its index frame via index="
+            )
+        if max_doc_freq is not None:
+            raise ValueError(
+                f"{what}: the artifact already bakes in max_doc_freq="
+                f"{index_max_doc_freq}; do not also pass the inline "
+                f"max_doc_freq knob (cap-on-cap)"
+            )
+        if index_stoplist is None:
+            raise ValueError(
+                f"{what}: a capped artifact's stored sizes count only "
+                f"surviving shingles — query-side sizes from driver-side "
+                f"shingling would silently inflate |A|. Pass the artifact's "
+                f"stoplist (read_shingle_index returns it) via "
+                f"index_stoplist="
+            )
+    elif index_stoplist is not None:
+        raise ValueError(
+            f"{what}: index_stoplist given without index_max_doc_freq — "
+            f"declare the artifact's cap so both sides agree on the "
+            f"shingle space"
+        )
+
+
+def _stopped_shingles(index_stoplist: DataFrame, shingle_set) -> set:
+    """The request's shingles that the capped artifact dropped — one
+    request-scale IN-pushed job over the (small) stoplist table."""
+    if not shingle_set:
+        return set()
+    return {
+        r["s"]
+        for r in index_stoplist.where(
+            F.col("s").isin(sorted(shingle_set))
+        ).select("s").collect()
+    }
 
 
 def ngram_jaccard_probe(
@@ -610,6 +785,8 @@ def ngram_jaccard_probe(
     max_doc_freq: int | None = None,
     index: DataFrame | None = None,
     index_n_buckets: int | None = None,
+    index_max_doc_freq: int | None = None,
+    index_stoplist: DataFrame | None = None,
 ) -> DataFrame:
     """Request-scale exact-Jaccard near-dup PROBE: the pairs of
     :func:`ngram_jaccard_pairs` restricted to those touching a bounded
@@ -643,6 +820,16 @@ def ngram_jaccard_probe(
     reuse subplans (ADVICE r8 measured the broadcast side re-running it).
     At 100 TB both are precomputed index artifacts.
 
+    ``index_max_doc_freq`` + ``index_stoplist`` declare a CAPPED artifact
+    (write_shingle_index(max_doc_freq=)): the cap is baked into the index
+    — stored sizes count only surviving shingles — so the probe filters
+    its driver-side shingle sets against the artifact's stoplist (one
+    request-scale IN-pushed job) and computes each probe doc's |A| over
+    the survivors, reproducing the stored n by construction. Declaring
+    the cap without the stoplist (or mixing it with the inline
+    ``max_doc_freq`` knob) raises — the silent alternative inflates |A|
+    (r9 verdict's named trap).
+
     ``index`` (optional): a precomputed :func:`shingle_index` frame for
     the SAME (docs, k) — the served-snapshot path (DedupIndex caches it
     once; repeated requests then skip the corpus Arrow pass entirely).
@@ -669,6 +856,10 @@ def ngram_jaccard_probe(
             f"{MAX_PROBE_DOCS} probe docs ({len(ids)} given): use "
             f"ngram_jaccard_pairs / minhash_near_dup_pairs for corpus-scale"
         )
+    _check_capped_index_args(
+        "ngram_jaccard_probe", max_doc_freq, index, index_max_doc_freq,
+        index_stoplist,
+    )
     ex = shingle_index(docs, text_col, k) if index is None else index
     px = None
     if index is not None and max_doc_freq is None:
@@ -682,10 +873,21 @@ def ngram_jaccard_probe(
             .select("doc_id", text_col)
             .collect()
         )
-        qsh = []
-        for r in drows:
-            sh = _py_shingles(r[text_col], k)
-            qsh.extend((r["doc_id"], len(sh), s) for s in sh)
+        doc_sh = {r["doc_id"]: _py_shingles(r[text_col], k) for r in drows}
+        if index_max_doc_freq is not None:
+            # capped artifact: each probe doc's |A| counts only shingles
+            # surviving the write-time cap — filter against the stored
+            # stoplist so pn reproduces the index's recomputed n exactly
+            stopped = _stopped_shingles(
+                index_stoplist, {s for sh in doc_sh.values() for s in sh}
+            )
+            doc_sh = {
+                d: [s for s in sh if s not in stopped]
+                for d, sh in doc_sh.items()
+            }
+        qsh = [
+            (d, len(sh), s) for d, sh in doc_sh.items() for s in sh
+        ]
         if qsh:
             px = docs.sparkSession.createDataFrame(
                 pd.DataFrame(qsh, columns=["pid", "pn", "s"]),
@@ -766,6 +968,8 @@ def ngram_jaccard_lookup(
     threshold: float = 0.3,
     index: DataFrame | None = None,
     index_n_buckets: int | None = None,
+    index_max_doc_freq: int | None = None,
+    index_stoplist: DataFrame | None = None,
 ) -> DataFrame:
     """Decontamination LOOKUP: which corpus docs near-duplicate these
     QUERY TEXTS — the texts need not be in the corpus (the eval-set vs
@@ -781,8 +985,12 @@ def ngram_jaccard_lookup(
     rows). Returns (query_idx, doc_id, jaccard) above ``threshold``.
 
     ``index`` (optional): a precomputed :func:`shingle_index` frame for
-    the SAME (docs, k) — the served-snapshot path (see
-    :func:`ngram_jaccard_probe`).
+    the SAME (docs, k) — the served-snapshot path; capped artifacts
+    additionally require ``index_max_doc_freq`` + ``index_stoplist``
+    (see :func:`ngram_jaccard_probe`). A capped query size counts only
+    shingles surviving the write-time cap — a query shingle ABSENT from
+    the corpus keeps counting (df 0 <= cap: it is in the capped space,
+    contributing 0 to every intersection), only stop-listed ones drop.
     """
     tl = list(texts)
     if not tl:
@@ -794,11 +1002,20 @@ def ngram_jaccard_lookup(
             f"queries as a table and use ngram_jaccard_pairs for "
             f"corpus-scale"
         )
+    _check_capped_index_args(
+        "ngram_jaccard_lookup", None, index, index_max_doc_freq,
+        index_stoplist,
+    )
     import pandas as pd
 
+    q_sh = [_py_shingles(t, k) for t in tl]
+    if index_max_doc_freq is not None:
+        stopped = _stopped_shingles(
+            index_stoplist, {s for sh in q_sh for s in sh}
+        )
+        q_sh = [[s for s in sh if s not in stopped] for sh in q_sh]
     qrows = []
-    for qi, t in enumerate(tl):
-        qsh = _py_shingles(t, k)
+    for qi, qsh in enumerate(q_sh):
         for s in qsh:
             qrows.append((qi, len(qsh), s))
     spark = docs.sparkSession

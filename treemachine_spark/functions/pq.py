@@ -501,19 +501,10 @@ def write_pq_index(
             train_rows=train_rows, id_col=id_col, vec_col=vec_col,
         )
     os.makedirs(out_dir, exist_ok=True)
-    with open(os.path.join(out_dir, "codebook.json"), "w") as fh:
-        json.dump(
-            {
-                "m": m,
-                "n_codes": n_codes,
-                "codebook": codebook,
-                "rotation": rotation,
-            },
-            fh,
-        )
     pq_encode(embeddings, codebook, id_col, vec_col, rotation).write.mode(
         "overwrite"
     ).parquet(os.path.join(out_dir, "codes.parquet"))
+    rerank_pool = None
     if n_centroids is not None:
         from treemachine_spark.functions.similarity import ivf_cells
 
@@ -524,7 +515,62 @@ def write_pq_index(
         cent.write.mode("overwrite").parquet(
             os.path.join(out_dir, "centroids.parquet")
         )
+        # recall-safe serving default (r9 verdict #3): ADC separates
+        # clusters, not neighbors WITHIN one — a tight cluster's members
+        # share nearly the same code, so the exact re-rank pool must
+        # cover the query's cluster or top-k recall collapses (measured
+        # 0.13 at the old hard-wired k*5 on a 400-per-cluster corpus).
+        # Cell occupancy is the build-time proxy for cluster density:
+        # store the p95 as the recommended re-rank pool so an uninformed
+        # client gets safe recall by default (max would let one giant
+        # boilerplate cell tax every query; the client knob remains).
+        rerank_pool = _cell_occupancy_pool(embeddings.sparkSession, out_dir)
+    with open(os.path.join(out_dir, "codebook.json"), "w") as fh:
+        json.dump(
+            {
+                "m": m,
+                "n_codes": n_codes,
+                "codebook": codebook,
+                "rotation": rotation,
+                "rerank_pool": rerank_pool,
+            },
+            fh,
+        )
     return codebook
+
+
+def _cell_occupancy_pool(spark, out_dir: str) -> int | None:
+    """p95 IVF cell occupancy of the persisted cells artifact — the
+    recommended exact-re-rank pool size stored in the PQ index meta
+    (AnnIndex derives its rerank_factor default from it)."""
+    import math
+
+    cells = read_ivf_cells(spark, out_dir)
+    if cells is None:
+        return None
+    occ = sorted(
+        r["c"]
+        for r in cells[1]
+        .groupBy("cent_id")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    )
+    if not occ:
+        return None
+    return int(occ[min(len(occ) - 1, max(0, math.ceil(0.95 * len(occ)) - 1))])
+
+
+def read_pq_meta(out_dir: str) -> dict:
+    """The PQ artifact's full meta blob (m, n_codes, codebook, rotation,
+    rerank_pool) — read_pq_index's raw form for consumers that need the
+    serving hints too (AnnIndex.from_paths)."""
+    import json
+    import os
+
+    with open(os.path.join(out_dir, "codebook.json")) as fh:
+        blob = json.load(fh)
+    blob.setdefault("rerank_pool", None)
+    return blob
 
 
 def read_pq_index(spark, out_dir: str):
@@ -577,6 +623,15 @@ def pq_append(
         ivf_assign(new_embeddings, cent, id_col, vec_col).write.mode(
             "append"
         ).partitionBy("cent_id").parquet(os.path.join(out_dir, "cells.parquet"))
+        # appended vectors shift cell occupancy — refresh the stored
+        # recommended re-rank pool so republished snapshots keep the
+        # recall-safe default (one cells-scale agg over the artifact)
+        import json
+
+        blob = read_pq_meta(out_dir)
+        blob["rerank_pool"] = _cell_occupancy_pool(spark, out_dir)
+        with open(os.path.join(out_dir, "codebook.json"), "w") as fh:
+            json.dump(blob, fh)
     return n
 
 

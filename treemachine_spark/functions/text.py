@@ -349,6 +349,7 @@ def tfidf_topk(
     k: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    skew_safe: bool = False,
 ) -> DataFrame:
     """Top-k TF-IDF terms per document.
 
@@ -361,11 +362,28 @@ def tfidf_topk(
     on term ASC, so the output is fully deterministic.
 
     Scale shape: the explode is the volume driver (one row per token);
-    both groupBys partial-aggregate map-side; the df join shuffles on term
-    (vocabulary-scale right side); the corpus size N joins in as a
-    broadcast 1-row aggregate; one window shuffle on the doc id for the
-    top-k. No driver-side state, no UDFs. The reference has no text
+    both groupBys partial-aggregate map-side; the corpus size N joins in
+    as a broadcast 1-row aggregate; one window shuffle on the doc id for
+    the top-k. No driver-side state, no UDFs. The reference has no text
     scoring at all (beyond-reference training-pipeline surface).
+
+    Document frequency has two plans (identical values, r10 / r9 verdict
+    #4):
+
+    - ``skew_safe=False`` (default, the gate/bench shape): df as a window
+      count over the already-aggregated tf table — one corpus scan total
+      (the r7 "3 scans -> 1" fix). The window shuffle partitions ALL tf
+      rows by term, so a web-scale hot term ("the"-class) concentrates in
+      ONE partition that AQE cannot split (AQE splits skewed JOINS, not
+      windows) — the classic straggler at 100x. Fastest at gate SFs,
+      where no term is big enough to matter (bench_skew measures the
+      crossover).
+    - ``skew_safe=True`` (the 100x plan): materialize tf once (at corpus
+      scale this localCheckpoint IS the persisted inverted-index table),
+      shrink df map-side via groupBy(term) partial aggregation — the
+      shuffle carries vocabulary-scale partials, never a hot term's row
+      set — and join it back, where AQE handles residual join skew
+      (broadcasting the vocab-scale df table when it fits).
     """
     from pyspark.sql import Window
 
@@ -374,18 +392,31 @@ def tfidf_topk(
         F.explode(words(F.lower(F.col(text_col)))).alias("term"),
     ).where(F.col("term") != "")
     tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
-    # df as a window count over the ALREADY-AGGREGATED tf table — one
-    # corpus scan total, instead of recomputing the explode+groupBy subtree
-    # for a separate dfreq table (plan-audited: 3 parquet scans -> 1 + a
-    # metadata-only count-star)
-    wterm = Window.partitionBy("term")
     n = docs.agg(F.count("*").alias("n_docs"))
-    scored = (
-        tf.withColumn("df", F.count("*").over(wterm))
-        .join(F.broadcast(n))
-        .withColumn("idf_micro", _idf_micro())
-        .withColumn("score_micro", F.col("tf") * F.col("idf_micro"))
-    )
+    if skew_safe:
+        # one Arrow-free corpus pass materialized once; deriving dfreq
+        # lazily would duplicate the explode+groupBy subtree (Spark does
+        # not reuse subplans — the x15/x18 lesson)
+        tf = tf.localCheckpoint(eager=True)
+        dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+        scored = (
+            tf.join(dfreq, "term")
+            .join(F.broadcast(n))
+            .withColumn("idf_micro", _idf_micro())
+            .withColumn("score_micro", F.col("tf") * F.col("idf_micro"))
+        )
+    else:
+        # df as a window count over the ALREADY-AGGREGATED tf table — one
+        # corpus scan total, instead of recomputing the explode+groupBy
+        # subtree for a separate dfreq table (plan-audited: 3 parquet
+        # scans -> 1 + a metadata-only count-star)
+        wterm = Window.partitionBy("term")
+        scored = (
+            tf.withColumn("df", F.count("*").over(wterm))
+            .join(F.broadcast(n))
+            .withColumn("idf_micro", _idf_micro())
+            .withColumn("score_micro", F.col("tf") * F.col("idf_micro"))
+        )
     w = Window.partitionBy(id_col).orderBy(F.desc("score_micro"), F.asc("term"))
     return (
         scored.withColumn("rn", F.row_number().over(w))

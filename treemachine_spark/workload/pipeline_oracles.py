@@ -226,6 +226,35 @@ JOIN sizes sb ON doc_b = sb.doc_id
 WHERE n_inter / (sa.n + sb.n - n_inter) >= 0.3
 """
 
+# d9: the capped ARTIFACT probe's oracle — d7's capped shingle space
+# (stop shingles dropped, sizes over survivors) composed with d8's
+# probe restriction; the Spark side reads the space from the persisted
+# index + stoplist, the oracle re-derives it relationally
+PIPELINE_ORACLES["d9_capped_artifact"] = _SHINGLES_CTE + f"""
+, ex AS (SELECT doc_id, unnest(sh) AS s FROM sh)
+, rare AS (SELECT s FROM ex GROUP BY s HAVING COUNT(*) <= 20)
+, exf AS (SELECT ex.doc_id, ex.s FROM ex JOIN rare USING (s))
+, sizes AS (SELECT doc_id, COUNT(*) AS n FROM exf GROUP BY doc_id)
+, px AS (SELECT doc_id AS pid, s FROM exf
+         WHERE doc_id IN ({", ".join(str(i) for i in range(20))}))
+, inter1 AS (
+    SELECT x.pid, y.doc_id, COUNT(*) AS n1
+    FROM px x JOIN exf y ON x.s = y.s AND y.doc_id != x.pid
+    GROUP BY 1, 2
+)
+, inter AS (
+    SELECT LEAST(pid, doc_id) AS doc_a, GREATEST(pid, doc_id) AS doc_b,
+           MAX(n1) AS n_inter
+    FROM inter1 GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       ROUND(n_inter / (sa.n + sb.n - n_inter), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE n_inter / (sa.n + sb.n - n_inter) >= 0.3
+"""
+
 # multimodal: the fake decoder is pure byte arithmetic, so DuckDB can
 # re-derive it (text is ASCII: unicode(char) == byte value)
 PIPELINE_ORACLES["m1_media_features"] = """

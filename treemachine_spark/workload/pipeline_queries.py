@@ -138,6 +138,38 @@ def q_d8_jaccard_probe(spark, sf_dir):
     )
 
 
+def q_d9_capped_artifact(spark, sf_dir):
+    """Capped-space dedup ARTIFACT end-to-end (r9 verdict #2): write the
+    bucketed shingle index with max_doc_freq baked in (stop shingles
+    dropped, stored sizes recomputed over the survivors, the dropped
+    shingles persisted as stoplist.parquet), then serve a probe whose
+    query-side sizes come FROM the artifact's shingle space — the exact
+    d7 capped-space Jaccard restricted to the probe set, via the index
+    the 100 TB tier would read. The write is the ingest job; the probe
+    is the request shape (bucket-directory prune + stop-set InSet)."""
+    import os
+    import shutil
+    import tempfile
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    d = os.path.join(
+        tempfile.gettempdir(),
+        f"tm_capidx_{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
+    )
+    shutil.rmtree(d, ignore_errors=True)
+    dedup.write_shingle_index(docs, d, n_buckets=32, max_doc_freq=20)
+    idx, meta, stop = dedup.read_shingle_index(spark, d)
+    return dedup.ngram_jaccard_probe(
+        docs,
+        probe_ids=list(range(20)),
+        threshold=0.3,
+        index=idx,
+        index_n_buckets=meta["n_buckets"],
+        index_max_doc_freq=meta["max_doc_freq"],
+        index_stoplist=stop,
+    )
+
+
 def q_m1_media_features(spark, sf_dir):
     """Multimodal plumbing under the oracle: binary media column (encoded
     payload + typed metadata) -> mapInPandas feature extraction over Arrow
@@ -710,6 +742,7 @@ PIPELINE_QUERIES = {
     "d4_ngram_jaccard": q_d4_ngram_jaccard,
     "d7_jaccard_capped": q_d7_jaccard_capped,
     "d8_jaccard_probe": q_d8_jaccard_probe,
+    "d9_capped_artifact": q_d9_capped_artifact,
     "x6_hash_split": q_x6_hash_split,
     "x7_chunking": q_x7_chunking,
     "x8_token_percentiles": q_x8_token_percentiles,
