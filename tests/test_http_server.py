@@ -578,6 +578,112 @@ def test_stats_distinct_route(spark, base_url, tmp_path):
         srv.server_close()
 
 
+def test_stats_profile_route(spark, base_url, tmp_path):
+    """r10 (r8 verdict carry): POST /v3/stats/profile — per-group quantile
+    AND distinct-count estimates in ONE round trip over BOTH running
+    sketches. Freshness mirrors the two single-sketch routes: the cache
+    key carries both state tokens, so advancing EITHER sketch invalidates
+    a cached profile; contract 400s and the both-sketches 404 pinned."""
+    from pyspark.sql import functions as F
+
+    from treemachine_spark.api.server import make_server
+    from treemachine_spark.functions.text import token_count
+    from treemachine_spark.io.tables import load_tables
+    from treemachine_spark.streaming.stats import (
+        StreamingHLLSketch,
+        StreamingQuantileSketch,
+    )
+
+    # the module server has neither sketch -> 404 naming the requirement
+    status, resp = post(base_url, "/v3/stats/profile", {})
+    assert status == 404 and "both" in resp["message"]
+
+    docs = load_tables(spark, "/root/testdata/sf0.001")["documents"]
+    events = load_tables(spark, "/root/testdata/sf0.001")["events"]
+    tok = lambda df: df.select("lang", token_count(F.col("text")).alias("n"))  # noqa: E731
+    sel = lambda df: df.select("event_type", "user_id")  # noqa: E731
+    qsk = StreamingQuantileSketch(str(tmp_path / "pq_sk"), "n", ["lang"], k=64)
+    qsk.process_batch(tok(docs.where(F.col("doc_id") % 2 == 0)), 0)
+    dsk = StreamingHLLSketch(
+        str(tmp_path / "pd_sk"), "user_id", ["event_type"], p=8
+    )
+    dsk.process_batch(sel(events.where(F.col("event_id") % 2 == 0)), 0)
+
+    # only one sketch configured -> still the 404 (the combined route
+    # requires both; the single routes keep serving the one)
+    half = make_server(
+        _SRV["srv"].core.store, host="127.0.0.1", port=0, stats_sketch=qsk
+    )
+    status, resp = half.core.handle("/v3/stats/profile", {})
+    assert status == 404 and "both" in resp["message"]
+    half.server_close()
+
+    srv = make_server(
+        _SRV["srv"].core.store, host="127.0.0.1", port=0,
+        stats_sketch=qsk, distinct_sketch=dsk,
+    )
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        status, blob = post(base, "/v3/stats/profile", {"qs": [0.5, 0.9]})
+        assert status == 200 and set(blob) == {"quantiles", "distinct"}
+        # each half equals its own single route's blob (shared computes)
+        s_q, blob_q = post(base, "/v3/stats/quantiles", {"qs": [0.5, 0.9]})
+        s_d, blob_d = post(base, "/v3/stats/distinct", {})
+        assert (s_q, s_d) == (200, 200)
+        assert blob["quantiles"] == blob_q and blob["distinct"] == blob_d
+        # identical state -> served from cache
+        m = srv.core.cache.misses
+        status2, blob2 = post(base, "/v3/stats/profile", {"qs": [0.5, 0.9]})
+        assert (status2, blob2) == (status, blob)
+        assert srv.core.cache.misses == m
+        # advancing the DISTINCT sketch alone invalidates the profile
+        # (recompute proven by the miss counter — at sf0.001 the tiny
+        # user space can saturate the HLL so VALUES may legitimately
+        # repeat; the fresh answer must equal the fresh single route's)
+        dsk.process_batch(sel(events.where(F.col("event_id") % 2 == 1)), 1)
+        status3, blob3 = post(base, "/v3/stats/profile", {"qs": [0.5, 0.9]})
+        assert status3 == 200 and srv.core.cache.misses == m + 1
+        assert blob3["quantiles"] == blob["quantiles"]
+        _, fresh_d = post(base, "/v3/stats/distinct", {})
+        assert blob3["distinct"] == fresh_d
+        # advancing the QUANTILE sketch alone invalidates it too
+        qsk.process_batch(tok(docs.where(F.col("doc_id") % 2 == 1)), 1)
+        m3 = srv.core.cache.misses
+        status4, blob4 = post(base, "/v3/stats/profile", {"qs": [0.5, 0.9]})
+        assert status4 == 200 and srv.core.cache.misses == m3 + 1
+        _, fresh_q = post(base, "/v3/stats/quantiles", {"qs": [0.5, 0.9]})
+        assert blob4["quantiles"] == fresh_q
+        # contract errors are 400s with messages, like the single routes
+        status, resp = post(base, "/v3/stats/profile", {"qs": []})
+        assert status == 400 and "non-empty" in resp["message"]
+        status, resp = post(base, "/v3/stats/profile", {"nope": 1})
+        assert status == 400 and "unknown arguments" in resp["message"]
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_stats_profile_empty_sketch_contract(spark, tmp_path):
+    """Profile with a configured-but-empty sketch is a contract 400 (the
+    single routes' 'no partial sketches' behavior), never a 500."""
+    from treemachine_spark.api.server import make_server
+    from treemachine_spark.streaming.stats import (
+        StreamingHLLSketch,
+        StreamingQuantileSketch,
+    )
+
+    qsk = StreamingQuantileSketch(str(tmp_path / "eq"), "n", ["lang"])
+    dsk = StreamingHLLSketch(str(tmp_path / "ed"), "user_id", ["event_type"])
+    srv = make_server(
+        _SRV["srv"].core.store, host="127.0.0.1", port=0,
+        stats_sketch=qsk, distinct_sketch=dsk,
+    )
+    status, resp = srv.core.handle("/v3/stats/profile", {})
+    assert status == 400 and "no partial sketches" in resp["message"]
+    srv.server_close()
+
+
 def test_similarity_topk_route(spark, base_url):
     """r8: the ANN serving surface — POST /v3/similarity/topk over a
     loaded AnnIndex (api/ann.py) completes the pipeline family's
@@ -1039,6 +1145,69 @@ def test_sharded_duplicates_scatter_gather(spark, base_url):
             srv.server_close()
 
 
+def test_sharded_doc_ids_null_text_member(spark, base_url):
+    """r10 (r9 ADVICE): a corpus MEMBER whose text column is NULL. The
+    unsharded probe indexes it as the single empty shingle (NULL's
+    shingle twin is ''), so it duplicates other empty/NULL docs at
+    jaccard 1.0; the sharded doc_ids indirection must reproduce that —
+    texts_of resolves the NULL member to '' instead of treating it as
+    unknown."""
+    from treemachine_spark.api.dedup import DedupIndex
+    from treemachine_spark.api.router import ShardRouter, make_router_server
+    from treemachine_spark.api.server import make_server
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [
+            (1, "some real words here repeated real words here"),
+            (2, None),
+            (3, ""),
+            (4, "other unrelated content entirely present"),
+        ],
+        "doc_id long, text string",
+    )
+    store = _SRV["srv"].core.store
+    servers, urls = [], []
+    for part in (docs.where(F.col("doc_id") % 2 == 0),
+                 docs.where(F.col("doc_id") % 2 == 1),
+                 docs):
+        srv = make_server(
+            store, host="127.0.0.1", port=0, dedup_index=DedupIndex(part)
+        )
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        servers.append(srv)
+        urls.append(f"http://127.0.0.1:{srv.server_address[1]}")
+    router = make_router_server(
+        ShardRouter(
+            pools={"t": [urls[2]]}, default_pool=[urls[2]],
+            dedup_shards=[[urls[0]], [urls[1]]],
+        )
+    )
+    threading.Thread(target=router.serve_forever, daemon=True).start()
+    rbase = f"http://127.0.0.1:{router.server_address[1]}"
+    try:
+        pb = {"doc_ids": [2, 3]}
+        status, sharded = post(rbase, "/v3/documents/duplicates", pb)
+        status2, unsharded = post(urls[2], "/v3/documents/duplicates", pb)
+        assert status == status2 == 200
+        assert sharded["results"] == unsharded["results"]
+        # non-vacuous: NULL-text doc 2 and ''-text doc 3 are mutual
+        # jaccard-1.0 duplicates in the probe's shingle space
+        assert unsharded["results"][0] == [{"doc_id": 3, "jaccard": 1.0}]
+        assert unsharded["results"][1] == [{"doc_id": 2, "jaccard": 1.0}]
+        # the worker text route resolves the NULL member to '' (a member),
+        # unknowns stay null
+        status, tb = post(urls[0], "/v3/documents/text", {"doc_ids": [2, 99]})
+        assert status == 200 and tb["texts"]["2"] == ""
+        assert tb["texts"]["99"] is None
+    finally:
+        router.shutdown()
+        router.server_close()
+        for srv in servers:
+            srv.shutdown()
+            srv.server_close()
+
+
 def test_pq_append_republish_served_end_to_end(spark, base_url, tmp_path):
     """r9 (r8 verdict #6): the pq_append freshness flow as ONE served
     path — a vector appended to the persisted PQ index is FOUND after
@@ -1133,7 +1302,13 @@ def test_swap_indexes_republishes_dedup_snapshot(spark, base_url):
     status2, cached = core.handle("/v3/documents/duplicates", body)
     assert (status2, cached) == (200, before) and core.cache.misses == m
 
+    old = core.dedup_index
+    assert old.index.is_cached  # the inline snapshot caches its index
     core.swap_indexes(dedup_index=DedupIndex(docs))
     status, after = core.handle("/v3/documents/duplicates", body)
     assert status == 200
     assert after["results"][0][0] == {"doc_id": 400, "jaccard": 1.0}
+    # r10 (r9 ADVICE): the REPLACED snapshot's cached frames are released
+    # — repeated republishes must not accumulate dead executor cache
+    assert not old.index.is_cached
+    assert core.dedup_index.index.is_cached  # the live snapshot keeps its cache

@@ -227,3 +227,102 @@ def test_stream_runner_translates_overflow_to_documented_type(spark, tmp_path):
     stream = read_document_stream(spark, str(sf))
     with pytest.raises(NovelListTooBigError, match="DurableNoveltyFilter"):
         novel_documents(stream, idx, max_novel_ids=1)
+
+
+def test_minhash_artifact_novelty_roundtrip(spark, tmp_path):
+    """r10 (r9 verdict #6): ONE minhash artifact family serves batch
+    near-dup AND streaming novelty. Seed a DurableNoveltyFilter straight
+    from a persisted write_minhash_index artifact
+    (from_minhash_artifact); the docs the stream flags novel are exactly
+    those with no minhash_near_dup_pairs(sig=) partner among the
+    artifact's docs (both sides are the same band space — signatures are
+    the module's fixed permutations, banding a pure projection); the
+    stream's accepted novel rows append BACK into the artifact via
+    minhash_index_append, after which the artifact equals one written for
+    the grown corpus and re-seeds a filter that drops dups of accepted
+    docs."""
+    import random
+
+    from treemachine_spark.functions.dedup import (
+        minhash_index,
+        minhash_index_append,
+        minhash_near_dup_pairs,
+        read_minhash_index,
+        write_minhash_index,
+    )
+    from treemachine_spark.streaming.documents import DurableNoveltyFilter
+
+    rng = random.Random(42)
+    vocab_a = [f"alpha{i}" for i in range(40)]
+    vocab_b = [f"beta{i}" for i in range(40)]
+    a_rows = [
+        (i, " ".join(rng.choice(vocab_a) for _ in range(12)))
+        for i in range(30)
+    ]
+    # batch: 15 near-dups of artifact docs + 15 disjoint-vocab novel docs;
+    # no within-batch dups (per-batch novelty checks prior state only)
+    b_rows = [
+        (100 + j, a_rows[j][1] + " " + rng.choice(vocab_a)) for j in range(15)
+    ] + [
+        (200 + j, " ".join(rng.choice(vocab_b) for _ in range(12)))
+        for j in range(15)
+    ]
+    docs_a = _docs(spark, a_rows)
+    docs_b = _docs(spark, b_rows)
+
+    art = str(tmp_path / "mh_art")
+    write_minhash_index(docs_a, art)
+    filt = DurableNoveltyFilter.from_minhash_artifact(
+        spark, art, str(tmp_path / "rt_index"), str(tmp_path / "rt_novel")
+    )
+    filt.process_batch(docs_b, 0)
+    novel = set(_novel_ids(spark, filt))
+
+    # batch twin over the SAME artifact: union sig = stored + batch,
+    # near-dup pairs restricted to (artifact doc, batch doc)
+    sig_a, _ = read_minhash_index(spark, art)
+    sig_b = minhash_index(docs_b, with_shingles=True)
+    pairs = minhash_near_dup_pairs(
+        docs_a.unionByName(docs_b),
+        threshold=0.25,
+        sig=sig_a.unionByName(sig_b).localCheckpoint(eager=True),
+    )
+    a_ids = {i for i, _ in a_rows}
+    partnered = {
+        r["doc_b"]
+        for r in pairs.collect()
+        if r["doc_a"] in a_ids and r["doc_b"] >= 100
+    }
+    want_novel = {i for i, _ in b_rows} - partnered
+    assert novel == want_novel
+    assert 0 < len(novel) < len(b_rows)  # non-vacuous both ways
+
+    # accepted novel rows append back into the SAME artifact...
+    novel_rows = (
+        spark.read.parquet(filt.novel_path).select("doc_id", "text")
+    )
+    minhash_index_append(novel_rows, art)
+    grown, _ = read_minhash_index(spark, art)
+    # ...bit-identical to an artifact written for the grown corpus
+    fresh = str(tmp_path / "mh_fresh")
+    accepted = docs_b.join(
+        novel_rows.select("doc_id"), "doc_id", "left_semi"
+    )
+    write_minhash_index(docs_a.unionByName(accepted), fresh)
+    fresh_idx, _ = read_minhash_index(spark, fresh)
+    key = lambda r: (r["doc_id"], tuple(r["sig"]), tuple(sorted(r["sh"])))  # noqa: E731
+    assert {key(r) for r in grown.collect()} == {
+        key(r) for r in fresh_idx.collect()
+    }
+
+    # the grown artifact re-seeds a filter that now drops a dup of an
+    # ACCEPTED novel doc (the loop is closed)
+    filt2 = DurableNoveltyFilter.from_minhash_artifact(
+        spark, art, str(tmp_path / "rt2_index"), str(tmp_path / "rt2_novel")
+    )
+    some_novel = sorted(novel)[0]
+    dup_text = dict(b_rows)[some_novel]
+    filt2.process_batch(
+        _docs(spark, [(900, dup_text), (901, "gamma only words here")]), 0
+    )
+    assert _novel_ids(spark, filt2) == [901]

@@ -114,6 +114,9 @@ _ARG_ALIASES = {"/v3/tree_of_life/subtree": {"format": "tree_format"}}
 STATS_ROUTE = "/v3/stats/quantiles"
 # beyond-reference: distinct-count estimates over the streaming HLL sketch
 DISTINCT_ROUTE = "/v3/stats/distinct"
+# beyond-reference: quantiles + distinct counts in ONE round trip over
+# both running sketches (r8 verdict carry, built r10)
+PROFILE_ROUTE = "/v3/stats/profile"
 # beyond-reference: vector top-k over a loaded AnnIndex (api/ann.py)
 ANN_ROUTE = "/v3/similarity/topk"
 # beyond-reference: exact-Jaccard duplicate lookup/probe (api/dedup.py)
@@ -256,6 +259,8 @@ class ServerCore:
             return self._handle_sketch(
                 DISTINCT_ROUTE, self.distinct_sketch, self._compute_distinct, body
             )
+        if path == PROFILE_ROUTE:
+            return self._handle_profile(body)
         if path == ANN_ROUTE:
             return self._handle_ann(body)
         if path == DUP_ROUTE:
@@ -322,6 +327,52 @@ class ServerCore:
             return run()
         gen = self._generation
         key = (route, json.dumps(body, sort_keys=True), sketch.state_token())
+        return self.cache.get_or_compute(
+            key, run, still_valid=lambda: self._generation == gen
+        )
+
+    def _handle_profile(self, body: dict) -> tuple[int, dict]:
+        """Combined stats profile (POST /v3/stats/profile): per-group
+        quantile estimates AND distinct-count estimates in ONE round trip
+        over BOTH running sketches — the dashboard consumer that
+        previously issued two requests. Reuses the two single-sketch
+        computes verbatim; the cache key carries BOTH sketches' state
+        tokens (the _handle_sketch freshness contract: a micro-batch
+        advancing either sketch invalidates cached profiles, identical
+        state coalesces concurrent identical requests), with swap_store's
+        generation guard on top."""
+        if self.stats_sketch is None or self.distinct_sketch is None:
+            return 404, {
+                "message": "profile requires both a stats (quantile) and a "
+                "distinct (HLL) sketch configured on this server"
+            }
+        unknown = set(body) - {"qs"}
+        if unknown:
+            return 400, {"message": f"unknown arguments: {sorted(unknown)}"}
+
+        def run() -> tuple[int, dict]:
+            try:
+                s1, b1 = self._compute_stats(self.stats_sketch, body)
+                if s1 != 200:
+                    return s1, b1
+                s2, b2 = self._compute_distinct(self.distinct_sketch, {})
+                if s2 != 200:
+                    return s2, b2
+                return 200, {"quantiles": b1, "distinct": b2}
+            except (BadInputError, TreeTooBigError) as e:
+                return 400, {"message": str(e)}
+            except Exception as e:
+                return 500, {"message": f"{type(e).__name__}: {e}"}
+
+        if self.cache is None:
+            return run()
+        gen = self._generation
+        key = (
+            PROFILE_ROUTE,
+            json.dumps(body, sort_keys=True),
+            self.stats_sketch.state_token(),
+            self.distinct_sketch.state_token(),
+        )
         return self.cache.get_or_compute(
             key, run, still_valid=lambda: self._generation == gen
         )

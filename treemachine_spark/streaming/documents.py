@@ -261,6 +261,30 @@ class DurableNoveltyFilter:
                 index_path,
             )
 
+    @classmethod
+    def from_minhash_artifact(
+        cls, spark, artifact_dir: str, index_path: str, novel_path: str
+    ):
+        """Seed the durable novelty index from the PERSISTED minhash
+        artifact (functions/dedup.write_minhash_index) — ONE artifact
+        family serves both batch near-dup and streaming novelty (r9
+        verdict #6). The stored (doc_id, sig) table re-expands to band
+        rows bit-compatibly by construction (signatures are the module's
+        fixed MINHASH_PERMS, banding is a pure projection of sig), so a
+        doc the stream flags novel is exactly one with no band-bucket
+        partner among the artifact's docs — and the stream's accepted
+        novel rows append back into the same artifact via
+        minhash_index_append, closing the loop (round-trip pinned in
+        test_stream_novelty)."""
+        from treemachine_spark.functions.dedup import (
+            minhash_bands,
+            read_minhash_index,
+        )
+
+        sig, _k = read_minhash_index(spark, artifact_dir)
+        seed = minhash_bands(sig, sig=sig.select("doc_id", "sig"))
+        return cls(spark, index_path, novel_path, seed_bands=seed)
+
     @staticmethod
     def _write_partition(df: DataFrame, path: str) -> None:
         (
