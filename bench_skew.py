@@ -75,13 +75,24 @@ def tfidf_hot_term_phase(spark, n_docs: int) -> dict:
     docs.count()
     from treemachine_spark.functions.text import tfidf_topk
 
+    # cluster-like reducer count: with few reducers a single box hides the
+    # hot partition inside the wave; with many, the n_docs-row hot-term
+    # partition becomes the stage's critical path (on a real cluster the
+    # reducer count is always >> one hot key's share). Same setting for
+    # both plans — skew_safe's df shuffle carries vocabulary-scale
+    # partials regardless, and its tf join is AQE-splittable.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "256")
     out: dict = {"tfidf_n_docs": n_docs}
-    t0 = time.time()
-    n_win = tfidf_topk(docs, k=3).count()
-    out["tfidf_window_sec"] = round(time.time() - t0, 2)
-    t0 = time.time()
-    n_safe = tfidf_topk(docs, k=3, skew_safe=True).count()
-    out["tfidf_skew_safe_sec"] = round(time.time() - t0, 2)
+    try:
+        t0 = time.time()
+        n_win = tfidf_topk(docs, k=3).count()
+        out["tfidf_window_sec"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        n_safe = tfidf_topk(docs, k=3, skew_safe=True).count()
+        out["tfidf_skew_safe_sec"] = round(time.time() - t0, 2)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     out["tfidf_rows_equal"] = bool(n_win == n_safe)
     out["tfidf_window_over_safe"] = round(
         out["tfidf_window_sec"] / max(out["tfidf_skew_safe_sec"], 1e-9), 2
