@@ -206,6 +206,79 @@ def main() -> None:
             dsrv.shutdown()
             dsrv.server_close()
 
+        # capped-space artifact (r10): shingles above max_doc_freq are
+        # never WRITTEN — a boilerplate posting list is absent from disk,
+        # so even a bucket-pruned request cannot stream it; query-side
+        # sizes come from the artifact's stoplist (index-derived capped
+        # |A|). Answers are capped-space jaccards (a different, documented
+        # semantics), so the check is route == library operator over the
+        # SAME artifact, not equality with the uncapped server.
+        from treemachine_spark.functions.dedup import read_shingle_index
+
+        # cap = p99 of the corpus's shingle document frequency — derived
+        # from the corpus so the stoplist is non-vacuous on any input
+        # (a fixed literal was vacuous on the ~100-replica derived set,
+        # whose hottest shingles sit near df=100); one agg over the
+        # already-cached in-memory index
+        cap = max(
+            2,
+            int(
+                idx.index.groupBy("s")
+                .agg(F.count("*").alias("df"))
+                .approxQuantile("df", [0.99], 0.001)[0]
+            ),
+        )
+        cap_dir = tempfile.mkdtemp(prefix="dedup_capidx_")
+        t0 = time.time()
+        cap_rows = write_shingle_index(docs, cap_dir, max_doc_freq=cap)
+        cap_meta = {
+            "sec": round(time.time() - t0, 1),
+            "max_doc_freq": cap,
+            "rows": cap_rows,
+        }
+        _, _cm, cstop = read_shingle_index(spark, cap_dir)
+        cap_meta["stoplist_rows"] = cstop.count()
+        out["capped_index_write"] = cap_meta
+        t0 = time.time()
+        cap_idx = DedupIndex(docs, index_dir=cap_dir)
+        cboot = round(time.time() - t0, 3)
+        csrv = make_server(
+            store, host="127.0.0.1", port=0, dedup_index=cap_idx
+        )
+        threading.Thread(target=csrv.serve_forever, daemon=True).start()
+        cbase = f"http://127.0.0.1:{csrv.server_address[1]}"
+        try:
+            out["capped_texts"] = timed(
+                lambda t: _post(
+                    cbase, "/v3/documents/duplicates", {"texts": [t]}
+                )[0] == 200,
+                qtexts,
+            )
+            out["capped_texts"]["boot_sec"] = cboot
+            mism = 0
+            for t_ in qtexts[:4]:
+                _, a = _post_json(
+                    cbase, "/v3/documents/duplicates", {"texts": [t_]}
+                )
+                lib = {
+                    (r["doc_id"], float(r["jaccard"]))
+                    for r in ngram_jaccard_lookup(
+                        docs, [t_], threshold=0.3,
+                        index=cap_idx.index,
+                        index_n_buckets=cap_idx.n_buckets,
+                        index_max_doc_freq=cap_idx.max_doc_freq,
+                        index_stoplist=cap_idx.stoplist,
+                    ).collect()
+                }
+                got = {
+                    (d["doc_id"], d["jaccard"]) for d in a["results"][0]
+                }
+                mism += got != lib
+            out["capped_texts"]["mismatches_vs_library"] = mism
+        finally:
+            csrv.shutdown()
+            csrv.server_close()
+
         # sharded scatter-gather: two half-corpus shards behind the router
         shard_srvs, shard_urls = [], []
         for half in (

@@ -63,7 +63,7 @@ class DedupIndex:
             # snapshot at boot, so a drifted DOCS_PARQUET/IDX_DIR pair
             # fails loudly instead of silently computing wrong jaccards
             # (r9 ADVICE).
-            self.index, meta, self.stoplist = dedup.read_shingle_index(
+            self.index, meta, stoplist = dedup.read_shingle_index(
                 docs.sparkSession, index_dir
             )
             dedup.check_corpus_fingerprint(
@@ -72,6 +72,16 @@ class DedupIndex:
             self.k = meta["k"]
             self.n_buckets = meta["n_buckets"]
             self.max_doc_freq = meta["max_doc_freq"]
+            # the stoplist is hot-shingle-scale by construction — collect
+            # it ONCE at boot so requests filter their shingle sets with a
+            # set intersection instead of a per-request Spark job
+            # (bench_dedup: the filter job cost more than the pruned read
+            # it saved)
+            self.stoplist = (
+                frozenset(r["s"] for r in stoplist.collect())
+                if stoplist is not None
+                else None
+            )
         else:
             # in-memory snapshot: the (doc_id, n, s) inverted index built
             # once per snapshot and cached; every probe/lookup request

@@ -763,11 +763,18 @@ def _check_capped_index_args(
         )
 
 
-def _stopped_shingles(index_stoplist: DataFrame, shingle_set) -> set:
-    """The request's shingles that the capped artifact dropped — one
-    request-scale IN-pushed job over the (small) stoplist table."""
+def _stopped_shingles(index_stoplist, shingle_set) -> set:
+    """The request's shingles that the capped artifact dropped.
+    ``index_stoplist`` is either the stoplist DataFrame (one
+    request-scale IN-pushed job) or a driver-resident set of stop
+    shingles (the served path: the stoplist is hot-shingle-scale by
+    construction, so DedupIndex collects it ONCE at boot — bench_dedup
+    measured the per-request filter job costing more than the pruned
+    read it saved on a mild-df corpus)."""
     if not shingle_set:
         return set()
+    if isinstance(index_stoplist, (set, frozenset)):
+        return set(shingle_set) & index_stoplist
     return {
         r["s"]
         for r in index_stoplist.where(
