@@ -224,3 +224,16 @@ def test_k8_grouped_hll_partial_agg_bounded_shuffle(spark):
     assert "partial_max" in s
     assert s.count("+- Exchange") == 1
     assert "ReadSchema: struct<user_id:bigint,event_type:string>" in s
+
+
+def test_d9_capped_probe_prunes_artifact_scan(spark):
+    """r10: the capped-artifact probe must read the persisted index
+    through BOTH prune layers — the bucket partition filter (whole
+    directory pruning at the file index) and the stop-set In(s) pushed
+    into the parquet scan — and never scan raw document text for the
+    corpus side (sizes ride the index)."""
+    s = plan_of(spark, "d9_capped_artifact")
+    scan = s[s.index("shingles.parquet"):]
+    assert "PartitionFilters" in scan and "bucket" in scan.split("PushedFilters")[0]
+    assert "In(s, [" in scan  # stop-set prune reached the parquet scan
+    assert "ReadSchema: struct<doc_id:bigint,s:string,n:bigint>" in scan
