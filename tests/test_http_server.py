@@ -1312,3 +1312,219 @@ def test_swap_indexes_republishes_dedup_snapshot(spark, base_url):
     # — repeated republishes must not accumulate dead executor cache
     assert not old.index.is_cached
     assert core.dedup_index.index.is_cached  # the live snapshot keeps its cache
+
+
+def test_sharded_stats_scatter_gather(spark, base_url, tmp_path):
+    """r10: streaming-sketch stats scatter — workers each maintain a
+    running sketch over a DISJOINT slice of the ingest stream; the router
+    fans ONE /v3/stats/state request out and merges raw sketch STATE with
+    the sketches' own exact laws (bottom-k: sum counts then re-take k;
+    HLL: register-wise max) instead of merging estimates (a shard median
+    is not the global median). Scattered quantiles must EQUAL the
+    union-stream worker's bit-for-bit (BIGINT end-to-end); distinct
+    estimates match to the last ulp (only the linear-counting branch's
+    log() may differ between libm and the JVM — CLAUDE.md invariant);
+    contract 400s pass through verbatim; a downed shard is a 502."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from treemachine_spark.api.router import ShardRouter, make_router_server
+    from treemachine_spark.api.server import make_server
+    from treemachine_spark.functions.text import token_count
+    from treemachine_spark.io.tables import load_tables
+    from treemachine_spark.streaming.stats import (
+        StreamingHLLSketch,
+        StreamingQuantileSketch,
+    )
+
+    tabs = load_tables(spark, "/root/testdata/sf0.001")
+    docs, events = tabs["documents"], tabs["events"]
+    tok = lambda df: df.select("lang", token_count(F.col("text")).alias("n"))  # noqa: E731
+    sel = lambda df: df.select("event_type", "event_id")  # noqa: E731
+
+    servers, urls = [], []
+    for tag, pred in (
+        ("a", F.col("doc_id") % 2 == 0),
+        ("b", F.col("doc_id") % 2 == 1),
+        ("u", F.lit(True)),
+    ):
+        qsk = StreamingQuantileSketch(
+            str(tmp_path / f"q_{tag}"), "n", ["lang"], k=64
+        )
+        qsk.process_batch(tok(docs.where(pred)), 0)
+        dsk = StreamingHLLSketch(
+            str(tmp_path / f"d_{tag}"), "event_id", ["event_type"], p=4
+        )
+        dsk.process_batch(
+            sel(events.where(F.col("event_id") % 2 == (0 if tag == "a" else 1))
+                if tag != "u" else events),
+            0,
+        )
+        srv = make_server(
+            _SRV["srv"].core.store, host="127.0.0.1", port=0,
+            stats_sketch=qsk, distinct_sketch=dsk,
+        )
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        servers.append(srv)
+        urls.append(f"http://127.0.0.1:{srv.server_address[1]}")
+
+    router = make_router_server(
+        ShardRouter(
+            pools={"t": [urls[2]]}, default_pool=[urls[2]],
+            stats_shards=[[urls[0]], [urls[1]]],
+        )
+    )
+    threading.Thread(target=router.serve_forever, daemon=True).start()
+    rbase = f"http://127.0.0.1:{router.server_address[1]}"
+    try:
+        # the state route itself: register-scale payload + family configs
+        status, state = post(urls[0], "/v3/stats/state", {})
+        assert status == 200
+        assert state["quantiles"]["kind"] == "quantile"
+        assert state["quantiles"]["k"] == 64 and state["quantiles"]["rows"]
+        assert state["distinct"]["kind"] == "hll" and state["distinct"]["p"] == 4
+        status, resp = post(urls[0], "/v3/stats/state", {"nope": 1})
+        assert status == 400 and "unknown arguments" in resp["message"]
+
+        # scattered quantiles == the union-stream worker's, bit-for-bit
+        body = {"qs": [0.5, 0.9, 0.99]}
+        status, merged = post(rbase, "/v3/stats/quantiles", body)
+        status2, full = post(urls[2], "/v3/stats/quantiles", body)
+        assert status == status2 == 200
+        assert merged == {**full, "shards": 2}
+
+        # scattered distinct: same groups/order; estimates to the last ulp
+        status, md = post(rbase, "/v3/stats/distinct", {})
+        status2, fd = post(urls[2], "/v3/stats/distinct", {})
+        assert status == status2 == 200 and md["shards"] == 2
+        assert (md["col"], md["groups"]) == (fd["col"], fd["groups"])
+        assert [e["group"] for e in md["counts"]] == [
+            e["group"] for e in fd["counts"]
+        ]
+        for got, exp in zip(md["counts"], fd["counts"]):
+            assert math.isclose(
+                got["estimate"], exp["estimate"], rel_tol=1e-12
+            )
+
+        # scattered profile mirrors the worker's combined shape
+        status, mp = post(rbase, "/v3/stats/profile", body)
+        assert status == 200 and set(mp) == {"quantiles", "distinct", "shards"}
+        assert mp["quantiles"] == full
+        assert [e["group"] for e in mp["distinct"]["counts"]] == [
+            e["group"] for e in fd["counts"]
+        ]
+
+        # contract errors pass through verbatim (worker-produced 400s)
+        status, resp = post(rbase, "/v3/stats/quantiles", {"qs": []})
+        assert status == 400 and "non-empty" in resp["message"]
+        status, resp = post(rbase, "/v3/stats/quantiles", {"nope": 1})
+        assert status == 400 and "unknown arguments" in resp["message"]
+        status, resp = post(rbase, "/v3/stats/distinct", {"x": 1})
+        assert status == 400 and "unknown arguments" in resp["message"]
+        status, resp = post(rbase, "/v3/stats/profile", {"qs": [1.5]})
+        assert status == 400
+
+        # one shard down -> 502, never a silently-partial merge
+        servers[1].shutdown()
+        servers[1].server_close()
+        status, resp = post(rbase, "/v3/stats/quantiles", body)
+        assert status == 502 and "shard" in resp["message"]
+    finally:
+        router.shutdown()
+        router.server_close()
+        for srv in (servers[0], servers[2]):
+            srv.shutdown()
+            srv.server_close()
+
+
+def test_stats_scatter_empty_shard_and_config_skew(spark, base_url, tmp_path):
+    """r10: stats-scatter edge contracts. A configured-but-empty SHARD is
+    the merge identity (rows: []) — the scatter over (full, empty) equals
+    the full shard's own answer — while ALL-empty is the workers' own
+    'no partial sketches' 400; shards disagreeing on sketch config (k) or
+    on which families exist are a 502 (silently-wrong merges forbidden);
+    a family absent from EVERY shard is the workers' 404."""
+    from pyspark.sql import functions as F
+
+    from treemachine_spark.api.router import ShardRouter
+    from treemachine_spark.api.server import make_server
+    from treemachine_spark.functions.text import token_count
+    from treemachine_spark.io.tables import load_tables
+    from treemachine_spark.streaming.stats import StreamingQuantileSketch
+
+    docs = load_tables(spark, "/root/testdata/sf0.001")["documents"]
+    tok = lambda df: df.select("lang", token_count(F.col("text")).alias("n"))  # noqa: E731
+
+    def worker(qsk):
+        srv = make_server(
+            _SRV["srv"].core.store, host="127.0.0.1", port=0, stats_sketch=qsk
+        )
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        return srv, f"http://127.0.0.1:{srv.server_address[1]}"
+
+    from treemachine_spark.streaming.stats import StreamingHLLSketch
+
+    full_sk = StreamingQuantileSketch(str(tmp_path / "full"), "n", ["lang"], k=64)
+    full_sk.process_batch(tok(docs), 0)
+    srv_full, url_full = worker(full_sk)
+    both_d = StreamingHLLSketch(str(tmp_path / "bd"), "n", ["lang"], p=4)
+    both_d.process_batch(tok(docs), 0)
+    both_q = StreamingQuantileSketch(str(tmp_path / "bq"), "n", ["lang"], k=64)
+    both_q.process_batch(tok(docs), 0)
+    srv_both = make_server(
+        _SRV["srv"].core.store, host="127.0.0.1", port=0,
+        stats_sketch=both_q, distinct_sketch=both_d,
+    )
+    threading.Thread(target=srv_both.serve_forever, daemon=True).start()
+    url_both = f"http://127.0.0.1:{srv_both.server_address[1]}"
+    srv_empty, url_empty = worker(
+        StreamingQuantileSketch(str(tmp_path / "e1"), "n", ["lang"], k=64)
+    )
+    srv_empty2, url_empty2 = worker(
+        StreamingQuantileSketch(str(tmp_path / "e2"), "n", ["lang"], k=64)
+    )
+    srv_k32, url_k32 = worker(
+        StreamingQuantileSketch(str(tmp_path / "k32"), "n", ["lang"], k=32)
+    )
+    try:
+        body = {"qs": [0.5, 0.9]}
+        # empty shard = merge identity
+        r = ShardRouter({}, [], stats_shards=[[url_full], [url_empty]])
+        status, merged = r.scatter_stats("/v3/stats/quantiles", body)
+        status2, alone = post(url_full, "/v3/stats/quantiles", body)
+        assert status == status2 == 200
+        assert merged == {**alone, "shards": 2}
+
+        # all shards empty -> the contract 400
+        r = ShardRouter({}, [], stats_shards=[[url_empty], [url_empty2]])
+        status, resp = r.scatter_stats("/v3/stats/quantiles", body)
+        assert status == 400 and "no partial sketches" in resp["message"]
+
+        # config skew (k mismatch) -> 502, never a silently-wrong merge
+        r = ShardRouter({}, [], stats_shards=[[url_full], [url_k32]])
+        status, resp = r.scatter_stats("/v3/stats/quantiles", body)
+        assert status == 502 and "disagree" in resp["message"]
+
+        # distinct family on NO shard -> the workers' 404; profile names
+        # the both-families requirement
+        r = ShardRouter({}, [], stats_shards=[[url_full], [url_empty]])
+        status, resp = r.scatter_stats("/v3/stats/distinct", {})
+        assert status == 404 and "no stats sketch" in resp["message"]
+        status, resp = r.scatter_stats("/v3/stats/profile", body)
+        assert status == 404 and "both" in resp["message"]
+
+        # distinct family on only SOME shards -> 502 config skew (a merge
+        # over a partial family would silently undercount)
+        r = ShardRouter({}, [], stats_shards=[[url_full], [url_both]])
+        status, resp = r.scatter_stats("/v3/stats/distinct", {})
+        assert status == 502 and "only some shards" in resp["message"]
+
+        # no stats shards configured at all -> router-level 400
+        r = ShardRouter({}, [])
+        status, resp = r.scatter_stats("/v3/stats/quantiles", body)
+        assert status == 400 and "no stats shards" in resp["message"]
+    finally:
+        for srv in (srv_full, srv_empty, srv_empty2, srv_k32, srv_both):
+            srv.shutdown()
+            srv.server_close()

@@ -22,16 +22,27 @@ from __future__ import annotations
 
 import itertools
 import json
+import math
 import threading
 import urllib.error
 import urllib.request
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+# stdlib-only import (api/server.py's module level is http.server + json;
+# shared so scattered stats responses sort exactly like a worker's own)
+from treemachine_spark.api.server import group_sort_key
 
 # fan-out routes: the ANN / document corpora shard across workers
 # (api/server.ANN_ROUTE / DUP_ROUTE / DUP_TEXT_ROUTE)
 ANN_ROUTE = "/v3/similarity/topk"
 DUP_ROUTE = "/v3/documents/duplicates"
 DUP_TEXT_ROUTE = "/v3/documents/text"
+# stats scatter: per-shard streaming sketches merge by STATE, not by
+# estimate (api/server.STATS_ROUTE/DISTINCT_ROUTE/PROFILE_ROUTE/STATE_ROUTE)
+STATS_ROUTE = "/v3/stats/quantiles"
+DISTINCT_ROUTE = "/v3/stats/distinct"
+PROFILE_ROUTE = "/v3/stats/profile"
+STATE_ROUTE = "/v3/stats/state"
 # the workers' per-request bound (api/dedup.MAX_REQUEST_DOCS) — kept as a
 # literal so the router stays stdlib-only/Spark-free
 MAX_REQUEST_DOCS = 256
@@ -51,6 +62,7 @@ class ShardRouter:
         default_pool: list[str],
         ann_shards: list[list[str]] | None = None,
         dedup_shards: list[list[str]] | None = None,
+        stats_shards: list[list[str]] | None = None,
     ):
         self.pools = {k: list(v) for k, v in pools.items()}
         self.default_pool = list(default_pool)
@@ -63,6 +75,11 @@ class ShardRouter:
         self._rr_ann = [itertools.cycle(p) for p in self.ann_shards]
         self.dedup_shards = [list(p) for p in (dedup_shards or [])]
         self._rr_dedup = [itertools.cycle(p) for p in self.dedup_shards]
+        # stats scatter: each entry is one STREAM SHARD's replica pool —
+        # workers maintaining their own running sketch over a disjoint
+        # slice of the ingest stream (see scatter_stats)
+        self.stats_shards = [list(p) for p in (stats_shards or [])]
+        self._rr_stats = [itertools.cycle(p) for p in self.stats_shards]
         self._lock = threading.Lock()
 
     def _pool(self, synth_id: str | None) -> tuple[list[str], object] | None:
@@ -277,6 +294,90 @@ class ShardRouter:
             "results": [list(by_id[i]) for i in ids],
         }
 
+    def scatter_stats(
+        self, path: str, body: dict, timeout: float = 600.0
+    ) -> tuple[int, dict]:
+        """Scatter-gather streaming-sketch stats over STREAM shards —
+        workers each maintaining a running sketch over a disjoint slice
+        of the ingest stream (the natural shape once one process can't
+        ingest the whole stream).
+
+        Per-shard ESTIMATES do not merge: a shard median is not the
+        global median and HLL estimates are not additive. The sketch
+        STATE merges exactly, so the router fans out ONE
+        /v3/stats/state request and merges state with the sketches' own
+        laws — bottom-k by sum-counts-per-(group,h,v) then re-take the k
+        smallest (functions/sketches.quantile_merge_grouped), HLL by
+        register-wise max — then computes estimates with integer-exact
+        twins of the worker computation. Scattered /v3/stats/quantiles
+        therefore EQUALS a single worker serving the union stream
+        bit-for-bit (the whole pipeline is BIGINT: merge, cumulative
+        counts, the cum*1e6 >= q_micro*tot threshold). The HLL twin is
+        exact on the bias-corrected branch (the 2^-rho harmonic sum is a
+        sum of powers of two spanning < 53 bits — order-independent and
+        exact — and every other op is one correctly-rounded IEEE op with
+        identical operands); only the linear-counting branch's final
+        log() may differ from the JVM's by 1 ulp (the CLAUDE.md ln-ulp
+        invariant — accepted and documented rather than twinned, since
+        register STATE, branch choice, and operands are all exact).
+
+        Contract-shape errors fan the ORIGINAL body to the workers'
+        estimate route and pass the unanimous 4xx through verbatim (the
+        _scatter_doc_ids no-drift pattern); config skew between shards
+        (different col/groups/k/p, or a family configured on only some
+        shards) is a 502, never a silently-wrong merge; an EMPTY shard
+        contributes the merge identity (valid), but all-empty is the
+        workers' own 'no partial sketches' contract 400."""
+        if not self.stats_shards:
+            return 400, {"message": "no stats shards configured on this router"}
+        want_q = path in (STATS_ROUTE, PROFILE_ROUTE)
+        want_d = path in (DISTINCT_ROUTE, PROFILE_ROUTE)
+        allowed = {"qs"} if want_q else set()
+        qs = body.get("qs", [0.5, 0.9])
+        shape_ok = set(body) <= allowed and (
+            not want_q
+            or (
+                isinstance(qs, list)
+                and bool(qs)
+                and all(
+                    isinstance(q, (int, float)) and 0 < q <= 1 for q in qs
+                )
+            )
+        )
+        if not shape_ok:
+            # let the workers produce the exact unsharded contract error
+            err, _ = self._fan_out(
+                self.stats_shards, self._rr_stats, path, body, timeout
+            )
+            return err if err is not None else (
+                502,
+                {"message": "malformed stats request unexpectedly accepted"},
+            )
+        err, blobs = self._fan_out(
+            self.stats_shards, self._rr_stats, STATE_ROUTE, {}, timeout
+        )
+        if err is not None:
+            return err
+        n = len(blobs)
+        qblob = dblob = None
+        if want_q:
+            status, qblob = _merged_quantiles(
+                [b.get("quantiles") for b in blobs], qs, path == PROFILE_ROUTE
+            )
+            if status != 200:
+                return status, qblob
+        if want_d:
+            status, dblob = _merged_distinct(
+                [b.get("distinct") for b in blobs], path == PROFILE_ROUTE
+            )
+            if status != 200:
+                return status, dblob
+        if path == STATS_ROUTE:
+            return 200, {**qblob, "shards": n}
+        if path == DISTINCT_ROUTE:
+            return 200, {**dblob, "shards": n}
+        return 200, {"quantiles": qblob, "distinct": dblob, "shards": n}
+
     def _fan_out(self, shards, rrs, route, body, timeout):
         """One replica per shard (round-robin + wrap-around failover),
         concurrently. Returns (error_response_or_None, blobs): a 4xx
@@ -325,6 +426,143 @@ class ShardRouter:
         return None, [resp for _, resp in out]
 
 
+def _check_states(states: list, profile: bool) -> tuple[int, dict] | None:
+    """Validate one sketch family's per-shard state blobs: configured on
+    EVERY shard (absent-everywhere is the workers' 404; absent on only
+    some is config skew, a 502 — the _fan_out mixed-status rule) and
+    structurally identical (col/groups/k/p — merging sketches of
+    different configs would be silently wrong)."""
+    present = [s for s in states if s is not None]
+    if not present:
+        if profile:
+            return 404, {
+                "message": "profile requires both a stats (quantile) and a "
+                "distinct (HLL) sketch configured on every shard"
+            }
+        return 404, {"message": "no stats sketch configured on this shard set"}
+    if len(present) != len(states):
+        return 502, {
+            "message": "shard failed: sketch configured on only some shards "
+            "(per-shard config skew?)"
+        }
+    configs = {
+        (s["col"], tuple(s["groups"]), s.get("k"), s.get("p"))
+        for s in present
+    }
+    if len(configs) > 1:
+        return 502, {
+            "message": "shard failed: shards disagree on sketch config "
+            f"(col/groups/k/p): {sorted(map(str, configs))}"
+        }
+    return None
+
+
+def _merged_quantiles(
+    states: list, qs: list, profile: bool
+) -> tuple[int, dict]:
+    """Merge per-shard bottom-k quantile sketch state and estimate — the
+    exact integer twin of functions/sketches.quantile_merge_grouped +
+    grouped_quantile_estimates (sum counts per (group, h, v); re-take the
+    k (h, v)-smallest per group; per group order by v, cumulate, and take
+    the smallest v with cum*1e6 >= q_micro*tot — BIGINT end-to-end, so
+    the scattered answer equals the union-stream worker's bit-for-bit)."""
+    err = _check_states(states, profile)
+    if err is not None:
+        return err
+    k, col, groups = states[0]["k"], states[0]["col"], states[0]["groups"]
+    acc: dict = {}
+    for s in states:
+        for row in s["rows"]:
+            g, h, v, cnt = tuple(row[:-3]), row[-3], row[-2], row[-1]
+            acc[(g, h, v)] = acc.get((g, h, v), 0) + cnt
+    per_group: dict = {}
+    for (g, h, v), cnt in acc.items():
+        per_group.setdefault(g, []).append((h, v, cnt))
+    if not per_group:
+        return 400, {"message": "no partial sketches written yet on any shard"}
+    # the q list mirrors the worker: order-preserving dedup, then micro
+    # units (duplicate micros collapse, like the worker's groupBy q_micro)
+    q_micros = list(
+        dict.fromkeys(
+            int(round(q * 1_000_000)) for q in dict.fromkeys(qs)
+        )
+    )
+    entries = []
+    for g, rows in per_group.items():
+        rows.sort()  # (h, v) ascending — the bottom-k re-take order
+        byv = sorted((v, cnt) for _, v, cnt in rows[:k])
+        tot = sum(cnt for _, cnt in byv)
+        for q_micro in q_micros:
+            cum = 0
+            for v, cnt in byv:
+                cum += cnt
+                if cum * 1_000_000 >= q_micro * tot:
+                    entries.append((g, q_micro, v))
+                    break
+    entries.sort(key=lambda e: (group_sort_key(e[0]), e[1]))
+    return 200, {
+        "col": col,
+        "groups": groups,
+        "quantiles": [
+            {
+                "group": dict(zip(groups, g)),
+                "q": q_micro / 1_000_000,
+                "value": v,
+            }
+            for g, q_micro, v in entries
+        ],
+    }
+
+
+def _merged_distinct(states: list, profile: bool) -> tuple[int, dict]:
+    """Merge per-shard HLL register state (register-wise max — exact) and
+    estimate with the twin of functions/sketches.grouped_hll_estimates.
+    The harmonic sum is a sum of powers of two spanning < 53 bits (exact,
+    order-independent in BOTH engines); alpha*m*m is the identical Python
+    constant the worker ships via F.lit; division/comparison are single
+    correctly-rounded IEEE ops — so the branch choice and the
+    bias-corrected estimate are bit-identical to the worker's. The
+    linear-counting branch's log() is the one op that may differ from
+    java.lang.Math.log by 1 ulp (CLAUDE.md ln-ulp invariant; state and
+    branch remain exact, only the displayed float's last bit can move)."""
+    err = _check_states(states, profile)
+    if err is not None:
+        return err
+    p, col, groups = states[0]["p"], states[0]["col"], states[0]["groups"]
+    acc: dict = {}
+    for s in states:
+        for row in s["rows"]:
+            g, bucket, rho = tuple(row[:-2]), row[-2], row[-1]
+            if rho > acc.get((g, bucket), -1):
+                acc[(g, bucket)] = rho
+    per_group: dict = {}
+    for (g, bucket), rho in acc.items():
+        per_group.setdefault(g, []).append(rho)
+    if not per_group:
+        return 400, {"message": "no partial sketches written yet on any shard"}
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    counts = []
+    for g, rhos in per_group.items():
+        inv_part = sum(math.ldexp(1.0, -r) for r in rhos)
+        v_zero = float(m - len(rhos))
+        e_raw = (alpha * m * m) / (v_zero + inv_part)
+        if e_raw <= 2.5 * m and v_zero > 0:
+            est = float(m) * math.log(float(m) / v_zero)
+        else:
+            est = e_raw
+        counts.append((g, est))
+    counts.sort(key=lambda e: group_sort_key(e[0]))
+    return 200, {
+        "col": col,
+        "groups": groups,
+        "counts": [
+            {"group": dict(zip(groups, g)), "estimate": est}
+            for g, est in counts
+        ],
+    }
+
+
 def _decode_body(status: int, raw: bytes) -> dict:
     """Worker response body -> dict, tolerating non-JSON bodies (ADVICE r5:
     json.loads on an arbitrary HTTP body can raise and previously escaped
@@ -360,6 +598,11 @@ def make_router_server(
                     status, resp = router.scatter_topk(body)
                 elif self.path == DUP_ROUTE and router.dedup_shards:
                     status, resp = router.scatter_duplicates(body)
+                elif (
+                    self.path in (STATS_ROUTE, DISTINCT_ROUTE, PROFILE_ROUTE)
+                    and router.stats_shards
+                ):
+                    status, resp = router.scatter_stats(self.path, body)
                 else:
                     status, resp = router.forward(self.path, body)
             data = json.dumps(resp).encode()

@@ -117,6 +117,11 @@ DISTINCT_ROUTE = "/v3/stats/distinct"
 # beyond-reference: quantiles + distinct counts in ONE round trip over
 # both running sketches (r8 verdict carry, built r10)
 PROFILE_ROUTE = "/v3/stats/profile"
+# beyond-reference: the RAW mergeable sketch state behind the stats
+# routes (bottom-k rows / HLL registers), for the shard router's
+# scatter-gather — estimates don't merge across shards, state does,
+# exactly (api/router.scatter_stats)
+STATE_ROUTE = "/v3/stats/state"
 # beyond-reference: vector top-k over a loaded AnnIndex (api/ann.py)
 ANN_ROUTE = "/v3/similarity/topk"
 # beyond-reference: exact-Jaccard duplicate lookup/probe (api/dedup.py)
@@ -125,6 +130,15 @@ DUP_ROUTE = "/v3/documents/duplicates"
 # doc_ids indirection — resolve each probe doc's text from its owning
 # shard, then fan out as a 'texts' lookup; api/router.scatter_duplicates)
 DUP_TEXT_ROUTE = "/v3/documents/text"
+
+
+def group_sort_key(values) -> list:
+    """Sort key for group-value tuples: None sorts first (Spark's NULLS
+    FIRST ascending default); the (not-None, value) pair avoids the
+    None-vs-str TypeError. Module-level (stdlib-only) so the shard
+    router's stats merge sorts scattered responses exactly like a
+    worker sorts its own."""
+    return [(v is not None, "" if v is None else v) for v in values]
 
 
 def _dispatch(apis: dict, path: str, body: dict) -> tuple[int, dict]:
@@ -261,6 +275,8 @@ class ServerCore:
             )
         if path == PROFILE_ROUTE:
             return self._handle_profile(body)
+        if path == STATE_ROUTE:
+            return self._handle_state(body)
         if path == ANN_ROUTE:
             return self._handle_ann(body)
         if path == DUP_ROUTE:
@@ -377,6 +393,85 @@ class ServerCore:
             key, run, still_valid=lambda: self._generation == gen
         )
 
+    def _handle_state(self, body: dict) -> tuple[int, dict]:
+        """Raw mergeable sketch state (POST /v3/stats/state) for the shard
+        router's stats scatter (api/router.ShardRouter.scatter_stats).
+
+        ESTIMATES do not merge across disjoint stream shards — a per-shard
+        median is not the global median, and HLL estimates are not
+        additive — but the sketch STATE merges EXACTLY: bottom-k by
+        sum-counts-per-(group,h,v)-then-re-take-k
+        (functions/sketches.quantile_merge_grouped's law) and HLL by
+        register-wise max. So the router fans THIS route out and merges
+        state, reproducing the single-process estimates over the union of
+        the shards' streams bit-for-bit (integer quantiles; see the router
+        docstring for the one log-ulp caveat on HLL's linear-counting
+        branch). The payload is register-scale — k rows per group / at
+        most 2^p registers per group — bounded by sketch config, never by
+        the stream.
+
+        A configured sketch with NO ingested partials returns ``rows: []``
+        (the merge identity): an empty SHARD is valid scatter input even
+        though an empty single-process read is a contract 400 on the
+        estimate routes. Cache freshness matches the estimate routes: the
+        key carries every configured sketch's state token."""
+        if self.stats_sketch is None and self.distinct_sketch is None:
+            return 404, {"message": "no stats sketch configured on this server"}
+        unknown = set(body)
+        if unknown:
+            return 400, {"message": f"unknown arguments: {sorted(unknown)}"}
+
+        def run() -> tuple[int, dict]:
+            try:
+                out = {}
+                for name, sk in (
+                    ("quantiles", self.stats_sketch),
+                    ("distinct", self.distinct_sketch),
+                ):
+                    out[name] = None if sk is None else self._sketch_state(sk)
+                return 200, out
+            except Exception as e:
+                return 500, {"message": f"{type(e).__name__}: {e}"}
+
+        if self.cache is None:
+            return run()
+        gen = self._generation
+        key = (
+            STATE_ROUTE,
+            json.dumps(body, sort_keys=True),
+            None if self.stats_sketch is None else self.stats_sketch.state_token(),
+            None
+            if self.distinct_sketch is None
+            else self.distinct_sketch.state_token(),
+        )
+        return self.cache.get_or_compute(
+            key, run, still_valid=lambda: self._generation == gen
+        )
+
+    def _sketch_state(self, sk) -> dict:
+        """One sketch's folded state as a JSON-able blob: config (so the
+        router can verify shards agree and size the merged re-take) plus
+        the state rows ``[group values..., state cols...]`` in the
+        sketch's own column order."""
+        cols = sk._cols
+        kind = "hll" if "bucket" in cols else "quantile"
+        try:
+            cur = sk.current(self.store.nodes.sparkSession)
+            rows = [[r[c] for c in cols] for r in cur.collect()]
+        except ValueError:  # configured but nothing ingested: merge identity
+            rows = []
+        out = {
+            "kind": kind,
+            "col": sk.col,
+            "groups": list(sk.groups),
+            "rows": rows,
+        }
+        if kind == "hll":
+            out["p"] = sk.p
+        else:
+            out["k"] = sk.k
+        return out
+
     def _handle_ann(self, body: dict) -> tuple[int, dict]:
         return self._handle_snapshot_route(
             ANN_ROUTE,
@@ -421,10 +516,7 @@ class ServerCore:
         """None group values sort first (Spark's NULLS FIRST ascending
         default); the (not-None, value) tuple avoids the None-vs-str
         TypeError that would 500 a valid sketch read."""
-        return [
-            (row[g] is not None, "" if row[g] is None else row[g])
-            for g in groups
-        ]
+        return group_sort_key(row[g] for g in groups)
 
     def _compute_stats(self, sk, body: dict) -> tuple[int, dict]:
         from treemachine_spark.functions.sketches import (

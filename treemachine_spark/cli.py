@@ -160,6 +160,18 @@ def main(argv=None) -> int:
         "(union of per-shard hits — exact); doc_ids probes are rejected "
         "as shard-local (api/router.scatter_duplicates)",
     )
+    s.add_argument(
+        "--stats-shard",
+        action="append",
+        default=[],
+        metavar="url[,url...]",
+        help="one STREAM shard's replica pool (repeatable): workers each "
+        "maintaining a running sketch over a disjoint ingest-stream "
+        "slice. /v3/stats/{quantiles,distinct,profile} then fan ONE "
+        "/v3/stats/state request out and merge raw sketch state with the "
+        "exact merge laws (api/router.scatter_stats) — quantiles equal "
+        "the union-stream answer bit-for-bit",
+    )
 
     s = sub.add_parser(
         "rfdist",
@@ -348,10 +360,12 @@ def main(argv=None) -> int:
         default_pool = pools[next(iter(pools))]
         ann_shards = [spec.split(",") for spec in args.ann_shard]
         dedup_shards = [spec.split(",") for spec in args.dedup_shard]
+        stats_shards = [spec.split(",") for spec in args.stats_shard]
         srv = make_router_server(
             ShardRouter(
                 pools, default_pool,
                 ann_shards=ann_shards, dedup_shards=dedup_shards,
+                stats_shards=stats_shards,
             ),
             host=args.host,
             port=args.port,
@@ -361,6 +375,7 @@ def main(argv=None) -> int:
             + ", ".join(f"{k}:{len(v)} worker(s)" for k, v in pools.items())
             + (f" + {len(ann_shards)} ANN shard(s)" if ann_shards else "")
             + (f" + {len(dedup_shards)} dedup shard(s)" if dedup_shards else "")
+            + (f" + {len(stats_shards)} stats shard(s)" if stats_shards else "")
         )
         try:
             srv.serve_forever()
