@@ -29,19 +29,22 @@ from treemachine_spark.workload.queries import QUERIES  # noqa: E402
 #    q1_pricing_summary / v1_ann_brute / x1_text_profile / s2_sessions_batch
 #    / d4_ngram_jaccard — 3 rounds stale, the oldest driver rows on the
 #    books, named by the r9 verdict; v1/x1 additionally get their FIRST
-#    driver rows over the r9 Arrow implementations), then 44 of the 50
-#    gates whose newest driver row is CORRECTNESS_r08.json. With 106 gates
-#    and a 50-row artifact, six r8-signed gates wait for the r11 front —
-#    chosen, as every round, for the densest pinning beyond the oracle
-#    suite: c1_rf_distance / s4_stream_enriched / t4_subtree are
-#    row-tripwired in EVERY round's bench artifact (bench.py ok-flags at
-#    sf0.1), d5_dup_clusters carries the sf10 value sign (mirrored-BFS 9
-#    clusters / 900 members), and t15 / s7 have dedicated
-#    literal-tip-set-semantics and applyInPandasWithState-sessionize test
-#    families. d8/s8 stay IN the front because this round's capped-space
-#    dedup artifact and minhash/novelty unification touch their code
-#    families. Steady-state freshness: no gate >3 rounds stale,
-#    alternating halves.
+#    driver rows over the r9 Arrow implementations), the TWO gates new
+#    this round (d9_capped_artifact, k9_stream_topk — each needs its
+#    first driver row), then 42 of the 50 gates whose newest driver row
+#    is CORRECTNESS_r08.json. With 107 gates and a 50-row artifact, eight
+#    r8-signed gates wait for the r11 front — chosen, as every round, for
+#    the densest pinning beyond the oracle suite: c1_rf_distance /
+#    s4_stream_enriched / t4_subtree are row-tripwired in EVERY round's
+#    bench artifact (bench.py ok-flags at sf0.1), d5_dup_clusters carries
+#    the sf10 value sign (mirrored-BFS 9 clusters / 900 members), t15 /
+#    s7 have dedicated literal-tip-set-semantics and
+#    applyInPandasWithState-sessionize test families, and k5_cms_topk's
+#    cms_sketch cells are exercised THROUGH the new k9 gate (same sketch,
+#    same SQL twin, via the streaming fold). d8/s8 stay IN the front
+#    because this round's capped-space dedup artifact and minhash/novelty
+#    unification touch their code families. Steady-state freshness: no
+#    gate >3 rounds stale, alternating halves.
 # 2. _DRIVER_EXCLUDED: the 50 gates green in CORRECTNESS_r09.json plus the
 #    six deferred r8 gates sit in the pytest tier this round — ALL gates
 #    remain verified by the DuckDB oracle pytest suite at sf0.001 AND the
@@ -58,9 +61,11 @@ _FRONT = [
     "x1_text_profile",
     "s2_sessions_batch",
     "d4_ngram_jaccard",
-    # NEW gate this round (needs its first driver row): the capped-space
-    # dedup artifact probe (r9 verdict #2)
+    # NEW gates this round (each needs its first driver row): the
+    # capped-space dedup artifact probe (r9 verdict #2) and the streaming
+    # CMS heavy-hitters fold (the frequency member of the mergeable triad)
     "d9_capped_artifact",
+    "k9_stream_topk",
     # newest driver row is the r8 artifact
     "d8_jaccard_probe",
     "s8_stream_novelty",
@@ -74,7 +79,6 @@ _FRONT = [
     "k2_hll_sketch",
     "k3_bloom_prune",
     "k4_zorder",
-    "k5_cms_topk",
     "q2_min_supplier",
     "q9_product_profit",
     "q11_important_parts",
@@ -164,17 +168,19 @@ _DRIVER_EXCLUDED = {
         "q5_region_revenue",
     )
 }
-# ...plus the seven r8-signed gates the 50-row artifact cannot fit this
-# round (one slot went to the NEW d9_capped_artifact gate): deferred to
-# the r11 front, still pytest-verified at sf0.001 + the driver's sf0.01
-# every round. Chosen for the densest extra pinning: c1_rf_distance /
-# s4_stream_enriched / t4_subtree are row-tripwired in every BENCH_r*
-# artifact (bench.py ok-flags at sf0.1 each round), d5_dup_clusters
-# carries the sf10 value sign (mirrored-BFS 9 clusters / 900 members),
-# t15 / s7 have dedicated literal-tip-set-semantics and
-# applyInPandasWithState-sessionize pytest families, and e1_leaf_set's
+# ...plus the eight r8-signed gates the 50-row artifact cannot fit this
+# round (two slots went to the NEW d9_capped_artifact and k9_stream_topk
+# gates): deferred to the r11 front, still pytest-verified at sf0.001 +
+# the driver's sf0.01 every round. Chosen for the densest extra pinning:
+# c1_rf_distance / s4_stream_enriched / t4_subtree are row-tripwired in
+# every BENCH_r* artifact (bench.py ok-flags at sf0.1 each round),
+# d5_dup_clusters carries the sf10 value sign (mirrored-BFS 9 clusters /
+# 900 members), t15 / s7 have dedicated literal-tip-set-semantics and
+# applyInPandasWithState-sessionize pytest families, e1_leaf_set's
 # operator family has an r9-green sibling row (e2_intersect builds the
-# same leaf sets).
+# same leaf sets), and k5_cms_topk's cms_sketch cells get a FRESH r10 row
+# through the new k9 gate (identical sketch + SQL twin via the streaming
+# fold; k5's estimator tier stays pytest-oracled at both SFs).
 for _name in (
     "c1_rf_distance",
     "s4_stream_enriched",
@@ -183,6 +189,7 @@ for _name in (
     "t15_deepest_exemplified",
     "s7_sessionize_stream",
     "e1_leaf_set",
+    "k5_cms_topk",
 ):
     _DRIVER_EXCLUDED[_name] = (
         "r8 artifact row (CORRECTNESS_r08.json); deferred to the r11 front "

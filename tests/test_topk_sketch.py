@@ -1,0 +1,224 @@
+"""Streaming Count-Min heavy-hitters family (r10): the frequency member
+of the mergeable-sketch triad (bottom-k = order statistics, HLL =
+cardinality, CMS = frequency) — streaming/stats.StreamingTopKSketch,
+the /v3/stats/topk route, and the router's state-merge scatter.
+
+Pinned laws:
+- the folded CMS cells EQUAL the single-pass cms_sketch over every row
+  seen (cell-wise-sum merge — integer exact);
+- captured candidates' served estimates EQUAL the single-pass cms_topk's
+  (the estimate reads the exact global CMS);
+- replay of a processed batch is a no-op (idempotent dynamic-partition
+  overwrite — the family inherits the s9 durability machinery);
+- compact() preserves current();
+- scattered topk == the union-stream worker's, integer-exact end-to-end
+  (the one scatter family with no float anywhere).
+"""
+
+from __future__ import annotations
+
+import threading
+from pathlib import Path
+
+import pytest
+
+FIX = Path(__file__).parent / "fixtures"
+
+
+def _mk_docs(spark, n=2000):
+    """Skewed key stream: 'hot0'..'hot3' heavy, k0..k39 background, every
+    key present in every (id % 3) batch slice and every (id % 2) shard
+    slice — so candidate capture is total and blob equality is exact."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(n).select(
+        F.col("id"),
+        F.when(
+            F.col("id") % 8 < 4,
+            F.concat(F.lit("hot"), (F.col("id") % 4).cast("string")),
+        )
+        .otherwise(F.concat(F.lit("k"), (F.col("id") % 40).cast("string")))
+        .alias("key"),
+    )
+    return df
+
+
+def test_topk_fold_replay_compact(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from treemachine_spark.functions.sketches import (
+        cms_sketch,
+        cms_topk,
+        cms_topk_from_state,
+    )
+    from treemachine_spark.streaming.stats import StreamingTopKSketch
+
+    docs = _mk_docs(spark).cache()
+    sk = StreamingTopKSketch(
+        str(tmp_path / "topk"), "key", depth=4, width=256, n_candidates=128
+    )
+    for b in range(3):
+        sk.process_batch(docs.where(F.col("id") % 3 == b), b)
+
+    cur = sk.current(spark).cache()
+    # CMS cells == the single-pass sketch of ALL rows (cell-wise-sum law)
+    got = {
+        (r["d"], r["pos"]): r["cnt"]
+        for r in cur.where(F.col("key").isNull()).collect()
+    }
+    exp = {
+        (r["d"], r["pos"]): r["cnt"]
+        for r in cms_sketch(docs, "key", 4, 256).collect()
+    }
+    assert got == exp
+    # with <= C distinct keys, capture is total: the served top-k equals
+    # the single-pass cms_topk bit-for-bit (same estimator, same order)
+    top = cms_topk_from_state(cur, 10, 4, 256).collect()
+    ref = cms_topk(docs, "key", k=10, depth=4, width=256).collect()
+    assert [(r["key"], r["est_count"]) for r in top] == [
+        (r["key"], r["est_count"]) for r in ref
+    ]
+    # hot keys lead (est >= true count; CMS never undercounts)
+    assert {r["key"] for r in top[:4]} == {"hot0", "hot1", "hot2", "hot3"}
+
+    # at-least-once replay: reprocessing a batch replaces its own
+    # partition — the running sketch is unchanged
+    sk.process_batch(docs.where(F.col("id") % 3 == 1), 1)
+    again = {
+        (r["d"], r["pos"]): r["cnt"]
+        for r in sk.current(spark).where(F.col("key").isNull()).collect()
+    }
+    assert again == exp
+
+    # compact folds history without changing the running sketch
+    assert sk.compact(spark, assume_idle=True) is not None
+    top2 = cms_topk_from_state(sk.current(spark), 10, 4, 256).collect()
+    assert [(r["key"], r["est_count"]) for r in top2] == [
+        (r["key"], r["est_count"]) for r in top
+    ]
+
+
+def test_topk_route(spark, tmp_path):
+    """POST /v3/stats/topk over a running StreamingTopKSketch — the
+    heavy-hitters serving consumer, sharing _handle_sketch's state-token
+    freshness (a landed micro-batch invalidates cached answers) and the
+    contract-400 conventions of the other sketch routes."""
+    from pyspark.sql import functions as F
+
+    from treemachine_spark.api.server import make_server
+    from treemachine_spark.functions.sketches import cms_topk_from_state
+    from treemachine_spark.ingest import ingest_synthesis_data
+    from treemachine_spark.streaming.stats import StreamingTopKSketch
+
+    store = ingest_synthesis_data(
+        spark,
+        str(FIX / "labelled_supertree.tre"),
+        str(FIX / "annotations.json"),
+        str(FIX / "taxonomy.tsv"),
+    )
+    # no sketch -> 404
+    srv0 = make_server(store, host="127.0.0.1", port=0)
+    assert srv0.core.handle("/v3/stats/topk", {})[0] == 404
+    srv0.server_close()
+
+    docs = _mk_docs(spark).cache()
+    sk = StreamingTopKSketch(
+        str(tmp_path / "rt"), "key", depth=4, width=256, n_candidates=128
+    )
+    srv = make_server(store, host="127.0.0.1", port=0, topk_sketch=sk)
+    core = srv.core
+    try:
+        # configured but empty -> contract 400, never a 500
+        status, resp = core.handle("/v3/stats/topk", {})
+        assert status == 400 and "no partial sketches" in resp["message"]
+
+        sk.process_batch(docs.where(F.col("id") % 2 == 0), 0)
+        status, blob = core.handle("/v3/stats/topk", {"k": 5})
+        assert status == 200 and blob["col"] == "key" and blob["k"] == 5
+        exp = [
+            {"key": r["key"], "est_count": r["est_count"]}
+            for r in cms_topk_from_state(sk.current(spark), 5, 4, 256).collect()
+        ]
+        assert blob["top"] == exp
+        # identical state -> cached; a new batch invalidates via the token
+        m = core.cache.misses
+        assert core.handle("/v3/stats/topk", {"k": 5}) == (status, blob)
+        assert core.cache.misses == m
+        sk.process_batch(docs.where(F.col("id") % 2 == 1), 1)
+        status2, blob2 = core.handle("/v3/stats/topk", {"k": 5})
+        assert status2 == 200 and core.cache.misses == m + 1
+        exp2 = [
+            {"key": r["key"], "est_count": r["est_count"]}
+            for r in cms_topk_from_state(sk.current(spark), 5, 4, 256).collect()
+        ]
+        assert blob2["top"] == exp2
+        # contract errors
+        status, resp = core.handle("/v3/stats/topk", {"k": 0})
+        assert status == 400 and "positive integer" in resp["message"]
+        status, resp = core.handle("/v3/stats/topk", {"k": True})
+        assert status == 400
+        status, resp = core.handle("/v3/stats/topk", {"nope": 1})
+        assert status == 400 and "unknown arguments" in resp["message"]
+        # the state route exposes the cms family for the scatter
+        status, state = core.handle("/v3/stats/state", {})
+        assert status == 200 and state["topk"]["kind"] == "cms"
+        assert (
+            state["topk"]["depth"],
+            state["topk"]["width"],
+            state["topk"]["n_candidates"],
+        ) == (4, 256, 128)
+    finally:
+        srv.server_close()
+
+
+def test_topk_scatter_equals_union_worker(spark, tmp_path):
+    """Scattered /v3/stats/topk == the union-stream worker's answer,
+    integer-exact end-to-end: CMS cells merge by cell-wise sum, the
+    router's h32 twin reproduces the engine hash bit-for-bit, and every
+    estimate is min-over-depth of the merged integer cells — the one
+    scatter family with no float anywhere. Contract 400s fan through the
+    workers verbatim."""
+    from pyspark.sql import functions as F
+
+    from treemachine_spark.api.router import ShardRouter
+    from treemachine_spark.api.server import make_server
+    from treemachine_spark.ingest import ingest_synthesis_data
+    from treemachine_spark.streaming.stats import StreamingTopKSketch
+
+    store = ingest_synthesis_data(
+        spark,
+        str(FIX / "labelled_supertree.tre"),
+        str(FIX / "annotations.json"),
+        str(FIX / "taxonomy.tsv"),
+    )
+    docs = _mk_docs(spark).cache()
+    servers, urls = [], []
+    for tag, pred in (
+        ("a", F.col("id") % 2 == 0),
+        ("b", F.col("id") % 2 == 1),
+        ("u", F.lit(True)),
+    ):
+        sk = StreamingTopKSketch(
+            str(tmp_path / f"s_{tag}"), "key", depth=4, width=256,
+            n_candidates=128,
+        )
+        sk.process_batch(docs.where(pred), 0)
+        srv = make_server(store, host="127.0.0.1", port=0, topk_sketch=sk)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        servers.append(srv)
+        urls.append(f"http://127.0.0.1:{srv.server_address[1]}")
+    try:
+        r = ShardRouter({}, [], stats_shards=[[urls[0]], [urls[1]]])
+        status, merged = r.scatter_stats("/v3/stats/topk", {"k": 8})
+        status2, full = servers[2].core.handle("/v3/stats/topk", {"k": 8})
+        assert status == status2 == 200
+        assert merged == {**full, "shards": 2}
+        # contract errors produced by the workers pass through verbatim
+        status, resp = r.scatter_stats("/v3/stats/topk", {"k": 0})
+        assert status == 400 and "positive integer" in resp["message"]
+        status, resp = r.scatter_stats("/v3/stats/topk", {"nope": 1})
+        assert status == 400 and "unknown arguments" in resp["message"]
+    finally:
+        for srv in servers:
+            srv.shutdown()
+            srv.server_close()

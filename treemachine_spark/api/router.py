@@ -20,6 +20,7 @@ workers are single-store servers that don't take ``synth_id``.
 
 from __future__ import annotations
 
+import hashlib
 import itertools
 import json
 import math
@@ -42,6 +43,7 @@ DUP_TEXT_ROUTE = "/v3/documents/text"
 STATS_ROUTE = "/v3/stats/quantiles"
 DISTINCT_ROUTE = "/v3/stats/distinct"
 PROFILE_ROUTE = "/v3/stats/profile"
+TOPK_ROUTE = "/v3/stats/topk"
 STATE_ROUTE = "/v3/stats/state"
 # the workers' per-request bound (api/dedup.MAX_REQUEST_DOCS) — kept as a
 # literal so the router stays stdlib-only/Spark-free
@@ -332,8 +334,10 @@ class ShardRouter:
             return 400, {"message": "no stats shards configured on this router"}
         want_q = path in (STATS_ROUTE, PROFILE_ROUTE)
         want_d = path in (DISTINCT_ROUTE, PROFILE_ROUTE)
-        allowed = {"qs"} if want_q else set()
+        want_t = path == TOPK_ROUTE
+        allowed = {"qs"} if want_q else {"k"} if want_t else set()
         qs = body.get("qs", [0.5, 0.9])
+        k_arg = body.get("k", 10)
         shape_ok = set(body) <= allowed and (
             not want_q
             or (
@@ -343,6 +347,9 @@ class ShardRouter:
                     isinstance(q, (int, float)) and 0 < q <= 1 for q in qs
                 )
             )
+        ) and (
+            not want_t
+            or (isinstance(k_arg, int) and not isinstance(k_arg, bool) and k_arg >= 1)
         )
         if not shape_ok:
             # let the workers produce the exact unsharded contract error
@@ -360,6 +367,11 @@ class ShardRouter:
             return err
         n = len(blobs)
         qblob = dblob = None
+        if want_t:
+            status, tblob = _merged_topk([b.get("topk") for b in blobs], k_arg)
+            if status != 200:
+                return status, tblob
+            return 200, {**tblob, "shards": n}
         if want_q:
             status, qblob = _merged_quantiles(
                 [b.get("quantiles") for b in blobs], qs, path == PROFILE_ROUTE
@@ -446,7 +458,15 @@ def _check_states(states: list, profile: bool) -> tuple[int, dict] | None:
             "(per-shard config skew?)"
         }
     configs = {
-        (s["col"], tuple(s["groups"]), s.get("k"), s.get("p"))
+        (
+            s["col"],
+            tuple(s["groups"]),
+            s.get("k"),
+            s.get("p"),
+            s.get("depth"),
+            s.get("width"),
+            s.get("n_candidates"),
+        )
         for s in present
     }
     if len(configs) > 1:
@@ -563,6 +583,61 @@ def _merged_distinct(states: list, profile: bool) -> tuple[int, dict]:
     }
 
 
+def _h32(s: str) -> int:
+    """Pure-stdlib twin of functions/hashing.h32 (first 8 hex chars of
+    md5 as an integer — the repo's cross-engine hash; bit-identical to
+    the Spark/DuckDB forms and to functions/dedup._h32_py)."""
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+def _merged_topk(states: list, k: int) -> tuple[int, dict]:
+    """Merge per-shard CMS+candidate state and take the global heavy
+    hitters — the twin of functions/sketches.cms_topk_from_state over
+    the merged state. CMS cells merge by cell-wise SUM (integer —
+    EXACT), candidates by summed count with a deterministic re-take of
+    the top C (the streaming fold's own law), and every served estimate
+    is min-over-depth of the merged cells at the key's h32 positions —
+    so a key captured on both paths gets the IDENTICAL integer estimate
+    the union-stream worker serves (the one family whose scatter is
+    exact end-to-end with no float anywhere). Candidate capture remains
+    per-shard (a key must rank top-C in some shard's batch), the same
+    approximation the single-process family documents."""
+    err = _check_states(states, False)
+    if err is not None:
+        return err
+    col = states[0]["col"]
+    depth, width = states[0]["depth"], states[0]["width"]
+    n_cand = states[0]["n_candidates"]
+    cells: dict = {}
+    cand: dict = {}
+    for s in states:
+        for row in s["rows"]:
+            d, pos, cnt, key = row
+            if key is None:
+                cells[(d, pos)] = cells.get((d, pos), 0) + cnt
+            else:
+                cand[key] = cand.get(key, 0) + cnt
+    if not cells:
+        return 400, {"message": "no partial sketches written yet on any shard"}
+    top_c = sorted(cand.items(), key=lambda kv: (-kv[1], kv[0]))[:n_cand]
+    ests = [
+        (
+            key,
+            min(
+                cells.get((i, _h32(f"cms{i}|{key}") % width), 0)
+                for i in range(depth)
+            ),
+        )
+        for key, _ in top_c
+    ]
+    ests.sort(key=lambda e: (-e[1], e[0]))
+    return 200, {
+        "col": col,
+        "k": k,
+        "top": [{"key": key, "est_count": est} for key, est in ests[:k]],
+    }
+
+
 def _decode_body(status: int, raw: bytes) -> dict:
     """Worker response body -> dict, tolerating non-JSON bodies (ADVICE r5:
     json.loads on an arbitrary HTTP body can raise and previously escaped
@@ -599,7 +674,8 @@ def make_router_server(
                 elif self.path == DUP_ROUTE and router.dedup_shards:
                     status, resp = router.scatter_duplicates(body)
                 elif (
-                    self.path in (STATS_ROUTE, DISTINCT_ROUTE, PROFILE_ROUTE)
+                    self.path
+                    in (STATS_ROUTE, DISTINCT_ROUTE, PROFILE_ROUTE, TOPK_ROUTE)
                     and router.stats_shards
                 ):
                     status, resp = router.scatter_stats(self.path, body)

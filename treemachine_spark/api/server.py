@@ -122,6 +122,9 @@ PROFILE_ROUTE = "/v3/stats/profile"
 # scatter-gather — estimates don't merge across shards, state does,
 # exactly (api/router.scatter_stats)
 STATE_ROUTE = "/v3/stats/state"
+# beyond-reference: heavy hitters over the streaming Count-Min sketch —
+# the frequency member of the mergeable triad (quantiles / distinct / topk)
+TOPK_ROUTE = "/v3/stats/topk"
 # beyond-reference: vector top-k over a loaded AnnIndex (api/ann.py)
 ANN_ROUTE = "/v3/similarity/topk"
 # beyond-reference: exact-Jaccard duplicate lookup/probe (api/dedup.py)
@@ -182,6 +185,7 @@ class ServerCore:
         distinct_sketch=None,
         ann_index=None,
         dedup_index=None,
+        topk_sketch=None,
     ):
         # optional streaming/stats.StreamingQuantileSketch serving
         # POST /v3/stats/quantiles (per-group quantile estimates over the
@@ -190,6 +194,9 @@ class ServerCore:
         # (per-group distinct-count estimates; same state-token caching)
         self.stats_sketch = stats_sketch
         self.distinct_sketch = distinct_sketch
+        # streaming/stats.StreamingTopKSketch serving POST /v3/stats/topk
+        # (heavy hitters: CMS point estimates over captured candidates)
+        self.topk_sketch = topk_sketch
         # optional api/ann.AnnIndex serving POST /v3/similarity/topk —
         # an immutable corpus snapshot like the tree store, so responses
         # cache under the plain (route, body) key + generation guard
@@ -275,6 +282,10 @@ class ServerCore:
             )
         if path == PROFILE_ROUTE:
             return self._handle_profile(body)
+        if path == TOPK_ROUTE:
+            return self._handle_sketch(
+                TOPK_ROUTE, self.topk_sketch, self._compute_topk, body
+            )
         if path == STATE_ROUTE:
             return self._handle_state(body)
         if path == ANN_ROUTE:
@@ -415,7 +426,11 @@ class ServerCore:
         though an empty single-process read is a contract 400 on the
         estimate routes. Cache freshness matches the estimate routes: the
         key carries every configured sketch's state token."""
-        if self.stats_sketch is None and self.distinct_sketch is None:
+        if (
+            self.stats_sketch is None
+            and self.distinct_sketch is None
+            and self.topk_sketch is None
+        ):
             return 404, {"message": "no stats sketch configured on this server"}
         unknown = set(body)
         if unknown:
@@ -427,6 +442,7 @@ class ServerCore:
                 for name, sk in (
                     ("quantiles", self.stats_sketch),
                     ("distinct", self.distinct_sketch),
+                    ("topk", self.topk_sketch),
                 ):
                     out[name] = None if sk is None else self._sketch_state(sk)
                 return 200, out
@@ -443,6 +459,7 @@ class ServerCore:
             None
             if self.distinct_sketch is None
             else self.distinct_sketch.state_token(),
+            None if self.topk_sketch is None else self.topk_sketch.state_token(),
         )
         return self.cache.get_or_compute(
             key, run, still_valid=lambda: self._generation == gen
@@ -454,7 +471,9 @@ class ServerCore:
         the state rows ``[group values..., state cols...]`` in the
         sketch's own column order."""
         cols = sk._cols
-        kind = "hll" if "bucket" in cols else "quantile"
+        kind = (
+            "hll" if "bucket" in cols else "cms" if "key" in cols else "quantile"
+        )
         try:
             cur = sk.current(self.store.nodes.sparkSession)
             rows = [[r[c] for c in cols] for r in cur.collect()]
@@ -468,6 +487,10 @@ class ServerCore:
         }
         if kind == "hll":
             out["p"] = sk.p
+        elif kind == "cms":
+            out["depth"] = sk.depth
+            out["width"] = sk.width
+            out["n_candidates"] = sk.n_candidates
         else:
             out["k"] = sk.k
         return out
@@ -564,6 +587,34 @@ class ServerCore:
             ],
         }
 
+    def _compute_topk(self, sk, body: dict) -> tuple[int, dict]:
+        """Heavy hitters over the RUNNING CMS sketch (POST /v3/stats/topk):
+        captured candidates point-estimated from the exact global CMS
+        (functions/sketches.cms_topk_from_state), top k by (estimate
+        desc, key asc). Freshness via _handle_sketch's state-token cache
+        key, like the other sketch routes."""
+        from treemachine_spark.functions.sketches import cms_topk_from_state
+
+        unknown = set(body) - {"k"}
+        if unknown:
+            return 400, {"message": f"unknown arguments: {sorted(unknown)}"}
+        k = body.get("k", 10)
+        if not isinstance(k, int) or isinstance(k, bool) or k < 1:
+            raise BadInputError("k must be a positive integer")
+        try:
+            cur = sk.current(self.store.nodes.sparkSession)
+        except ValueError as e:
+            # sketch configured but no partials ingested yet — contract 400
+            return 400, {"message": str(e)}
+        rows = cms_topk_from_state(cur, k, sk.depth, sk.width).collect()
+        return 200, {
+            "col": sk.col,
+            "k": k,
+            "top": [
+                {"key": r["key"], "est_count": r["est_count"]} for r in rows
+            ],
+        }
+
     def _compute_distinct(self, sk, body: dict) -> tuple[int, dict]:
         from treemachine_spark.functions.sketches import grouped_hll_estimates
 
@@ -603,6 +654,7 @@ def make_server(
     distinct_sketch=None,
     ann_index=None,
     dedup_index=None,
+    topk_sketch=None,
 ) -> ThreadingHTTPServer:
     """Build (not start) the HTTP server for a loaded GraphStore.
     ``cache_size`` > 0 enables LRU response memoization with single-flight
@@ -612,12 +664,13 @@ def make_server(
     republished snapshot without stale cache entries. ``stats_sketch``
     (a streaming/stats.StreamingQuantileSketch) additionally serves
     POST /v3/stats/quantiles; ``distinct_sketch`` (a StreamingHLLSketch)
-    serves POST /v3/stats/distinct; ``ann_index`` (an api/ann.AnnIndex)
-    serves POST /v3/similarity/topk; ``dedup_index`` (an
-    api/dedup.DedupIndex) serves POST /v3/documents/duplicates."""
+    serves POST /v3/stats/distinct; ``topk_sketch`` (a
+    StreamingTopKSketch) serves POST /v3/stats/topk; ``ann_index`` (an
+    api/ann.AnnIndex) serves POST /v3/similarity/topk; ``dedup_index``
+    (an api/dedup.DedupIndex) serves POST /v3/documents/duplicates."""
     core = ServerCore(
         store, cache_size, pruned_closure_table, stats_sketch, distinct_sketch,
-        ann_index, dedup_index,
+        ann_index, dedup_index, topk_sketch,
     )
 
     class Handler(BaseHTTPRequestHandler):
@@ -661,6 +714,7 @@ def serve(
     distinct_sketch=None,
     ann_index=None,
     dedup_index=None,
+    topk_sketch=None,
 ) -> None:
     srv = make_server(
         store,
@@ -672,6 +726,7 @@ def serve(
         distinct_sketch=distinct_sketch,
         ann_index=ann_index,
         dedup_index=dedup_index,
+        topk_sketch=topk_sketch,
     )
     print(f"tree_of_life API serving on http://{host}:{port}")
     try:

@@ -113,6 +113,14 @@ def main(argv=None) -> int:
         "layout), e.g. /data/userstats:user_id:event_type",
     )
     s.add_argument(
+        "--topk-sketch",
+        default=None,
+        metavar="PATH:COL",
+        help="serve POST /v3/stats/topk from the streaming Count-Min "
+        "heavy-hitters table at PATH (streaming/stats.StreamingTopKSketch "
+        "layout), e.g. /data/hotkeys:url",
+    )
+    s.add_argument(
         "--dedup-index",
         default=None,
         metavar="DOCS_PARQUET[:IDX_DIR]",
@@ -167,7 +175,7 @@ def main(argv=None) -> int:
         metavar="url[,url...]",
         help="one STREAM shard's replica pool (repeatable): workers each "
         "maintaining a running sketch over a disjoint ingest-stream "
-        "slice. /v3/stats/{quantiles,distinct,profile} then fan ONE "
+        "slice. /v3/stats/{quantiles,distinct,profile,topk} then fan ONE "
         "/v3/stats/state request out and merge raw sketch state with the "
         "exact merge laws (api/router.scatter_stats) — quantiles equal "
         "the union-stream answer bit-for-bit",
@@ -602,6 +610,15 @@ def main(argv=None) -> int:
             dsketch = _parse_sketch(
                 args.distinct_sketch, "--distinct-sketch", StreamingHLLSketch
             )
+        tsketch = None
+        if args.topk_sketch:
+            from treemachine_spark.streaming.stats import StreamingTopKSketch
+
+            try:
+                tpath, tcol = args.topk_sketch.split(":", 1)
+            except ValueError:
+                raise SystemExit("--topk-sketch expects PATH:COL") from None
+            tsketch = StreamingTopKSketch(tpath, tcol)
         dpi = None
         if args.dedup_index:
             from treemachine_spark.api.dedup import DedupIndex
@@ -628,6 +645,7 @@ def main(argv=None) -> int:
             distinct_sketch=dsketch,
             ann_index=ann,
             dedup_index=dpi,
+            topk_sketch=tsketch,
         )
     elif args.cmd == "extractdrafttree_name":
         from treemachine_spark.api.v3 import TreeOfLifeV3

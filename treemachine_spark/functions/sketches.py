@@ -353,6 +353,44 @@ def cms_topk(
     )
 
 
+def cms_topk_from_state(
+    state: DataFrame, k: int, depth: int, width: int
+) -> DataFrame:
+    """Heavy hitters from a combined CMS+candidate state table (the
+    streaming family's fold — streaming/stats.StreamingTopKSketch rows:
+    ``key IS NULL`` = CMS cell, ``key IS NOT NULL`` = captured candidate).
+
+    Each captured candidate is point-estimated from the CMS cells (min
+    over the depth rows at its positions — Cormode & Muthukrishnan '05,
+    the same estimator as :func:`cms_topk`), then the top k are taken
+    (est desc, key asc — deterministic). Because CMS cells merge by
+    cell-wise sum EXACTLY, a captured key's estimate here equals the
+    single-pass ``cms_topk`` estimate over all rows seen, bit-for-bit;
+    candidate capture (per-batch top-C) is the family's one
+    approximation. Both sides of the join are sketch-scale (<=
+    depth*width cells, <= C candidates) — never stream-scale."""
+    cells = state.where(F.col("key").isNull()).select("d", "pos", "cnt")
+    poss = F.array(
+        *[
+            (h32(F.concat(F.lit(f"cms{i}|"), F.col("key"))) % width).cast("int")
+            for i in range(depth)
+        ]
+    )
+    cand = (
+        state.where(F.col("key").isNotNull())
+        .select("key")
+        .distinct()
+        .select("key", F.posexplode(poss).alias("d", "pos"))
+    )
+    return (
+        cand.join(cells, ["d", "pos"])
+        .groupBy("key")
+        .agg(F.min("cnt").alias("est_count"))
+        .orderBy(F.desc("est_count"), F.asc("key"))
+        .limit(k)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Bottom-k quantile sketch
 # ---------------------------------------------------------------------------

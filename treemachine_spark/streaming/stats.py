@@ -257,6 +257,101 @@ class StreamingHLLSketch(StreamingQuantileSketch):
         )
 
 
+class StreamingTopKSketch(StreamingQuantileSketch):
+    """Running heavy-hitters sketch over a stream: per-batch Count-Min
+    partials PLUS per-batch exact top-C candidate counts, under the SAME
+    durable layout / idempotent-replay / live-safe compact+vacuum
+    machinery as the quantile and HLL families (one overridable
+    ``_batch_sketch``/``_fold``/``_cols`` triple). The frequency member
+    of the mergeable triad: bottom-k = order statistics, HLL =
+    cardinality, CMS = frequency.
+
+    One state table carries both parts (``_cols`` = d, pos, cnt, key):
+
+    - ``key IS NULL``  → a CMS counter cell (d, pos, cnt) —
+      functions/sketches.cms_sketch rows. Cells merge by cell-wise SUM,
+      which is EXACT: the read-time fold equals the single-pass CMS of
+      every row ever seen (same merge law as cms_merge).
+    - ``key IS NOT NULL`` → a candidate row (the batch's exact top-C
+      keys by count; d = pos = -1). Candidates merge by summing counts
+      per key and deterministically re-taking the top C (cnt desc, key
+      asc). Candidate CAPTURE is the one approximation in this family: a
+      key enters the candidate set iff it ranks top-C by exact count in
+      at least one micro-batch fold — the standard per-batch
+      heavy-hitters candidate recipe for mergeable summaries (Agarwal et
+      al., "Mergeable Summaries", PODS '12). A captured key's SERVED
+      estimate always comes from the exact global CMS (min over the
+      depth cells — Cormode & Muthukrishnan '05), so it equals the
+      single-pass ``cms_topk`` estimate bit-for-bit; only a key that is
+      never top-C in any batch can be missed, and its true count is
+      bounded by the batch-capture threshold plus CMS error.
+
+    State per batch is at most depth*width + C integer rows — bounded by
+    config, never by the stream. The 100 TB consumer: "hot URLs / hot
+    n-grams today" kept fresh without re-scanning history, feeding e.g.
+    the capped dedup artifact's boilerplate stoplist."""
+
+    def __init__(
+        self,
+        path: str,
+        col: str,
+        depth: int = 4,
+        width: int = 2048,
+        n_candidates: int = 128,
+    ):
+        super().__init__(path, col, groups=[], k=0)  # k unused here
+        self.depth = depth
+        self.width = width
+        self.n_candidates = n_candidates
+
+    @property
+    def _cols(self) -> list[str]:
+        return ["d", "pos", "cnt", "key"]
+
+    def _batch_sketch(self, batch: DataFrame) -> DataFrame:
+        from treemachine_spark.functions.sketches import cms_sketch
+
+        cms = cms_sketch(batch, self.col, self.depth, self.width).select(
+            "d", "pos", "cnt", F.lit(None).cast("string").alias("key")
+        )
+        cand = (
+            batch.where(F.col(self.col).isNotNull())
+            .groupBy(F.col(self.col).cast("string").alias("key"))
+            .agg(F.count("*").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("key"))
+            .limit(self.n_candidates)
+            .select(
+                F.lit(-1).cast("int").alias("d"),
+                F.lit(-1).cast("int").alias("pos"),
+                "cnt",
+                "key",
+            )
+        )
+        return cms.unionByName(cand)
+
+    def _fold(self, parts: DataFrame) -> DataFrame:
+        cells = (
+            parts.where(F.col("key").isNull())
+            .groupBy("d", "pos")
+            .agg(F.sum("cnt").alias("cnt"))
+            .select("d", "pos", "cnt", F.lit(None).cast("string").alias("key"))
+        )
+        cand = (
+            parts.where(F.col("key").isNotNull())
+            .groupBy("key")
+            .agg(F.sum("cnt").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("key"))
+            .limit(self.n_candidates)
+            .select(
+                F.lit(-1).cast("int").alias("d"),
+                F.lit(-1).cast("int").alias("pos"),
+                "cnt",
+                "key",
+            )
+        )
+        return cells.unionByName(cand)
+
+
 def _run_available_now(
     sk: StreamingQuantileSketch,
     stream_df: DataFrame,
@@ -293,6 +388,22 @@ def running_quantile_sketch(
 ) -> DataFrame:
     """availableNow runner for the quantile family (see _run_available_now)."""
     sk = StreamingQuantileSketch(path, col, groups, k)
+    return _run_available_now(sk, stream_df, checkpoint_location, await_seconds)
+
+
+def running_topk_sketch(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint_location: str,
+    col: str,
+    depth: int = 4,
+    width: int = 2048,
+    n_candidates: int = 128,
+    await_seconds: int = 300,
+) -> DataFrame:
+    """availableNow runner for the heavy-hitters family (see
+    _run_available_now); returns the folded CMS+candidate state."""
+    sk = StreamingTopKSketch(path, col, depth, width, n_candidates)
     return _run_available_now(sk, stream_df, checkpoint_location, await_seconds)
 
 

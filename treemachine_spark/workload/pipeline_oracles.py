@@ -711,6 +711,16 @@ PIPELINE_ORACLES["k8_grouped_hll"] = hll_sketch_grouped_sql(
     "events", "CAST(user_id AS VARCHAR)", ["event_type"], p=12
 )
 
+# k9: the streaming CMS fold's cells == the single-pass batch CMS of all
+# events (cell-wise-sum merge law) — oracle is the plain batch sketch;
+# the candidate/estimate tier is pytest-pinned (capture depends on batch
+# boundaries SQL cannot see — the k8 register-comparison pattern)
+from treemachine_spark.functions.sketches import cms_sketch_sql  # noqa: E402
+
+PIPELINE_ORACLES["k9_stream_topk"] = cms_sketch_sql(
+    "events", "CAST(user_id AS VARCHAR)", depth=4, width=512
+)
+
 PIPELINE_ORACLES["k7_grouped_quantiles"] = grouped_quantile_sketch_sql(
     "documents",
     r"len(string_split_regex(trim(text), '\s+'))",

@@ -373,6 +373,41 @@ def q_s9_stream_quantiles(spark, sf_dir):
     return local_df(spark, rows, "lang string, h bigint, v bigint, cnt bigint")
 
 
+def q_k9_stream_topk(spark, sf_dir):
+    """REAL streaming Count-Min heavy-hitters sketch
+    (streaming/stats.StreamingTopKSketch): the event stream is processed
+    in micro-batches, each writing its own CMS partial plus its exact
+    top-C candidates (idempotent partitioned overwrite); the read-time
+    fold's CMS cells equal the single-pass sketch of every event by the
+    cell-wise-sum merge law, so the DuckDB oracle is the plain batch CMS
+    (cms_sketch_sql). Deterministic end-to-end (md5 positions, integer
+    counts). The candidate/estimate tier (capture + cms_topk_from_state)
+    is pinned in tests/test_topk_sketch.py — capture depends on Spark's
+    batch boundaries, which SQL cannot see, so the gate compares the
+    exact cells (the k8 register-comparison pattern)."""
+    import shutil
+    import tempfile
+
+    from treemachine_spark.graph.traversal import local_df
+    from treemachine_spark.streaming import events as se
+    from treemachine_spark.streaming.stats import running_topk_sketch
+
+    work = tempfile.mkdtemp(prefix="tm_k9_")
+    try:
+        stream = se.read_event_stream(spark, sf_dir).select("user_id")
+        state = running_topk_sketch(
+            stream, f"{work}/sk", f"{work}/ckpt", "user_id",
+            depth=4, width=512, n_candidates=256,
+        )
+        rows = [
+            (r["d"], r["pos"], r["cnt"])
+            for r in state.where(F.col("key").isNull()).collect()
+        ]
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return local_df(spark, rows, "d int, pos int, cnt bigint")
+
+
 def q_v1_ann_brute(spark, sf_dir):
     """Exact top-10 neighbors (quantized dot product) for query vecs id<5."""
     emb = load_tables(spark, sf_dir)["embeddings"]
@@ -774,6 +809,7 @@ PIPELINE_QUERIES = {
     "k7_grouped_quantiles": q_k7_grouped_quantiles,
     "k8_grouped_hll": q_k8_grouped_hll,
     "s9_stream_quantiles": q_s9_stream_quantiles,
+    "k9_stream_topk": q_k9_stream_topk,
     "k3_bloom_prune": q_k3_bloom_prune,
     "k4_zorder": q_k4_zorder,
     "u1_merge_upsert": q_u1_merge_upsert,
