@@ -98,6 +98,40 @@ def test_topk_fold_replay_compact(spark, tmp_path):
     ]
 
 
+def test_topk_compact_with_larger_capacity_is_conservative(spark, tmp_path):
+    """cli sketchmaintain compacts with ``--keep`` rows per group, which
+    may exceed the serving sketch's capacity (the safe direction): top-C
+    re-takes are monotone, so a compact that RETAINS more candidates
+    changes nothing once the serving fold re-truncates — pinned here by
+    compacting through a larger-C sketch object (what the CLI builds) and
+    re-reading through the original."""
+    from pyspark.sql import functions as F
+
+    from treemachine_spark.functions.sketches import cms_topk_from_state
+    from treemachine_spark.streaming.stats import StreamingTopKSketch
+
+    docs = _mk_docs(spark).cache()
+    sk = StreamingTopKSketch(
+        str(tmp_path / "cap"), "key", depth=4, width=256, n_candidates=16
+    )
+    for b in range(3):
+        sk.process_batch(docs.where(F.col("id") % 3 == b), b)
+    before = [
+        (r["key"], r["est_count"])
+        for r in cms_topk_from_state(sk.current(spark), 10, 4, 256).collect()
+    ]
+    # the CLI's maintenance object: same table, LARGER candidate capacity
+    maint = StreamingTopKSketch(
+        str(tmp_path / "cap"), "key", depth=4, width=256, n_candidates=4096
+    )
+    assert maint.compact(spark, assume_idle=True) is not None
+    after = [
+        (r["key"], r["est_count"])
+        for r in cms_topk_from_state(sk.current(spark), 10, 4, 256).collect()
+    ]
+    assert after == before
+
+
 def test_topk_route(spark, tmp_path):
     """POST /v3/stats/topk over a running StreamingTopKSketch — the
     heavy-hitters serving consumer, sharing _handle_sketch's state-token

@@ -230,14 +230,36 @@ def main(argv=None) -> int:
 
     s = sub.add_parser(
         "sketchmaintain",
-        help="maintenance for a streaming quantile-sketch table "
+        help="maintenance for a streaming sketch table "
         "(streaming/stats.py): fold partials into a versioned compact "
         "snapshot (safe while the stream runs) and optionally vacuum "
         "folded partitions (maintenance window only)",
     )
     s.add_argument("path", help="partial-sketch table root")
     s.add_argument("col")
-    s.add_argument("groups", help="comma-separated group columns")
+    s.add_argument(
+        "groups",
+        help="comma-separated group columns (ignored for --family topk — "
+        "pass '-')",
+    )
+    s.add_argument(
+        "--family",
+        choices=["quantile", "hll", "topk"],
+        default="quantile",
+        help="which sketch family wrote the table (each folds with its "
+        "own merge law; compacting with the wrong family fails on the "
+        "column mismatch rather than corrupting)",
+    )
+    s.add_argument(
+        "--keep",
+        type=int,
+        default=4096,
+        help="rows kept per group by the compacting fold (quantile "
+        "bottom-k / topk candidate capacity). Must be >= the SERVING "
+        "sketch's k/C: larger only over-retains (the read-time fold "
+        "re-truncates — bottom-k and top-C re-takes are monotone), "
+        "smaller would drop state the serving fold still needs",
+    )
     s.add_argument(
         "--assume-idle",
         action="store_true",
@@ -502,9 +524,20 @@ def main(argv=None) -> int:
         return 0
 
     if args.cmd == "sketchmaintain":
-        from treemachine_spark.streaming.stats import StreamingQuantileSketch
+        from treemachine_spark.streaming.stats import (
+            StreamingHLLSketch,
+            StreamingQuantileSketch,
+            StreamingTopKSketch,
+        )
 
-        sk = StreamingQuantileSketch(args.path, args.col, args.groups.split(","))
+        if args.family == "hll":
+            sk = StreamingHLLSketch(args.path, args.col, args.groups.split(","))
+        elif args.family == "topk":
+            sk = StreamingTopKSketch(args.path, args.col, n_candidates=args.keep)
+        else:
+            sk = StreamingQuantileSketch(
+                args.path, args.col, args.groups.split(","), k=args.keep
+            )
         v = sk.compact(spark, assume_idle=args.assume_idle)
         print(f"compact: {'version ' + str(v) if v else 'nothing new to fold'}")
         if args.vacuum:
