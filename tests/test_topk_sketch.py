@@ -99,16 +99,20 @@ def test_topk_fold_replay_compact(spark, tmp_path):
 
 
 def test_topk_compact_with_larger_capacity_is_conservative(spark, tmp_path):
-    """cli sketchmaintain compacts with ``--keep`` rows per group, which
-    may exceed the serving sketch's capacity (the safe direction): top-C
-    re-takes are monotone, so a compact that RETAINS more candidates
-    changes nothing once the serving fold re-truncates — pinned here by
-    compacting through a larger-C sketch object (what the CLI builds) and
-    re-reading through the original."""
+    """For a LEGACY table (pre-r10, no persisted _sketch_config.json),
+    cli sketchmaintain compacts with ``--keep`` rows per group, which may
+    exceed the writer's capacity — the safe direction: top-C re-takes are
+    monotone, so a compact that RETAINS more candidates changes nothing
+    once the serving fold re-truncates. Pinned by compacting through a
+    larger-C sketch object (what the CLI builds for a config-less table)
+    and re-reading through the original. Tables WITH a config refuse the
+    mismatched construction outright (test_sketch_config.py)."""
+    import os
+
     from pyspark.sql import functions as F
 
     from treemachine_spark.functions.sketches import cms_topk_from_state
-    from treemachine_spark.streaming.stats import StreamingTopKSketch
+    from treemachine_spark.streaming.stats import CONFIG_NAME, StreamingTopKSketch
 
     docs = _mk_docs(spark).cache()
     sk = StreamingTopKSketch(
@@ -120,6 +124,8 @@ def test_topk_compact_with_larger_capacity_is_conservative(spark, tmp_path):
         (r["key"], r["est_count"])
         for r in cms_topk_from_state(sk.current(spark), 10, 4, 256).collect()
     ]
+    # simulate a pre-r10 table: no persisted config to validate against
+    os.remove(str(tmp_path / "cap" / CONFIG_NAME))
     # the CLI's maintenance object: same table, LARGER candidate capacity
     maint = StreamingTopKSketch(
         str(tmp_path / "cap"), "key", depth=4, width=256, n_candidates=4096

@@ -246,19 +246,20 @@ def main(argv=None) -> int:
         "--family",
         choices=["quantile", "hll", "topk"],
         default="quantile",
-        help="which sketch family wrote the table (each folds with its "
-        "own merge law; compacting with the wrong family fails on the "
-        "column mismatch rather than corrupting)",
+        help="which sketch family wrote the table — LEGACY tables only "
+        "(no _sketch_config.json); a table with a persisted config "
+        "compacts with its own family/params and this flag is ignored",
     )
     s.add_argument(
         "--keep",
         type=int,
         default=4096,
         help="rows kept per group by the compacting fold (quantile "
-        "bottom-k / topk candidate capacity). Must be >= the SERVING "
-        "sketch's k/C: larger only over-retains (the read-time fold "
-        "re-truncates — bottom-k and top-C re-takes are monotone), "
-        "smaller would drop state the serving fold still needs",
+        "bottom-k / topk candidate capacity) — LEGACY tables only. Must "
+        "be >= the SERVING sketch's k/C: larger only over-retains (the "
+        "read-time fold re-truncates — bottom-k and top-C re-takes are "
+        "monotone), smaller would drop state the serving fold still "
+        "needs. Tables with a persisted config use their own k/C",
     )
     s.add_argument(
         "--assume-idle",
@@ -528,9 +529,13 @@ def main(argv=None) -> int:
             StreamingHLLSketch,
             StreamingQuantileSketch,
             StreamingTopKSketch,
+            open_sketch,
         )
 
-        if args.family == "hll":
+        sk = open_sketch(args.path)
+        if sk is not None:
+            pass  # the table's persisted config wins over --family/--keep
+        elif args.family == "hll":
             sk = StreamingHLLSketch(args.path, args.col, args.groups.split(","))
         elif args.family == "topk":
             sk = StreamingTopKSketch(args.path, args.col, n_candidates=args.keep)
@@ -619,12 +624,26 @@ def main(argv=None) -> int:
         from treemachine_spark.api.server import serve
 
         def _parse_sketch(spec, flag, cls):
+            from treemachine_spark.streaming.stats import open_sketch
+
             try:
                 path, col, groups = spec.split(":", 2)
             except ValueError:
                 raise SystemExit(
                     f"{flag} expects PATH:COL:GROUP[,GROUP...]"
                 ) from None
+            # the table's own persisted config wins (family + k/p come
+            # FROM the artifact — serving a k=64 table as k=1024 is
+            # silently wrong, not conservative); args must agree
+            sk = open_sketch(path)
+            if sk is not None:
+                if type(sk) is not cls or sk.col != col or sk.groups != groups.split(","):
+                    raise SystemExit(
+                        f"{flag}: {path} was written as "
+                        f"{type(sk).__name__}(col={sk.col!r}, groups={sk.groups})"
+                        " — the given args disagree"
+                    )
+                return sk
             return cls(path, col, groups.split(","))
 
         sketch = None
@@ -645,13 +664,25 @@ def main(argv=None) -> int:
             )
         tsketch = None
         if args.topk_sketch:
-            from treemachine_spark.streaming.stats import StreamingTopKSketch
+            from treemachine_spark.streaming.stats import (
+                StreamingTopKSketch,
+                open_sketch,
+            )
 
             try:
                 tpath, tcol = args.topk_sketch.split(":", 1)
             except ValueError:
                 raise SystemExit("--topk-sketch expects PATH:COL") from None
-            tsketch = StreamingTopKSketch(tpath, tcol)
+            tsketch = open_sketch(tpath)
+            if tsketch is not None:
+                if type(tsketch) is not StreamingTopKSketch or tsketch.col != tcol:
+                    raise SystemExit(
+                        f"--topk-sketch: {tpath} was written as "
+                        f"{type(tsketch).__name__}(col={tsketch.col!r})"
+                        " — the given args disagree"
+                    )
+            else:
+                tsketch = StreamingTopKSketch(tpath, tcol)
         dpi = None
         if args.dedup_index:
             from treemachine_spark.api.dedup import DedupIndex

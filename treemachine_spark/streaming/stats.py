@@ -51,6 +51,7 @@ rows per group per batch, and compaction/serving never block ingest.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 
@@ -61,6 +62,7 @@ from treemachine_spark.functions.sketches import quantile_sketch_grouped
 from treemachine_spark.operators.versioned import VersionedTable
 
 COMPACT_BATCH = -1  # legacy pre-r6 compacted-history partition id
+CONFIG_NAME = "_sketch_config.json"  # underscore: hidden from Spark reads
 
 
 class StreamingQuantileSketch:
@@ -71,12 +73,57 @@ class StreamingQuantileSketch:
         self.col = col
         self.groups = list(groups)
         self.k = k
+        self._check_config()
 
     def _batch_sketch(self, batch: DataFrame) -> DataFrame:
         """One micro-batch's partial sketch — the ONLY method a different
         mergeable-sketch family overrides alongside ``_fold``/``_cols``
         (see :class:`StreamingHLLSketch`)."""
         return quantile_sketch_grouped(batch, self.col, self.groups, self.k)
+
+    # -- config binding (r10 — the dedup meta.json lesson applied here) --
+    def _config(self) -> dict:
+        return {
+            "family": "quantile",
+            "col": self.col,
+            "groups": list(self.groups),
+            "k": self.k,
+        }
+
+    def _check_config(self) -> None:
+        """A sketch table is BOUND to the config that wrote it: reading or
+        maintaining with different params is silently wrong, not merely
+        approximate — a larger read-side k keeps rows the writer's
+        bottom-k inclusion threshold never sampled uniformly, a different
+        CMS width hashes candidates to the wrong cells, a different p
+        misindexes registers. The first process_batch persists the config
+        (write-once _sketch_config.json); every later construction over
+        the same table validates against it and raises on mismatch. A
+        table with no config (pre-r10) validates nothing — callers keep
+        the explicit-args responsibility (see cli sketchmaintain --family
+        / --keep and open_sketch's None return)."""
+        cp = os.path.join(self.path, CONFIG_NAME)
+        if not os.path.exists(cp):
+            return
+        with open(cp) as fh:
+            stored = json.load(fh)
+        mine = self._config()
+        if stored != mine:
+            raise ValueError(
+                f"{self.path}: sketch config mismatch — table written with "
+                f"{stored}, constructed with {mine}; open it via "
+                "streaming.stats.open_sketch or match the writer's params"
+            )
+
+    def _write_config(self) -> None:
+        cp = os.path.join(self.path, CONFIG_NAME)
+        if os.path.exists(cp):
+            return
+        os.makedirs(self.path, exist_ok=True)
+        tmp = cp + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(self._config(), fh, sort_keys=True)
+        os.replace(tmp, cp)  # atomic; concurrent writers carry identical content
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
         if not batch.columns:
@@ -89,6 +136,7 @@ class StreamingQuantileSketch:
             .partitionBy("ingest_batch")
             .parquet(self.path)
         )
+        self._write_config()
 
     # ------------------------------------------------------------------
     def _fold(self, parts: DataFrame) -> DataFrame:
@@ -239,8 +287,16 @@ class StreamingHLLSketch(StreamingQuantileSketch):
     groups x 2^p integers of state per batch."""
 
     def __init__(self, path: str, col: str, groups: list[str], p: int = 12):
+        self.p = p  # before super(): __init__ validates the stored config
         super().__init__(path, col, groups, k=0)  # k unused by this family
-        self.p = p
+
+    def _config(self) -> dict:
+        return {
+            "family": "hll",
+            "col": self.col,
+            "groups": list(self.groups),
+            "p": self.p,
+        }
 
     @property
     def _cols(self) -> list[str]:
@@ -299,10 +355,20 @@ class StreamingTopKSketch(StreamingQuantileSketch):
         width: int = 2048,
         n_candidates: int = 128,
     ):
-        super().__init__(path, col, groups=[], k=0)  # k unused here
+        # set params before super(): __init__ validates the stored config
         self.depth = depth
         self.width = width
         self.n_candidates = n_candidates
+        super().__init__(path, col, groups=[], k=0)  # k unused here
+
+    def _config(self) -> dict:
+        return {
+            "family": "topk",
+            "col": self.col,
+            "depth": self.depth,
+            "width": self.width,
+            "n_candidates": self.n_candidates,
+        }
 
     @property
     def _cols(self) -> list[str]:
@@ -350,6 +416,35 @@ class StreamingTopKSketch(StreamingQuantileSketch):
             )
         )
         return cells.unionByName(cand)
+
+
+def open_sketch(path: str):
+    """Rebuild the right sketch family from the table's own persisted
+    config (_sketch_config.json, written at first process_batch) — the
+    safe way to serve or maintain a table someone else wrote: family and
+    params come FROM the artifact, so a caller cannot silently read a
+    k=64 table as k=1024 or probe a width-512 CMS mod 2048. Returns None
+    for a pre-r10 table with no config (callers fall back to explicit
+    args, e.g. cli sketchmaintain --family/--keep)."""
+    cp = os.path.join(path, CONFIG_NAME)
+    if not os.path.exists(cp):
+        return None
+    with open(cp) as fh:
+        cfg = json.load(fh)
+    fam = cfg.get("family")
+    if fam == "hll":
+        return StreamingHLLSketch(path, cfg["col"], cfg["groups"], p=cfg["p"])
+    if fam == "topk":
+        return StreamingTopKSketch(
+            path,
+            cfg["col"],
+            depth=cfg["depth"],
+            width=cfg["width"],
+            n_candidates=cfg["n_candidates"],
+        )
+    return StreamingQuantileSketch(
+        path, cfg["col"], cfg["groups"], k=cfg["k"]
+    )
 
 
 def _run_available_now(
