@@ -46,7 +46,7 @@ from treemachine_spark.workload.queries import QUERIES  # noqa: E402
 #    unification touch their code families. Steady-state freshness: no
 #    gate >3 rounds stale, alternating halves.
 # 2. _DRIVER_EXCLUDED: the 50 gates green in CORRECTNESS_r09.json plus the
-#    six deferred r8 gates sit in the pytest tier this round — ALL gates
+#    eight deferred r8 gates sit in the pytest tier this round — ALL gates
 #    remain verified by the DuckDB oracle pytest suite at sf0.001 AND the
 #    driver's sf0.01 (tests/test_workload_oracle.py iterates the full
 #    QUERIES/ORACLES dicts plus

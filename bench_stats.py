@@ -2,14 +2,15 @@
 HTTP facade (api/router.scatter_stats over api/server's /v3/stats/state).
 
 Two workers each maintain running sketches (per-lang token-count quantiles
-+ per-event-type distinct users) over a DISJOINT half of the corpus; a
-third serves the union stream as the correctness twin. The router fans ONE
-state request per shard and merges raw sketch state with the exact merge
-laws (bottom-k / register-max) in pure Python. What this measures:
++ per-event-type distinct users + hot-key Count-Min heavy hitters) over a
+DISJOINT half of the corpus; a third serves the union stream as the
+correctness twin. The router fans ONE state request per shard and merges
+raw sketch state with the exact merge laws (bottom-k / register-max /
+cell-sum) in pure Python. What this measures:
 
-- equality: scattered quantiles == the union worker's, bit-for-bit, and
-  distinct estimates to the last ulp — the merge-law exactness pin at
-  bench scale (the socket tests pin it at sf0.001);
+- equality: scattered quantiles AND heavy hitters == the union worker's,
+  bit-for-bit, and distinct estimates to the last ulp — the merge-law
+  exactness pin at bench scale (the socket tests pin it at sf0.001);
 - cold: the first scattered request — every shard runs its one Spark fold
   job (state is cached under the sketch's state token afterwards);
 - warm: steady-state scattered requests with VARYING qs — the router

@@ -100,13 +100,15 @@ def test_topk_fold_replay_compact(spark, tmp_path):
 
 def test_topk_compact_with_larger_capacity_is_conservative(spark, tmp_path):
     """For a LEGACY table (pre-r10, no persisted _sketch_config.json),
-    cli sketchmaintain compacts with ``--keep`` rows per group, which may
-    exceed the writer's capacity — the safe direction: top-C re-takes are
-    monotone, so a compact that RETAINS more candidates changes nothing
-    once the serving fold re-truncates. Pinned by compacting through a
-    larger-C sketch object (what the CLI builds for a config-less table)
-    and re-reading through the original. Tables WITH a config refuse the
-    mismatched construction outright (test_sketch_config.py)."""
+    cli sketchmaintain may build its maintenance object with a different
+    (larger) candidate capacity than the writer's. That must not change
+    the served answer: topk compaction persists ALL candidate keys
+    regardless of capacity (StreamingTopKSketch._fold_compact — top-C
+    truncation at compact time is lossy, see
+    test_topk_compact_preserves_current_beyond_capacity), so the
+    maintenance object's C is irrelevant to what compact writes. Tables
+    WITH a config refuse a mismatched construction outright
+    (test_sketch_config.py)."""
     import os
 
     from pyspark.sql import functions as F
@@ -262,3 +264,117 @@ def test_topk_scatter_equals_union_worker(spark, tmp_path):
         for srv in servers:
             srv.shutdown()
             srv.server_close()
+
+
+def test_topk_compact_preserves_current_beyond_capacity(spark, tmp_path):
+    """Top-C-by-count is NOT truncation-stable, so compact() persists ALL
+    candidate keys and truncates only at read time. The repro that found
+    it: C=2; batch0 {A:10,B:9}, batch1 {C:10,D:9}; compact; batch2
+    {B:3,D:2}. A truncating compact drops B's 9 and D's 9 and can only
+    ever serve [A:10, C:10]; the untruncated compact serves the true
+    top-2 [B:12, D:11] — identical to a never-compacted twin."""
+    from treemachine_spark.functions.sketches import cms_topk_from_state
+    from treemachine_spark.streaming.stats import StreamingTopKSketch
+
+    def batch(pairs):
+        rows = [(k,) for k, n in pairs for _ in range(n)]
+        return spark.createDataFrame(rows, "key string")
+
+    def top2(sk):
+        return [
+            (r["key"], r["est_count"])
+            for r in cms_topk_from_state(sk.current(spark), 2, 4, 256).collect()
+        ]
+
+    sk = StreamingTopKSketch(
+        str(tmp_path / "cp"), "key", depth=4, width=256, n_candidates=2
+    )
+    twin = StreamingTopKSketch(
+        str(tmp_path / "cp_twin"), "key", depth=4, width=256, n_candidates=2
+    )
+    batches = [[("A", 10), ("B", 9)], [("C", 10), ("D", 9)], [("B", 3), ("D", 2)]]
+    for i, b in enumerate(batches[:2]):
+        sk.process_batch(batch(b), i)
+        twin.process_batch(batch(b), i)
+    assert sk.compact(spark, assume_idle=True) is not None
+    sk.process_batch(batch(batches[2]), 2)
+    twin.process_batch(batch(batches[2]), 2)
+    assert top2(sk) == top2(twin) == [("B", 12), ("D", 11)]
+
+
+def test_state_route_family_from_config_not_column_names(spark, tmp_path):
+    """A quantile sketch GROUPED BY a column named 'key' (or 'bucket')
+    must not masquerade as cms/hll on the state route: the family comes
+    from the sketch's own config, never from column-name sniffing (the
+    sniff made every /v3/stats/state on such a deployment a 500)."""
+    from pyspark.sql import functions as F
+
+    from treemachine_spark.api.server import make_server
+    from treemachine_spark.ingest import ingest_synthesis_data
+    from treemachine_spark.streaming.stats import StreamingQuantileSketch
+
+    store = ingest_synthesis_data(
+        spark,
+        str(FIX / "labelled_supertree.tre"),
+        str(FIX / "annotations.json"),
+        str(FIX / "taxonomy.tsv"),
+    )
+    docs = _mk_docs(spark)
+    sk = StreamingQuantileSketch(str(tmp_path / "gk"), "id", ["key"], k=16)
+    sk.process_batch(docs.select("key", F.col("id")), 0)
+    srv = make_server(store, host="127.0.0.1", port=0, stats_sketch=sk)
+    try:
+        status, state = srv.core.handle("/v3/stats/state", {})
+        assert status == 200
+        assert state["quantiles"]["kind"] == "quantile"
+        assert state["quantiles"]["k"] == 16
+        assert state["quantiles"]["groups"] == ["key"]
+    finally:
+        srv.server_close()
+
+
+def test_state_route_caches_per_family(spark, tmp_path):
+    """Each family's state caches under ITS OWN token: a micro-batch
+    landing on one sketch recomputes exactly that family's fold — the
+    other configured families replay from cache (previously one combined
+    key recomputed every family on any advance)."""
+    from pyspark.sql import functions as F
+
+    from treemachine_spark.api.server import make_server
+    from treemachine_spark.ingest import ingest_synthesis_data
+    from treemachine_spark.streaming.stats import (
+        StreamingQuantileSketch,
+        StreamingTopKSketch,
+    )
+
+    store = ingest_synthesis_data(
+        spark,
+        str(FIX / "labelled_supertree.tre"),
+        str(FIX / "annotations.json"),
+        str(FIX / "taxonomy.tsv"),
+    )
+    docs = _mk_docs(spark).cache()
+    qsk = StreamingQuantileSketch(str(tmp_path / "pq"), "id", ["key"], k=16)
+    qsk.process_batch(docs.where(F.col("id") % 2 == 0), 0)
+    tsk = StreamingTopKSketch(
+        str(tmp_path / "pt"), "key", depth=4, width=256, n_candidates=64
+    )
+    tsk.process_batch(docs.where(F.col("id") % 2 == 0), 0)
+    srv = make_server(
+        store, host="127.0.0.1", port=0, stats_sketch=qsk, topk_sketch=tsk
+    )
+    core = srv.core
+    try:
+        status, first = core.handle("/v3/stats/state", {})
+        assert status == 200 and first["distinct"] is None
+        m = core.cache.misses  # two family folds computed
+        status, again = core.handle("/v3/stats/state", {})
+        assert (status, again) == (200, first) and core.cache.misses == m
+        # advance ONLY the topk sketch: exactly one family recomputes
+        tsk.process_batch(docs.where(F.col("id") % 2 == 1), 1)
+        status, fresh = core.handle("/v3/stats/state", {})
+        assert status == 200 and core.cache.misses == m + 1
+        assert fresh["quantiles"] == first["quantiles"]
+        assert fresh["topk"] != first["topk"]
+    finally:
+        srv.server_close()

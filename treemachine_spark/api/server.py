@@ -412,20 +412,22 @@ class ServerCore:
         median is not the global median, and HLL estimates are not
         additive — but the sketch STATE merges EXACTLY: bottom-k by
         sum-counts-per-(group,h,v)-then-re-take-k
-        (functions/sketches.quantile_merge_grouped's law) and HLL by
-        register-wise max. So the router fans THIS route out and merges
-        state, reproducing the single-process estimates over the union of
-        the shards' streams bit-for-bit (integer quantiles; see the router
-        docstring for the one log-ulp caveat on HLL's linear-counting
-        branch). The payload is register-scale — k rows per group / at
-        most 2^p registers per group — bounded by sketch config, never by
+        (functions/sketches.quantile_merge_grouped's law), HLL by
+        register-wise max, CMS by cell-wise sum. So the router fans THIS
+        route out and merges state, reproducing the single-process
+        estimates over the union of the shards' streams bit-for-bit
+        (integer quantiles/topk; see the router docstring for the one
+        log-ulp caveat on HLL's linear-counting branch). The payload is
+        register-scale — k rows per group / at most 2^p registers per
+        group / depth*width + C rows — bounded by sketch config, never by
         the stream.
 
         A configured sketch with NO ingested partials returns ``rows: []``
         (the merge identity): an empty SHARD is valid scatter input even
         though an empty single-process read is a contract 400 on the
-        estimate routes. Cache freshness matches the estimate routes: the
-        key carries every configured sketch's state token."""
+        estimate routes. Each family caches under ITS OWN state token, so
+        a micro-batch landing on one sketch recomputes exactly that
+        family's fold — the other families replay from cache."""
         if (
             self.stats_sketch is None
             and self.distinct_sketch is None
@@ -435,35 +437,35 @@ class ServerCore:
         unknown = set(body)
         if unknown:
             return 400, {"message": f"unknown arguments: {sorted(unknown)}"}
+        out = {}
+        for name, sk in (
+            ("quantiles", self.stats_sketch),
+            ("distinct", self.distinct_sketch),
+            ("topk", self.topk_sketch),
+        ):
+            if sk is None:
+                out[name] = None
+                continue
 
-        def run() -> tuple[int, dict]:
-            try:
-                out = {}
-                for name, sk in (
-                    ("quantiles", self.stats_sketch),
-                    ("distinct", self.distinct_sketch),
-                    ("topk", self.topk_sketch),
-                ):
-                    out[name] = None if sk is None else self._sketch_state(sk)
-                return 200, out
-            except Exception as e:
-                return 500, {"message": f"{type(e).__name__}: {e}"}
+            def run(sk=sk) -> tuple[int, dict]:
+                try:
+                    return 200, self._sketch_state(sk)
+                except Exception as e:
+                    return 500, {"message": f"{type(e).__name__}: {e}"}
 
-        if self.cache is None:
-            return run()
-        gen = self._generation
-        key = (
-            STATE_ROUTE,
-            json.dumps(body, sort_keys=True),
-            None if self.stats_sketch is None else self.stats_sketch.state_token(),
-            None
-            if self.distinct_sketch is None
-            else self.distinct_sketch.state_token(),
-            None if self.topk_sketch is None else self.topk_sketch.state_token(),
-        )
-        return self.cache.get_or_compute(
-            key, run, still_valid=lambda: self._generation == gen
-        )
+            if self.cache is None:
+                status, blob = run()
+            else:
+                gen = self._generation
+                status, blob = self.cache.get_or_compute(
+                    (STATE_ROUTE, name, sk.state_token()),
+                    run,
+                    still_valid=lambda gen=gen: self._generation == gen,
+                )
+            if status != 200:
+                return status, blob
+            out[name] = blob
+        return 200, out
 
     def _sketch_state(self, sk) -> dict:
         """One sketch's folded state as a JSON-able blob: config (so the
@@ -471,8 +473,11 @@ class ServerCore:
         the state rows ``[group values..., state cols...]`` in the
         sketch's own column order."""
         cols = sk._cols
-        kind = (
-            "hll" if "bucket" in cols else "cms" if "key" in cols else "quantile"
+        # the family comes from the sketch's own config, never from
+        # column-name sniffing (a quantile sketch GROUPED by a column
+        # named 'key' or 'bucket' must not masquerade as cms/hll)
+        kind = {"hll": "hll", "topk": "cms"}.get(
+            sk._config()["family"], "quantile"
         )
         try:
             cur = sk.current(self.store.nodes.sparkSession)

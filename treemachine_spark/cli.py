@@ -99,26 +99,33 @@ def main(argv=None) -> int:
     s.add_argument(
         "--stats-sketch",
         default=None,
-        metavar="PATH:COL:GROUP[,GROUP...]",
+        metavar="PATH:COL:GROUP[,GROUP...][:K]",
         help="serve POST /v3/stats/quantiles from the streaming quantile "
         "sketch table at PATH (streaming/stats.py partial-sketch layout), "
-        "e.g. /data/tokstats:n:lang",
+        "e.g. /data/tokstats:n:lang. A table with a persisted "
+        "_sketch_config.json supplies its own k (the trailing :K must "
+        "then agree); :K exists for LEGACY config-less tables, where "
+        "serving with a k other than the writer's silently biases "
+        "quantiles",
     )
     s.add_argument(
         "--distinct-sketch",
         default=None,
-        metavar="PATH:COL:GROUP[,GROUP...]",
+        metavar="PATH:COL:GROUP[,GROUP...][:P]",
         help="serve POST /v3/stats/distinct from the streaming HLL "
         "register table at PATH (streaming/stats.StreamingHLLSketch "
-        "layout), e.g. /data/userstats:user_id:event_type",
+        "layout), e.g. /data/userstats:user_id:event_type. :P is the "
+        "LEGACY-table escape hatch like --stats-sketch's :K",
     )
     s.add_argument(
         "--topk-sketch",
         default=None,
-        metavar="PATH:COL",
+        metavar="PATH:COL[:DEPTH:WIDTH:C]",
         help="serve POST /v3/stats/topk from the streaming Count-Min "
         "heavy-hitters table at PATH (streaming/stats.StreamingTopKSketch "
-        "layout), e.g. /data/hotkeys:url",
+        "layout), e.g. /data/hotkeys:url. :DEPTH:WIDTH:C is the "
+        "LEGACY-table escape hatch (a config-bound table supplies its "
+        "own; a width other than the writer's probes the wrong cells)",
     )
     s.add_argument(
         "--dedup-index",
@@ -254,12 +261,14 @@ def main(argv=None) -> int:
         "--keep",
         type=int,
         default=4096,
-        help="rows kept per group by the compacting fold (quantile "
-        "bottom-k / topk candidate capacity) — LEGACY tables only. Must "
-        "be >= the SERVING sketch's k/C: larger only over-retains (the "
-        "read-time fold re-truncates — bottom-k and top-C re-takes are "
-        "monotone), smaller would drop state the serving fold still "
-        "needs. Tables with a persisted config use their own k/C",
+        help="rows kept per group by the compacting fold — LEGACY "
+        "quantile tables only. Must be >= the writer's k: larger only "
+        "over-retains (the read-time fold re-truncates; bottom-k "
+        "re-takes are truncation-stable), smaller would drop state the "
+        "serving fold still needs. hll compaction is parameter-free and "
+        "topk compaction retains ALL candidates (top-C-by-count is not "
+        "truncation-stable — see StreamingTopKSketch._fold_compact). "
+        "Tables with a persisted config use their own params",
     )
     s.add_argument(
         "--assume-idle",
@@ -534,7 +543,14 @@ def main(argv=None) -> int:
 
         sk = open_sketch(args.path)
         if sk is not None:
-            pass  # the table's persisted config wins over --family/--keep
+            # the table's persisted config wins over --family/--keep —
+            # but a disagreeing COL argument is a loud error, not a
+            # silent override (the serve-flag contract)
+            if args.col != sk.col:
+                raise SystemExit(
+                    f"sketchmaintain: {args.path} was written with "
+                    f"col={sk.col!r} — the given col disagrees"
+                )
         elif args.family == "hll":
             sk = StreamingHLLSketch(args.path, args.col, args.groups.split(","))
         elif args.family == "topk":
@@ -623,27 +639,43 @@ def main(argv=None) -> int:
     if args.cmd == "serve":
         from treemachine_spark.api.server import serve
 
-        def _parse_sketch(spec, flag, cls):
+        def _parse_sketch(spec, flag, cls, param):
             from treemachine_spark.streaming.stats import open_sketch
 
-            try:
-                path, col, groups = spec.split(":", 2)
-            except ValueError:
+            parts = spec.split(":")
+            if len(parts) == 4:
+                path, col, groups, extra = parts
+                try:
+                    extra = int(extra)
+                except ValueError:
+                    raise SystemExit(f"{flag}: trailing :{extra} must be an int") from None
+            elif len(parts) == 3:
+                path, col, groups = parts
+                extra = None
+            else:
                 raise SystemExit(
-                    f"{flag} expects PATH:COL:GROUP[,GROUP...]"
-                ) from None
+                    f"{flag} expects PATH:COL:GROUP[,GROUP...][:{param.upper()}]"
+                )
             # the table's own persisted config wins (family + k/p come
             # FROM the artifact — serving a k=64 table as k=1024 is
             # silently wrong, not conservative); args must agree
             sk = open_sketch(path)
             if sk is not None:
-                if type(sk) is not cls or sk.col != col or sk.groups != groups.split(","):
+                if (
+                    type(sk) is not cls
+                    or sk.col != col
+                    or sk.groups != groups.split(",")
+                    or (extra is not None and getattr(sk, param) != extra)
+                ):
                     raise SystemExit(
                         f"{flag}: {path} was written as "
-                        f"{type(sk).__name__}(col={sk.col!r}, groups={sk.groups})"
-                        " — the given args disagree"
+                        f"{type(sk).__name__}(col={sk.col!r}, groups={sk.groups}, "
+                        f"{param}={getattr(sk, param)}) — the given args disagree"
                     )
                 return sk
+            # LEGACY (config-less) table: the caller owns the params
+            if extra is not None:
+                return cls(path, col, groups.split(","), extra)
             return cls(path, col, groups.split(","))
 
         sketch = None
@@ -653,14 +685,14 @@ def main(argv=None) -> int:
             )
 
             sketch = _parse_sketch(
-                args.stats_sketch, "--stats-sketch", StreamingQuantileSketch
+                args.stats_sketch, "--stats-sketch", StreamingQuantileSketch, "k"
             )
         dsketch = None
         if args.distinct_sketch:
             from treemachine_spark.streaming.stats import StreamingHLLSketch
 
             dsketch = _parse_sketch(
-                args.distinct_sketch, "--distinct-sketch", StreamingHLLSketch
+                args.distinct_sketch, "--distinct-sketch", StreamingHLLSketch, "p"
             )
         tsketch = None
         if args.topk_sketch:
@@ -669,18 +701,37 @@ def main(argv=None) -> int:
                 open_sketch,
             )
 
-            try:
-                tpath, tcol = args.topk_sketch.split(":", 1)
-            except ValueError:
-                raise SystemExit("--topk-sketch expects PATH:COL") from None
+            tparts = args.topk_sketch.split(":")
+            if len(tparts) == 2:
+                tpath, tcol = tparts
+                tdims = None
+            elif len(tparts) == 5:
+                tpath, tcol = tparts[0], tparts[1]
+                try:
+                    tdims = tuple(int(x) for x in tparts[2:])
+                except ValueError:
+                    raise SystemExit(
+                        "--topk-sketch: DEPTH:WIDTH:C must be ints"
+                    ) from None
+            else:
+                raise SystemExit(
+                    "--topk-sketch expects PATH:COL[:DEPTH:WIDTH:C]"
+                )
             tsketch = open_sketch(tpath)
             if tsketch is not None:
-                if type(tsketch) is not StreamingTopKSketch or tsketch.col != tcol:
+                mine = (tsketch.depth, tsketch.width, tsketch.n_candidates)
+                if (
+                    type(tsketch) is not StreamingTopKSketch
+                    or tsketch.col != tcol
+                    or (tdims is not None and tdims != mine)
+                ):
                     raise SystemExit(
                         f"--topk-sketch: {tpath} was written as "
-                        f"{type(tsketch).__name__}(col={tsketch.col!r})"
-                        " — the given args disagree"
+                        f"{type(tsketch).__name__}(col={tsketch.col!r}, "
+                        f"depth/width/C={mine}) — the given args disagree"
                     )
+            elif tdims is not None:  # LEGACY table with explicit dims
+                tsketch = StreamingTopKSketch(tpath, tcol, *tdims)
             else:
                 tsketch = StreamingTopKSketch(tpath, tcol)
         dpi = None

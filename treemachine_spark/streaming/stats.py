@@ -118,6 +118,11 @@ class StreamingQuantileSketch:
     def _write_config(self) -> None:
         cp = os.path.join(self.path, CONFIG_NAME)
         if os.path.exists(cp):
+            # a config may have LANDED after this object was constructed
+            # (two writers racing onto an empty dir): re-validate instead
+            # of silently appending mismatched partials forever — the
+            # construct-before-config hole the boot check can't see
+            self._check_config()
             return
         os.makedirs(self.path, exist_ok=True)
         tmp = cp + ".tmp"
@@ -128,6 +133,10 @@ class StreamingQuantileSketch:
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
         if not batch.columns:
             return
+        # validate-or-persist the config BEFORE any data lands: a writer
+        # whose params disagree with the table must raise without
+        # depositing a mismatched partial
+        self._write_config()
         part = self._batch_sketch(batch)
         (
             part.withColumn("ingest_batch", F.lit(batch_id))
@@ -136,7 +145,6 @@ class StreamingQuantileSketch:
             .partitionBy("ingest_batch")
             .parquet(self.path)
         )
-        self._write_config()
 
     # ------------------------------------------------------------------
     def _fold(self, parts: DataFrame) -> DataFrame:
@@ -149,6 +157,17 @@ class StreamingQuantileSketch:
             .where(F.col("rn") <= self.k)
             .select(*self.groups, "h", "v", "cnt")
         )
+
+    def _fold_compact(self, parts: DataFrame) -> DataFrame:
+        """The fold compact() persists. For bottom-k and register-max the
+        READ fold is safe to persist: a dropped bottom-k hash can never
+        re-enter (new rows only lower the k-th-smallest threshold) and a
+        retained (h, v)'s future counts still land on the retained row;
+        register max is idempotent. A family whose read-time truncation
+        is NOT stable under later batches must override this and persist
+        untruncated state (see StreamingTopKSketch — top-C-by-count drops
+        counts that later batches could have promoted)."""
+        return self._fold(parts)
 
     @property
     def _cols(self) -> list[str]:
@@ -240,7 +259,7 @@ class StreamingQuantileSketch:
         )
         if vt is not None:
             src = src.unionByName(vt.read(spark).select(*self._cols))
-        folded = self._fold(src).localCheckpoint(eager=True)
+        folded = self._fold_compact(src).localCheckpoint(eager=True)
         vt = VersionedTable(os.path.join(self.path, "_compact"))
         return vt.write(
             folded, op="compact", meta={"compacted_through": max(todo)}
@@ -396,24 +415,41 @@ class StreamingTopKSketch(StreamingQuantileSketch):
         return cms.unionByName(cand)
 
     def _fold(self, parts: DataFrame) -> DataFrame:
+        return self._fold_parts(parts, truncate=True)
+
+    def _fold_compact(self, parts: DataFrame) -> DataFrame:
+        """Persist ALL candidate keys (summed), truncating only at read
+        time. Top-C-by-count is NOT truncation-stable: a count dropped at
+        compact time could have promoted its key once later batches
+        added more (C=2, batches {A:10,B:9} and {C:10,D:9}, compact —
+        dropping B's 9 and D's 9 — then {B:3,D:2}: the true top-2 is
+        [B:12, D:11], but a truncating compact can only ever serve
+        [A:10, C:10]). Retaining everything makes compact exactly
+        current()-preserving; the snapshot grows with distinct-EVER-
+        captured keys (<= C per folded batch) instead of C — still
+        candidate-scale, never stream-scale. (Bottom-k/HLL keep the
+        truncating fold: their re-takes are stable — see the base.)"""
+        return self._fold_parts(parts, truncate=False)
+
+    def _fold_parts(self, parts: DataFrame, truncate: bool) -> DataFrame:
         cells = (
             parts.where(F.col("key").isNull())
             .groupBy("d", "pos")
             .agg(F.sum("cnt").alias("cnt"))
             .select("d", "pos", "cnt", F.lit(None).cast("string").alias("key"))
         )
-        cand = (
-            parts.where(F.col("key").isNotNull())
-            .groupBy("key")
-            .agg(F.sum("cnt").alias("cnt"))
-            .orderBy(F.desc("cnt"), F.asc("key"))
-            .limit(self.n_candidates)
-            .select(
-                F.lit(-1).cast("int").alias("d"),
-                F.lit(-1).cast("int").alias("pos"),
-                "cnt",
-                "key",
+        cand = parts.where(F.col("key").isNotNull()).groupBy("key").agg(
+            F.sum("cnt").alias("cnt")
+        )
+        if truncate:
+            cand = cand.orderBy(F.desc("cnt"), F.asc("key")).limit(
+                self.n_candidates
             )
+        cand = cand.select(
+            F.lit(-1).cast("int").alias("d"),
+            F.lit(-1).cast("int").alias("pos"),
+            "cnt",
+            "key",
         )
         return cells.unionByName(cand)
 
