@@ -110,3 +110,27 @@ def test_legacy_table_without_config_still_opens(spark, tmp_path):
     # ...and explicit construction keeps the pre-r10 responsibility
     # (nothing to validate against — documented fallback, not a bug)
     StreamingQuantileSketch(path, "n", ["lang"], k=999)
+
+
+def test_write_config_race_raises_before_data_lands(spark, tmp_path):
+    """The construct-before-config hole: writer B constructed on an empty
+    dir (nothing to validate), writer A lands the first batch and
+    persists its config — B's NEXT process_batch must raise BEFORE any of
+    B's data lands (the mismatched partial would be silently folded into
+    every read forever). The config publish itself is put-if-absent via a
+    hard link of a writer-unique tmp (the VersionedTable manifest
+    pattern): one winner, complete-content visibility, no interleaved
+    bytes."""
+    from treemachine_spark.streaming.stats import StreamingQuantileSketch
+
+    path = str(tmp_path / "race")
+    b = StreamingQuantileSketch(path, "n", ["lang"])  # k=1024; empty dir
+    a = StreamingQuantileSketch(path, "n", ["lang"], k=64)
+    a.process_batch(_docs(spark), 0)  # wins the put-if-absent
+    with pytest.raises(ValueError, match="config mismatch"):
+        b.process_batch(_docs(spark), 1)
+    # B's mismatched partial never landed
+    assert not os.path.isdir(os.path.join(path, "ingest_batch=1"))
+    # A keeps appending fine, and no tmp litter remains
+    a.process_batch(_docs(spark), 1)
+    assert not [f for f in os.listdir(path) if ".tmp." in f]

@@ -252,10 +252,11 @@ def main(argv=None) -> int:
     s.add_argument(
         "--family",
         choices=["quantile", "hll", "topk"],
-        default="quantile",
+        default=None,
         help="which sketch family wrote the table — LEGACY tables only "
-        "(no _sketch_config.json); a table with a persisted config "
-        "compacts with its own family/params and this flag is ignored",
+        "(no _sketch_config.json; default quantile); a table with a "
+        "persisted config compacts with its own family/params, and an "
+        "explicitly-given flag that disagrees is an error",
     )
     s.add_argument(
         "--keep",
@@ -544,14 +545,26 @@ def main(argv=None) -> int:
         sk = open_sketch(args.path)
         if sk is not None:
             # the table's persisted config wins over --family/--keep —
-            # but a disagreeing COL argument is a loud error, not a
-            # silent override (the serve-flag contract)
+            # but EVERY explicitly-given argument that disagrees is a
+            # loud error, not a silent override (the serve-flag
+            # contract): a col/groups/family typo means the operator is
+            # maintaining a different table than they think
+            fam = sk._config()["family"]
+            mismatches = []
             if args.col != sk.col:
+                mismatches.append(f"col={sk.col!r}")
+            if sk.groups and args.groups != "-" and (
+                args.groups.split(",") != sk.groups
+            ):
+                mismatches.append(f"groups={sk.groups}")
+            if args.family is not None and args.family != fam:
+                mismatches.append(f"family={fam!r}")
+            if mismatches:
                 raise SystemExit(
                     f"sketchmaintain: {args.path} was written with "
-                    f"col={sk.col!r} — the given col disagrees"
+                    f"{', '.join(mismatches)} — the given args disagree"
                 )
-        elif args.family == "hll":
+        elif (args.family or "quantile") == "hll":
             sk = StreamingHLLSketch(args.path, args.col, args.groups.split(","))
         elif args.family == "topk":
             sk = StreamingTopKSketch(args.path, args.col, n_candidates=args.keep)
@@ -639,44 +652,69 @@ def main(argv=None) -> int:
     if args.cmd == "serve":
         from treemachine_spark.api.server import serve
 
-        def _parse_sketch(spec, flag, cls, param):
+        def _parse_sketch(spec, flag, cls, params, has_groups=True):
+            """One shape for all three sketch serve flags: PATH:COL
+            [:GROUPS][:param...]. The table's own persisted config wins
+            (family + params come FROM the artifact — serving a k=64
+            table as k=1024 is silently wrong, not conservative) and any
+            explicit args must agree; a LEGACY (config-less) table takes
+            the explicit trailing params, warning loudly when they are
+            omitted and class defaults get assumed."""
             from treemachine_spark.streaming.stats import open_sketch
 
+            base = 3 if has_groups else 2
+            shape = (
+                f"PATH:COL{':GROUP[,GROUP...]' if has_groups else ''}"
+                f"[:{':'.join(p.upper() for p in params)}]"
+            )
             parts = spec.split(":")
-            if len(parts) == 4:
-                path, col, groups, extra = parts
+            if len(parts) == base:
+                extras = None
+            elif len(parts) == base + len(params):
                 try:
-                    extra = int(extra)
+                    extras = tuple(int(x) for x in parts[base:])
                 except ValueError:
-                    raise SystemExit(f"{flag}: trailing :{extra} must be an int") from None
-            elif len(parts) == 3:
-                path, col, groups = parts
-                extra = None
+                    raise SystemExit(
+                        f"{flag}: trailing params must be ints ({shape})"
+                    ) from None
             else:
-                raise SystemExit(
-                    f"{flag} expects PATH:COL:GROUP[,GROUP...][:{param.upper()}]"
-                )
-            # the table's own persisted config wins (family + k/p come
-            # FROM the artifact — serving a k=64 table as k=1024 is
-            # silently wrong, not conservative); args must agree
+                raise SystemExit(f"{flag} expects {shape}")
+            path, col = parts[0], parts[1]
+            groups = parts[2].split(",") if has_groups else None
             sk = open_sketch(path)
             if sk is not None:
-                if (
-                    type(sk) is not cls
-                    or sk.col != col
-                    or sk.groups != groups.split(",")
-                    or (extra is not None and getattr(sk, param) != extra)
-                ):
+                mine = tuple(getattr(sk, p) for p in params)
+                ok = (
+                    type(sk) is cls
+                    and sk.col == col
+                    and (not has_groups or sk.groups == groups)
+                    and (extras is None or extras == mine)
+                )
+                if not ok:
                     raise SystemExit(
                         f"{flag}: {path} was written as "
-                        f"{type(sk).__name__}(col={sk.col!r}, groups={sk.groups}, "
-                        f"{param}={getattr(sk, param)}) — the given args disagree"
+                        f"{type(sk).__name__}(col={sk.col!r}, "
+                        f"groups={sk.groups}, "
+                        f"{'/'.join(params)}={mine}) — the given args disagree"
                     )
                 return sk
-            # LEGACY (config-less) table: the caller owns the params
-            if extra is not None:
-                return cls(path, col, groups.split(","), extra)
-            return cls(path, col, groups.split(","))
+            # LEGACY (config-less) table: the caller owns the params —
+            # and assuming class defaults is the silent-bias hazard the
+            # config binding exists to kill, so say so out loud
+            kwargs = dict(zip(params, extras)) if extras is not None else {}
+            sk = cls(path, col, groups, **kwargs) if has_groups else cls(
+                path, col, **kwargs
+            )
+            if extras is None:
+                assumed = {p: getattr(sk, p) for p in params}
+                print(
+                    f"WARNING: {flag}: {path} has no _sketch_config.json "
+                    f"(pre-r10 table); assuming {assumed} — if the writer "
+                    f"used different params, answers will be silently "
+                    f"wrong: pass {shape}",
+                    file=sys.stderr,
+                )
+            return sk
 
         sketch = None
         if args.stats_sketch:
@@ -685,55 +723,25 @@ def main(argv=None) -> int:
             )
 
             sketch = _parse_sketch(
-                args.stats_sketch, "--stats-sketch", StreamingQuantileSketch, "k"
+                args.stats_sketch, "--stats-sketch",
+                StreamingQuantileSketch, ("k",),
             )
         dsketch = None
         if args.distinct_sketch:
             from treemachine_spark.streaming.stats import StreamingHLLSketch
 
             dsketch = _parse_sketch(
-                args.distinct_sketch, "--distinct-sketch", StreamingHLLSketch, "p"
+                args.distinct_sketch, "--distinct-sketch",
+                StreamingHLLSketch, ("p",),
             )
         tsketch = None
         if args.topk_sketch:
-            from treemachine_spark.streaming.stats import (
-                StreamingTopKSketch,
-                open_sketch,
-            )
+            from treemachine_spark.streaming.stats import StreamingTopKSketch
 
-            tparts = args.topk_sketch.split(":")
-            if len(tparts) == 2:
-                tpath, tcol = tparts
-                tdims = None
-            elif len(tparts) == 5:
-                tpath, tcol = tparts[0], tparts[1]
-                try:
-                    tdims = tuple(int(x) for x in tparts[2:])
-                except ValueError:
-                    raise SystemExit(
-                        "--topk-sketch: DEPTH:WIDTH:C must be ints"
-                    ) from None
-            else:
-                raise SystemExit(
-                    "--topk-sketch expects PATH:COL[:DEPTH:WIDTH:C]"
-                )
-            tsketch = open_sketch(tpath)
-            if tsketch is not None:
-                mine = (tsketch.depth, tsketch.width, tsketch.n_candidates)
-                if (
-                    type(tsketch) is not StreamingTopKSketch
-                    or tsketch.col != tcol
-                    or (tdims is not None and tdims != mine)
-                ):
-                    raise SystemExit(
-                        f"--topk-sketch: {tpath} was written as "
-                        f"{type(tsketch).__name__}(col={tsketch.col!r}, "
-                        f"depth/width/C={mine}) — the given args disagree"
-                    )
-            elif tdims is not None:  # LEGACY table with explicit dims
-                tsketch = StreamingTopKSketch(tpath, tcol, *tdims)
-            else:
-                tsketch = StreamingTopKSketch(tpath, tcol)
+            tsketch = _parse_sketch(
+                args.topk_sketch, "--topk-sketch", StreamingTopKSketch,
+                ("depth", "width", "n_candidates"), has_groups=False,
+            )
         dpi = None
         if args.dedup_index:
             from treemachine_spark.api.dedup import DedupIndex

@@ -116,19 +116,29 @@ class StreamingQuantileSketch:
             )
 
     def _write_config(self) -> None:
+        """Put-if-absent config publish (the VersionedTable manifest
+        pattern): the full content is staged to a writer-unique tmp file
+        and hard-linked into place — the link is atomic AND fails if a
+        config already exists, so exactly one writer wins, no reader can
+        observe a partially-written config, and two writers never
+        interleave bytes into one file. The loser (and any writer
+        constructed before the winner's config landed) re-validates and
+        raises BEFORE its data write — a mismatched partial never lands
+        (process_batch calls this first)."""
         cp = os.path.join(self.path, CONFIG_NAME)
         if os.path.exists(cp):
-            # a config may have LANDED after this object was constructed
-            # (two writers racing onto an empty dir): re-validate instead
-            # of silently appending mismatched partials forever — the
-            # construct-before-config hole the boot check can't see
             self._check_config()
             return
         os.makedirs(self.path, exist_ok=True)
-        tmp = cp + ".tmp"
+        tmp = f"{cp}.tmp.{os.getpid()}"
         with open(tmp, "w") as fh:
             json.dump(self._config(), fh, sort_keys=True)
-        os.replace(tmp, cp)  # atomic; concurrent writers carry identical content
+        try:
+            os.link(tmp, cp)  # atomic put-if-absent with complete content
+        except FileExistsError:
+            self._check_config()  # another writer won: validate against it
+        finally:
+            os.remove(tmp)
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
         if not batch.columns:
