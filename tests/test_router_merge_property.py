@@ -145,10 +145,10 @@ def test_topk_merge_shard_invariance_and_estimator(cells, cands, cuts, k):
     merged_cells: dict = {}
     for d, pos, cnt, key in cells:
         merged_cells[(d, pos)] = merged_cells.get((d, pos), 0) + cnt
-    cand_cnt: dict = {}
-    for _, _, cnt, key in cands:
-        cand_cnt[key] = cand_cnt.get(key, 0) + cnt
-    top_c = sorted(cand_cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:4]
+    # EVERY captured key is estimated from the exact global cells and
+    # ranked by that estimate — never by the per-shard-partial candidate
+    # counts (which could re-take away a true heavy hitter)
+    keys = {key for _, _, _, key in cands}
     ests = sorted(
         (
             (
@@ -158,7 +158,7 @@ def test_topk_merge_shard_invariance_and_estimator(cells, cands, cuts, k):
                     for i in range(4)
                 ),
             )
-            for key, _ in top_c
+            for key in keys
         ),
         key=lambda e: (-e[1], e[0]),
     )[:k]

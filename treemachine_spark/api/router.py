@@ -594,32 +594,37 @@ def _merged_topk(states: list, k: int) -> tuple[int, dict]:
     """Merge per-shard CMS+candidate state and take the global heavy
     hitters — the twin of functions/sketches.cms_topk_from_state over
     the merged state. CMS cells merge by cell-wise SUM (integer —
-    EXACT), candidates by summed count with a deterministic re-take of
-    the top C (the streaming fold's own law), and every served estimate
-    is min-over-depth of the merged cells at the key's h32 positions —
-    so a key captured on both paths gets the IDENTICAL integer estimate
-    the union-stream worker serves (the one family whose scatter is
-    exact end-to-end with no float anywhere). Candidate capture remains
-    per-shard (a key must rank top-C in some shard's batch), the same
-    approximation the single-process family documents."""
+    EXACT), and every served estimate is min-over-depth of the merged
+    cells at the key's h32 positions — so any captured key gets the
+    IDENTICAL integer estimate the union-stream worker serves (the one
+    family whose scatter is exact end-to-end with no float anywhere).
+
+    EVERY key captured by ANY shard is estimated (the merged candidate
+    set is <= C per shard — request-scale), and ranking uses the exact
+    global estimate, never the summed candidate counts: a key captured
+    on only SOME shards has a partial candidate count (its other shards'
+    occurrences were never candidate rows) but its CELL estimate is
+    global and exact, so a count-ranked re-take to C could drop a true
+    heavy hitter that the estimates rank correctly. Candidate CAPTURE
+    remains per-shard (a key must rank top-C in some shard's batch fold)
+    — the same per-batch approximation the single-process family
+    documents, one level up."""
     err = _check_states(states, False)
     if err is not None:
         return err
     col = states[0]["col"]
     depth, width = states[0]["depth"], states[0]["width"]
-    n_cand = states[0]["n_candidates"]
     cells: dict = {}
-    cand: dict = {}
+    cand: set = set()
     for s in states:
         for row in s["rows"]:
             d, pos, cnt, key = row
             if key is None:
                 cells[(d, pos)] = cells.get((d, pos), 0) + cnt
             else:
-                cand[key] = cand.get(key, 0) + cnt
+                cand.add(key)
     if not cells:
         return 400, {"message": "no partial sketches written yet on any shard"}
-    top_c = sorted(cand.items(), key=lambda kv: (-kv[1], kv[0]))[:n_cand]
     ests = [
         (
             key,
@@ -628,7 +633,7 @@ def _merged_topk(states: list, k: int) -> tuple[int, dict]:
                 for i in range(depth)
             ),
         )
-        for key, _ in top_c
+        for key in cand
     ]
     ests.sort(key=lambda e: (-e[1], e[0]))
     return 200, {
