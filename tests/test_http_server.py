@@ -1386,6 +1386,17 @@ def test_sharded_stats_scatter_gather(spark, base_url, tmp_path):
         assert state["distinct"]["kind"] == "hll" and state["distinct"]["p"] == 4
         status, resp = post(urls[0], "/v3/stats/state", {"nope": 1})
         assert status == 400 and "unknown arguments" in resp["message"]
+        # r11 (r10 ADVICE): a families list restricts the reply to those
+        # families' folds — a quantiles-only scatter must not force the
+        # shard to also fold its other sketches
+        status, part = post(
+            urls[0], "/v3/stats/state", {"families": ["quantiles"]}
+        )
+        assert status == 200 and set(part) == {"quantiles"}
+        assert part["quantiles"] == state["quantiles"]
+        for bad in ([], ["nope"], "quantiles", ["quantiles", "nope"]):
+            status, resp = post(urls[0], "/v3/stats/state", {"families": bad})
+            assert status == 400 and "families" in resp["message"]
 
         # scattered quantiles == the union-stream worker's, bit-for-bit
         body = {"qs": [0.5, 0.9, 0.99]}

@@ -112,6 +112,32 @@ def test_legacy_table_without_config_still_opens(spark, tmp_path):
     StreamingQuantileSketch(path, "n", ["lang"], k=999)
 
 
+def test_open_sketch_unknown_family_names_the_problem(spark, tmp_path):
+    """r11 (r10 ADVICE): a hand-edited or newer-version config with an
+    unrecognized family must raise a ValueError naming the path and the
+    bad family — not fall through to the quantile branch and die on a
+    bare KeyError('k')."""
+    import json
+
+    from treemachine_spark.streaming.stats import (
+        CONFIG_NAME,
+        StreamingQuantileSketch,
+        open_sketch,
+    )
+
+    path = str(tmp_path / "weird")
+    sk = StreamingQuantileSketch(path, "n", ["lang"], k=16)
+    sk.process_batch(_docs(spark), 0)
+    cp = os.path.join(path, CONFIG_NAME)
+    with open(cp) as fh:
+        cfg = json.load(fh)
+    cfg["family"] = "tdigest"
+    with open(cp, "w") as fh:
+        json.dump(cfg, fh)
+    with pytest.raises(ValueError, match="unknown sketch family 'tdigest'"):
+        open_sketch(path)
+
+
 def test_write_config_race_raises_before_data_lands(spark, tmp_path):
     """The construct-before-config hole: writer B constructed on an empty
     dir (nothing to validate), writer A lands the first batch and

@@ -360,8 +360,20 @@ class ShardRouter:
                 502,
                 {"message": "malformed stats request unexpectedly accepted"},
             )
+        # request ONLY the families this estimate needs: a quantiles-only
+        # scatter must not force each shard to also fold its HLL/topk
+        # state whenever those families' tokens advanced (r10 ADVICE)
+        fams = (
+            ["topk"]
+            if want_t
+            else (["quantiles"] if want_q else []) + (["distinct"] if want_d else [])
+        )
         err, blobs = self._fan_out(
-            self.stats_shards, self._rr_stats, STATE_ROUTE, {}, timeout
+            self.stats_shards,
+            self._rr_stats,
+            STATE_ROUTE,
+            {"families": fams},
+            timeout,
         )
         if err is not None:
             return err

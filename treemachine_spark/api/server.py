@@ -427,22 +427,40 @@ class ServerCore:
         though an empty single-process read is a contract 400 on the
         estimate routes. Each family caches under ITS OWN state token, so
         a micro-batch landing on one sketch recomputes exactly that
-        family's fold — the other families replay from cache."""
+        family's fold — the other families replay from cache.
+
+        An optional ``families`` list (subset of quantiles/distinct/topk)
+        restricts the reply to those families' state: a quantiles-only
+        scatter must not force every shard to also fold its HLL and topk
+        whenever those state tokens advanced (r10 ADVICE). Omitted =
+        all three, the pre-r11 payload."""
         if (
             self.stats_sketch is None
             and self.distinct_sketch is None
             and self.topk_sketch is None
         ):
             return 404, {"message": "no stats sketch configured on this server"}
-        unknown = set(body)
+        unknown = set(body) - {"families"}
         if unknown:
             return 400, {"message": f"unknown arguments: {sorted(unknown)}"}
+        families = body.get("families", ["quantiles", "distinct", "topk"])
+        if (
+            not isinstance(families, list)
+            or not families
+            or not set(families) <= {"quantiles", "distinct", "topk"}
+        ):
+            return 400, {
+                "message": "families must be a non-empty list drawn from "
+                "['quantiles', 'distinct', 'topk']"
+            }
         out = {}
         for name, sk in (
             ("quantiles", self.stats_sketch),
             ("distinct", self.distinct_sketch),
             ("topk", self.topk_sketch),
         ):
+            if name not in families:
+                continue
             if sk is None:
                 out[name] = None
                 continue

@@ -478,6 +478,12 @@ def open_sketch(path: str):
     with open(cp) as fh:
         cfg = json.load(fh)
     fam = cfg.get("family")
+    if fam not in ("quantile", "hll", "topk"):
+        # name the real problem instead of falling through to the quantile
+        # branch and dying on a bare KeyError('k') (r10 ADVICE)
+        raise ValueError(
+            f"{path}: unknown sketch family {fam!r} in {CONFIG_NAME}"
+        )
     if fam == "hll":
         return StreamingHLLSketch(path, cfg["col"], cfg["groups"], p=cfg["p"])
     if fam == "topk":
