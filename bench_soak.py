@@ -1,0 +1,353 @@
+"""Production-scale served soak (VERDICT r10 #5): ONE process serving the
+full route surface CONCURRENTLY — the 2.42M-tip synthetic tree (the scale
+the reference's HTTP cap rejects outright, opentree/tree_of_life.java:64
+serves one synth tree per instance), the persisted dedup shingle artifact,
+the persisted IVF-PQ ANN artifact, and the streaming-stats sketch routes —
+under bench_http-style mixed load, INCLUDING a mid-soak republish: while
+clients are in flight, new documents and vectors are appended to the
+persisted artifacts (shingle_index_append / pq_append), fresh index
+snapshots are loaded, and ServerCore.swap_indexes + swap_store land on the
+live server. The soak must see 0 errors and the republish must be visible:
+a probe of an appended doc/vector finds nothing before the swap and its
+exact self (jaccard/cosine 1.0) after, while a pinned tree request answers
+byte-identically across the store swap (same content, fresh snapshot —
+and the generation bump means the post-swap answer cannot come from the
+pre-swap cache).
+
+Per-request latencies are bucketed by when the request STARTED relative to
+the republish window (pre / during / post), so the cost of republishing
+under load is visible rather than averaged away.
+
+Run: python bench_soak.py [n_tips] [sf_dir] [n_clients] [reqs_per_client]
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+import shutil
+import sys
+import tempfile
+import threading
+import time
+
+from bench_http import _pctl, _post_json, build_synth_store
+
+KINDS = (
+    "mrca",
+    "node_info",
+    "subtree",
+    "dedup_text",
+    "dedup_member",
+    "ann",
+    "stats_quantiles",
+    "stats_topk",
+)
+
+
+def main() -> None:  # noqa: PLR0915 (one linear bench script)
+    n_tips = int(sys.argv[1]) if len(sys.argv) > 1 else 2_420_000
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else (
+        "/tmp/sf10" if os.path.exists("/tmp/sf10/documents.parquet")
+        else os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    )
+    n_clients = int(sys.argv[3]) if len(sys.argv) > 3 else 24
+    n_reqs = int(sys.argv[4]) if len(sys.argv) > 4 else 18
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from treemachine_spark.api.ann import AnnIndex
+    from treemachine_spark.api.dedup import DedupIndex
+    from treemachine_spark.api.server import make_server
+    from treemachine_spark.functions import pq
+    from treemachine_spark.functions.dedup import (
+        shingle_index_append,
+        write_shingle_index,
+    )
+    from treemachine_spark.functions.text import token_count
+    from treemachine_spark.io.tables import load_tables
+    from treemachine_spark.session import get_spark
+    from treemachine_spark.streaming.stats import (
+        StreamingHLLSketch,
+        StreamingQuantileSketch,
+        StreamingTopKSketch,
+    )
+
+    spark = get_spark("bench-soak")
+    spark.sparkContext.setLogLevel("ERROR")
+    out: dict = {"n_tips": n_tips, "sf_dir": sf_dir,
+                 "clients": n_clients, "reqs_per_client": n_reqs}
+    root = tempfile.mkdtemp(prefix="bench_soak_")
+
+    # ---- the tree store (and the second snapshot the mid-soak swap_store
+    # republishes to — same content, fresh frames, built up front so the
+    # soak's latency buckets measure serving + swap, not a second ingest)
+    t0 = time.time()
+    store, tips, n_edges, build_sec = build_synth_store(spark, n_tips)
+    store2, _, _, build2_sec = build_synth_store(spark, n_tips)
+    out["store_build_sec"], out["store2_build_sec"] = build_sec, build2_sec
+    out["n_edges"] = n_edges
+
+    # ---- served corpora: stage docs/embeddings as soak-local parquet so
+    # the republish can APPEND rows to the same tables the snapshots load
+    tabs = load_tables(spark, sf_dir)
+    docs_path = os.path.join(root, "docs.parquet")
+    emb_path = os.path.join(root, "emb.parquet")
+    tabs["documents"].select("doc_id", "text").write.parquet(docs_path)
+    # testdata embeddings are array<float>; the served table is staged as
+    # array<double> (the operators' math type) so appended rows write the
+    # identical parquet schema
+    tabs["embeddings"].select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).write.parquet(emb_path)
+    docs = spark.read.parquet(docs_path)
+    max_doc_id = docs.agg(F.max("doc_id")).first()[0]
+    emb = spark.read.parquet(emb_path)
+    max_vec_id, dim = emb.select(
+        F.max("vec_id"), F.size(F.first("embedding"))
+    ).first()
+
+    # persisted artifacts (the 100 TB serving shape: bucket-pruned shingle
+    # reads, stored PQ codes/cells — boot is metadata + fingerprint checks)
+    t1 = time.time()
+    idx_dir = os.path.join(root, "shingle_idx")
+    write_shingle_index(docs, idx_dir)
+    out["dedup_artifact_write_sec"] = round(time.time() - t1, 1)
+    t1 = time.time()
+    pq_dir = os.path.join(root, "pq_idx")
+    pq.write_pq_index(emb, pq_dir, m=8, n_codes=16, iters=3,
+                      train_rows=10_000, n_centroids=64)
+    out["pq_artifact_write_sec"] = round(time.time() - t1, 1)
+
+    t1 = time.time()
+    dedup_idx = DedupIndex.from_path(spark, docs_path, index_dir=idx_dir)
+    ann_idx = AnnIndex.from_paths(spark, emb_path, pq_dir, n_centroids=64)
+    out["index_boot_sec"] = round(time.time() - t1, 1)
+
+    # ---- stats sketches (one running sketch per family over the corpus)
+    t1 = time.time()
+    qsk = StreamingQuantileSketch(os.path.join(root, "q"), "n", ["lang"], k=1024)
+    qsk.process_batch(
+        tabs["documents"].select("lang", token_count(F.col("text")).alias("n")), 0
+    )
+    dsk = StreamingHLLSketch(
+        os.path.join(root, "d"), "user_id", ["event_type"], p=12
+    )
+    dsk.process_batch(tabs["events"].select("event_type", "user_id"), 0)
+    tsk = StreamingTopKSketch(
+        os.path.join(root, "t"), "hotkey", depth=4, width=2048, n_candidates=256
+    )
+    tsk.process_batch(
+        tabs["events"].select(
+            F.concat_ws("|", "event_type",
+                        (F.col("user_id") % 40).cast("string")).alias("hotkey")
+        ),
+        0,
+    )
+    out["sketch_build_sec"] = round(time.time() - t1, 1)
+    out["setup_sec"] = round(time.time() - t0, 1)
+
+    srv = make_server(
+        store, host="127.0.0.1", port=0,
+        stats_sketch=qsk, distinct_sketch=dsk, topk_sketch=tsk,
+        ann_index=ann_idx, dedup_index=dedup_idx,
+    )
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+
+    # ---- request pools (unique bodies per request -> cache-miss engine
+    # load; texts/vectors sampled from the served corpus)
+    sample_docs = docs.limit(400).collect()
+    sample_vecs = emb.limit(64).collect()
+    rng = random.Random(11)
+    internals = [f"n{i}" for i in range(1, 200)]
+
+    def body_for(kind: str) -> tuple[str, dict]:
+        if kind == "mrca":
+            return "/v3/tree_of_life/mrca", {"node_ids": rng.sample(tips, 160)}
+        if kind == "node_info":
+            return "/v3/tree_of_life/node_info", {"node_id": rng.choice(tips)}
+        if kind == "subtree":
+            return "/v3/tree_of_life/subtree", {
+                "node_id": rng.choice(internals), "height_limit": 2}
+        if kind == "dedup_text":
+            r = rng.choice(sample_docs)
+            return "/v3/documents/duplicates", {"texts": [r["text"] or ""]}
+        if kind == "dedup_member":
+            r = rng.choice(sample_docs)
+            return "/v3/documents/duplicates", {"doc_ids": [r["doc_id"]]}
+        if kind == "ann":
+            r = rng.choice(sample_vecs)
+            return "/v3/similarity/topk", {
+                "vector": list(r["embedding"]), "k": 10}
+        if kind == "stats_quantiles":
+            return "/v3/stats/quantiles", {
+                "qs": [0.5, 0.9, rng.randrange(1, 100) / 100]}
+        return "/v3/stats/topk", {"k": rng.randrange(5, 25)}
+
+    # warm each route once and hard-fail on a non-200 (a broken route must
+    # not print as a latency table)
+    for kind in KINDS:
+        path, body = body_for(kind)
+        status, blob = _post_json(base, path, body)
+        if status != 200:
+            raise RuntimeError(f"route warmup {kind} -> HTTP {status}: {blob}")
+
+    # ---- republish freshness pins (before): the to-be-appended doc and
+    # vector must be ABSENT from the served snapshots
+    new_text = "soak appended qqzzx document veryunique tokens " + " ".join(
+        f"tok{i}qz" for i in range(30)
+    )
+    # scores are dot products, so give the appended vector a dominant norm:
+    # its self-score |v|^2 then beats any corpus dot product and exact
+    # top-1 self-retrieval is guaranteed once it is served
+    new_vec = [float(x) * 20.0 for x in np.random.RandomState(99).randn(dim)]
+    _, blob = _post_json(base, "/v3/documents/duplicates", {"texts": [new_text]})
+    pin_pre_dedup = all(
+        m["jaccard"] < 1.0 for m in blob["results"][0]
+    )  # no exact partner yet
+    _, blob = _post_json(base, "/v3/similarity/topk",
+                         {"vector": new_vec, "k": 10, "method": "brute"})
+    pin_pre_ann = all(
+        nb["neighbor_id"] != int(max_vec_id) + 1 for nb in blob["neighbors"]
+    )  # the to-be-appended id is not served yet
+    # pinned tree request: must answer byte-identically across swap_store
+    pin_mrca_body = {"node_ids": rng.sample(tips, 160)}
+    _, pin_mrca_pre = _post_json(base, "/v3/tree_of_life/mrca", pin_mrca_body)
+
+    # ---- the soak: n_clients threads of mixed traffic; a republish thread
+    # appends + reloads + swaps mid-flight
+    lock = threading.Lock()
+    records: list[tuple[str, float, float, int]] = []  # kind, t_start, dt, status
+    swap_window = {}
+
+    def client(cid: int) -> None:
+        crng = random.Random(1000 + cid)
+        for i in range(n_reqs):
+            kind = KINDS[(cid + i) % len(KINDS)]
+            with lock:  # body_for shares one rng; requests stay unique
+                path, body = body_for(kind)
+            if kind == "mrca":  # re-draw from the client's own rng too
+                body["node_ids"] = crng.sample(tips, 160)
+            t = time.time()
+            status, _ = _post_json(base, path, body)
+            dt = time.time() - t
+            with lock:
+                records.append((kind, t, dt, status))
+
+    total = n_clients * n_reqs
+
+    def republish() -> None:
+        # wait until ~1/3 of the soak's requests have landed, then run the
+        # full freshness flow while clients hammer the same SparkSession
+        while True:
+            with lock:
+                if len(records) >= total // 3:
+                    break
+            time.sleep(0.25)
+        t_start = time.time()
+        new_docs = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [max_doc_id + 1], "text": [new_text]})
+        ).select(
+            F.col("doc_id").cast("long"), F.col("text")
+        )
+        new_docs.write.mode("append").parquet(docs_path)
+        shingle_index_append(new_docs, idx_dir)
+        new_emb = spark.createDataFrame(
+            pd.DataFrame({"vec_id": [int(max_vec_id) + 1],
+                          "embedding": [new_vec]})
+        ).select(F.col("vec_id").cast("long"), F.col("embedding"))
+        new_emb.write.mode("append").parquet(emb_path)
+        pq.pq_append(new_emb, pq_dir)
+        t_loaded = time.time()
+        fresh_dedup = DedupIndex.from_path(spark, docs_path, index_dir=idx_dir)
+        fresh_ann = AnnIndex.from_paths(spark, emb_path, pq_dir, n_centroids=64)
+        srv.core.swap_indexes(ann_index=fresh_ann, dedup_index=fresh_dedup)
+        srv.core.swap_store(store2)
+        swap_window["start"] = t_start
+        swap_window["end"] = time.time()
+        swap_window["append_sec"] = round(t_loaded - t_start, 2)
+        swap_window["reload_swap_sec"] = round(time.time() - t_loaded, 2)
+
+    threads = [threading.Thread(target=client, args=(c,))
+               for c in range(n_clients)]
+    rep = threading.Thread(target=republish)
+    t_soak = time.time()
+    for t in threads:
+        t.start()
+    rep.start()
+    for t in threads:
+        t.join()
+    rep.join()
+    # a guaranteed post-republish round: under heavy contention the main
+    # load can drain while the republish is still in flight, which would
+    # leave the post bucket empty
+    post_threads = [
+        threading.Thread(target=client, args=(c + n_clients,))
+        for c in range(max(4, n_clients // 3))
+    ]
+    for t in post_threads:
+        t.start()
+    for t in post_threads:
+        t.join()
+    out["soak_wall_sec"] = round(time.time() - t_soak, 1)
+    out["republish"] = {
+        "append_sec": swap_window["append_sec"],
+        "reload_swap_sec": swap_window["reload_swap_sec"],
+        "total_sec": round(swap_window["end"] - swap_window["start"], 2),
+    }
+
+    # ---- bucket latencies by request start vs the republish window
+    buckets: dict[str, dict[str, list[float]]] = {
+        "pre": {}, "during": {}, "post": {}}
+    errors = 0
+    for kind, t, dt, status in records:
+        if status != 200:
+            errors += 1
+        phase = ("pre" if t < swap_window["start"]
+                 else "during" if t < swap_window["end"] else "post")
+        buckets[phase].setdefault(kind, []).append(dt)
+    out["errors"] = errors
+    out["n_requests"] = len(records)
+    for phase, kinds in buckets.items():
+        out[phase] = {
+            k: {"n": len(v), "p50": _pctl(v, 0.5), "p95": _pctl(v, 0.95),
+                "max": _pctl(v, 1.0)}
+            for k, v in sorted(kinds.items())
+        }
+
+    # ---- republish freshness pins (after): appended doc/vector now found
+    # at exact similarity; pinned tree request byte-identical across the
+    # store swap (and, generation-bumped, provably not a stale cache hit)
+    _, blob = _post_json(base, "/v3/documents/duplicates", {"texts": [new_text]})
+    pin_post_dedup = any(
+        m["doc_id"] == max_doc_id + 1 and m["jaccard"] == 1.0
+        for m in blob["results"][0]
+    )
+    _, blob = _post_json(base, "/v3/similarity/topk",
+                         {"vector": new_vec, "k": 1, "method": "brute"})
+    pin_post_ann = bool(blob["neighbors"]) and blob["neighbors"][0][
+        "neighbor_id"
+    ] == int(max_vec_id) + 1
+    _, pin_mrca_post = _post_json(base, "/v3/tree_of_life/mrca", pin_mrca_body)
+    out["pins"] = {
+        "dedup_absent_pre": pin_pre_dedup,
+        "dedup_found_post": pin_post_dedup,
+        "ann_absent_pre": pin_pre_ann,
+        "ann_found_post": pin_post_ann,
+        "mrca_stable_across_swap": pin_mrca_pre == pin_mrca_post,
+    }
+    out["soak_ok"] = errors == 0 and all(out["pins"].values())
+
+    srv.shutdown()
+    srv.server_close()
+    shutil.rmtree(root, ignore_errors=True)
+    print(json.dumps({"metric": "served_soak", **out}))
+
+
+if __name__ == "__main__":
+    main()
