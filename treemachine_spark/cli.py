@@ -11,6 +11,16 @@ import json
 import sys
 
 
+def _read_text(path: str) -> str:
+    with open(path) as fh:
+        return fh.read().strip()
+
+
+def _write_text(path: str, text: str) -> None:
+    with open(path, "w") as fh:
+        fh.write(text + "\n")
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="treemachine-spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -375,8 +385,7 @@ def main(argv=None) -> int:
     if args.cmd in ("reroot", "unroot", "prunetip"):
         from treemachine_spark.graph.surgery import SurgeryTree
 
-        with open(args.newick_file) as fh:
-            tree = SurgeryTree.from_newick(fh.read().strip())
+        tree = SurgeryTree.from_newick(_read_text(args.newick_file))
         node = tree.find(args.node_name)
         if args.cmd == "reroot":
             tree.reroot(node)
@@ -384,8 +393,7 @@ def main(argv=None) -> int:
             tree.unroot(node)
         else:
             tree.prune_external(node)
-        with open(args.outfile, "w") as fh:
-            fh.write(tree.to_newick() + "\n")
+        _write_text(args.outfile, tree.to_newick())
         return 0
 
     if args.cmd == "route":
@@ -446,35 +454,27 @@ def main(argv=None) -> int:
     if args.cmd == "consensus":
         from treemachine_spark.graph.consensus import majority_consensus
 
-        texts = []
-        for path in args.newick_files:
-            with open(path) as fh:
-                texts.append(fh.read().strip())
+        texts = [_read_text(path) for path in args.newick_files]
         out = majority_consensus(spark, texts, threshold=args.threshold)
-        with open(args.outfile, "w") as fh:
-            fh.write(out + "\n")
+        _write_text(args.outfile, out)
         print(out)
         return 0
 
     if args.cmd == "sql":
-        import json as _json
-
         from treemachine_spark.io.catalog import register_views
 
         register_views(spark, args.sf_dir, include_graph=not args.no_graph)
         for row in spark.sql(args.query).limit(args.limit).collect():
-            print(_json.dumps(row.asDict(), default=str))
+            print(json.dumps(row.asDict(), default=str))
         return 0
 
     if args.cmd == "stats":
-        import json as _json
-
         from treemachine_spark.io.tables import load_tables
         from treemachine_spark.operators.stats import table_stats
 
         df = load_tables(spark, args.sf_dir)[args.table]
         for row in table_stats(df).collect():
-            print(_json.dumps(row.asDict(), default=str))
+            print(json.dumps(row.asDict(), default=str))
         return 0
 
     if args.cmd == "dedupbuild":
@@ -580,16 +580,12 @@ def main(argv=None) -> int:
         return 0
 
     if args.cmd == "rfdist":
-        import json as _json
-
         from treemachine_spark.graph.compare import rf_distance_newick
 
-        with open(args.newick_file1) as fh:
-            n1 = fh.read().strip()
-        with open(args.newick_file2) as fh:
-            n2 = fh.read().strip()
+        n1 = _read_text(args.newick_file1)
+        n2 = _read_text(args.newick_file2)
         row = rf_distance_newick(spark, n1, n2).collect()[0]
-        print(_json.dumps(row.asDict()))
+        print(json.dumps(row.asDict()))
         return 0
 
     if args.cmd == "ingestsynth":
@@ -604,9 +600,7 @@ def main(argv=None) -> int:
     if args.cmd == "converttaxonomy":
         from treemachine_spark.exporters.exports import taxonomy_to_newick
 
-        out = taxonomy_to_newick(spark, args.taxonomy)
-        with open(args.outfile, "w") as fh:
-            fh.write(out + "\n")
+        _write_text(args.outfile, taxonomy_to_newick(spark, args.taxonomy))
         return 0
 
     if args.cmd == "nexson2newick":
@@ -775,8 +769,7 @@ def main(argv=None) -> int:
 
         api = TreeOfLifeV3(store)
         res = api.subtree(node_id=store.root_id, label_format="name")
-        with open(args.outfile, "w") as fh:
-            fh.write(res["newick"] + "\n")
+        _write_text(args.outfile, res["newick"])
     elif args.cmd == "nodeinfo":
         from treemachine_spark.api.v3 import TreeOfLifeV3
 
@@ -785,8 +778,7 @@ def main(argv=None) -> int:
     elif args.cmd == "exporttodot":
         from treemachine_spark.exporters.exports import export_dot
 
-        with open(args.outfile, "w") as fh:
-            fh.write(export_dot(store, args.start_node) + "\n")
+        _write_text(args.outfile, export_dot(store, args.start_node))
     elif args.cmd == "exporttocsv":
         from treemachine_spark.exporters.exports import dump_csv
 
@@ -794,8 +786,7 @@ def main(argv=None) -> int:
     elif args.cmd == "mrpdump":
         from treemachine_spark.exporters.exports import mrp_text
 
-        with open(args.outfile, "w") as fh:
-            fh.write(mrp_text(store) + "\n")
+        _write_text(args.outfile, mrp_text(store))
     return 0
 
 
