@@ -101,10 +101,16 @@ def main() -> int:
             em = f"{type(e).__name__}: {e}"
             if "TooManyPairs" in em:
                 gated.append(name)
-                print(name, "GATED-BY-DESIGN", em[:120], flush=True)
+                print(name, "GATED-BY-DESIGN", em[:160], flush=True)
             else:
                 fails += 1
                 print(name, "ERROR", em[:300], flush=True)
+        # force a JVM GC so ContextCleaner releases finished gates' shuffle
+        # files: local-mode shuffle .data files free only when their
+        # dependency objects are collected, and a barely-pressured 48g heap
+        # never GCs on its own — the r11 sf10 sweep accumulated 43+ GB of
+        # dead shuffle files and filled the disk mid d-family without this
+        spark._jvm.System.gc()
     print("FAILS:", fails, "gated:", gated, "elapsed", round(time.time() - t0, 1))
     return 1 if fails else 0
 

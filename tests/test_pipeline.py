@@ -8,7 +8,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from tests.conftest import SF_SMOKE
-from treemachine_spark.functions import multimodal, similarity
+from treemachine_spark.functions import dedup, multimodal, similarity
 from treemachine_spark.io.tables import load_tables
 from treemachine_spark.streaming import events as stream_events
 
@@ -384,6 +384,21 @@ def test_exactness_baseline_guards(spark):
     ok = similarity.brute_force_topk(emb, q, k=5, max_queries=5).collect()
     off = similarity.brute_force_topk(emb, q, k=5, max_queries=None).collect()
     assert sorted(map(tuple, ok)) == sorted(map(tuple, off)) and ok
+
+    # ngram_jaccard_pairs: the exact shingle self-join's candidate volume
+    # (sum of C(df, 2) over shingles — 13.9 BILLION at /tmp/sf10, where it
+    # died opaquely on disk instead of raising; r11) is gated BEFORE the
+    # join, naming the capped/probe/banded scale twins
+    docs = load_tables(spark, SF_SMOKE)["documents"]
+    with pytest.raises(
+        similarity.TooManyPairsError, match="minhash_near_dup_pairs"
+    ):
+        dedup.ngram_jaccard_pairs(docs, threshold=0.3, max_candidates=100)
+    j_ok = dedup.ngram_jaccard_pairs(docs, threshold=0.3).collect()
+    j_off = dedup.ngram_jaccard_pairs(
+        docs, threshold=0.3, max_candidates=None
+    ).collect()
+    assert sorted(map(tuple, j_ok)) == sorted(map(tuple, j_off)) and j_ok
 
     # node_distance: pair-list bound is a pure len() check (no Spark job)
     from treemachine_spark.graph import compare

@@ -443,6 +443,7 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.3,
     max_doc_freq: int | None = None,
+    max_candidates: int | None = 500_000_000,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dups via an inverted shingle index
     (explode + self-join on shingle, then per-pair intersection counts) —
@@ -458,6 +459,20 @@ def ngram_jaccard_pairs(
     the join, and doc sizes are recomputed over the surviving shingles — the
     result is the exact Jaccard over the capped shingle space (deterministic,
     oracle-checkable), the standard inverted-index prefix-filter practice.
+
+    ``max_candidates`` is this exact tier's designed size gate (the
+    exact-baseline policy: every quadratic baseline raises past its gate
+    naming its scale twins, instead of dying opaquely mid-shuffle): the
+    self-join's pre-aggregation volume is EXACTLY sum over shingles of
+    C(df, 2), computed with one linear aggregation over the inverted
+    index before the join is attempted. The derived /tmp/sf1 decade runs
+    138M candidates (green in the r10 full-surface sweep); /tmp/sf10's
+    100-replica blow-up is 13.9 BILLION — a plan no box or cluster
+    should execute when the capped space (``max_doc_freq``, the d7/d9
+    artifact), the request-scale probe (``ngram_jaccard_lookup``, d8),
+    or banded minhash (``minhash_near_dup_pairs``, d2 — whose pairs feed
+    ``connected_components`` for clustering at scale) computes the same
+    decision sublinearly. ``None`` skips the guard (and its one agg job).
     """
     # materialize the shingle arrays before exploding (Arrow-batched UDF —
     # see the fast-path note above), because the inverted index feeds THREE
@@ -478,6 +493,25 @@ def ngram_jaccard_pairs(
             .select("s")
         )
         sh = sh.join(rare, "s")
+    if max_candidates is not None:
+        from treemachine_spark.functions.similarity import TooManyPairsError
+
+        cand = (
+            sh.groupBy("s")
+            .agg(F.count("*").alias("df"))
+            .agg(F.sum(F.col("df") * (F.col("df") - 1) / 2))
+            .first()[0]
+        )
+        if cand is not None and cand > max_candidates:
+            arr.unpersist(blocking=False)  # don't pin the shingle frame
+            raise TooManyPairsError(
+                f"exact shingle self-join would produce {int(cand):,} "
+                f"candidate rows (> max_candidates={max_candidates:,}); "
+                f"use max_doc_freq= (the d7 capped space / d9 artifact), "
+                f"ngram_jaccard_lookup (the d8 request-scale probe), or "
+                f"minhash_near_dup_pairs + connected_components (the d2/d5 "
+                f"banded path) at this corpus scale"
+            )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     inter = (
         sh.alias("x")
