@@ -164,15 +164,16 @@ xmt AS (  -- each matched node's tip-descendant set (its mrca array)
     JOIN matched ON p.ancestor_id = matched.m
     JOIN lv ON p.node_id = lv.node_id
 ),
-xct AS (  -- candidate ancestors' tip sets
-    SELECT DISTINCT p.ancestor_id AS cand, p.node_id AS tip
-    FROM pself p
-    JOIN (SELECT DISTINCT cand FROM cand) c ON p.ancestor_id = c.cand
-    JOIN lv ON p.node_id = lv.node_id
-),
-blocked AS (  -- BitSet.intersects(candidate, matched j)
-    SELECT DISTINCT xct.cand, xmt.mj FROM xct
-    JOIN xmt ON xct.tip = xmt.tip
+blocked AS (  -- BitSet.intersects(candidate, matched j), request-scale:
+    -- cand's tip set intersects m_j's tip set IFF cand is an
+    -- ancestor-or-self of one of m_j's tips (xmt tips are leaves), so
+    -- walk UP from the matched nodes' request-scale tip sets instead of
+    -- materializing every candidate ancestor's full tip set — root's
+    -- alone is the corpus' whole leaf count, and the old xct CTE
+    -- spilled >70 GB at sf10. Extra non-candidate ancestors in this
+    -- relation are inert: ub's NOT EXISTS probes it by cand only.
+    SELECT DISTINCT p.ancestor_id AS cand, xmt.mj
+    FROM xmt JOIN pself p ON p.node_id = xmt.tip
 ),
 ub AS (
     SELECT c.m, c.cand, c.depth FROM cand c
