@@ -234,7 +234,15 @@ def main() -> None:  # noqa: PLR0915 (one linear bench script)
             if kind == "mrca":  # re-draw from the client's own rng too
                 body["node_ids"] = crng.sample(tips, 160)
             t = time.time()
-            status, _ = _post_json(base, path, body)
+            try:
+                status, _ = _post_json(base, path, body)
+            except Exception:
+                # a transport-level failure (connection reset, socket
+                # exhaustion) must count as an error and keep the record
+                # stream moving — a silently dead thread would leave
+                # soak_ok green on an incomplete soak and could starve
+                # the republish trigger's record-count wait forever
+                status = 599
             dt = time.time() - t
             with lock:
                 records.append((kind, t, dt, status))
@@ -313,6 +321,7 @@ def main() -> None:  # noqa: PLR0915 (one linear bench script)
         buckets[phase].setdefault(kind, []).append(dt)
     out["errors"] = errors
     out["n_requests"] = len(records)
+    out["n_requests_expected"] = total + max(4, n_clients // 3) * n_reqs
     for phase, kinds in buckets.items():
         out[phase] = {
             k: {"n": len(v), "p50": _pctl(v, 0.5), "p95": _pctl(v, 0.95),
@@ -341,7 +350,11 @@ def main() -> None:  # noqa: PLR0915 (one linear bench script)
         "ann_found_post": pin_post_ann,
         "mrca_stable_across_swap": pin_mrca_pre == pin_mrca_post,
     }
-    out["soak_ok"] = errors == 0 and all(out["pins"].values())
+    out["soak_ok"] = (
+        errors == 0
+        and out["n_requests"] == out["n_requests_expected"]
+        and all(out["pins"].values())
+    )
 
     srv.shutdown()
     srv.server_close()

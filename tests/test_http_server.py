@@ -1394,7 +1394,10 @@ def test_sharded_stats_scatter_gather(spark, base_url, tmp_path):
         )
         assert status == 200 and set(part) == {"quantiles"}
         assert part["quantiles"] == state["quantiles"]
-        for bad in ([], ["nope"], "quantiles", ["quantiles", "nope"]):
+        for bad in (
+            [], ["nope"], "quantiles", ["quantiles", "nope"],
+            [["quantiles"]], [{"a": 1}],  # unhashable: 400, never a dropped
+        ):  # connection (TypeError pre-set() — r11 review)
             status, resp = post(urls[0], "/v3/stats/state", {"families": bad})
             assert status == 400 and "families" in resp["message"]
 

@@ -444,9 +444,14 @@ class ServerCore:
         if unknown:
             return 400, {"message": f"unknown arguments: {sorted(unknown)}"}
         families = body.get("families", ["quantiles", "distinct", "topk"])
+        # the isinstance sweep must run BEFORE set(): an unhashable element
+        # (a nested list/dict is still valid JSON) would otherwise raise
+        # TypeError outside handle()'s route try/except and drop the
+        # connection with no HTTP response instead of the contract 400
         if (
             not isinstance(families, list)
             or not families
+            or not all(isinstance(f, str) for f in families)
             or not set(families) <= {"quantiles", "distinct", "topk"}
         ):
             return 400, {

@@ -482,26 +482,25 @@ def ngram_jaccard_pairs(
         "doc_id", shingle_array_udf(k)(F.col(text_col)).alias("sh")
     ).persist()
     sh = arr.select("doc_id", F.explode("sh").alias("s"))
+    dfs = (
+        sh.groupBy("s").agg(F.count("*").alias("df"))
+        if max_doc_freq is not None or max_candidates is not None
+        else None
+    )
     if max_doc_freq is not None:
         # document frequency per shingle (shingles are distinct per doc);
         # keep only rare shingles. One extra agg on the narrow (doc, shingle)
         # projection — removes the quadratic blowup of hot shingles.
-        rare = (
-            sh.groupBy("s")
-            .agg(F.count("*").alias("df"))
-            .where(F.col("df") <= max_doc_freq)
-            .select("s")
-        )
-        sh = sh.join(rare, "s")
+        dfs = dfs.where(F.col("df") <= max_doc_freq)
+        sh = sh.join(dfs.select("s"), "s")
     if max_candidates is not None:
         from treemachine_spark.functions.similarity import TooManyPairsError
 
-        cand = (
-            sh.groupBy("s")
-            .agg(F.count("*").alias("df"))
-            .agg(F.sum(F.col("df") * (F.col("df") - 1) / 2))
-            .first()[0]
-        )
+        # sum C(df,2) straight off the df aggregate (post-cap when one is
+        # set, so the guard measures the volume the join will actually
+        # see) — re-aggregating the joined index would recompute the df
+        # subtree a second time (the x15/x18 lesson)
+        cand = dfs.agg(F.sum(F.col("df") * (F.col("df") - 1) / 2)).first()[0]
         if cand is not None and cand > max_candidates:
             arr.unpersist(blocking=False)  # don't pin the shingle frame
             raise TooManyPairsError(
