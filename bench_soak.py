@@ -206,18 +206,24 @@ def main() -> None:  # noqa: PLR0915 (one linear bench script)
     # its self-score |v|^2 then beats any corpus dot product and exact
     # top-1 self-retrieval is guaranteed once it is served
     new_vec = [float(x) * 20.0 for x in np.random.RandomState(99).randn(dim)]
-    _, blob = _post_json(base, "/v3/documents/duplicates", {"texts": [new_text]})
-    pin_pre_dedup = all(
+    # every pin probe checks its OWN HTTP status before indexing the body:
+    # warmup covers the routes but not these exact bodies (the 'brute'
+    # method variant is never warmed), and a transient non-200 must fold
+    # into a failed pin, not an opaque KeyError (r11 ADVICE)
+    st, blob = _post_json(base, "/v3/documents/duplicates", {"texts": [new_text]})
+    pin_pre_dedup = st == 200 and all(
         m["jaccard"] < 1.0 for m in blob["results"][0]
     )  # no exact partner yet
-    _, blob = _post_json(base, "/v3/similarity/topk",
-                         {"vector": new_vec, "k": 10, "method": "brute"})
-    pin_pre_ann = all(
+    st, blob = _post_json(base, "/v3/similarity/topk",
+                          {"vector": new_vec, "k": 10, "method": "brute"})
+    pin_pre_ann = st == 200 and all(
         nb["neighbor_id"] != int(max_vec_id) + 1 for nb in blob["neighbors"]
     )  # the to-be-appended id is not served yet
     # pinned tree request: must answer byte-identically across swap_store
     pin_mrca_body = {"node_ids": rng.sample(tips, 160)}
-    _, pin_mrca_pre = _post_json(base, "/v3/tree_of_life/mrca", pin_mrca_body)
+    st_mrca_pre, pin_mrca_pre = _post_json(
+        base, "/v3/tree_of_life/mrca", pin_mrca_body
+    )
 
     # ---- the soak: n_clients threads of mixed traffic; a republish thread
     # appends + reloads + swaps mid-flight
@@ -250,6 +256,18 @@ def main() -> None:  # noqa: PLR0915 (one linear bench script)
     total = n_clients * n_reqs
 
     def republish() -> None:
+        # an exception here must surface as a failed soak, not die in the
+        # thread and crash the report later with KeyError('append_sec')
+        # on the empty swap_window (r11 ADVICE)
+        try:
+            _republish_body()
+        except Exception as e:
+            swap_window["error"] = f"{type(e).__name__}: {e}"
+            now = time.time()
+            swap_window.setdefault("start", now)
+            swap_window.setdefault("end", now)
+
+    def _republish_body() -> None:
         # wait until ~1/3 of the soak's requests have landed, then run the
         # full freshness flow while clients hammer the same SparkSession
         while True:
@@ -303,11 +321,14 @@ def main() -> None:  # noqa: PLR0915 (one linear bench script)
     for t in post_threads:
         t.join()
     out["soak_wall_sec"] = round(time.time() - t_soak, 1)
-    out["republish"] = {
-        "append_sec": swap_window["append_sec"],
-        "reload_swap_sec": swap_window["reload_swap_sec"],
-        "total_sec": round(swap_window["end"] - swap_window["start"], 2),
-    }
+    if "error" in swap_window:
+        out["republish"] = {"error": swap_window["error"]}
+    else:
+        out["republish"] = {
+            "append_sec": swap_window["append_sec"],
+            "reload_swap_sec": swap_window["reload_swap_sec"],
+            "total_sec": round(swap_window["end"] - swap_window["start"], 2),
+        }
 
     # ---- bucket latencies by request start vs the republish window
     buckets: dict[str, dict[str, list[float]]] = {
@@ -332,28 +353,34 @@ def main() -> None:  # noqa: PLR0915 (one linear bench script)
     # ---- republish freshness pins (after): appended doc/vector now found
     # at exact similarity; pinned tree request byte-identical across the
     # store swap (and, generation-bumped, provably not a stale cache hit)
-    _, blob = _post_json(base, "/v3/documents/duplicates", {"texts": [new_text]})
-    pin_post_dedup = any(
+    st, blob = _post_json(base, "/v3/documents/duplicates", {"texts": [new_text]})
+    pin_post_dedup = st == 200 and any(
         m["doc_id"] == max_doc_id + 1 and m["jaccard"] == 1.0
         for m in blob["results"][0]
     )
-    _, blob = _post_json(base, "/v3/similarity/topk",
-                         {"vector": new_vec, "k": 1, "method": "brute"})
-    pin_post_ann = bool(blob["neighbors"]) and blob["neighbors"][0][
-        "neighbor_id"
-    ] == int(max_vec_id) + 1
-    _, pin_mrca_post = _post_json(base, "/v3/tree_of_life/mrca", pin_mrca_body)
+    st, blob = _post_json(base, "/v3/similarity/topk",
+                          {"vector": new_vec, "k": 1, "method": "brute"})
+    pin_post_ann = st == 200 and bool(blob["neighbors"]) and blob[
+        "neighbors"
+    ][0]["neighbor_id"] == int(max_vec_id) + 1
+    st_mrca_post, pin_mrca_post = _post_json(
+        base, "/v3/tree_of_life/mrca", pin_mrca_body
+    )
     out["pins"] = {
         "dedup_absent_pre": pin_pre_dedup,
         "dedup_found_post": pin_post_dedup,
         "ann_absent_pre": pin_pre_ann,
         "ann_found_post": pin_post_ann,
-        "mrca_stable_across_swap": pin_mrca_pre == pin_mrca_post,
+        "mrca_stable_across_swap": (
+            st_mrca_pre == st_mrca_post == 200
+            and pin_mrca_pre == pin_mrca_post
+        ),
     }
     out["soak_ok"] = (
         errors == 0
         and out["n_requests"] == out["n_requests_expected"]
         and all(out["pins"].values())
+        and "error" not in swap_window
     )
 
     srv.shutdown()

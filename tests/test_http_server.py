@@ -1542,3 +1542,114 @@ def test_stats_scatter_empty_shard_and_config_skew(spark, base_url, tmp_path):
         for srv in (srv_full, srv_empty, srv_empty2, srv_k32, srv_both):
             srv.shutdown()
             srv.server_close()
+
+
+def test_stats_scatter_families_version_skew(spark, base_url, tmp_path):
+    """r12 (r11 ADVICE/VERDICT #3): a pre-r11 worker rejects the router's
+    families-keyed state scatter with the contract 400 'unknown arguments:
+    [families]' — version skew that must NOT reach the client as if ITS
+    request were malformed. The router detects that exact reply (both the
+    unanimous-400 pass-through and _fan_out's mixed-status 502 wrap) and
+    retries once with the pre-r11 all-three payload, filtering families
+    router-side. A genuine client contract error still passes through."""
+    import http.server
+    import socketserver
+
+    from pyspark.sql import functions as F
+
+    from treemachine_spark.api.router import ShardRouter, _is_families_skew
+    from treemachine_spark.api.server import make_server
+    from treemachine_spark.functions.text import token_count
+    from treemachine_spark.io.tables import load_tables
+    from treemachine_spark.streaming.stats import StreamingQuantileSketch
+
+    docs = load_tables(spark, "/root/testdata/sf0.001")["documents"]
+    tok = lambda df: df.select("lang", token_count(F.col("text")).alias("n"))  # noqa: E731
+
+    def worker(tag, pred):
+        qsk = StreamingQuantileSketch(str(tmp_path / tag), "n", ["lang"], k=64)
+        qsk.process_batch(tok(docs.where(pred)), 0)
+        srv = make_server(
+            _SRV["srv"].core.store, host="127.0.0.1", port=0, stats_sketch=qsk
+        )
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        return srv, f"http://127.0.0.1:{srv.server_address[1]}"
+
+    srv_a, url_a = worker("a", F.col("doc_id") % 2 == 0)
+    srv_b, url_b = worker("b", F.col("doc_id") % 2 == 1)
+    srv_u, url_u = worker("u", F.lit(True))
+
+    def pre_r11_proxy(backend_url):
+        """A stub speaking the PRE-r11 state-route contract in front of a
+        real worker: any body key (including families) is the old code's
+        'unknown arguments' 400; the empty body forwards and replays the
+        worker's all-three reply verbatim."""
+
+        class H(http.server.BaseHTTPRequestHandler):
+            def do_POST(self):  # noqa: N802 (stdlib handler name)
+                n = int(self.headers.get("Content-Length", 0))
+                body = json.loads(self.rfile.read(n) or b"{}")
+                if self.path == "/v3/stats/state" and body:
+                    status, resp = 400, {
+                        "message": f"unknown arguments: {sorted(body)}"
+                    }
+                else:
+                    status, resp = post(backend_url, self.path, body)
+                raw = json.dumps(resp).encode()
+                self.send_response(status)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(raw)))
+                self.end_headers()
+                self.wfile.write(raw)
+
+            def log_message(self, *a):  # keep pytest output clean
+                pass
+
+        srv = socketserver.ThreadingTCPServer(("127.0.0.1", 0), H)
+        srv.daemon_threads = True
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        return srv, f"http://127.0.0.1:{srv.server_address[1]}"
+
+    old_a, url_old_a = pre_r11_proxy(url_a)
+    old_b, url_old_b = pre_r11_proxy(url_b)
+    try:
+        body = {"qs": [0.5, 0.9, 0.99]}
+        _, expect = post(url_u, "/v3/stats/quantiles", body)
+
+        # every shard old: the workers' unanimous 400 -> one retry with
+        # the pre-r11 empty body -> the correct merged answer
+        r = ShardRouter({}, [], stats_shards=[[url_old_a], [url_old_b]])
+        status, merged = r.scatter_stats("/v3/stats/quantiles", body)
+        assert status == 200, merged
+        assert merged == {**expect, "shards": 2}
+
+        # mixed fleet (one old, one new): _fan_out wraps the lone 400 in
+        # its config-skew 502 -> same retry, same answer
+        r = ShardRouter({}, [], stats_shards=[[url_old_a], [url_b]])
+        status, merged = r.scatter_stats("/v3/stats/quantiles", body)
+        assert status == 200, merged
+        assert merged == {**expect, "shards": 2}
+
+        # a GENUINE client contract error still passes through as 400 —
+        # the retry triggers only on the families-specific message
+        status, resp = r.scatter_stats("/v3/stats/quantiles", {"nope": 1})
+        assert status == 400 and "unknown arguments" in resp["message"]
+        assert not _is_families_skew((status, resp))
+
+        # the detector's exact-match scope
+        assert _is_families_skew(
+            (400, {"message": "unknown arguments: ['families']"})
+        )
+        assert _is_families_skew(
+            (502, {"message": "shard failed: shard answered 400 while "
+                   "others answered 200 (per-shard config skew?): "
+                   "unknown arguments: ['families']"})
+        )
+        assert not _is_families_skew(
+            (400, {"message": "unknown arguments: ['nope']"})
+        )
+        assert not _is_families_skew((502, {"message": "shard failed: down"}))
+    finally:
+        for srv in (old_a, old_b, srv_a, srv_b, srv_u):
+            srv.shutdown()
+            srv.server_close()

@@ -362,12 +362,19 @@ class ShardRouter:
             )
         # request ONLY the families this estimate needs: a quantiles-only
         # scatter must not force each shard to also fold its HLL/topk
-        # state whenever those families' tokens advanced (r10 ADVICE)
-        fams = (
-            ["topk"]
-            if want_t
-            else (["quantiles"] if want_q else []) + (["distinct"] if want_d else [])
-        )
+        # state whenever those families' tokens advanced (r10 ADVICE).
+        # Built from all three flags independently — no route exclusivity
+        # baked in (r11 ADVICE: a future combined route must not silently
+        # fetch too little shard state and merge a missing-family answer).
+        fams = [
+            f
+            for f, w in (
+                ("quantiles", want_q),
+                ("distinct", want_d),
+                ("topk", want_t),
+            )
+            if w
+        ]
         err, blobs = self._fan_out(
             self.stats_shards,
             self._rr_stats,
@@ -375,6 +382,17 @@ class ShardRouter:
             {"families": fams},
             timeout,
         )
+        if err is not None and _is_families_skew(err):
+            # version skew, not a client error: a pre-r11 worker rejects
+            # the families key with the contract 400 'unknown arguments:
+            # [families]' (r11 ADVICE — passed through, it masquerades as
+            # the CLIENT's request being malformed). Retry once with the
+            # pre-r11 all-three payload; the merge below already reads
+            # only the families this estimate wants, so the router-side
+            # filter is free.
+            err, blobs = self._fan_out(
+                self.stats_shards, self._rr_stats, STATE_ROUTE, {}, timeout
+            )
         if err is not None:
             return err
         n = len(blobs)
@@ -448,6 +466,20 @@ class ShardRouter:
                     )
                 return (502, {"message": f"shard failed: {detail}"}), None
         return None, [resp for _, resp in out]
+
+
+def _is_families_skew(err: tuple[int, dict]) -> bool:
+    """True iff a scatter error is a pre-r11 worker rejecting the
+    ``families`` state-route key — either passed through verbatim (every
+    shard old: unanimous 400) or wrapped by _fan_out's mixed-status 502
+    (some shards old). Matching on the exact contract message keeps a
+    genuine client 400 (there is no other key the router sends) and every
+    other skew 502 untouched."""
+    status, resp = err
+    return (
+        status in (400, 502)
+        and "unknown arguments: ['families']" in resp.get("message", "")
+    )
 
 
 def _check_states(states: list, profile: bool) -> tuple[int, dict] | None:
