@@ -185,6 +185,105 @@ def decode_png(data: bytes):
     return w, h, ch, px
 
 
+_JPEG_SOF_MARKERS = frozenset(
+    # SOFn frame-header markers carrying dimensions: baseline (C0),
+    # extended sequential (C1), progressive (C2), lossless (C3), and the
+    # differential/arithmetic variants C5-C7, C9-CB, CD-CF. C4/C8/CC are
+    # DHT/JPG/DAC, not frames.
+    range(0xC0, 0xD0)
+) - {0xC4, 0xC8, 0xCC}
+
+
+def decode_jpeg_header(data: bytes):
+    """Parse a JPEG/JFIF stream's frame header → (width, height,
+    channels). Pure stdlib (struct): walks the marker segments to the
+    first SOFn and reads the dimensions — the metadata path a 100 TB
+    pipeline needs before deciding whether a blob is worth a full decode
+    (pixel entropy decode stays behind an external codec).
+
+    Handles padding FF bytes between markers and the standalone markers
+    (RST/TEM) that carry no length field."""
+    import struct
+
+    if data[:2] != b"\xff\xd8":  # SOI
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"bad JPEG marker alignment at byte {pos}")
+        marker = data[pos + 1]
+        if marker == 0xFF:  # fill byte — resynchronize
+            pos += 1
+            continue
+        if marker in (0x01, *range(0xD0, 0xD8)):  # TEM / RSTn: standalone
+            pos += 2
+            continue
+        if marker == 0xD9:  # EOI before any frame header
+            break
+        (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        if marker in _JPEG_SOF_MARKERS:
+            _depth, h, w, ch = struct.unpack(
+                ">BHHB", data[pos + 4 : pos + 10]
+            )
+            return w, h, ch
+        if marker == 0xDA:  # SOS without a preceding SOF: malformed
+            break
+        pos += 2 + seglen
+    raise ValueError("JPEG stream has no SOF frame header")
+
+
+def probe_image(data: bytes):
+    """Sniff an image payload's container and dimensions WITHOUT a pixel
+    decode → (format, width, height, channels). Stdlib header parses
+    only: PNG (IHDR), JPEG (SOFn), PPM (P6/P3 header), GIF (logical
+    screen descriptor) and BMP (BITMAPINFOHEADER). This is the cheap
+    metadata pass that runs scan-side at scale — pixels never cross the
+    Arrow boundary."""
+    import struct
+
+    if data[:8] == PNG_MAGIC:
+        w, h, _depth, ctype = struct.unpack(">IIBB", data[16:26])
+        return "png", w, h, _PNG_CHANNELS[ctype] if ctype != 3 else 3
+    if data[:2] == b"\xff\xd8":
+        w, h, ch = decode_jpeg_header(data)
+        return "jpeg", w, h, ch
+    if data[:2] in (b"P6", b"P3"):
+        w, h, ch, _px = decode_ppm(data)
+        return "ppm", w, h, ch
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", data[6:10])
+        return "gif", w, h, 3
+    if data[:2] == b"BM":
+        w, h = struct.unpack("<ii", data[18:26])
+        return "bmp", w, abs(h), 3
+    raise ValueError("unknown image container (png/jpeg/ppm/gif/bmp sniffed)")
+
+
+def probe_media(media: DataFrame) -> DataFrame:
+    """Fill width/height metadata from the content bytes via header
+    parses (probe_image) over mapInPandas — Arrow-batched, never
+    per-row Python UDF; unknown containers keep their existing
+    metadata. The returned schema is MEDIA_SCHEMA unchanged, so the
+    enrichment composes with every downstream media op."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            widths, heights = [], []
+            for b, w0, h0 in zip(pdf["content"], pdf["width"], pdf["height"]):
+                try:
+                    _fmt, w, h, _ch = probe_image(bytes(b))
+                except ValueError:
+                    w, h = w0, h0
+                widths.append(w)
+                heights.append(h)
+            res = pdf.copy()
+            res["width"] = pd.array(widths, dtype="Int32")
+            res["height"] = pd.array(heights, dtype="Int32")
+            yield res
+
+    return media.mapInPandas(batches, MEDIA_SCHEMA)
+
+
 def decode_image(data: bytes, fake_decoder: bool = False):
     """Decode an image payload to flat uint8 pixels (bytes).
 
@@ -201,8 +300,10 @@ def decode_image(data: bytes, fake_decoder: bool = False):
     if data[:2] in (b"P6", b"P3"):
         return decode_ppm(data)[3].tobytes()
     raise NotImplementedError(
-        "unsupported image codec (PNG and PPM decode natively; other formats "
-        "need an external codec — or pass fake_decoder=True for the test double)"
+        "unsupported image codec for PIXEL decode (PNG and PPM decode "
+        "natively; JPEG/GIF/BMP get header+dimensions via probe_image but "
+        "pixel entropy decode needs an external codec — or pass "
+        "fake_decoder=True for the test double)"
     )
 
 
