@@ -335,6 +335,69 @@ def test_stats_quantiles_route(spark, base_url, tmp_path):
         srv.server_close()
 
 
+def test_route_family_fair_pool_scoping(monkeypatch):
+    """r12 (VERDICT r11 #6): each request's Spark jobs run in its route
+    family's FAIR pool (heavy tree extractions must not FIFO-starve point
+    lookups in one shared pool) and the thread's previous pool is restored
+    afterwards, so direct batch callers of handle() are unaffected.
+    Driven with a recording SparkContext stub — no Spark, no sockets."""
+    from treemachine_spark.api import server as srv_mod
+    from treemachine_spark.api.server import ServerCore, _route_pool
+
+    assert _route_pool("/v3/tree_of_life/subtree") == "tree-heavy"
+    assert _route_pool("/v3/tree_of_life/induced_subtree") == "tree-heavy"
+    assert _route_pool("/v2/tree_of_life/induced_tree") == "tree-heavy"
+    assert _route_pool("/v3/similarity/topk") == "index"
+    assert _route_pool("/v3/documents/duplicates") == "index"
+    assert _route_pool("/v3/tree_of_life/node_info") == "interactive"
+    assert _route_pool("/v3/tree_of_life/mrca") == "interactive"
+    assert _route_pool("/v3/stats/quantiles") == "interactive"
+
+    class FakeSC:
+        def __init__(self):
+            self.props = {"spark.scheduler.pool": "caller-pool"}
+            self.seen: list = []
+
+        def getLocalProperty(self, k):  # noqa: N802 (pyspark API shape)
+            return self.props.get(k)
+
+        def setLocalProperty(self, k, v):  # noqa: N802
+            self.props[k] = v
+            self.seen.append(v)
+
+    sc = FakeSC()
+
+    class _A:  # store.nodes.sparkSession.sparkContext chain
+        pass
+
+    store = _A()
+    store.nodes = _A()
+    store.nodes.sparkSession = _A()
+    store.nodes.sparkSession.sparkContext = sc
+
+    pools_during: dict = {}
+
+    def spy_dispatch(apis, path, body):
+        pools_during[path] = sc.getLocalProperty("spark.scheduler.pool")
+        return 200, {}
+
+    monkeypatch.setattr(
+        ServerCore, "_build", lambda self, s: (
+            setattr(self, "store", s), setattr(self, "apis", {})
+        )
+    )
+    monkeypatch.setattr(srv_mod, "_dispatch", spy_dispatch)
+    core = ServerCore(store, cache_size=0)
+    for path in ("/v3/tree_of_life/subtree", "/v3/tree_of_life/node_info"):
+        core.handle(path, {})
+        # restored to the caller's pool after every request
+        assert sc.getLocalProperty("spark.scheduler.pool") == "caller-pool"
+    assert pools_during == {
+        "/v3/tree_of_life/subtree": "tree-heavy",
+        "/v3/tree_of_life/node_info": "interactive",
+    }
+
+
 def test_swap_mid_compute_never_caches_stale_response(monkeypatch):
     """ADVICE r5: a request that BEGINS against the old store (Spark jobs
     take seconds) and finishes after swap_store clears the cache must not

@@ -144,6 +144,36 @@ def group_sort_key(values) -> list:
     return [(v is not None, "" if v is None else v) for v in values]
 
 
+# FAIR scheduler pool per route family (VERDICT r11 #6): under mixed load
+# a queued heavy subtree extraction starves point lookups/stats when every
+# request's jobs land in ONE pool (FAIR round-robins across pools, but a
+# single pool is FIFO inside — the r11 saturation soak measured node_info
+# p50 queueing behind 10 s subtree scans). Route families map to distinct
+# on-demand pools (default weight 1 each), so the FAIR root splits task
+# slots between a heavy extraction and the interactive traffic instead of
+# serializing them. session.get_spark already sets
+# spark.scheduler.mode=FAIR; under FIFO mode the property is inert, and
+# pools are created on demand — no allocation XML needed for equal-weight
+# isolation.
+_HEAVY_TREE_ROUTES = frozenset(
+    {
+        "/v3/tree_of_life/subtree",
+        "/v3/tree_of_life/induced_subtree",
+        "/v3/tree_of_life/source_tree",
+        "/v2/tree_of_life/subtree",
+        "/v2/tree_of_life/induced_tree",
+    }
+)
+
+
+def _route_pool(path: str) -> str:
+    if path in _HEAVY_TREE_ROUTES:
+        return "tree-heavy"
+    if path in (ANN_ROUTE, DUP_ROUTE, DUP_TEXT_ROUTE):
+        return "index"
+    return "interactive"
+
+
 def _dispatch(apis: dict, path: str, body: dict) -> tuple[int, dict]:
     """Route one request; returns (status, response_dict). Pure function of
     the inputs so tests can call it without sockets."""
@@ -272,6 +302,23 @@ class ServerCore:
             self._generation += 1
 
     def handle(self, path: str, body: dict) -> tuple[int, dict]:
+        # scope this request's Spark jobs to its route family's FAIR pool
+        # (thread-local — each HTTP request runs on its own handler
+        # thread); reset in finally so direct batch callers of handle()
+        # keep whatever pool their thread had. Stub stores without real
+        # DataFrames (unit tests) just skip the scoping.
+        try:
+            sc = self.store.nodes.sparkSession.sparkContext
+        except AttributeError:
+            return self._handle_routed(path, body)
+        prev = sc.getLocalProperty("spark.scheduler.pool")
+        sc.setLocalProperty("spark.scheduler.pool", _route_pool(path))
+        try:
+            return self._handle_routed(path, body)
+        finally:
+            sc.setLocalProperty("spark.scheduler.pool", prev)
+
+    def _handle_routed(self, path: str, body: dict) -> tuple[int, dict]:
         if path == STATS_ROUTE:
             return self._handle_sketch(
                 STATS_ROUTE, self.stats_sketch, self._compute_stats, body
