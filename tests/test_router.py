@@ -188,3 +188,85 @@ def test_failover_to_live_replica():
             wa.server_close()
         except Exception:
             pass
+
+
+def test_admin_reload_broadcast_hits_every_distinct_worker():
+    """r12: the freshness control plane — /v3/admin/reload broadcasts to
+    EVERY distinct worker across pools and shard sets (deduped), reports
+    the per-worker outcome, and is 200 only when all workers answered 200
+    (a reload that silently skipped a worker would leave the fleet serving
+    mixed snapshots)."""
+    wa, wb, wc = _stub_worker("a"), _stub_worker("b"), _stub_worker("c")
+    urls = [f"http://127.0.0.1:{s.server_address[1]}" for s in (wa, wb, wc)]
+    try:
+        router = ShardRouter(
+            {"synth": [urls[0]]},
+            [urls[0]],  # default pool repeats worker a: must dedupe
+            ann_shards=[[urls[1]]],
+            dedup_shards=[[urls[2]]],
+        )
+        status, resp = router.broadcast("/v3/admin/reload", {})
+        assert status == 200 and resp["broadcast_ok"]
+        assert sorted(resp["workers"]) == sorted(urls)  # deduped: 3 not 4
+        assert all(w["status"] == 200 for w in resp["workers"].values())
+
+        # through the HTTP front
+        rsrv = make_router_server(router)
+        threading.Thread(target=rsrv.serve_forever, daemon=True).start()
+        base = f"http://127.0.0.1:{rsrv.server_address[1]}"
+        status, resp = _post(base, "/v3/admin/reload", {})
+        assert status == 200 and resp["broadcast_ok"]
+        rsrv.shutdown()
+        rsrv.server_close()
+
+        # one worker down -> 502 overall, surviving workers' outcomes kept
+        wb.shutdown()
+        wb.server_close()
+        status, resp = router.broadcast("/v3/admin/reload", {})
+        assert status == 502 and not resp["broadcast_ok"]
+        assert resp["workers"][urls[0]]["status"] == 200
+        assert resp["workers"][urls[1]]["status"] == 502
+
+        # no workers at all -> router-level 400
+        status, resp = ShardRouter({}, []).broadcast("/v3/admin/reload", {})
+        assert status == 400
+    finally:
+        for s in (wa, wc):
+            s.shutdown()
+            s.server_close()
+
+
+def test_admin_reload_worker_contract(monkeypatch):
+    """The worker side of the reload route: 404 without a hook, 400 on
+    arguments, 200 with the hook's summary, 500 when the hook raises —
+    and a reload through the route must not be answered from the cache."""
+    from treemachine_spark.api.server import ServerCore
+
+    monkeypatch.setattr(
+        ServerCore, "_build", lambda self, s: (
+            setattr(self, "store", s), setattr(self, "apis", {})
+        )
+    )
+    core = ServerCore({}, cache_size=16)
+    assert core.handle("/v3/admin/reload", {})[0] == 404
+
+    calls = []
+
+    def reload_fn():
+        calls.append(1)
+        return {"generation": len(calls)}
+
+    core = ServerCore({}, cache_size=16, reload_fn=reload_fn)
+    status, resp = core.handle("/v3/admin/reload", {})
+    assert (status, resp) == (200, {"reloaded": True, "generation": 1})
+    status, resp = core.handle("/v3/admin/reload", {})
+    assert (status, resp) == (200, {"reloaded": True, "generation": 2})
+    assert len(calls) == 2  # mutating: never served from the cache
+    assert core.handle("/v3/admin/reload", {"x": 1})[0] == 400
+
+    def boom():
+        raise RuntimeError("disk gone")
+
+    core = ServerCore({}, cache_size=16, reload_fn=boom)
+    status, resp = core.handle("/v3/admin/reload", {})
+    assert status == 500 and "disk gone" in resp["message"]

@@ -45,6 +45,9 @@ DISTINCT_ROUTE = "/v3/stats/distinct"
 PROFILE_ROUTE = "/v3/stats/profile"
 TOPK_ROUTE = "/v3/stats/topk"
 STATE_ROUTE = "/v3/stats/state"
+# freshness control plane: broadcast to EVERY worker (api/server.
+# ADMIN_RELOAD_ROUTE) — a republish lands fleet-wide through one request
+ADMIN_RELOAD_ROUTE = "/v3/admin/reload"
 # the workers' per-request bound (api/dedup.MAX_REQUEST_DOCS) — kept as a
 # literal so the router stays stdlib-only/Spark-free
 MAX_REQUEST_DOCS = 256
@@ -112,6 +115,55 @@ class ShardRouter:
         i = pool_list.index(primary)
         bases = pool_list[i:] + pool_list[:i]  # failover in wrap-around order
         return self._try_bases(bases, path, body, timeout)
+
+    def broadcast(self, path: str, body: dict, timeout: float = 600.0) -> tuple[int, dict]:
+        """Fan one request to EVERY distinct worker across all pools and
+        shard sets, concurrently — the freshness control plane
+        (/v3/admin/reload lands a republish fleet-wide through one
+        request). Unlike forward(), there is no failover: a reload that
+        skipped a down worker would leave the fleet serving mixed
+        snapshots silently, so the per-worker outcome is reported and the
+        overall status is 200 only when every worker answered 200."""
+        with self._lock:
+            workers: list[str] = []
+            for pool in (
+                *self.pools.values(),
+                self.default_pool,
+                *self.ann_shards,
+                *self.dedup_shards,
+                *self.stats_shards,
+            ):
+                for url in pool:
+                    if url not in workers:
+                        workers.append(url)
+        if not workers:
+            return 400, {"message": "no workers configured on this router"}
+        results: list = [None] * len(workers)
+
+        def hit(idx: int) -> None:
+            try:
+                results[idx] = self._try_bases(
+                    [workers[idx]], path, dict(body), timeout
+                )
+            except Exception as e:
+                results[idx] = (502, {"message": f"{type(e).__name__}: {e}"})
+
+        threads = [
+            threading.Thread(target=hit, args=(i,)) for i in range(len(workers))
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        per_worker = {
+            url: {"status": status, **resp}
+            for url, (status, resp) in zip(workers, results)
+        }
+        ok = all(status == 200 for status, _ in results)
+        return (200 if ok else 502), {
+            "broadcast_ok": ok,
+            "workers": per_worker,
+        }
 
     @staticmethod
     def _try_bases(
@@ -718,7 +770,9 @@ def make_router_server(
             except ValueError as e:
                 status, resp = 400, {"message": f"invalid JSON body: {e}"}
             else:
-                if self.path == ANN_ROUTE and router.ann_shards:
+                if self.path == ADMIN_RELOAD_ROUTE:
+                    status, resp = router.broadcast(self.path, body)
+                elif self.path == ANN_ROUTE and router.ann_shards:
                     status, resp = router.scatter_topk(body)
                 elif self.path == DUP_ROUTE and router.dedup_shards:
                     status, resp = router.scatter_duplicates(body)

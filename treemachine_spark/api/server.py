@@ -133,6 +133,13 @@ DUP_ROUTE = "/v3/documents/duplicates"
 # doc_ids indirection — resolve each probe doc's text from its owning
 # shard, then fan out as a 'texts' lookup; api/router.scatter_duplicates)
 DUP_TEXT_ROUTE = "/v3/documents/text"
+# beyond-reference freshness control plane: ask THIS worker to reload its
+# served snapshots from their persisted artifacts and swap them in (the
+# deployment wires the actual reload via make_server's reload_fn — the
+# server only owns the contract and the swap guard). The shard router
+# broadcasts this route to every worker so a republish lands fleet-wide
+# through one request (api/router.ShardRouter.broadcast).
+ADMIN_RELOAD_ROUTE = "/v3/admin/reload"
 
 
 def group_sort_key(values) -> list:
@@ -216,7 +223,14 @@ class ServerCore:
         ann_index=None,
         dedup_index=None,
         topk_sketch=None,
+        reload_fn=None,
     ):
+        # optional freshness hook for POST /v3/admin/reload: a zero-arg
+        # callable that reloads this worker's served snapshots from their
+        # persisted artifacts and lands them via swap_store/swap_indexes,
+        # returning a summary dict. The server owns only the route
+        # contract; the deployment owns what "reload" means.
+        self.reload_fn = reload_fn
         # optional streaming/stats.StreamingQuantileSketch serving
         # POST /v3/stats/quantiles (per-group quantile estimates over the
         # running sketch — the streaming sketch's serving consumer), and
@@ -319,6 +333,8 @@ class ServerCore:
             sc.setLocalProperty("spark.scheduler.pool", prev)
 
     def _handle_routed(self, path: str, body: dict) -> tuple[int, dict]:
+        if path == ADMIN_RELOAD_ROUTE:
+            return self._handle_reload(body)
         if path == STATS_ROUTE:
             return self._handle_sketch(
                 STATS_ROUTE, self.stats_sketch, self._compute_stats, body
@@ -374,6 +390,22 @@ class ServerCore:
         return self.cache.get_or_compute(
             key, run, still_valid=lambda: self._generation == gen
         )
+
+    def _handle_reload(self, body: dict) -> tuple[int, dict]:
+        """Freshness control plane: reload-and-swap this worker's served
+        snapshots via the deployment's reload_fn. Mutating — never cached
+        (the swap itself bumps the generation, so every cached response
+        drops); failures are this worker's 500, which a broadcasting
+        router surfaces per-worker instead of half-landing silently."""
+        if self.reload_fn is None:
+            return 404, {"message": "no reload hook configured on this server"}
+        if body:
+            return 400, {"message": f"unknown arguments: {sorted(body)}"}
+        try:
+            summary = self.reload_fn() or {}
+        except Exception as e:
+            return 500, {"message": f"reload failed: {type(e).__name__}: {e}"}
+        return 200, {"reloaded": True, **summary}
 
     def _handle_sketch(self, route, sketch, compute, body) -> tuple[int, dict]:
         """Shared path for the streaming-sketch stats routes
@@ -745,7 +777,7 @@ def make_server(
     (an api/dedup.DedupIndex) serves POST /v3/documents/duplicates."""
     core = ServerCore(
         store, cache_size, pruned_closure_table, stats_sketch, distinct_sketch,
-        ann_index, dedup_index, topk_sketch,
+        ann_index, dedup_index, topk_sketch, reload_fn,
     )
 
     class Handler(BaseHTTPRequestHandler):
