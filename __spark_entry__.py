@@ -31,15 +31,17 @@ from treemachine_spark.workload.queries import QUERIES  # noqa: E402
 #    3 rounds stale, the oldest driver rows on the books, named by the
 #    r11 verdict's standing plan and ALL independently re-run green by
 #    the judge's own oracle check in the r11 verdict), then 42 of the 50
-#    gates whose newest driver row is CORRECTNESS_r10.json. With 108
-#    gates and a 50-row artifact, eight r10-signed gates wait for the
-#    r13 front — chosen, as every round, for the densest pinning beyond
+#    gates whose newest driver row is CORRECTNESS_r10.json, plus the NEW
+#    m2_media_probe gate (r12 — header-parse media probe, slotted beside
+#    its family twin m1). With 109 gates and a 50-row artifact, nine
+#    r10-signed gates wait for the r13 front — chosen, as every round, for the densest pinning beyond
 #    the oracle suite: x17_dup_spans / d9_capped_artifact /
 #    k9_stream_topk / s3_streaming_windows / u1_merge_upsert /
 #    x20_lm_score were ALL independently re-run green by the judge's own
 #    DuckDB oracle check in the r11 verdict (14/14), and closure_paths /
-#    q1_pricing_summary are row-tripwired in every round's bench
-#    artifact (bench.py ok-flags at sf0.1). The whole r11 front (50
+#    q1_pricing_summary / s2_sessions_batch are row-tripwired in every
+#    round's bench artifact (bench.py ok-flags at sf0.1). The whole r11
+#    front (50
 #    gates) rests. Steady-state freshness: no gate >3 rounds stale,
 #    alternating halves.
 # 2. _DRIVER_EXCLUDED: the 50 gates green in CORRECTNESS_r11.json plus the
@@ -60,15 +62,18 @@ _FRONT = [
     "q5_region_revenue",
     "w1_window_topn",
     "p10_id_codec",
-    # newest driver row is the r10 artifact (42 of that 50-gate cohort)
+    # newest driver row is the r10 artifact (41 of that 50-gate cohort;
+    # the NEW m2_media_probe gate takes the 50th slot beside its family
+    # twin m1, and s2_sessions_batch joins the r13 deferrals — it is
+    # bench row-tripwired every round like the other two)
     "v1_ann_brute",
     "x1_text_profile",
-    "s2_sessions_batch",
     "d4_ngram_jaccard",
     "d8_jaccard_probe",
     "s8_stream_novelty",
     "v4_cosine_pairs",
     "m1_media_features",
+    "m2_media_probe",
     "k7_grouped_quantiles",
     "c3_node_heights",
     "k8_grouped_hll",
@@ -182,12 +187,13 @@ for _name in (
     "x20_lm_score",
     "closure_paths",
     "q1_pricing_summary",
+    "s2_sessions_batch",
 ):
     _DRIVER_EXCLUDED[_name] = (
         "r10 artifact row (CORRECTNESS_r10.json); deferred to the r13 front "
         "(50-row artifact cap); pytest oracle tier at sf0.001 + sf0.01; "
-        "six judge-re-run green in the r11 verdict, two bench row-tripwired "
-        "per the _FRONT note"
+        "six judge-re-run green in the r11 verdict, three bench "
+        "row-tripwired per the _FRONT note"
     )
 
 

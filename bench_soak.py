@@ -389,5 +389,481 @@ def main() -> None:  # noqa: PLR0915 (one linear bench script)
     print(json.dumps({"metric": "served_soak", **out}))
 
 
+
+
+# ---------------------------------------------------------------------------
+# Sharded mode (VERDICT r11 #2): the same mixed-route soak protocol through
+# api/router.ShardRouter with PER-FAMILY worker processes — each family
+# (tree / dedup / ann / stats) owns its own SparkSession and scheduler, so
+# heavy tree extractions stop queueing index lookups and stats folds behind
+# them. The mid-soak republish lands THROUGH THE ROUTER: the parent appends
+# to the shared persisted artifacts, then broadcasts /v3/admin/reload; each
+# worker reloads its snapshots from disk and swaps (swap_store /
+# swap_indexes), exactly the fleet freshness path.
+#
+# Run:    python bench_soak.py shards [n_tips] [sf_dir] [n_clients]
+#                                     [reqs_per_client] [n_tree_workers]
+# Worker: python bench_soak.py worker <family> <port> <root> <sf_dir> <n_tips>
+# ---------------------------------------------------------------------------
+
+
+def _stage_corpora(spark, root: str, sf_dir: str) -> dict:
+    """Stage the served corpora + persisted artifacts into ``root`` (the
+    single-process soak's setup, extracted so the sharded parent stages the
+    SAME layout its workers boot from). Artifact params are the contract
+    between stager and worker: PQ n_centroids=64 here must match the
+    worker's AnnIndex.from_paths(n_centroids=64)."""
+    from pyspark.sql import functions as F
+
+    from treemachine_spark.functions import pq
+    from treemachine_spark.functions.dedup import write_shingle_index
+    from treemachine_spark.io.tables import load_tables
+
+    tabs = load_tables(spark, sf_dir)
+    docs_path = os.path.join(root, "docs.parquet")
+    emb_path = os.path.join(root, "emb.parquet")
+    tabs["documents"].select("doc_id", "text").write.parquet(docs_path)
+    tabs["embeddings"].select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).write.parquet(emb_path)
+    docs = spark.read.parquet(docs_path)
+    emb = spark.read.parquet(emb_path)
+    t1 = time.time()
+    write_shingle_index(docs, os.path.join(root, "shingle_idx"))
+    dedup_write = round(time.time() - t1, 1)
+    t1 = time.time()
+    pq.write_pq_index(emb, os.path.join(root, "pq_idx"), m=8, n_codes=16,
+                      iters=3, train_rows=10_000, n_centroids=64)
+    pq_write = round(time.time() - t1, 1)
+    max_doc_id = docs.agg(F.max("doc_id")).first()[0]
+    max_vec_id, dim = emb.select(
+        F.max("vec_id"), F.size(F.first("embedding"))
+    ).first()
+    return {
+        "docs_path": docs_path, "emb_path": emb_path,
+        "idx_dir": os.path.join(root, "shingle_idx"),
+        "pq_dir": os.path.join(root, "pq_idx"),
+        "max_doc_id": max_doc_id, "max_vec_id": int(max_vec_id), "dim": dim,
+        "sample_docs": docs.limit(400).collect(),
+        "sample_vecs": emb.limit(64).collect(),
+        "dedup_artifact_write_sec": dedup_write,
+        "pq_artifact_write_sec": pq_write,
+    }
+
+
+def soak_worker_main(family: str, port: int, root: str, sf_dir: str,
+                     n_tips: int) -> None:
+    """One per-family serving shard with its own SparkSession. Every
+    family configures a reload_fn, so a router broadcast of
+    /v3/admin/reload republishes the whole fleet."""
+    from pyspark.sql import functions as F
+
+    from treemachine_spark.api.server import make_server
+    from treemachine_spark.session import get_spark
+
+    spark = get_spark(f"soak-worker-{family}-{port}")
+    spark.sparkContext.setLogLevel("ERROR")
+    srv_box: dict = {}
+    state = {"generation": 1}
+
+    if family == "tree":
+        store, _tips, _n_edges, _ = build_synth_store(spark, n_tips)
+        # the republish target snapshot, prebuilt so reload measures the
+        # swap path, not a second ingest
+        store2 = build_synth_store(spark, n_tips)[0]
+
+        def reload_fn():
+            state["generation"] += 1
+            srv_box["srv"].core.swap_store(store2)
+            return {"family": "tree", "generation": state["generation"]}
+
+        srv = make_server(store, host="127.0.0.1", port=port,
+                          reload_fn=reload_fn)
+    else:
+        # non-tree workers still serve the tree-route contract on a tiny
+        # placeholder store (make_server requires one; about() doubles as
+        # the readiness probe)
+        tiny = build_synth_store(spark, 100)[0]
+        if family == "dedup":
+            from treemachine_spark.api.dedup import DedupIndex
+
+            kw = dict(dedup_index=DedupIndex.from_path(
+                spark, os.path.join(root, "docs.parquet"),
+                index_dir=os.path.join(root, "shingle_idx")))
+
+            def reload_fn():
+                state["generation"] += 1
+                fresh = DedupIndex.from_path(
+                    spark, os.path.join(root, "docs.parquet"),
+                    index_dir=os.path.join(root, "shingle_idx"))
+                srv_box["srv"].core.swap_indexes(dedup_index=fresh)
+                return {"family": "dedup", "generation": state["generation"]}
+
+        elif family == "ann":
+            from treemachine_spark.api.ann import AnnIndex
+
+            kw = dict(ann_index=AnnIndex.from_paths(
+                spark, os.path.join(root, "emb.parquet"),
+                os.path.join(root, "pq_idx"), n_centroids=64))
+
+            def reload_fn():
+                state["generation"] += 1
+                fresh = AnnIndex.from_paths(
+                    spark, os.path.join(root, "emb.parquet"),
+                    os.path.join(root, "pq_idx"), n_centroids=64)
+                srv_box["srv"].core.swap_indexes(ann_index=fresh)
+                return {"family": "ann", "generation": state["generation"]}
+
+        else:  # stats
+            from treemachine_spark.functions.text import token_count
+            from treemachine_spark.io.tables import load_tables
+            from treemachine_spark.streaming.stats import (
+                StreamingHLLSketch,
+                StreamingQuantileSketch,
+                StreamingTopKSketch,
+            )
+
+            tabs = load_tables(spark, sf_dir)
+            qsk = StreamingQuantileSketch(
+                os.path.join(root, f"q{port}"), "n", ["lang"], k=1024)
+            qsk.process_batch(tabs["documents"].select(
+                "lang", token_count(F.col("text")).alias("n")), 0)
+            dsk = StreamingHLLSketch(
+                os.path.join(root, f"d{port}"), "user_id", ["event_type"],
+                p=12)
+            dsk.process_batch(
+                tabs["events"].select("event_type", "user_id"), 0)
+            tsk = StreamingTopKSketch(
+                os.path.join(root, f"t{port}"), "hotkey", depth=4,
+                width=2048, n_candidates=256)
+            tsk.process_batch(tabs["events"].select(F.concat_ws(
+                "|", "event_type",
+                (F.col("user_id") % 40).cast("string")).alias("hotkey")), 0)
+            kw = dict(stats_sketch=qsk, distinct_sketch=dsk, topk_sketch=tsk)
+
+            def reload_fn():
+                # streaming sketches advance in-process; the route answers
+                # so a fleet broadcast is all-200 when nothing needs doing
+                state["generation"] += 1
+                return {"family": "stats", "generation": state["generation"]}
+
+        srv = make_server(tiny, host="127.0.0.1", port=port,
+                          reload_fn=reload_fn, **kw)
+    srv_box["srv"] = srv
+    print(f"WORKER_READY {family} {port}", flush=True)
+    srv.serve_forever()
+
+
+def sharded_main() -> None:  # noqa: PLR0915 (one linear bench script)
+    import subprocess
+
+    from treemachine_spark.api.router import ShardRouter, make_router_server
+    from treemachine_spark.session import get_spark
+
+    n_tips = int(sys.argv[2]) if len(sys.argv) > 2 else 2_420_000
+    sf_dir = sys.argv[3] if len(sys.argv) > 3 else (
+        "/tmp/sf10" if os.path.exists("/tmp/sf10/documents.parquet")
+        else os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    )
+    n_clients = int(sys.argv[4]) if len(sys.argv) > 4 else 24
+    n_reqs = int(sys.argv[5]) if len(sys.argv) > 5 else 18
+    n_tree = int(sys.argv[6]) if len(sys.argv) > 6 else 1
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from treemachine_spark.functions import pq
+    from treemachine_spark.functions.dedup import shingle_index_append
+    from bench_http import _tip_names
+
+    out: dict = {"mode": "sharded", "n_tips": n_tips, "sf_dir": sf_dir,
+                 "clients": n_clients, "reqs_per_client": n_reqs,
+                 "tree_workers": n_tree}
+    spark = get_spark("soak-shard-parent")
+    spark.sparkContext.setLogLevel("ERROR")
+    root = tempfile.mkdtemp(prefix="bench_soak_shard_")
+
+    t0 = time.time()
+    staged = _stage_corpora(spark, root, sf_dir)
+    out["dedup_artifact_write_sec"] = staged["dedup_artifact_write_sec"]
+    out["pq_artifact_write_sec"] = staged["pq_artifact_write_sec"]
+    out["stage_sec"] = round(time.time() - t0, 1)
+
+    # core split: tree workers take what the index/stats families leave
+    total_cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    aux_cores = max(2, total_cores // 8)  # ann / dedup / stats each
+    tree_cores = max(2, (total_cores - 3 * aux_cores) // n_tree)
+    families = [("tree", tree_cores)] * n_tree + [
+        ("dedup", aux_cores), ("ann", aux_cores), ("stats", aux_cores)]
+    ports = [19200 + i for i in range(len(families))]
+    out["worker_layout"] = {
+        f"{fam}:{port}": cores
+        for (fam, cores), port in zip(families, ports)
+    }
+
+    t0 = time.time()
+    procs = []
+    for (fam, cores), port in zip(families, ports):
+        env = {**os.environ, "SPARK_GRAFT_CPUS": str(cores),
+               "SPARK_DRIVER_MEM": os.environ.get("SPARK_DRIVER_MEM", "12g")}
+        procs.append(subprocess.Popen(
+            [sys.executable, __file__, "worker", fam, str(port), root,
+             sf_dir, str(n_tips)],
+            env=env, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL))
+    urls = {port: f"http://127.0.0.1:{port}" for port in ports}
+    try:
+        deadline = time.time() + 1800
+        ready: set = set()
+        while len(ready) < len(ports):
+            if time.time() > deadline:
+                raise TimeoutError(f"workers ready: {sorted(ready)}")
+            for port in ports:
+                if port in ready:
+                    continue
+                try:
+                    status, _ = _post_json(
+                        urls[port], "/v3/tree_of_life/about", {})
+                    if status == 200:
+                        ready.add(port)
+                except Exception:
+                    pass
+            time.sleep(2)
+        out["workers_ready_sec"] = round(time.time() - t0, 1)
+
+        tree_urls = [urls[p] for (fam, _), p in zip(families, ports)
+                     if fam == "tree"]
+        one = {fam: urls[p] for (fam, _), p in zip(families, ports)}
+        router = ShardRouter(
+            {"synth": tree_urls}, tree_urls,
+            ann_shards=[[one["ann"]]],
+            dedup_shards=[[one["dedup"]]],
+            stats_shards=[[one["stats"]]],
+        )
+        rsrv = make_router_server(router)
+        threading.Thread(target=rsrv.serve_forever, daemon=True).start()
+        base = f"http://127.0.0.1:{rsrv.server_address[1]}"
+
+        # ---- identical request mix to the single-process soak
+        tips = _tip_names(n_tips)
+        sample_docs = staged["sample_docs"]
+        sample_vecs = staged["sample_vecs"]
+        max_doc_id, max_vec_id = staged["max_doc_id"], staged["max_vec_id"]
+        dim = staged["dim"]
+        rng = random.Random(11)
+        internals = [f"n{i}" for i in range(1, 200)]
+
+        def body_for(kind: str) -> tuple[str, dict]:
+            if kind == "mrca":
+                return "/v3/tree_of_life/mrca", {
+                    "node_ids": rng.sample(tips, 160)}
+            if kind == "node_info":
+                return "/v3/tree_of_life/node_info", {
+                    "node_id": rng.choice(tips)}
+            if kind == "subtree":
+                return "/v3/tree_of_life/subtree", {
+                    "node_id": rng.choice(internals), "height_limit": 2}
+            if kind == "dedup_text":
+                r = rng.choice(sample_docs)
+                return "/v3/documents/duplicates", {"texts": [r["text"] or ""]}
+            if kind == "dedup_member":
+                r = rng.choice(sample_docs)
+                return "/v3/documents/duplicates", {"doc_ids": [r["doc_id"]]}
+            if kind == "ann":
+                r = rng.choice(sample_vecs)
+                return "/v3/similarity/topk", {
+                    "vector": list(r["embedding"]), "k": 10}
+            if kind == "stats_quantiles":
+                return "/v3/stats/quantiles", {
+                    "qs": [0.5, 0.9, rng.randrange(1, 100) / 100]}
+            return "/v3/stats/topk", {"k": rng.randrange(5, 25)}
+
+        for kind in KINDS:
+            path, body = body_for(kind)
+            status, blob = _post_json(base, path, body)
+            if status != 200:
+                raise RuntimeError(
+                    f"route warmup {kind} -> HTTP {status}: {blob}")
+
+        # ---- freshness pins (before), same status-checked contract as the
+        # single-process soak
+        new_text = ("soak appended qqzzx document veryunique tokens "
+                    + " ".join(f"tok{i}qz" for i in range(30)))
+        new_vec = [float(x) * 20.0
+                   for x in np.random.RandomState(99).randn(dim)]
+        st, blob = _post_json(base, "/v3/documents/duplicates",
+                              {"texts": [new_text]})
+        pin_pre_dedup = st == 200 and all(
+            m["jaccard"] < 1.0 for m in blob["results"][0])
+        st, blob = _post_json(base, "/v3/similarity/topk",
+                              {"vector": new_vec, "k": 10, "method": "brute"})
+        pin_pre_ann = st == 200 and all(
+            nb["neighbor_id"] != max_vec_id + 1 for nb in blob["neighbors"])
+        pin_mrca_body = {"node_ids": rng.sample(tips, 160)}
+        st_mrca_pre, pin_mrca_pre = _post_json(
+            base, "/v3/tree_of_life/mrca", pin_mrca_body)
+
+        # ---- soak through the router
+        lock = threading.Lock()
+        records: list[tuple[str, float, float, int]] = []
+        swap_window: dict = {}
+
+        def client(cid: int) -> None:
+            crng = random.Random(1000 + cid)
+            for i in range(n_reqs):
+                kind = KINDS[(cid + i) % len(KINDS)]
+                with lock:
+                    path, body = body_for(kind)
+                if kind == "mrca":
+                    body["node_ids"] = crng.sample(tips, 160)
+                t = time.time()
+                try:
+                    status, _ = _post_json(base, path, body)
+                except Exception:
+                    status = 599
+                dt = time.time() - t
+                with lock:
+                    records.append((kind, t, dt, status))
+
+        total = n_clients * n_reqs
+
+        def republish() -> None:
+            try:
+                _republish_body()
+            except Exception as e:
+                swap_window["error"] = f"{type(e).__name__}: {e}"
+                now = time.time()
+                swap_window.setdefault("start", now)
+                swap_window.setdefault("end", now)
+
+        def _republish_body() -> None:
+            while True:
+                with lock:
+                    if len(records) >= total // 3:
+                        break
+                time.sleep(0.25)
+            t_start = time.time()
+            new_docs = spark.createDataFrame(
+                pd.DataFrame({"doc_id": [max_doc_id + 1],
+                              "text": [new_text]})
+            ).select(F.col("doc_id").cast("long"), F.col("text"))
+            new_docs.write.mode("append").parquet(staged["docs_path"])
+            shingle_index_append(new_docs, staged["idx_dir"])
+            new_emb = spark.createDataFrame(
+                pd.DataFrame({"vec_id": [max_vec_id + 1],
+                              "embedding": [new_vec]})
+            ).select(F.col("vec_id").cast("long"), F.col("embedding"))
+            new_emb.write.mode("append").parquet(staged["emb_path"])
+            pq.pq_append(new_emb, staged["pq_dir"])
+            t_loaded = time.time()
+            # the fleet freshness path: ONE router broadcast; every worker
+            # reloads from the shared artifacts and swaps
+            status, blob = _post_json(base, "/v3/admin/reload", {})
+            if status != 200:
+                raise RuntimeError(f"reload broadcast -> {status}: {blob}")
+            swap_window["reload_workers"] = {
+                u: w.get("family") for u, w in blob["workers"].items()}
+            swap_window["start"] = t_start
+            swap_window["end"] = time.time()
+            swap_window["append_sec"] = round(t_loaded - t_start, 2)
+            swap_window["reload_swap_sec"] = round(time.time() - t_loaded, 2)
+
+        threads = [threading.Thread(target=client, args=(c,))
+                   for c in range(n_clients)]
+        rep = threading.Thread(target=republish)
+        t_soak = time.time()
+        for t in threads:
+            t.start()
+        rep.start()
+        for t in threads:
+            t.join()
+        rep.join()
+        post_threads = [
+            threading.Thread(target=client, args=(c + n_clients,))
+            for c in range(max(4, n_clients // 3))
+        ]
+        for t in post_threads:
+            t.start()
+        for t in post_threads:
+            t.join()
+        out["soak_wall_sec"] = round(time.time() - t_soak, 1)
+        if "error" in swap_window:
+            out["republish"] = {"error": swap_window["error"]}
+        else:
+            out["republish"] = {
+                "append_sec": swap_window["append_sec"],
+                "reload_swap_sec": swap_window["reload_swap_sec"],
+                "total_sec": round(
+                    swap_window["end"] - swap_window["start"], 2),
+                "reload_workers": swap_window["reload_workers"],
+            }
+
+        buckets: dict[str, dict[str, list[float]]] = {
+            "pre": {}, "during": {}, "post": {}}
+        errors = 0
+        for kind, t, dt, status in records:
+            if status != 200:
+                errors += 1
+            phase = ("pre" if t < swap_window["start"]
+                     else "during" if t < swap_window["end"] else "post")
+            buckets[phase].setdefault(kind, []).append(dt)
+        out["errors"] = errors
+        out["n_requests"] = len(records)
+        out["n_requests_expected"] = (
+            total + max(4, n_clients // 3) * n_reqs)
+        for phase, kinds in buckets.items():
+            out[phase] = {
+                k: {"n": len(v), "p50": _pctl(v, 0.5),
+                    "p95": _pctl(v, 0.95), "max": _pctl(v, 1.0)}
+                for k, v in sorted(kinds.items())
+            }
+
+        # ---- freshness pins (after), through the router
+        st, blob = _post_json(base, "/v3/documents/duplicates",
+                              {"texts": [new_text]})
+        pin_post_dedup = st == 200 and any(
+            m["doc_id"] == max_doc_id + 1 and m["jaccard"] == 1.0
+            for m in blob["results"][0])
+        st, blob = _post_json(base, "/v3/similarity/topk",
+                              {"vector": new_vec, "k": 1, "method": "brute"})
+        pin_post_ann = st == 200 and bool(blob["neighbors"]) and blob[
+            "neighbors"][0]["neighbor_id"] == max_vec_id + 1
+        st_mrca_post, pin_mrca_post = _post_json(
+            base, "/v3/tree_of_life/mrca", pin_mrca_body)
+        out["pins"] = {
+            "dedup_absent_pre": pin_pre_dedup,
+            "dedup_found_post": pin_post_dedup,
+            "ann_absent_pre": pin_pre_ann,
+            "ann_found_post": pin_post_ann,
+            "mrca_stable_across_swap": (
+                st_mrca_pre == st_mrca_post == 200
+                and pin_mrca_pre == pin_mrca_post),
+        }
+        out["soak_ok"] = (
+            errors == 0
+            and out["n_requests"] == out["n_requests_expected"]
+            and all(out["pins"].values())
+            and "error" not in swap_window
+        )
+        rsrv.shutdown()
+        rsrv.server_close()
+        print(json.dumps({"metric": "served_soak_sharded", **out}))
+    finally:
+        for p in procs:
+            p.terminate()
+        for p in procs:
+            try:
+                p.wait(timeout=30)
+            except Exception:
+                p.kill()
+        shutil.rmtree(root, ignore_errors=True)
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "worker":
+        soak_worker_main(sys.argv[2], int(sys.argv[3]), sys.argv[4],
+                         sys.argv[5], int(sys.argv[6]))
+    elif len(sys.argv) > 1 and sys.argv[1] == "shards":
+        sharded_main()
+    else:
+        main()

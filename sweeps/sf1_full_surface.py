@@ -12,12 +12,19 @@ with v4_cosine_pairs raising its DESIGNED TooManyPairsError guard at 20k
 vectors (the all-pairs size gate whose scale twin is v6; the harness
 reports it as gated, not failed).
 
-Usage: python sweeps/sf1_full_surface.py [sf_dir]
+Usage: python sweeps/sf1_full_surface.py [sf_dir] [out_json]
 (generate the input first: python gen_sf1.py /tmp/sf1 10)
+
+When ``out_json`` is given (e.g. SWEEP_r12.json at the repo root), the
+sweep also lands a bench_ok-style ONE-LINE JSON artifact — gates
+compared, green/failed counts, the GATED-BY-DESIGN list, per-gate
+seconds, wall — so every round records its derived-decade sweep beside
+BENCH_r{N}.json without hand-collation (VERDICT r11 #7).
 """
 
 from __future__ import annotations
 
+import json
 import os
 import sys
 import time
@@ -30,6 +37,7 @@ for p in (_REPO, os.path.join(_REPO, "tests")):
 
 def main() -> int:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
+    out_json = sys.argv[2] if len(sys.argv) > 2 else None
 
     import duckdb
     from pyspark.sql import SparkSession
@@ -85,17 +93,23 @@ def main() -> int:
     oc.run_oracle = fast_run_oracle  # compare() resolves it via the module
 
     qs, os_ = E.queries(), E.oracle_sql()
-    fails, gated = 0, []
+    fails, gated, rows_only, green = 0, [], [], 0
+    failed_gates: list[str] = []
+    per_gate_sec: dict[str, float] = {}
     t0 = time.time()
     for name in sorted(qs):
         t1 = time.time()
         try:
             if name in os_:
                 ok, msg = oc.compare(qs[name](spark, sf), os_[name], sf)
-                if not ok:
+                if ok:
+                    green += 1
+                else:
                     fails += 1
+                    failed_gates.append(name)
                 print(name, ok, msg, round(time.time() - t1, 1), flush=True)
             else:
+                rows_only.append(name)
                 print(name, "rows-only", qs[name](spark, sf).count(), flush=True)
         except Exception as e:
             em = f"{type(e).__name__}: {e}"
@@ -104,14 +118,36 @@ def main() -> int:
                 print(name, "GATED-BY-DESIGN", em[:160], flush=True)
             else:
                 fails += 1
+                failed_gates.append(name)
                 print(name, "ERROR", em[:300], flush=True)
+        per_gate_sec[name] = round(time.time() - t1, 1)
         # force a JVM GC so ContextCleaner releases finished gates' shuffle
         # files: local-mode shuffle .data files free only when their
         # dependency objects are collected, and a barely-pressured 48g heap
         # never GCs on its own — the r11 sf10 sweep accumulated 43+ GB of
         # dead shuffle files and filled the disk mid d-family without this
         spark._jvm.System.gc()
-    print("FAILS:", fails, "gated:", gated, "elapsed", round(time.time() - t0, 1))
+    wall = round(time.time() - t0, 1)
+    print("FAILS:", fails, "gated:", gated, "elapsed", wall)
+    sweep = {
+        "metric": "derived_decade_sweep",
+        "sf_dir": sf,
+        "gates_total": len(qs),
+        "compared": len(qs) - len(gated) - len(rows_only),
+        "green": green,
+        "fails": fails,
+        "failed_gates": failed_gates,
+        "gated_by_design": gated,
+        "rows_only": rows_only,
+        "wall_sec": wall,
+        "sweep_ok": fails == 0,
+        "per_gate_sec": per_gate_sec,
+    }
+    line = json.dumps(sweep)
+    print(line, flush=True)
+    if out_json:
+        with open(out_json, "w") as fh:
+            fh.write(line + "\n")
     return 1 if fails else 0
 
 

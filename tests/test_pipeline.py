@@ -1039,3 +1039,54 @@ def test_capped_shingle_artifact_end_to_end(spark, tmp_path):
         for r in idx2.where(F.col("doc_id") % 2 == 1).collect()
     }
     assert got_rest == rest_rows
+
+
+def test_snapshot_reload_sees_cross_process_append(spark, tmp_path):
+    """r12 sharded-soak regression: Spark caches a path's file listing
+    per-session forever (metadataCacheTTLSeconds=-1), so a DedupIndex /
+    shingle-artifact reload after an append from ANOTHER process read the
+    stale listing and tripped the boot fingerprint check. The loaders now
+    refreshByPath first. Simulated here with a pyarrow write, which
+    bypasses Spark's own cache invalidation exactly like a second
+    process would."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_arrow
+
+    from treemachine_spark.api.dedup import DedupIndex
+    from treemachine_spark.functions.dedup import write_shingle_index
+    from treemachine_spark.io.tables import load_tables
+
+    docs = load_tables(spark, SF_SMOKE)["documents"].select("doc_id", "text")
+    docs_path = str(tmp_path / "docs.parquet")
+    docs.write.parquet(docs_path)
+    idx_dir = str(tmp_path / "idx")
+    write_shingle_index(spark.read.parquet(docs_path), idx_dir)
+
+    # boot once so this session caches both paths' file listings
+    idx0 = DedupIndex.from_path(spark, docs_path, index_dir=idx_dir)
+    n0 = idx0.docs.count()
+
+    # "another process" appends one doc to the corpus AND its shingle
+    # rows to the artifact: write both via pyarrow (no Spark invalidation)
+    new_id = docs.agg(F.max("doc_id")).first()[0] + 1
+    new_text = "qq zz appended row"
+    pq_arrow.write_table(
+        pa.table({"doc_id": pa.array([new_id], pa.int64()),
+                  "text": pa.array([new_text])}),
+        f"{docs_path}/part-appended.parquet",
+    )
+    # shingle_index_append runs through Spark but in THIS session — to
+    # keep the artifact consistent it must also see the meta bump, so
+    # run it on an explicit one-row frame (its own write invalidates the
+    # artifact path for this session; the DOCS listing stays stale, which
+    # is the bug under test)
+    from treemachine_spark.functions.dedup import shingle_index_append
+
+    one = spark.createDataFrame([(int(new_id), new_text)], "doc_id long, text string")
+    shingle_index_append(one, idx_dir)
+
+    fresh = DedupIndex.from_path(spark, docs_path, index_dir=idx_dir)
+    assert fresh.docs.count() == n0 + 1  # stale listing would say n0
+    # and the appended doc resolves at exact similarity through the index
+    hits = fresh.duplicates(texts=[new_text])["results"][0]
+    assert any(m["doc_id"] == new_id and m["jaccard"] == 1.0 for m in hits)

@@ -97,6 +97,10 @@ class AnnIndex:
     def from_paths(cls, spark, emb_path: str, pq_dir: str | None = None, **kw):
         """Load the serving corpus (cached — the snapshot every request
         scans) and, when given, the persisted PQ artifact."""
+        # cross-process appends: refresh the cached file listing (same
+        # reasoning as DedupIndex.from_path — a stale listing serves a
+        # pre-append corpus as if fresh)
+        spark.catalog.refreshByPath(emb_path)
         emb = spark.read.parquet(emb_path).cache()
         emb.count()
         codebook = codes = rotation = cells = rerank_pool = None

@@ -98,6 +98,13 @@ class DedupIndex:
 
     @classmethod
     def from_path(cls, spark, docs_path: str, index_dir: str | None = None, **kw):
+        # a fresh snapshot must see files appended by ANOTHER process:
+        # Spark caches the path's file listing per-session forever
+        # (metadataCacheTTLSeconds=-1), so without the refresh a reload
+        # after a cross-process append reads the stale listing and the
+        # boot fingerprint check trips (caught by the r12 sharded soak —
+        # worker reload saw 500 docs against a 501-doc index artifact)
+        spark.catalog.refreshByPath(docs_path)
         docs = spark.read.parquet(docs_path).cache()
         docs.count()
         return cls(docs, index_dir=index_dir, **kw)

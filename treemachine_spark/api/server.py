@@ -762,6 +762,7 @@ def make_server(
     ann_index=None,
     dedup_index=None,
     topk_sketch=None,
+    reload_fn=None,
 ) -> ThreadingHTTPServer:
     """Build (not start) the HTTP server for a loaded GraphStore.
     ``cache_size`` > 0 enables LRU response memoization with single-flight
@@ -822,6 +823,7 @@ def serve(
     ann_index=None,
     dedup_index=None,
     topk_sketch=None,
+    reload_fn=None,
 ) -> None:
     srv = make_server(
         store,
@@ -834,6 +836,7 @@ def serve(
         ann_index=ann_index,
         dedup_index=dedup_index,
         topk_sketch=topk_sketch,
+        reload_fn=reload_fn,
     )
     print(f"tree_of_life API serving on http://{host}:{port}")
     try:

@@ -691,6 +691,11 @@ def read_shingle_index(spark, out_dir: str):
     with open(os.path.join(out_dir, "meta.json")) as fh:
         meta = json.load(fh)
     meta.setdefault("max_doc_freq", None)
+    # shingle_index_append may have run in ANOTHER process since this
+    # session last listed the path — Spark caches file listings
+    # per-session forever, so refresh or a reload serves the pre-append
+    # index (r12 sharded-soak lesson, same fix as DedupIndex.from_path)
+    spark.catalog.refreshByPath(os.path.join(out_dir, "shingles.parquet"))
     idx = spark.read.parquet(os.path.join(out_dir, "shingles.parquet")).select(
         "doc_id", "n", "s",
         # partition-column inference narrows to int; restore long so the

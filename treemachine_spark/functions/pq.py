@@ -584,6 +584,9 @@ def read_pq_index(spark, out_dir: str):
 
     with open(os.path.join(out_dir, "codebook.json")) as fh:
         blob = json.load(fh)
+    # pq_append may have landed from another process: refresh the cached
+    # file listing (r12 sharded-soak lesson)
+    spark.catalog.refreshByPath(os.path.join(out_dir, "codes.parquet"))
     codes = spark.read.parquet(os.path.join(out_dir, "codes.parquet"))
     return blob["codebook"], codes, blob.get("rotation")
 
@@ -646,6 +649,7 @@ def read_ivf_cells(spark, out_dir: str):
     if not os.path.exists(path):
         return None
     cent = spark.read.parquet(path)
+    spark.catalog.refreshByPath(os.path.join(out_dir, "cells.parquet"))
     assigned = spark.read.parquet(os.path.join(out_dir, "cells.parquet")).select(
         # partition-column inference narrows cent_id to int — restore the
         # id dtype so the probe join keys match without implicit casts

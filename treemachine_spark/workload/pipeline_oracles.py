@@ -275,6 +275,13 @@ SELECT media_id,
 FROM d
 """
 
+PIPELINE_ORACLES["m2_media_probe"] = """
+SELECT doc_id AS media_id,
+       CAST(doc_id % 7 + 1 AS INTEGER) AS width,
+       CAST(doc_id % 5 + 1 AS INTEGER) AS height
+FROM documents
+"""
+
 PIPELINE_ORACLES["x9_decontaminate"] = _SHINGLES_CTE + """
 , ex AS (SELECT doc_id, unnest(sh) AS s FROM sh)
 , bench AS (SELECT DISTINCT s FROM ex WHERE doc_id < 10)

@@ -180,6 +180,44 @@ def q_m1_media_features(spark, sf_dir):
     return mm.extract_features(mm.attach_media(docs), fake_decoder=True)
 
 
+def q_m2_media_probe(spark, sf_dir):
+    """Header-parse metadata enrichment under the oracle (r12): REAL P6
+    PPM payloads are encoded per row (dims derived from doc_id, with a
+    header comment line), probe_media parses the container headers back
+    over mapInPandas (functions/multimodal.probe_image — the scan-side
+    metadata pass a 100 TB media pipeline runs before any pixel decode),
+    and the recovered dimensions compare against the arithmetic oracle.
+    An encode->parse roundtrip: a parser bug cannot cancel out."""
+    from treemachine_spark.functions import multimodal as mm
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    w = (F.col("doc_id") % 7 + 1).cast("int")
+    h = (F.col("doc_id") % 5 + 1).cast("int")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("media_type"),
+        F.encode(
+            F.concat(
+                F.lit("P6\n# synthetic fixture\n"),
+                w.cast("string"),
+                F.lit(" "),
+                h.cast("string"),
+                F.lit("\n255\n"),
+                F.expr(
+                    "repeat('x', CAST((doc_id % 7 + 1) * (doc_id % 5 + 1) "
+                    "* 3 AS INT))"
+                ),
+            ),
+            "UTF-8",
+        ).alias("content"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("sample_rate"),
+        F.lit(None).cast("int").alias("n_frames"),
+    )
+    return mm.probe_media(media).select("media_id", "width", "height")
+
+
 def q_v5_centroid_cells(spark, sf_dir):
     """IVF cell histogram: k-means assignment step (broadcast centroid
     cross join + per-row argmax) + per-cell count — the partition-balance
@@ -783,6 +821,7 @@ PIPELINE_QUERIES = {
     "x8_token_percentiles": q_x8_token_percentiles,
     "v5_centroid_cells": q_v5_centroid_cells,
     "m1_media_features": q_m1_media_features,
+    "m2_media_probe": q_m2_media_probe,
     "d5_dup_clusters": q_d5_dup_clusters,
     "s3_streaming_windows": q_s3_streaming_windows,
     "s4_stream_enriched": q_s4_stream_enriched,
