@@ -28,6 +28,7 @@ concurrent request jobs FIFO-fair across its local threads. Start with:
 from __future__ import annotations
 
 import json
+import os
 import threading
 from collections import OrderedDict
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -174,6 +175,10 @@ _HEAVY_TREE_ROUTES = frozenset(
 
 
 def _route_pool(path: str) -> str:
+    if os.environ.get("TREEMACHINE_SINGLE_POOL"):
+        # benchmarking/ops escape hatch: collapse every route family into
+        # one pool (the pre-r12 behavior) for A/B runs like bench_soak's
+        return "shared"
     if path in _HEAVY_TREE_ROUTES:
         return "tree-heavy"
     if path in (ANN_ROUTE, DUP_ROUTE, DUP_TEXT_ROUTE):
