@@ -169,8 +169,8 @@ _DRIVER_EXCLUDED = {
         "p3_props_decode",
     )
 }
-# ...plus the eight r10-signed gates the 50-row artifact cannot fit this
-# round (108 gates, 50-row cap): deferred to the r13 front, still
+# ...plus the nine r10-signed gates the 50-row artifact cannot fit this
+# round (109 gates, 50-row cap): deferred to the r13 front, still
 # pytest-verified at sf0.001 + the driver's sf0.01 every round. Chosen
 # for the densest extra pinning: x17_dup_spans / d9_capped_artifact /
 # k9_stream_topk / s3_streaming_windows / u1_merge_upsert / x20_lm_score

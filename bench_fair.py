@@ -5,10 +5,12 @@ lookups behind them on one scheduler. session.get_spark runs FAIR mode,
 but FAIR is FIFO *inside* a pool — isolation needs each route family in
 its own pool (api/server._route_pool). This bench serves one synthetic
 store and measures light-route latency (node_info point lookups, mrca)
-while heavy clients hammer subtree extractions, twice in the same
-process: phase A patches _route_pool to a single shared pool (the pre-r12
-behavior), phase B uses the shipped per-family pools. The per-family
-pools should cut the light routes' p50/p95 under identical heavy load.
+while heavy clients hammer subtree extractions, three times in the same
+process (A/B/A): the A phases run with TREEMACHINE_SINGLE_POOL=1 — the
+shipped one-pool escape hatch, the pre-r12 behavior — both FIRST and
+LAST so JVM/JIT warm-order bias runs against the per-family pools, whose
+single B phase must still beat the better A phase. The per-family pools
+should cut the light routes' p50/p95 under identical heavy load.
 
 Run: python bench_fair.py [n_tips] [light_reqs] [n_heavy] [n_light]
 Prints one JSON line.
@@ -17,6 +19,7 @@ Prints one JSON line.
 from __future__ import annotations
 
 import json
+import os
 import random
 import sys
 import threading
@@ -91,7 +94,6 @@ def main() -> None:
     n_heavy = int(sys.argv[3]) if len(sys.argv) > 3 else 6
     n_light = int(sys.argv[4]) if len(sys.argv) > 4 else 4
 
-    from treemachine_spark.api import server as srv_mod
     from treemachine_spark.api.server import make_server
     from treemachine_spark.session import get_spark
 
@@ -119,27 +121,39 @@ def main() -> None:
            "heavy_clients": n_heavy, "light_clients": n_light,
            "light_reqs_each": light_reqs}
 
-    shipped_route_pool = srv_mod._route_pool
-    # phase A: everything in ONE pool (pre-r12 behavior) — FIFO queueing
-    srv_mod._route_pool = lambda path: "shared"
-    try:
-        out["single_pool"] = _phase(
-            base, tips, internals, light_reqs, n_heavy, n_light)
-    finally:
-        srv_mod._route_pool = shipped_route_pool
-    # phase B: shipped per-route-family pools
-    out["per_route_pools"] = _phase(
-        base, tips, internals, light_reqs, n_heavy, n_light)
+    def run_phase() -> dict:
+        return _phase(base, tips, internals, light_reqs, n_heavy, n_light)
+
+    def run_single_pool_phase() -> dict:
+        # the SHIPPED escape hatch (api/server._route_pool reads it per
+        # call), not a monkeypatch — the bench exercises the code path a
+        # deployment would actually flip (r12 review)
+        os.environ["TREEMACHINE_SINGLE_POOL"] = "1"
+        try:
+            return run_phase()
+        finally:
+            os.environ.pop("TREEMACHINE_SINGLE_POOL", None)
+
+    # A/B/A: phase order warms the JVM in favor of whatever runs later,
+    # so the single-pool baseline runs BOTH first and last and the
+    # comparison uses its better (warmer) phase — any remaining bias
+    # runs AGAINST the per-route pools (r12 review)
+    out["single_pool"] = run_single_pool_phase()
+    out["per_route_pools"] = run_phase()
+    out["single_pool_again"] = run_single_pool_phase()
 
     for kind in ("node_info", "mrca"):
-        a = out["single_pool"][kind]["p50"]
+        a = min(out["single_pool"][kind]["p50"],
+                out["single_pool_again"][kind]["p50"])
         b = out["per_route_pools"][kind]["p50"]
         out[f"{kind}_p50_speedup"] = round(a / b, 2) if b else None
     out["fair_ok"] = (
         out["single_pool"]["errors"] == 0
+        and out["single_pool_again"]["errors"] == 0
         and out["per_route_pools"]["errors"] == 0
         and out["per_route_pools"]["node_info"]["p50"]
-        <= out["single_pool"]["node_info"]["p50"]
+        <= min(out["single_pool"]["node_info"]["p50"],
+               out["single_pool_again"]["node_info"]["p50"])
     )
     srv.shutdown()
     srv.server_close()

@@ -47,6 +47,66 @@ KINDS = (
 )
 
 
+def _make_body_for(rng, tips, internals, sample_docs, sample_vecs):
+    """One request-mix generator shared by the single-process and sharded
+    soaks (r12 review: two verbatim copies would silently drift into
+    measuring different mixes)."""
+
+    def body_for(kind: str) -> tuple[str, dict]:
+        if kind == "mrca":
+            return "/v3/tree_of_life/mrca", {"node_ids": rng.sample(tips, 160)}
+        if kind == "node_info":
+            return "/v3/tree_of_life/node_info", {"node_id": rng.choice(tips)}
+        if kind == "subtree":
+            return "/v3/tree_of_life/subtree", {
+                "node_id": rng.choice(internals), "height_limit": 2}
+        if kind == "dedup_text":
+            r = rng.choice(sample_docs)
+            return "/v3/documents/duplicates", {"texts": [r["text"] or ""]}
+        if kind == "dedup_member":
+            r = rng.choice(sample_docs)
+            return "/v3/documents/duplicates", {"doc_ids": [r["doc_id"]]}
+        if kind == "ann":
+            r = rng.choice(sample_vecs)
+            return "/v3/similarity/topk", {
+                "vector": list(r["embedding"]), "k": 10}
+        if kind == "stats_quantiles":
+            return "/v3/stats/quantiles", {
+                "qs": [0.5, 0.9, rng.randrange(1, 100) / 100]}
+        return "/v3/stats/topk", {"k": rng.randrange(5, 25)}
+
+    return body_for
+
+
+def _pins_pre(base, new_text, new_vec, max_vec_id) -> tuple[bool, bool]:
+    """Pre-republish freshness pins: the to-be-appended doc/vector must be
+    ABSENT from the served snapshots. Every probe checks its OWN HTTP
+    status before indexing the body (r11 ADVICE — warmup covers the
+    routes but not these exact bodies; the 'brute' variant is never
+    warmed)."""
+    st, blob = _post_json(base, "/v3/documents/duplicates", {"texts": [new_text]})
+    pre_dedup = st == 200 and all(
+        m["jaccard"] < 1.0 for m in blob["results"][0])
+    st, blob = _post_json(base, "/v3/similarity/topk",
+                          {"vector": new_vec, "k": 10, "method": "brute"})
+    pre_ann = st == 200 and all(
+        nb["neighbor_id"] != int(max_vec_id) + 1 for nb in blob["neighbors"])
+    return pre_dedup, pre_ann
+
+
+def _pins_post(base, new_text, new_vec, max_doc_id, max_vec_id) -> tuple[bool, bool]:
+    """Post-republish pins: appended doc/vector found at exact similarity."""
+    st, blob = _post_json(base, "/v3/documents/duplicates", {"texts": [new_text]})
+    post_dedup = st == 200 and any(
+        m["doc_id"] == max_doc_id + 1 and m["jaccard"] == 1.0
+        for m in blob["results"][0])
+    st, blob = _post_json(base, "/v3/similarity/topk",
+                          {"vector": new_vec, "k": 1, "method": "brute"})
+    post_ann = st == 200 and bool(blob["neighbors"]) and blob[
+        "neighbors"][0]["neighbor_id"] == int(max_vec_id) + 1
+    return post_dedup, post_ann
+
+
 def main() -> None:  # noqa: PLR0915 (one linear bench script)
     n_tips = int(sys.argv[1]) if len(sys.argv) > 1 else 2_420_000
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else (
@@ -165,29 +225,7 @@ def main() -> None:  # noqa: PLR0915 (one linear bench script)
     sample_vecs = emb.limit(64).collect()
     rng = random.Random(11)
     internals = [f"n{i}" for i in range(1, 200)]
-
-    def body_for(kind: str) -> tuple[str, dict]:
-        if kind == "mrca":
-            return "/v3/tree_of_life/mrca", {"node_ids": rng.sample(tips, 160)}
-        if kind == "node_info":
-            return "/v3/tree_of_life/node_info", {"node_id": rng.choice(tips)}
-        if kind == "subtree":
-            return "/v3/tree_of_life/subtree", {
-                "node_id": rng.choice(internals), "height_limit": 2}
-        if kind == "dedup_text":
-            r = rng.choice(sample_docs)
-            return "/v3/documents/duplicates", {"texts": [r["text"] or ""]}
-        if kind == "dedup_member":
-            r = rng.choice(sample_docs)
-            return "/v3/documents/duplicates", {"doc_ids": [r["doc_id"]]}
-        if kind == "ann":
-            r = rng.choice(sample_vecs)
-            return "/v3/similarity/topk", {
-                "vector": list(r["embedding"]), "k": 10}
-        if kind == "stats_quantiles":
-            return "/v3/stats/quantiles", {
-                "qs": [0.5, 0.9, rng.randrange(1, 100) / 100]}
-        return "/v3/stats/topk", {"k": rng.randrange(5, 25)}
+    body_for = _make_body_for(rng, tips, internals, sample_docs, sample_vecs)
 
     # warm each route once and hard-fail on a non-200 (a broken route must
     # not print as a latency table)
@@ -206,19 +244,7 @@ def main() -> None:  # noqa: PLR0915 (one linear bench script)
     # its self-score |v|^2 then beats any corpus dot product and exact
     # top-1 self-retrieval is guaranteed once it is served
     new_vec = [float(x) * 20.0 for x in np.random.RandomState(99).randn(dim)]
-    # every pin probe checks its OWN HTTP status before indexing the body:
-    # warmup covers the routes but not these exact bodies (the 'brute'
-    # method variant is never warmed), and a transient non-200 must fold
-    # into a failed pin, not an opaque KeyError (r11 ADVICE)
-    st, blob = _post_json(base, "/v3/documents/duplicates", {"texts": [new_text]})
-    pin_pre_dedup = st == 200 and all(
-        m["jaccard"] < 1.0 for m in blob["results"][0]
-    )  # no exact partner yet
-    st, blob = _post_json(base, "/v3/similarity/topk",
-                          {"vector": new_vec, "k": 10, "method": "brute"})
-    pin_pre_ann = st == 200 and all(
-        nb["neighbor_id"] != int(max_vec_id) + 1 for nb in blob["neighbors"]
-    )  # the to-be-appended id is not served yet
+    pin_pre_dedup, pin_pre_ann = _pins_pre(base, new_text, new_vec, max_vec_id)
     # pinned tree request: must answer byte-identically across swap_store
     pin_mrca_body = {"node_ids": rng.sample(tips, 160)}
     st_mrca_pre, pin_mrca_pre = _post_json(
@@ -353,16 +379,8 @@ def main() -> None:  # noqa: PLR0915 (one linear bench script)
     # ---- republish freshness pins (after): appended doc/vector now found
     # at exact similarity; pinned tree request byte-identical across the
     # store swap (and, generation-bumped, provably not a stale cache hit)
-    st, blob = _post_json(base, "/v3/documents/duplicates", {"texts": [new_text]})
-    pin_post_dedup = st == 200 and any(
-        m["doc_id"] == max_doc_id + 1 and m["jaccard"] == 1.0
-        for m in blob["results"][0]
-    )
-    st, blob = _post_json(base, "/v3/similarity/topk",
-                          {"vector": new_vec, "k": 1, "method": "brute"})
-    pin_post_ann = st == 200 and bool(blob["neighbors"]) and blob[
-        "neighbors"
-    ][0]["neighbor_id"] == int(max_vec_id) + 1
+    pin_post_dedup, pin_post_ann = _pins_post(
+        base, new_text, new_vec, max_doc_id, max_vec_id)
     st_mrca_post, pin_mrca_post = _post_json(
         base, "/v3/tree_of_life/mrca", pin_mrca_body
     )
@@ -603,14 +621,21 @@ def sharded_main() -> None:  # noqa: PLR0915 (one linear bench script)
     }
 
     t0 = time.time()
-    procs = []
+    procs, logs = [], []
     for (fam, cores), port in zip(families, ports):
         env = {**os.environ, "SPARK_GRAFT_CPUS": str(cores),
                "SPARK_DRIVER_MEM": os.environ.get("SPARK_DRIVER_MEM", "12g")}
+        # worker output goes to a log file, not DEVNULL: a worker that
+        # dies on boot (port bind, import error) must fail the bench
+        # immediately WITH its traceback, not leave the readiness loop
+        # polling a corpse for 30 minutes (r12 review)
+        log_path = os.path.join(root, f"worker_{fam}_{port}.log")
+        logs.append((fam, port, log_path))
+        log_fh = open(log_path, "w")
         procs.append(subprocess.Popen(
             [sys.executable, __file__, "worker", fam, str(port), root,
              sf_dir, str(n_tips)],
-            env=env, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL))
+            env=env, stdout=log_fh, stderr=subprocess.STDOUT))
     urls = {port: f"http://127.0.0.1:{port}" for port in ports}
     try:
         deadline = time.time() + 1800
@@ -618,9 +643,17 @@ def sharded_main() -> None:  # noqa: PLR0915 (one linear bench script)
         while len(ready) < len(ports):
             if time.time() > deadline:
                 raise TimeoutError(f"workers ready: {sorted(ready)}")
-            for port in ports:
+            for p, (fam, port, log_path) in zip(procs, logs):
                 if port in ready:
                     continue
+                rc = p.poll()
+                if rc is not None:
+                    with open(log_path, errors="replace") as fh:
+                        tail = fh.read()[-2000:]
+                    raise RuntimeError(
+                        f"worker {fam}:{port} exited rc={rc} before ready; "
+                        f"log tail:\n{tail}"
+                    )
                 try:
                     status, _ = _post_json(
                         urls[port], "/v3/tree_of_life/about", {})
@@ -652,31 +685,8 @@ def sharded_main() -> None:  # noqa: PLR0915 (one linear bench script)
         dim = staged["dim"]
         rng = random.Random(11)
         internals = [f"n{i}" for i in range(1, 200)]
-
-        def body_for(kind: str) -> tuple[str, dict]:
-            if kind == "mrca":
-                return "/v3/tree_of_life/mrca", {
-                    "node_ids": rng.sample(tips, 160)}
-            if kind == "node_info":
-                return "/v3/tree_of_life/node_info", {
-                    "node_id": rng.choice(tips)}
-            if kind == "subtree":
-                return "/v3/tree_of_life/subtree", {
-                    "node_id": rng.choice(internals), "height_limit": 2}
-            if kind == "dedup_text":
-                r = rng.choice(sample_docs)
-                return "/v3/documents/duplicates", {"texts": [r["text"] or ""]}
-            if kind == "dedup_member":
-                r = rng.choice(sample_docs)
-                return "/v3/documents/duplicates", {"doc_ids": [r["doc_id"]]}
-            if kind == "ann":
-                r = rng.choice(sample_vecs)
-                return "/v3/similarity/topk", {
-                    "vector": list(r["embedding"]), "k": 10}
-            if kind == "stats_quantiles":
-                return "/v3/stats/quantiles", {
-                    "qs": [0.5, 0.9, rng.randrange(1, 100) / 100]}
-            return "/v3/stats/topk", {"k": rng.randrange(5, 25)}
+        body_for = _make_body_for(
+            rng, tips, internals, sample_docs, sample_vecs)
 
         for kind in KINDS:
             path, body = body_for(kind)
@@ -691,14 +701,8 @@ def sharded_main() -> None:  # noqa: PLR0915 (one linear bench script)
                     + " ".join(f"tok{i}qz" for i in range(30)))
         new_vec = [float(x) * 20.0
                    for x in np.random.RandomState(99).randn(dim)]
-        st, blob = _post_json(base, "/v3/documents/duplicates",
-                              {"texts": [new_text]})
-        pin_pre_dedup = st == 200 and all(
-            m["jaccard"] < 1.0 for m in blob["results"][0])
-        st, blob = _post_json(base, "/v3/similarity/topk",
-                              {"vector": new_vec, "k": 10, "method": "brute"})
-        pin_pre_ann = st == 200 and all(
-            nb["neighbor_id"] != max_vec_id + 1 for nb in blob["neighbors"])
+        pin_pre_dedup, pin_pre_ann = _pins_pre(
+            base, new_text, new_vec, max_vec_id)
         pin_mrca_body = {"node_ids": rng.sample(tips, 160)}
         st_mrca_pre, pin_mrca_pre = _post_json(
             base, "/v3/tree_of_life/mrca", pin_mrca_body)
@@ -819,15 +823,8 @@ def sharded_main() -> None:  # noqa: PLR0915 (one linear bench script)
             }
 
         # ---- freshness pins (after), through the router
-        st, blob = _post_json(base, "/v3/documents/duplicates",
-                              {"texts": [new_text]})
-        pin_post_dedup = st == 200 and any(
-            m["doc_id"] == max_doc_id + 1 and m["jaccard"] == 1.0
-            for m in blob["results"][0])
-        st, blob = _post_json(base, "/v3/similarity/topk",
-                              {"vector": new_vec, "k": 1, "method": "brute"})
-        pin_post_ann = st == 200 and bool(blob["neighbors"]) and blob[
-            "neighbors"][0]["neighbor_id"] == max_vec_id + 1
+        pin_post_dedup, pin_post_ann = _pins_post(
+            base, new_text, new_vec, max_doc_id, max_vec_id)
         st_mrca_post, pin_mrca_post = _post_json(
             base, "/v3/tree_of_life/mrca", pin_mrca_body)
         out["pins"] = {

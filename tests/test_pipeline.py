@@ -159,6 +159,58 @@ def test_jpeg_header_marker_walk_edge_cases():
         multimodal.decode_jpeg_header(b"\x89PNG")
 
 
+def test_probe_image_malformed_payloads_raise_valueerror():
+    """r12 review: every malformed-payload path must raise ValueError —
+    probe_media's passthrough catches exactly that, so a struct.error /
+    KeyError escaping probe_image would fail the whole Spark stage on one
+    corrupt blob in a 100 TB scan."""
+    import struct
+    import zlib
+
+    for payload in (
+        multimodal.PNG_MAGIC,                    # PNG magic only (truncated)
+        b"GIF89a",                               # truncated GIF
+        b"BM" + bytes(10),                       # truncated BMP
+        b"\xff\xd8\xff\xc0\x00\x05\x08",         # JPEG cut inside its SOF
+        b"P6\n# only a comment",                 # truncated PPM header
+        b"P3\nxx yy\n255\n",                     # non-numeric PPM tokens
+    ):
+        with pytest.raises(ValueError):
+            multimodal.probe_image(payload)
+
+    def chunk(tag, body):
+        c = struct.pack(">I", len(body)) + tag + body
+        return c + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+
+    bad_ctype = multimodal.PNG_MAGIC + chunk(
+        b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 5, 0, 0, 0)
+    )
+    with pytest.raises(ValueError, match="color type"):
+        multimodal.probe_image(bad_ctype)
+
+    # PPM probe is header-only: a giant ASCII pixel section is never
+    # tokenized (dims come straight from the header)
+    assert multimodal.probe_image(b"P3\n40 30\n255\n" + b"0 " * 10) == (
+        "ppm", 40, 30, 3)
+
+
+def test_probe_media_null_and_corrupt_content_pass_through(spark):
+    """r12 review: NULL content reaches the Arrow batch as None
+    (bytes(None) would TypeError) and corrupt payloads raise typed
+    ValueErrors — both must keep the row's existing metadata, never fail
+    the stage."""
+    rows = [
+        (0, "image", None, 11, 12, None, None),                 # NULL blob
+        (1, "image", bytearray(multimodal.PNG_MAGIC), 21, 22, None, None),
+        (2, "image", bytearray(b"GIF89a"), 31, 32, None, None),  # truncated
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in multimodal.probe_media(media).collect()}
+    assert (got[0]["width"], got[0]["height"]) == (11, 12)
+    assert (got[1]["width"], got[1]["height"]) == (21, 22)
+    assert (got[2]["width"], got[2]["height"]) == (31, 32)
+
+
 def test_probe_media_enriches_dims_and_passes_unknown_through(spark):
     """probe_media fills width/height from content headers (PNG + JPEG)
     over mapInPandas and leaves unknown containers' metadata untouched;

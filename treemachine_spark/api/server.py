@@ -321,19 +321,23 @@ class ServerCore:
             self._generation += 1
 
     def handle(self, path: str, body: dict) -> tuple[int, dict]:
-        # scope this request's Spark jobs to its route family's FAIR pool
-        # (thread-local — each HTTP request runs on its own handler
-        # thread); reset in finally so direct batch callers of handle()
-        # keep whatever pool their thread had. Stub stores without real
-        # DataFrames (unit tests) just skip the scoping.
+        return self._handle_routed(path, body)
+
+    def _in_pool(self, path: str, fn):
+        """Run ``fn`` with the request thread's Spark jobs scoped to the
+        route family's FAIR pool, restoring the caller's pool after.
+        Wrapped around the COMPUTE closures only — a cache hit must stay
+        a pure dict lookup, not pay three py4j round-trips for a pool no
+        job will consult (r12 review). Stub stores without real
+        DataFrames (unit tests) just skip the scoping."""
         try:
             sc = self.store.nodes.sparkSession.sparkContext
         except AttributeError:
-            return self._handle_routed(path, body)
+            return fn()
         prev = sc.getLocalProperty("spark.scheduler.pool")
         sc.setLocalProperty("spark.scheduler.pool", _route_pool(path))
         try:
-            return self._handle_routed(path, body)
+            return fn()
         finally:
             sc.setLocalProperty("spark.scheduler.pool", prev)
 
@@ -381,7 +385,7 @@ class ServerCore:
             try:
                 # bind apis at call time so a concurrent swap_store cannot
                 # mix old-store computation into the post-swap cache
-                return _dispatch(self.apis, path, body)
+                return self._in_pool(path, lambda: _dispatch(self.apis, path, body))
             except Exception as e:  # unexpected -> 500, never kill the server
                 return 500, {"message": f"{type(e).__name__}: {e}"}
 
@@ -632,7 +636,7 @@ class ServerCore:
 
         def run() -> tuple[int, dict]:
             try:
-                return 200, call(index)
+                return 200, self._in_pool(route, lambda: call(index))
             except BadInputError as e:
                 return 400, {"message": str(e)}
             except Exception as e:

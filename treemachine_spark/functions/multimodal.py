@@ -73,12 +73,11 @@ PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
-def decode_ppm(data: bytes):
-    """Decode binary (P6) / ASCII (P3) PPM → (width, height, 3, flat uint8
-    array). Stdlib+numpy only — PPM is the container the real resize path
-    re-encodes into."""
-    import numpy as np
-
+def _ppm_header(data: bytes):
+    """Parse a PPM header only → (width, height, maxval, pixel_offset).
+    O(header bytes), never touches pixel data — probe_image's metadata
+    tier (r12 review: the probe must not pay an O(pixels) tokenize just
+    to report dims)."""
     if data[:2] not in (b"P6", b"P3"):
         raise ValueError("not a PPM payload")
     # header tokens: magic, width, height, maxval — '#' comments allowed
@@ -87,6 +86,8 @@ def decode_ppm(data: bytes):
     while len(tokens) < 3:
         while pos < len(data) and data[pos : pos + 1].isspace():
             pos += 1
+        if pos >= len(data):
+            raise ValueError("truncated PPM header")
         if data[pos : pos + 1] == b"#":
             while pos < len(data) and data[pos : pos + 1] != b"\n":
                 pos += 1
@@ -95,7 +96,20 @@ def decode_ppm(data: bytes):
         while pos < len(data) and not data[pos : pos + 1].isspace():
             pos += 1
         tokens.append(data[start:pos])
-    w, h, maxval = (int(t) for t in tokens)
+    try:
+        w, h, maxval = (int(t) for t in tokens)
+    except ValueError:
+        raise ValueError(f"bad PPM header tokens {tokens!r}") from None
+    return w, h, maxval, pos
+
+
+def decode_ppm(data: bytes):
+    """Decode binary (P6) / ASCII (P3) PPM → (width, height, 3, flat uint8
+    array). Stdlib+numpy only — PPM is the container the real resize path
+    re-encodes into."""
+    import numpy as np
+
+    w, h, maxval, pos = _ppm_header(data)
     if maxval != 255:
         raise ValueError(f"only 8-bit PPM supported (maxval={maxval})")
     if data[:2] == b"P6":
@@ -241,21 +255,30 @@ def probe_image(data: bytes):
     Arrow boundary."""
     import struct
 
-    if data[:8] == PNG_MAGIC:
-        w, h, _depth, ctype = struct.unpack(">IIBB", data[16:26])
-        return "png", w, h, _PNG_CHANNELS[ctype] if ctype != 3 else 3
-    if data[:2] == b"\xff\xd8":
-        w, h, ch = decode_jpeg_header(data)
-        return "jpeg", w, h, ch
-    if data[:2] in (b"P6", b"P3"):
-        w, h, ch, _px = decode_ppm(data)
-        return "ppm", w, h, ch
-    if data[:6] in (b"GIF87a", b"GIF89a"):
-        w, h = struct.unpack("<HH", data[6:10])
-        return "gif", w, h, 3
-    if data[:2] == b"BM":
-        w, h = struct.unpack("<ii", data[18:26])
-        return "bmp", w, abs(h), 3
+    # every malformed-payload path must raise ValueError — the scan-side
+    # enrichment (probe_media) treats ValueError as "keep existing
+    # metadata", and a struct.error/KeyError escaping here would fail the
+    # whole Spark stage on one corrupt blob (r12 review)
+    try:
+        if data[:8] == PNG_MAGIC:
+            w, h, _depth, ctype = struct.unpack(">IIBB", data[16:26])
+            if ctype not in _PNG_CHANNELS:
+                raise ValueError(f"bad PNG color type {ctype}")
+            return "png", w, h, _PNG_CHANNELS[ctype] if ctype != 3 else 3
+        if data[:2] == b"\xff\xd8":
+            w, h, ch = decode_jpeg_header(data)
+            return "jpeg", w, h, ch
+        if data[:2] in (b"P6", b"P3"):
+            w, h, _maxval, _pos = _ppm_header(data)  # header only, O(1)
+            return "ppm", w, h, 3
+        if data[:6] in (b"GIF87a", b"GIF89a"):
+            w, h = struct.unpack("<HH", data[6:10])
+            return "gif", w, h, 3
+        if data[:2] == b"BM":
+            w, h = struct.unpack("<ii", data[18:26])
+            return "bmp", w, abs(h), 3
+    except struct.error as e:  # truncated container
+        raise ValueError(f"truncated image header: {e}") from None
     raise ValueError("unknown image container (png/jpeg/ppm/gif/bmp sniffed)")
 
 
@@ -270,6 +293,12 @@ def probe_media(media: DataFrame) -> DataFrame:
         for pdf in it:
             widths, heights = [], []
             for b, w0, h0 in zip(pdf["content"], pdf["width"], pdf["height"]):
+                # NULL content reaches Arrow as None (the CLAUDE.md
+                # NULL-in-pandas-UDF trap) — passthrough, never bytes(None)
+                if not isinstance(b, (bytes, bytearray)):
+                    widths.append(w0)
+                    heights.append(h0)
+                    continue
                 try:
                     _fmt, w, h, _ch = probe_image(bytes(b))
                 except ValueError:
