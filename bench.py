@@ -218,6 +218,36 @@ def main() -> None:
     failed = sorted(k for k, v in ok_flags.items() if v is False)
     ingest_max = EXPECTED_INGEST_MAX.get(sf)
     ingest_ok = None if ingest_max is None else ingest_sec <= ingest_max
+    # Host fingerprint (VERDICT r12 #6): three rounds of verdict attention
+    # went to re-deriving whether median drift was host noise — record the
+    # cpu model, load average, and concurrent-JVM count IN the artifact so
+    # drift is self-evident. Purely informational: bench_ok is unchanged.
+    host: dict = {}
+    try:
+        host["loadavg_1m"], host["loadavg_5m"], host["loadavg_15m"] = (
+            round(v, 2) for v in os.getloadavg()
+        )
+    except OSError:
+        pass
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.lower().startswith("model name"):
+                    host["cpu_model"] = line.split(":", 1)[1].strip()
+                    break
+        host["n_cpus"] = os.cpu_count()
+    except OSError:
+        pass
+    try:
+        import subprocess
+
+        out = subprocess.run(
+            ["pgrep", "-fc", "java"], capture_output=True, text=True, timeout=10
+        )
+        # pgrep -c counts matches; exit 1 with '0' means none besides ours
+        host["concurrent_jvms"] = int(out.stdout.strip() or 0)
+    except (OSError, ValueError, subprocess.TimeoutExpired):
+        pass
     print(
         json.dumps(
             {
@@ -233,6 +263,7 @@ def main() -> None:
                 "ok": ok_flags,
                 "bench_ok": not failed and ingest_ok is not False,
                 "failed_queries": failed,
+                "host": host,
             }
         )
     )

@@ -194,6 +194,86 @@ def test_probe_image_malformed_payloads_raise_valueerror():
         "ppm", 40, 30, 3)
 
 
+def test_probe_image_implausible_dims_raise_valueerror():
+    """r12 advice (medium): header-declared dims are untrusted — a PNG
+    declaring 4294967295 wide or a PPM header with an arbitrary huge int
+    must raise ValueError (probe_media's Int32 arrays would otherwise
+    TypeError on the int64 overflow and fail the whole stage)."""
+    import struct
+    import zlib
+
+    def chunk(tag, body):
+        c = struct.pack(">I", len(body)) + tag + body
+        return c + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+
+    huge_png = multimodal.PNG_MAGIC + chunk(
+        b"IHDR", struct.pack(">IIBBBBB", 0xFFFFFFFF, 2, 8, 2, 0, 0, 0)
+    )
+    for payload in (
+        huge_png,
+        b"P6\n99999999999 2\n255\n",   # the advice's exact repro
+        b"P6\n0 5\n255\n",             # zero dim
+    ):
+        with pytest.raises(ValueError, match="dimensions"):
+            multimodal.probe_image(payload)
+
+
+def test_probe_media_huge_dims_blob_keeps_metadata(spark):
+    """End-to-end: the huge-dims blob keeps its existing metadata instead
+    of failing the Spark stage with an Int32-cast TypeError (the exact
+    failure the r12 advice reproduced)."""
+    rows = [
+        (0, "image", bytearray(b"P6\n99999999999 2\n255\n"), 7, 9, None, None),
+        (1, "image", bytearray(b"P6\n4 2\n255\n" + bytes(24)), None, None, None, None),
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in multimodal.probe_media(media).collect()}
+    assert (got[0]["width"], got[0]["height"]) == (7, 9)   # passthrough
+    assert (got[1]["width"], got[1]["height"]) == (4, 2)   # sane blob enriched
+
+
+def test_probe_image_bmp_header_variants():
+    """r12 advice (low): BMP dims dispatch on the DIB header-size field —
+    BITMAPCOREHEADER (size 12) carries 16-bit dims, the INFOHEADER family
+    32-bit signed; unknown variants raise instead of mis-parsing."""
+    import struct
+
+    def bmp(dib_size, dims):
+        return b"BM" + bytes(12) + struct.pack("<I", dib_size) + dims + bytes(8)
+
+    core = bmp(12, struct.pack("<HH", 17, 13))
+    assert multimodal.probe_image(core) == ("bmp", 17, 13, 3)
+    info = bmp(40, struct.pack("<ii", 33, -44))  # top-down: negative height
+    assert multimodal.probe_image(info) == ("bmp", 33, 44, 3)
+    v5 = bmp(124, struct.pack("<ii", 5, 6))
+    assert multimodal.probe_image(v5) == ("bmp", 5, 6, 3)
+    with pytest.raises(ValueError, match="DIB header"):
+        multimodal.probe_image(bmp(26, struct.pack("<ii", 5, 6)))
+
+
+def test_decode_jpeg_header_truncated_sof_is_valueerror():
+    """r12 advice (low): a stream cut inside the SOF payload or a length
+    field must raise the documented ValueError from decode_jpeg_header
+    itself, not a struct.error that only probe_image masks."""
+    for payload in (
+        b"\xff\xd8\xff\xc0\x00\x05\x08",   # cut inside SOF payload
+        b"\xff\xd8\xff\xc0\x00",           # cut inside the length field
+    ):
+        with pytest.raises(ValueError, match="JPEG"):
+            multimodal.decode_jpeg_header(payload)
+
+
+def test_scheduler_xml_typo_raises(monkeypatch):
+    """r12 advice (low): an explicitly-set TREEMACHINE_SCHEDULER_XML
+    pointing at a nonexistent file must fail loudly, not silently drop
+    the weighted pools; the off/0/'' sentinels still skip quietly."""
+    from treemachine_spark import session as tm_session
+
+    monkeypatch.setenv("TREEMACHINE_SCHEDULER_XML", "/no/such/alloc.xml")
+    with pytest.raises(FileNotFoundError, match="alloc.xml"):
+        tm_session.get_spark()
+
+
 def test_probe_media_null_and_corrupt_content_pass_through(spark):
     """r12 review: NULL content reaches the Arrow batch as None
     (bytes(None) would TypeError) and corrupt payloads raise typed

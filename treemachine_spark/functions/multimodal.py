@@ -2,11 +2,16 @@
 columns with typed metadata structs, processed via Arrow-batched
 mapInPandas (beyond-reference scope).
 
-The actual media codecs are NOT available in this environment, so decode is
-STUBBED: ``decode_image`` raises NotImplementedError unless
-``fake_decoder=True``, in which case a deterministic fake (derived from the
-bytes) exercises the full Spark plumbing — schema, batch iteration,
-partitioning — which is the part that matters for the engine.
+Codec status (r12+): PNG (8-bit non-interlaced, all five scanline filters,
+greyscale/RGB/RGBA/palette) and PPM (P6/P3) pixel decode are REAL, pure
+stdlib+numpy (``decode_png`` / ``decode_ppm``), verified against checked-in
+binary fixtures; header probes (``probe_image``) cover five containers
+(PNG IHDR, JPEG SOFn marker walk, PPM, GIF, BMP) — the scan-side metadata
+pass a 100 TB pipeline runs before deciding to decode. The one typed
+boundary is JPEG pixel ENTROPY decode: ``decode_image`` raises
+NotImplementedError for it (needs an external codec); ``fake_decoder=True``
+substitutes a deterministic byte-derived fake so the full Spark plumbing —
+schema, batch iteration, partitioning — stays exercised in tests.
 
 Scale design: media bytes stay opaque in the scan (no decode before the
 filter/projection that prunes rows); mapInPandas processes Arrow record
@@ -234,25 +239,42 @@ def decode_jpeg_header(data: bytes):
             continue
         if marker == 0xD9:  # EOI before any frame header
             break
-        (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
-        if marker in _JPEG_SOF_MARKERS:
-            _depth, h, w, ch = struct.unpack(
-                ">BHHB", data[pos + 4 : pos + 10]
-            )
-            return w, h, ch
+        # a stream truncated inside a length field or the SOF payload
+        # hits struct.error — re-raise as the documented ValueError so
+        # direct callers get the same typed contract as probe_image
+        try:
+            (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+            if marker in _JPEG_SOF_MARKERS:
+                _depth, h, w, ch = struct.unpack(
+                    ">BHHB", data[pos + 4 : pos + 10]
+                )
+                return w, h, ch
+        except struct.error:
+            raise ValueError("truncated JPEG header") from None
         if marker == 0xDA:  # SOS without a preceding SOF: malformed
             break
         pos += 2 + seglen
     raise ValueError("JPEG stream has no SOF frame header")
 
 
+def _check_dims(fmt: str, w: int, h: int):
+    """Header-declared dims are UNTRUSTED input: a corrupt PNG can declare
+    4294967295 wide and a PPM header token is an arbitrary int — values
+    past int32 would blow up downstream (probe_media's Int32 arrays raise
+    TypeError, failing the whole Spark stage on one blob). Bound them here
+    so every corrupt-dims path is the same typed ValueError the
+    passthrough design expects (r12 advice, verified by execution)."""
+    if not (0 < w <= 0x7FFFFFFF and 0 < h <= 0x7FFFFFFF):
+        raise ValueError(f"implausible {fmt} dimensions {w}x{h}")
+
+
 def probe_image(data: bytes):
     """Sniff an image payload's container and dimensions WITHOUT a pixel
     decode → (format, width, height, channels). Stdlib header parses
     only: PNG (IHDR), JPEG (SOFn), PPM (P6/P3 header), GIF (logical
-    screen descriptor) and BMP (BITMAPINFOHEADER). This is the cheap
-    metadata pass that runs scan-side at scale — pixels never cross the
-    Arrow boundary."""
+    screen descriptor) and BMP (BITMAPINFOHEADER family or
+    BITMAPCOREHEADER). This is the cheap metadata pass that runs
+    scan-side at scale — pixels never cross the Arrow boundary."""
     import struct
 
     # every malformed-payload path must raise ValueError — the scan-side
@@ -264,18 +286,33 @@ def probe_image(data: bytes):
             w, h, _depth, ctype = struct.unpack(">IIBB", data[16:26])
             if ctype not in _PNG_CHANNELS:
                 raise ValueError(f"bad PNG color type {ctype}")
+            _check_dims("png", w, h)
             return "png", w, h, _PNG_CHANNELS[ctype] if ctype != 3 else 3
         if data[:2] == b"\xff\xd8":
             w, h, ch = decode_jpeg_header(data)
+            _check_dims("jpeg", w, h)
             return "jpeg", w, h, ch
         if data[:2] in (b"P6", b"P3"):
             w, h, _maxval, _pos = _ppm_header(data)  # header only, O(1)
+            _check_dims("ppm", w, h)
             return "ppm", w, h, 3
         if data[:6] in (b"GIF87a", b"GIF89a"):
             w, h = struct.unpack("<HH", data[6:10])
+            _check_dims("gif", w, h)
             return "gif", w, h, 3
         if data[:2] == b"BM":
-            w, h = struct.unpack("<ii", data[18:26])
+            # dispatch on the DIB header-size field: the 12-byte
+            # BITMAPCOREHEADER stores 16-bit dims, the INFOHEADER family
+            # (40/52/56/64/108/124) 32-bit signed; anything else would be
+            # silently mis-parsed into garbage dims — typed error instead
+            (dib,) = struct.unpack("<I", data[14:18])
+            if dib == 12:
+                w, h = struct.unpack("<HH", data[18:22])
+            elif dib in (40, 52, 56, 64, 108, 124):
+                w, h = struct.unpack("<ii", data[18:26])
+            else:
+                raise ValueError(f"unsupported BMP DIB header size {dib}")
+            _check_dims("bmp", w, abs(h))
             return "bmp", w, abs(h), 3
     except struct.error as e:  # truncated container
         raise ValueError(f"truncated image header: {e}") from None

@@ -30,8 +30,17 @@ def get_spark(app_name: str = "treemachine-spark") -> SparkSession:
     sched_xml = os.environ.get("TREEMACHINE_SCHEDULER_XML", "")
     if sched_xml == "default":
         sched_xml = os.path.join(os.path.dirname(__file__), "fairscheduler.xml")
-    if sched_xml in ("off", "0", "") or not os.path.exists(sched_xml):
+    if sched_xml in ("off", "0", ""):
         sched_xml = None
+    elif not os.path.exists(sched_xml):
+        # an explicitly-set allocation file that doesn't exist is a
+        # deployment typo — silently dropping it would lose the weighted
+        # pools with no signal (r12 advice); only the sentinels skip
+        raise FileNotFoundError(
+            f"TREEMACHINE_SCHEDULER_XML points at a nonexistent allocation "
+            f"file: {sched_xml!r} (use 'off'/'0'/'' to disable, 'default' "
+            f"for the packaged fairscheduler.xml)"
+        )
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
