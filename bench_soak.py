@@ -421,6 +421,10 @@ def main() -> None:  # noqa: PLR0915 (one linear bench script)
 #
 # Run:    python bench_soak.py shards [n_tips] [sf_dir] [n_clients]
 #                                     [reqs_per_client] [n_tree_workers]
+# Drill:  python bench_soak.py drill  [same args] — worker-down
+#         reload-retry drill (kill dedup worker post-append -> broadcast
+#         502s with per-worker outcomes -> restore -> fresh-on-boot probe
+#         -> retry broadcast all-200); see sharded_main docstring
 # Worker: python bench_soak.py worker <family> <port> <root> <sf_dir> <n_tips>
 # ---------------------------------------------------------------------------
 
@@ -572,7 +576,19 @@ def soak_worker_main(family: str, port: int, root: str, sf_dir: str,
     srv.serve_forever()
 
 
-def sharded_main() -> None:  # noqa: PLR0915 (one linear bench script)
+def sharded_main(drill: bool = False) -> None:  # noqa: PLR0915 (one linear bench script)
+    """Sharded soak; ``drill=True`` runs the worker-down reload-retry
+    drill (VERDICT r12 #3): mid-soak, AFTER the artifact append, the
+    dedup worker (the family the republish changes) is killed along with
+    its JVM — a process-crash simulation. The reload broadcast must then
+    502 with per-worker outcomes (all-or-error is the design: a failover
+    reload would leave a mixed-snapshot fleet silently); the worker is
+    restored, probed DIRECTLY for the appended doc (a fresh boot reads
+    the already-appended artifacts, so the restored worker has no stale
+    window), and the broadcast retried to all-200. Dedup-route errors
+    overlapping the down window are counted separately as expected —
+    the family has no serving replica then, and a visible 502 beats a
+    silently stale answer."""
     import subprocess
 
     from treemachine_spark.api.router import ShardRouter, make_router_server
@@ -595,7 +611,8 @@ def sharded_main() -> None:  # noqa: PLR0915 (one linear bench script)
     from treemachine_spark.functions.dedup import shingle_index_append
     from bench_http import _tip_names
 
-    out: dict = {"mode": "sharded", "n_tips": n_tips, "sf_dir": sf_dir,
+    out: dict = {"mode": "sharded-drill" if drill else "sharded",
+                 "n_tips": n_tips, "sf_dir": sf_dir,
                  "clients": n_clients, "reqs_per_client": n_reqs,
                  "tree_workers": n_tree}
     spark = get_spark("soak-shard-parent")
@@ -608,9 +625,14 @@ def sharded_main() -> None:  # noqa: PLR0915 (one linear bench script)
     out["pq_artifact_write_sec"] = staged["pq_artifact_write_sec"]
     out["stage_sec"] = round(time.time() - t0, 1)
 
-    # core split: tree workers take what the index/stats families leave
+    # core split: tree workers take what the index/stats families leave.
+    # TREEMACHINE_AUX_CORES overrides the per-aux-family count — the knob
+    # the r12 soak exposed (the 4-core dedup worker's p50 rose 5.2->21.2 s
+    # when a faster soak packed its requests more densely); the sizing
+    # matrix (NOTES_r13) measures the tradeoff so a deployment can pick.
     total_cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    aux_cores = max(2, total_cores // 8)  # ann / dedup / stats each
+    aux_cores = int(os.environ.get(
+        "TREEMACHINE_AUX_CORES", max(2, total_cores // 8)))  # ann/dedup/stats each
     tree_cores = max(2, (total_cores - 3 * aux_cores) // n_tree)
     families = [("tree", tree_cores)] * n_tree + [
         ("dedup", aux_cores), ("ann", aux_cores), ("stats", aux_cores)]
@@ -621,7 +643,7 @@ def sharded_main() -> None:  # noqa: PLR0915 (one linear bench script)
     }
 
     t0 = time.time()
-    procs, logs = [], []
+    procs, logs, spawn_specs = [], [], []
     for (fam, cores), port in zip(families, ports):
         env = {**os.environ, "SPARK_GRAFT_CPUS": str(cores),
                "SPARK_DRIVER_MEM": os.environ.get("SPARK_DRIVER_MEM", "12g")}
@@ -631,11 +653,12 @@ def sharded_main() -> None:  # noqa: PLR0915 (one linear bench script)
         # polling a corpse for 30 minutes (r12 review)
         log_path = os.path.join(root, f"worker_{fam}_{port}.log")
         logs.append((fam, port, log_path))
+        cmd = [sys.executable, __file__, "worker", fam, str(port), root,
+               sf_dir, str(n_tips)]
+        spawn_specs.append((cmd, env))  # drill respawns from the same spec
         log_fh = open(log_path, "w")
         procs.append(subprocess.Popen(
-            [sys.executable, __file__, "worker", fam, str(port), root,
-             sf_dir, str(n_tips)],
-            env=env, stdout=log_fh, stderr=subprocess.STDOUT))
+            cmd, env=env, stdout=log_fh, stderr=subprocess.STDOUT))
     urls = {port: f"http://127.0.0.1:{port}" for port in ports}
     try:
         deadline = time.time() + 1800
@@ -731,6 +754,8 @@ def sharded_main() -> None:  # noqa: PLR0915 (one linear bench script)
 
         total = n_clients * n_reqs
 
+        drill_rec: dict = {}
+
         def republish() -> None:
             try:
                 _republish_body()
@@ -739,6 +764,88 @@ def sharded_main() -> None:  # noqa: PLR0915 (one linear bench script)
                 now = time.time()
                 swap_window.setdefault("start", now)
                 swap_window.setdefault("end", now)
+
+        def _kill_worker_and_jvm(idx: int) -> None:
+            """SIGKILL the worker python process AND its JVM child — a
+            real worker crash takes both down (same box); an orphaned JVM
+            would also keep serving nothing while holding 12g+cores."""
+            victim = procs[idx]
+            kids = subprocess.run(
+                ["pgrep", "-P", str(victim.pid)],
+                capture_output=True, text=True,
+            ).stdout.split()
+            victim.kill()
+            victim.wait()
+            for pid in kids:
+                try:
+                    os.kill(int(pid), 9)
+                except (OSError, ValueError):
+                    pass
+
+        def _drill_down_retry(dedup_url: str) -> None:
+            """Kill dedup worker -> broadcast must 502 with per-worker
+            outcomes -> restore -> restored worker fresh on boot ->
+            retry broadcast all-200."""
+            dedup_idx = next(
+                i for i, (fam, _) in enumerate(families) if fam == "dedup")
+            _kill_worker_and_jvm(dedup_idx)
+            swap_window["kill_time"] = time.time()
+            status, blob = _post_json(base, "/v3/admin/reload", {})
+            drill_rec["broadcast_down_status"] = status
+            outcomes = {u: w.get("status")
+                        for u, w in blob.get("workers", {}).items()}
+            drill_rec["broadcast_down_outcomes"] = outcomes
+            if status != 502:
+                raise RuntimeError(
+                    f"expected 502 broadcast with a down worker, got "
+                    f"{status}: {blob}")
+            if outcomes.get(dedup_url) == 200 or any(
+                st != 200 for u, st in outcomes.items() if u != dedup_url
+            ):
+                raise RuntimeError(f"per-worker outcomes wrong: {outcomes}")
+            # live workers DID reload (all-or-error reports, it does not
+            # roll back) — only the down family is behind, and it serves
+            # nothing (visible 502s), never a stale answer
+            cmd, env = spawn_specs[dedup_idx]
+            restart_log = os.path.join(root, "worker_dedup_restarted.log")
+            fh = open(restart_log, "w")
+            procs[dedup_idx] = subprocess.Popen(
+                cmd, env=env, stdout=fh, stderr=subprocess.STDOUT)
+            wurl = urls[ports[dedup_idx]]
+            deadline = time.time() + 1800
+            while True:
+                if procs[dedup_idx].poll() is not None:
+                    with open(restart_log, errors="replace") as lf:
+                        tail = lf.read()[-2000:]
+                    raise RuntimeError(
+                        f"restarted dedup worker died; log tail:\n{tail}")
+                if time.time() > deadline:
+                    raise TimeoutError("restarted dedup worker never ready")
+                try:
+                    st, _ = _post_json(wurl, "/v3/tree_of_life/about", {})
+                    if st == 200:
+                        break
+                except Exception:
+                    pass
+                time.sleep(2)
+            swap_window["restore_time"] = time.time()
+            drill_rec["down_window_sec"] = round(
+                swap_window["restore_time"] - swap_window["kill_time"], 1)
+            # no stale window on the restored worker: its boot loaded the
+            # ALREADY-APPENDED artifacts, so the appended doc is visible
+            # direct-to-worker even before the retry broadcast
+            st, blob = _post_json(
+                wurl, "/v3/documents/duplicates", {"texts": [new_text]})
+            drill_rec["restored_worker_fresh"] = st == 200 and any(
+                m["doc_id"] == max_doc_id + 1 and m["jaccard"] == 1.0
+                for m in blob["results"][0])
+            status, blob = _post_json(base, "/v3/admin/reload", {})
+            if status != 200:
+                raise RuntimeError(
+                    f"retry broadcast -> {status}: {blob}")
+            drill_rec["retry_broadcast_ok"] = True
+            swap_window["reload_workers"] = {
+                u: w.get("family") for u, w in blob["workers"].items()}
 
         def _republish_body() -> None:
             while True:
@@ -760,13 +867,17 @@ def sharded_main() -> None:  # noqa: PLR0915 (one linear bench script)
             new_emb.write.mode("append").parquet(staged["emb_path"])
             pq.pq_append(new_emb, staged["pq_dir"])
             t_loaded = time.time()
-            # the fleet freshness path: ONE router broadcast; every worker
-            # reloads from the shared artifacts and swaps
-            status, blob = _post_json(base, "/v3/admin/reload", {})
-            if status != 200:
-                raise RuntimeError(f"reload broadcast -> {status}: {blob}")
-            swap_window["reload_workers"] = {
-                u: w.get("family") for u, w in blob["workers"].items()}
+            if drill:
+                _drill_down_retry(one["dedup"])
+            else:
+                # the fleet freshness path: ONE router broadcast; every
+                # worker reloads from the shared artifacts and swaps
+                status, blob = _post_json(base, "/v3/admin/reload", {})
+                if status != 200:
+                    raise RuntimeError(
+                        f"reload broadcast -> {status}: {blob}")
+                swap_window["reload_workers"] = {
+                    u: w.get("family") for u, w in blob["workers"].items()}
             swap_window["start"] = t_start
             swap_window["end"] = time.time()
             swap_window["append_sec"] = round(t_loaded - t_start, 2)
@@ -805,13 +916,28 @@ def sharded_main() -> None:  # noqa: PLR0915 (one linear bench script)
         buckets: dict[str, dict[str, list[float]]] = {
             "pre": {}, "during": {}, "post": {}}
         errors = 0
+        expected_down = 0
+        kt = swap_window.get("kill_time")
+        rt = swap_window.get("restore_time")
         for kind, t, dt, status in records:
             if status != 200:
-                errors += 1
+                # drill: a dedup-route request overlapping the down window
+                # is EXPECTED to fail — the family has no serving replica
+                # (visible 502, never a stale answer); anything else is a
+                # real error
+                if (drill and kind in ("dedup_text", "dedup_member")
+                        and kt is not None and rt is not None
+                        and t <= rt and t + dt >= kt):
+                    expected_down += 1
+                else:
+                    errors += 1
             phase = ("pre" if t < swap_window["start"]
                      else "during" if t < swap_window["end"] else "post")
             buckets[phase].setdefault(kind, []).append(dt)
         out["errors"] = errors
+        if drill:
+            out["drill"] = drill_rec
+            out["expected_down_errors"] = expected_down
         out["n_requests"] = len(records)
         out["n_requests_expected"] = (
             total + max(4, n_clients // 3) * n_reqs)
@@ -841,10 +967,17 @@ def sharded_main() -> None:  # noqa: PLR0915 (one linear bench script)
             and out["n_requests"] == out["n_requests_expected"]
             and all(out["pins"].values())
             and "error" not in swap_window
+            and (not drill or (
+                drill_rec.get("broadcast_down_status") == 502
+                and drill_rec.get("restored_worker_fresh") is True
+                and drill_rec.get("retry_broadcast_ok") is True
+            ))
         )
         rsrv.shutdown()
         rsrv.server_close()
-        print(json.dumps({"metric": "served_soak_sharded", **out}))
+        print(json.dumps({
+            "metric": "served_soak_drill" if drill else "served_soak_sharded",
+            **out}))
     finally:
         for p in procs:
             p.terminate()
@@ -862,5 +995,7 @@ if __name__ == "__main__":
                          sys.argv[5], int(sys.argv[6]))
     elif len(sys.argv) > 1 and sys.argv[1] == "shards":
         sharded_main()
+    elif len(sys.argv) > 1 and sys.argv[1] == "drill":
+        sharded_main(drill=True)
     else:
         main()
