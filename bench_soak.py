@@ -424,7 +424,10 @@ def main() -> None:  # noqa: PLR0915 (one linear bench script)
 # Drill:  python bench_soak.py drill  [same args] — worker-down
 #         reload-retry drill (kill dedup worker post-append -> broadcast
 #         502s with per-worker outcomes -> restore -> fresh-on-boot probe
-#         -> retry broadcast all-200); see sharded_main docstring
+#         -> retry broadcast all-200); see sharded_main docstring.
+#         TREEMACHINE_N_DEDUP=2 makes it the REPLICA-failover drill: the
+#         surviving replica must serve every dedup request through the
+#         down window (zero client-visible errors excused)
 # Worker: python bench_soak.py worker <family> <port> <root> <sf_dir> <n_tips>
 # ---------------------------------------------------------------------------
 
@@ -630,12 +633,22 @@ def sharded_main(drill: bool = False) -> None:  # noqa: PLR0915 (one linear benc
     # the r12 soak exposed (the 4-core dedup worker's p50 rose 5.2->21.2 s
     # when a faster soak packed its requests more densely); the sizing
     # matrix (NOTES_r13) measures the tradeoff so a deployment can pick.
+    # TREEMACHINE_N_DEDUP runs the dedup family with N REPLICAS of the
+    # same shard (identical snapshot from the shared artifacts) — with
+    # >=2, the forward-path failover makes a replica death invisible to
+    # clients (the r13 replica drill), while the reload broadcast stays
+    # all-or-error until the fleet is whole.
     total_cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     aux_cores = int(os.environ.get(
         "TREEMACHINE_AUX_CORES", max(2, total_cores // 8)))  # ann/dedup/stats each
-    tree_cores = max(2, (total_cores - 3 * aux_cores) // n_tree)
-    families = [("tree", tree_cores)] * n_tree + [
-        ("dedup", aux_cores), ("ann", aux_cores), ("stats", aux_cores)]
+    n_dedup = int(os.environ.get("TREEMACHINE_N_DEDUP", "1"))
+    tree_cores = max(
+        2, (total_cores - (2 + n_dedup) * aux_cores) // n_tree)
+    families = (
+        [("tree", tree_cores)] * n_tree
+        + [("dedup", aux_cores)] * n_dedup
+        + [("ann", aux_cores), ("stats", aux_cores)]
+    )
     ports = [19200 + i for i in range(len(families))]
     out["worker_layout"] = {
         f"{fam}:{port}": cores
@@ -690,10 +703,14 @@ def sharded_main(drill: bool = False) -> None:  # noqa: PLR0915 (one linear benc
         tree_urls = [urls[p] for (fam, _), p in zip(families, ports)
                      if fam == "tree"]
         one = {fam: urls[p] for (fam, _), p in zip(families, ports)}
+        # all dedup workers serve the SAME shard from the same artifacts —
+        # one shard, n_dedup replicas (forward-path failover between them)
+        dedup_urls = [urls[p] for (fam, _), p in zip(families, ports)
+                      if fam == "dedup"]
         router = ShardRouter(
             {"synth": tree_urls}, tree_urls,
             ann_shards=[[one["ann"]]],
-            dedup_shards=[[one["dedup"]]],
+            dedup_shards=[dedup_urls],
             stats_shards=[[one["stats"]]],
         )
         rsrv = make_router_server(router)
@@ -782,12 +799,19 @@ def sharded_main(drill: bool = False) -> None:  # noqa: PLR0915 (one linear benc
                 except (OSError, ValueError):
                     pass
 
-        def _drill_down_retry(dedup_url: str) -> None:
-            """Kill dedup worker -> broadcast must 502 with per-worker
-            outcomes -> restore -> restored worker fresh on boot ->
-            retry broadcast all-200."""
+        def _drill_down_retry() -> None:
+            """Kill the FIRST dedup worker -> broadcast must 502 with
+            per-worker outcomes -> restore -> restored worker fresh on
+            boot -> retry broadcast all-200. With TREEMACHINE_N_DEDUP>=2
+            the surviving replica keeps serving dedup routes through the
+            down window (forward-path failover — zero client-visible
+            errors), while the broadcast still refuses to call the fleet
+            fresh until every worker answers."""
             dedup_idx = next(
                 i for i, (fam, _) in enumerate(families) if fam == "dedup")
+            dedup_url = urls[ports[dedup_idx]]
+            drill_rec["killed_worker"] = dedup_url
+            drill_rec["dedup_replicas"] = n_dedup
             _kill_worker_and_jvm(dedup_idx)
             swap_window["kill_time"] = time.time()
             status, blob = _post_json(base, "/v3/admin/reload", {})
@@ -803,6 +827,22 @@ def sharded_main(drill: bool = False) -> None:  # noqa: PLR0915 (one linear benc
                 st != 200 for u, st in outcomes.items() if u != dedup_url
             ):
                 raise RuntimeError(f"per-worker outcomes wrong: {outcomes}")
+            if n_dedup >= 2:
+                # deterministic failover evidence: with the replica still
+                # DOWN, a dedup request through the router must succeed
+                # via the surviving replica (wrap-around failover in
+                # _fan_out) — and since that replica answered the failed
+                # broadcast 200, it already serves the APPENDED snapshot
+                st, blob = _post_json(
+                    base, "/v3/documents/duplicates", {"texts": [new_text]})
+                drill_rec["failover_probe_status"] = st
+                drill_rec["failover_probe_fresh"] = st == 200 and any(
+                    m["doc_id"] == max_doc_id + 1 and m["jaccard"] == 1.0
+                    for m in blob["results"][0])
+                if st != 200:
+                    raise RuntimeError(
+                        f"failover probe with a dead replica -> {st}: "
+                        f"{blob}")
             # live workers DID reload (all-or-error reports, it does not
             # roll back) — only the down family is behind, and it serves
             # nothing (visible 502s), never a stale answer
@@ -868,7 +908,7 @@ def sharded_main(drill: bool = False) -> None:  # noqa: PLR0915 (one linear benc
             pq.pq_append(new_emb, staged["pq_dir"])
             t_loaded = time.time()
             if drill:
-                _drill_down_retry(one["dedup"])
+                _drill_down_retry()
             else:
                 # the fleet freshness path: ONE router broadcast; every
                 # worker reloads from the shared artifacts and swaps
@@ -917,15 +957,23 @@ def sharded_main(drill: bool = False) -> None:  # noqa: PLR0915 (one linear benc
             "pre": {}, "during": {}, "post": {}}
         errors = 0
         expected_down = 0
+        served_during_down = 0
         kt = swap_window.get("kill_time")
         rt = swap_window.get("restore_time")
         for kind, t, dt, status in records:
+            if (drill and status == 200
+                    and kind in ("dedup_text", "dedup_member")
+                    and kt is not None and rt is not None
+                    and t <= rt and t + dt >= kt):
+                served_during_down += 1  # the failover evidence
             if status != 200:
-                # drill: a dedup-route request overlapping the down window
-                # is EXPECTED to fail — the family has no serving replica
-                # (visible 502, never a stale answer); anything else is a
-                # real error
-                if (drill and kind in ("dedup_text", "dedup_member")
+                # single-replica drill: a dedup-route request overlapping
+                # the down window is EXPECTED to fail — the family has no
+                # serving replica (visible 502, never a stale answer).
+                # With >=2 replicas NOTHING is excused: failover must make
+                # the death invisible, so any dedup error is a real error.
+                if (drill and n_dedup == 1
+                        and kind in ("dedup_text", "dedup_member")
                         and kt is not None and rt is not None
                         and t <= rt and t + dt >= kt):
                     expected_down += 1
@@ -936,6 +984,7 @@ def sharded_main(drill: bool = False) -> None:  # noqa: PLR0915 (one linear benc
             buckets[phase].setdefault(kind, []).append(dt)
         out["errors"] = errors
         if drill:
+            drill_rec["dedup_served_during_down"] = served_during_down
             out["drill"] = drill_rec
             out["expected_down_errors"] = expected_down
         out["n_requests"] = len(records)
@@ -971,6 +1020,8 @@ def sharded_main(drill: bool = False) -> None:  # noqa: PLR0915 (one linear benc
                 drill_rec.get("broadcast_down_status") == 502
                 and drill_rec.get("restored_worker_fresh") is True
                 and drill_rec.get("retry_broadcast_ok") is True
+                and (n_dedup == 1
+                     or drill_rec.get("failover_probe_fresh") is True)
             ))
         )
         rsrv.shutdown()
