@@ -153,7 +153,42 @@ EXPECTED_ROWS = {
 EXPECTED_INGEST_MAX = {0.1: 30.0}
 
 
+def _host_fingerprint() -> dict:
+    """Host state AS FOUND, sampled BEFORE the bench spawns its own JVM
+    or loads the machine (VERDICT r12 #6: three rounds of verdict
+    attention went to re-deriving whether median drift was host noise —
+    record it in the artifact). Purely informational; bench_ok unchanged."""
+    host: dict = {}
+    try:
+        host["loadavg_1m"], host["loadavg_5m"], host["loadavg_15m"] = (
+            round(v, 2) for v in os.getloadavg()
+        )
+    except OSError:
+        pass
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.lower().startswith("model name"):
+                    host["cpu_model"] = line.split(":", 1)[1].strip()
+                    break
+        host["n_cpus"] = os.cpu_count()
+    except OSError:
+        pass
+    try:
+        import subprocess
+
+        out = subprocess.run(
+            ["pgrep", "-fc", "java"], capture_output=True, text=True, timeout=10
+        )
+        # sampled pre-spawn: every JVM counted here is somebody else's
+        host["concurrent_jvms"] = int(out.stdout.strip() or 0)
+    except (OSError, ValueError, subprocess.TimeoutExpired):
+        pass
+    return host
+
+
 def main() -> None:
+    host = _host_fingerprint()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
 
@@ -218,35 +253,11 @@ def main() -> None:
     failed = sorted(k for k, v in ok_flags.items() if v is False)
     ingest_max = EXPECTED_INGEST_MAX.get(sf)
     ingest_ok = None if ingest_max is None else ingest_sec <= ingest_max
-    # Host fingerprint (VERDICT r12 #6): three rounds of verdict attention
-    # went to re-deriving whether median drift was host noise — record the
-    # cpu model, load average, and concurrent-JVM count IN the artifact so
-    # drift is self-evident. Purely informational: bench_ok is unchanged.
-    host: dict = {}
+    # post-run load for contrast with the as-found numbers (a high END
+    # loadavg with a low START one is the bench's own work, not drift)
     try:
-        host["loadavg_1m"], host["loadavg_5m"], host["loadavg_15m"] = (
-            round(v, 2) for v in os.getloadavg()
-        )
+        host["loadavg_1m_end"] = round(os.getloadavg()[0], 2)
     except OSError:
-        pass
-    try:
-        with open("/proc/cpuinfo") as f:
-            for line in f:
-                if line.lower().startswith("model name"):
-                    host["cpu_model"] = line.split(":", 1)[1].strip()
-                    break
-        host["n_cpus"] = os.cpu_count()
-    except OSError:
-        pass
-    try:
-        import subprocess
-
-        out = subprocess.run(
-            ["pgrep", "-fc", "java"], capture_output=True, text=True, timeout=10
-        )
-        # pgrep -c counts matches; exit 1 with '0' means none besides ours
-        host["concurrent_jvms"] = int(out.stdout.strip() or 0)
-    except (OSError, ValueError, subprocess.TimeoutExpired):
         pass
     print(
         json.dumps(
