@@ -812,8 +812,12 @@ def sharded_main(drill: bool = False) -> None:  # noqa: PLR0915 (one linear benc
             dedup_url = urls[ports[dedup_idx]]
             drill_rec["killed_worker"] = dedup_url
             drill_rec["dedup_replicas"] = n_dedup
-            _kill_worker_and_jvm(dedup_idx)
+            # stamp BEFORE the kill: a request in flight on the victim at
+            # SIGKILL ends milliseconds before a post-kill stamp and would
+            # escape the excusal window (t + dt >= kill_time), flaking the
+            # gate as a real error (r13 review)
             swap_window["kill_time"] = time.time()
+            _kill_worker_and_jvm(dedup_idx)
             status, blob = _post_json(base, "/v3/admin/reload", {})
             drill_rec["broadcast_down_status"] = status
             outcomes = {u: w.get("status")

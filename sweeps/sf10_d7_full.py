@@ -34,21 +34,11 @@ N_BUCKETS = 64  # fingerprint granularity: doc_a % 64 buckets
 
 # the d7 oracle recipe (workload/pipeline_oracles.py d7_jaccard_capped),
 # reduced to the membership fingerprint instead of projecting rounded
-# jaccard values
-_ORACLE_FP = r"""
-WITH w AS (
-    SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents
-)
-, sh AS (
-    SELECT doc_id,
-           list_distinct(
-               CASE WHEN len(ws) >= 3
-                    THEN [array_to_string(ws[i:i+2], ' ') FOR i IN range(1, len(ws) - 1)]
-                    ELSE [array_to_string(ws, ' ')]
-               END
-           ) AS sh
-    FROM w
-)
+# jaccard values. The words+shingles prefix is IMPORTED from the
+# canonical oracle module (r13 review: an inlined copy would silently
+# keep signing stale shingle semantics if the canonical recipe changes),
+# matching the sibling sweeps (sf10_d4_sampled / sf10_d9_capped).
+_ORACLE_SUFFIX = """
 , ex AS (SELECT doc_id, unnest(sh) AS s FROM sh)
 , rare AS (SELECT s FROM ex GROUP BY s HAVING COUNT(*) <= {cap})
 , exf AS (SELECT ex.doc_id, ex.s FROM ex JOIN rare USING (s))
@@ -80,6 +70,7 @@ def main() -> None:
     from treemachine_spark.functions import dedup
     from treemachine_spark.functions.hashing import h32
     from treemachine_spark.io.tables import load_tables
+    from treemachine_spark.workload.pipeline_oracles import _SHINGLES_CTE
 
     con = duck_con()
     con.execute("SET temp_directory='/tmp/duck_tmp_d7'")
@@ -88,7 +79,7 @@ def main() -> None:
         f"duckdb: FULL capped-space pairs (df<={MAX_DOC_FREQ}, t>={THRESHOLD}) -> fingerprint"
     ):
         rel = con.sql(
-            _ORACLE_FP.format(
+            _SHINGLES_CTE + _ORACLE_SUFFIX.format(
                 cap=MAX_DOC_FREQ,
                 thr=THRESHOLD,
                 nb=N_BUCKETS,

@@ -75,6 +75,9 @@ def main() -> None:
     from treemachine_spark.streaming import events as se
 
     con = duck_con()
+    # window-sorting ~all events per-user spills under the 24GB cap —
+    # keep the spill OFF the repo volume (the t15 CWD/.tmp incident)
+    con.execute("SET temp_directory='/tmp/duck_tmp_s7'")
 
     with stage("duckdb: FULL closed-session set -> fingerprint"):
         rel = con.sql(
