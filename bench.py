@@ -178,7 +178,10 @@ def _host_fingerprint() -> dict:
         import subprocess
 
         out = subprocess.run(
-            ["pgrep", "-fc", "java"], capture_output=True, text=True, timeout=10
+            # -x: exact process-name match — -f matched any cmdline merely
+            # CONTAINING 'java' (a path, a script arg) and over-reported
+            # (ADVICE r13)
+            ["pgrep", "-xc", "java"], capture_output=True, text=True, timeout=10
         )
         # sampled pre-spawn: every JVM counted here is somebody else's
         host["concurrent_jvms"] = int(out.stdout.strip() or 0)

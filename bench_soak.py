@@ -656,7 +656,7 @@ def sharded_main(drill: bool = False) -> None:  # noqa: PLR0915 (one linear benc
     }
 
     t0 = time.time()
-    procs, logs, spawn_specs = [], [], []
+    procs, logs, spawn_specs, log_fhs = [], [], [], []
     for (fam, cores), port in zip(families, ports):
         env = {**os.environ, "SPARK_GRAFT_CPUS": str(cores),
                "SPARK_DRIVER_MEM": os.environ.get("SPARK_DRIVER_MEM", "12g")}
@@ -670,6 +670,7 @@ def sharded_main(drill: bool = False) -> None:  # noqa: PLR0915 (one linear benc
                sf_dir, str(n_tips)]
         spawn_specs.append((cmd, env))  # drill respawns from the same spec
         log_fh = open(log_path, "w")
+        log_fhs.append(log_fh)  # closed in the finally block (ADVICE r13)
         procs.append(subprocess.Popen(
             cmd, env=env, stdout=log_fh, stderr=subprocess.STDOUT))
     urls = {port: f"http://127.0.0.1:{port}" for port in ports}
@@ -853,6 +854,7 @@ def sharded_main(drill: bool = False) -> None:  # noqa: PLR0915 (one linear benc
             cmd, env = spawn_specs[dedup_idx]
             restart_log = os.path.join(root, "worker_dedup_restarted.log")
             fh = open(restart_log, "w")
+            log_fhs.append(fh)  # closed in the finally block (ADVICE r13)
             procs[dedup_idx] = subprocess.Popen(
                 cmd, env=env, stdout=fh, stderr=subprocess.STDOUT)
             wurl = urls[ports[dedup_idx]]
@@ -974,9 +976,14 @@ def sharded_main(drill: bool = False) -> None:  # noqa: PLR0915 (one linear benc
                 # single-replica drill: a dedup-route request overlapping
                 # the down window is EXPECTED to fail — the family has no
                 # serving replica (visible 502, never a stale answer).
+                # Only the statuses the dead-worker path can actually
+                # produce are excused (ADVICE r13): 502 (router saw the
+                # refusal) and 599 (the client's own connection error) —
+                # an unrelated 500 during the window is a REAL error.
                 # With >=2 replicas NOTHING is excused: failover must make
                 # the death invisible, so any dedup error is a real error.
                 if (drill and n_dedup == 1
+                        and status in (502, 599)
                         and kind in ("dedup_text", "dedup_member")
                         and kt is not None and rt is not None
                         and t <= rt and t + dt >= kt):
@@ -1041,6 +1048,11 @@ def sharded_main(drill: bool = False) -> None:  # noqa: PLR0915 (one linear benc
                 p.wait(timeout=30)
             except Exception:
                 p.kill()
+        for fh in log_fhs:
+            try:
+                fh.close()
+            except Exception:
+                pass
         shutil.rmtree(root, ignore_errors=True)
 
 

@@ -877,9 +877,71 @@ def test_similarity_topk_route(spark, base_url):
             for n in rf_blob["neighbors"]
         ] == rf_want
 
+        # r14 (VERDICT r13 #4): filtered ANN through the route — the
+        # structured filter arg compiles to a scan-side predicate, so
+        # every neighbor matches and k fills with the true filtered
+        # top-k; route == library operator with the same where=
+        lbl = emb.where(F.col("vec_id") == 0).head()["label"]
+        labels = {
+            r["vec_id"]: r["label"]
+            for r in emb.select("vec_id", "label").collect()
+        }
+        for method in ("brute", "ivf", "pq"):
+            status, fblob = post(
+                base, "/v3/similarity/topk",
+                {"vector": vec, "k": 5, "method": method,
+                 "filter": {"col": "label", "op": "eq", "value": int(lbl)}},
+            )
+            assert status == 200 and fblob["filter"] == {
+                "col": "label", "op": "eq", "value": int(lbl)
+            }
+            assert fblob["neighbors"], method
+            assert all(
+                labels[n["neighbor_id"]] == lbl for n in fblob["neighbors"]
+            ), method
+            # vector 0 matches its own filter and must lead the exact tiers
+            if method in ("brute", "pq"):
+                assert fblob["neighbors"][0]["neighbor_id"] == 0
+        f_want = [
+            (r["neighbor_id"], float(r["score"]), r["rank"])
+            for r in similarity.brute_force_topk(
+                emb, qdf, k=5, max_queries=None,
+                where=F.col("label") == int(lbl),
+            ).orderBy("rank").collect()
+        ]
+        status, fb = post(
+            base, "/v3/similarity/topk",
+            {"vector": vec, "k": 5, "method": "brute",
+             "filter": {"col": "label", "op": "eq", "value": int(lbl)}},
+        )
+        assert [
+            (n["neighbor_id"], n["score"], n["rank"]) for n in fb["neighbors"]
+        ] == f_want
+        # 'in' + clause list (ANDed) accepted
+        status, fb2 = post(
+            base, "/v3/similarity/topk",
+            {"vector": vec, "k": 5, "method": "ivf",
+             "filter": [{"col": "label", "op": "in", "value": [int(lbl)]},
+                        {"col": "label", "op": "ne", "value": int(lbl) + 1}]},
+        )
+        assert status == 200 and all(
+            labels[n["neighbor_id"]] == lbl for n in fb2["neighbors"]
+        )
+
         # contract 400s
         for bad, msg in [
             ({"vector": vec[:3]}, "dimensions"),
+            ({"vector": vec, "filter": {"col": "nope", "op": "eq", "value": 1}},
+             "not a metadata column"),
+            ({"vector": vec, "filter": {"col": "label", "op": "lt", "value": 1}},
+             "'filter' op"),
+            ({"vector": vec, "filter": {"col": "label", "op": "in", "value": []}},
+             "non-empty list of scalars"),
+            ({"vector": vec, "filter": {"col": "label", "op": "eq", "value": True}},
+             "'filter' value"),
+            ({"vector": vec, "filter": {"col": "label", "value": 1}},
+             "clause must be"),
+            ({"vector": vec, "filter": []}, "'filter' must be"),
             ({"vector": vec, "method": "faiss"}, "Invalid 'method'"),
             ({"vector": vec, "k": 0}, "'k' must be"),
             ({"vector": vec, "rerank_factor": 0}, "'rerank_factor' must be"),

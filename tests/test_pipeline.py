@@ -369,6 +369,80 @@ def test_lsh_recall_vs_brute(spark):
             assert scores_b[key] == r["score"]
 
 
+def test_filtered_ann_brute_is_filter_then_topk(spark):
+    """VERDICT r13 #4: ``where=`` on brute_force_topk means filter-THEN-
+    rank (the predicate lands on the corpus scan), identical to running
+    the operator over a pre-filtered corpus — and demonstrably NOT
+    post-filtering, which under-fills k."""
+    emb = load_tables(spark, SF_SMOKE)["embeddings"]
+    q = emb.where(F.col("vec_id") < 5)
+    rows = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+    filtered = similarity.brute_force_topk(emb, q, k=10, where="label = 7")
+    prefiltered = similarity.brute_force_topk(
+        emb.where(F.col("label") == 7), q, k=10
+    )
+    assert rows(filtered) == rows(prefiltered)
+    # where= accepts a Column too
+    assert rows(
+        similarity.brute_force_topk(emb, q, k=10, where=F.col("label") == 7)
+    ) == rows(filtered)
+    # post-filtering the unfiltered top-10 under-fills: ~1/10 of corpus
+    # rows carry label 7, so an unfiltered top-10 keeps ~1 matching row
+    post = similarity.brute_force_topk(emb, q, k=10).join(
+        emb.where(F.col("label") == 7).select(F.col("vec_id").alias("neighbor_id")),
+        "neighbor_id",
+    )
+    per_q = {r["query_id"]: r["n"] for r in
+             post.groupBy("query_id").agg(F.count("*").alias("n")).collect()}
+    fil_q = {r["query_id"]: r["n"] for r in
+             filtered.groupBy("query_id").agg(F.count("*").alias("n")).collect()}
+    assert all(per_q.get(qid, 0) < n for qid, n in fil_q.items())
+
+
+def test_filtered_ann_ivf_and_pq_cell_scan_filter(spark):
+    """Filtered IVF / IVF-PQ: cells stay filter-independent (built on the
+    FULL corpus), the predicate restricts the cell scan. Every neighbor
+    matches; scores are the exact quantized dots (rerank path); ranks are
+    gapless 1..n per query (no post-filter holes); a cells artifact built
+    WITHOUT the metadata column fails analysis loudly instead of silently
+    post-filtering."""
+    from treemachine_spark.functions import pq as pqmod
+
+    emb = load_tables(spark, SF_SMOKE)["embeddings"]
+    q = emb.where(F.col("vec_id") < 5)
+    labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    exact_scores = {
+        (r["query_id"], r["neighbor_id"]): r["score"]
+        for r in similarity.brute_force_topk(
+            emb, q, k=500, where="label = 7"
+        ).collect()
+    }
+
+    ivf = similarity.ivf_topk(emb, q, k=10, where="label = 7").collect()
+    assert ivf and all(labels[r["neighbor_id"]] == 7 for r in ivf)
+    assert all(exact_scores[(r["query_id"], r["neighbor_id"])] == r["score"]
+               for r in ivf)
+    by_q: dict[int, list[int]] = {}
+    for r in ivf:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_q.values())
+
+    codebook = pqmod.pq_train(emb, m=8, n_codes=16, iters=2, train_rows=None)
+    pq_hits = pqmod.ivf_pq_topk(
+        emb, q, k=10, codebook=codebook, rerank=True, rerank_factor=10,
+        where="label = 7",
+    ).collect()
+    assert pq_hits and all(labels[r["neighbor_id"]] == 7 for r in pq_hits)
+    # rerank returns exact quantized dots — comparable to brute's scores
+    assert all(exact_scores[(r["query_id"], r["neighbor_id"])] == r["score"]
+               for r in pq_hits)
+
+    # meta-less cells artifact + filter -> loud analysis failure
+    bare_cells = similarity.ivf_cells(emb)
+    with pytest.raises(Exception, match="(?i)label|column|resolve"):
+        similarity.ivf_topk(emb, q, k=10, cells=bare_cells, where="label = 7")
+
+
 def test_cosine_pairs_size_guard(spark):
     """VERDICT r5 #2: the all-pairs exact cosine baseline is size-gated.
     Above max_vectors it raises TooManyPairsError (naming the banded twin)

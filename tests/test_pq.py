@@ -386,6 +386,25 @@ def test_persisted_cells_roundtrip(ctx, spark, tmp_path):
     assert got["neighbors"][0]["neighbor_id"] == 0
     assert [n["rank"] for n in got["neighbors"]] == [1, 2, 3, 4, 5]
 
+    # r14 filtered ANN over an ARTIFACT-loaded index: the persisted cells
+    # were written before/without metadata columns, so AnnIndex joins the
+    # corpus metadata on ONCE at boot — a filtered request is then a pure
+    # scan-side predicate on the cached cell table (never a per-request
+    # join), and pq serving composes the filter with the exact re-rank
+    labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    lbl = int(labels[0])
+    assert "label" in dict(idx._cells[1].dtypes)
+    for method in ("ivf", "pq"):
+        fgot = idx.topk(
+            vector=vec, k=5, method=method,
+            filter={"col": "label", "op": "eq", "value": lbl},
+        )
+        assert fgot["neighbors"], method
+        assert all(
+            labels[n["neighbor_id"]] == lbl for n in fgot["neighbors"]
+        ), method
+        assert fgot["neighbors"][0]["neighbor_id"] == 0, method
+
 
 def test_pq_append_extends_persisted_index(ctx, spark, tmp_path):
     """pq_append: new vectors encoded with the STORED codebook and

@@ -75,6 +75,11 @@ class AnnIndex:
         if head is None:
             raise BadInputError("ANN index: embeddings table is empty")
         self.dim = len(head[0])
+        # metadata columns servable as filtered-ANN predicates (everything
+        # on the corpus besides id + vector: lang, label, source, ...)
+        self.meta_cols = tuple(
+            c for c in embeddings.columns if c not in (id_col, vec_col)
+        )
         # the IVF cell assignment is the INDEX-BUILD step — load the
         # persisted artifact (write_pq_index(n_centroids=)) or compute it
         # once here and cache it; every ivf/pq request re-running the
@@ -85,10 +90,26 @@ class AnnIndex:
         if cells is None:
             from treemachine_spark.functions.similarity import ivf_cells
 
-            cent, assigned = ivf_cells(embeddings, n_centroids, id_col, vec_col)
+            cent, assigned = ivf_cells(
+                embeddings, n_centroids, id_col, vec_col, self.meta_cols
+            )
             assigned = assigned.repartition(n_centroids, "cent_id")
         else:
             cent, assigned = cells
+            # an artifact built before filtered ANN (or with fewer
+            # meta_cols) gets the metadata joined on ONCE at boot — so a
+            # filtered request stays a scan-side predicate on the cached
+            # cell table, never a per-request join back to the corpus
+            missing = [c for c in self.meta_cols if c not in assigned.columns]
+            if missing:
+                from pyspark.sql import functions as F
+
+                assigned = assigned.join(
+                    embeddings.select(
+                        F.col(id_col).alias("neighbor_id"), *missing
+                    ),
+                    "neighbor_id",
+                )
         assigned = assigned.cache()
         assigned.count()
         self._cells = (cent.cache(), assigned)
@@ -155,6 +176,66 @@ class AnnIndex:
         schema = f"{self.id_col} {self._query_id_type}, {self.vec_col} array<double>"
         return spark.createDataFrame(pdf, schema=schema)
 
+    _FILTER_OPS = ("eq", "ne", "in")
+
+    def _compile_filter(self, spec):
+        """Validate + compile the route's structured ``filter`` arg into a
+        Spark Column over the index's metadata columns.
+
+        The wire shape is deliberately restricted (no raw SQL from the
+        network): one ``{"col", "op", "value"}`` clause or a list of them
+        (ANDed); ``op`` in eq/ne/in; values are JSON scalars. The compiled
+        predicate is applied INSIDE the corpus/cell scan by the operators
+        (similarity._where_col contract), so k fills with the true
+        filtered top-k — never a post-filtered, under-filled list.
+        """
+        from pyspark.sql import functions as F
+
+        clauses = spec if isinstance(spec, list) else [spec]
+        if not clauses:
+            raise BadInputError("'filter' must be a clause or non-empty list")
+        out = None
+        for c in clauses:
+            if not isinstance(c, dict) or set(c) != {"col", "op", "value"}:
+                raise BadInputError(
+                    "each 'filter' clause must be {'col', 'op', 'value'}"
+                )
+            col, op, val = c["col"], c["op"], c["value"]
+            if col not in self.meta_cols:
+                raise BadInputError(
+                    f"'filter' column {col!r} is not a metadata column of "
+                    f"this index (available: {list(self.meta_cols)})"
+                )
+            if op not in self._FILTER_OPS:
+                raise BadInputError(
+                    f"'filter' op {op!r} must be one of {list(self._FILTER_OPS)}"
+                )
+
+            def _scalar(v):
+                return isinstance(v, (str, int, float)) and not isinstance(v, bool)
+
+            if op == "in":
+                if (
+                    not isinstance(val, (list, tuple))
+                    or not val
+                    or not all(_scalar(v) for v in val)
+                ):
+                    raise BadInputError(
+                        "'filter' op 'in' needs a non-empty list of scalars"
+                    )
+                clause = F.col(col).isin(list(val))
+            else:
+                if not _scalar(val):
+                    raise BadInputError(
+                        "'filter' value must be a string or number"
+                    )
+                clause = (
+                    F.col(col) == F.lit(val) if op == "eq"
+                    else F.col(col) != F.lit(val)
+                )
+            out = clause if out is None else (out & clause)
+        return out
+
     @staticmethod
     def _check_vec(v, dim, what):
         if not isinstance(v, (list, tuple)) or not v or not all(
@@ -175,6 +256,7 @@ class AnnIndex:
         method: str | None = None,
         n_probe: int = 2,
         rerank_factor: int | None = None,
+        filter: dict | list | None = None,
     ) -> dict:
         if (vector is None) == (vectors is None):
             raise BadInputError(
@@ -234,18 +316,20 @@ class AnnIndex:
 
         from treemachine_spark.functions import similarity
 
+        where = None if filter is None else self._compile_filter(filter)
         q = self._query_frame([[float(x) for x in v] for v in batch])
         if method == "brute":
             out = similarity.brute_force_topk(
                 self.embeddings, q, k=k,
                 id_col=self.id_col, vec_col=self.vec_col,
                 max_queries=None,  # request-scale by the MAX_BATCH contract
+                where=where,
             )
         elif method == "ivf":
             out = similarity.ivf_topk(
                 self.embeddings, q, k=k, n_centroids=self.n_centroids,
                 n_probe=n_probe, id_col=self.id_col, vec_col=self.vec_col,
-                cells=self._cells,
+                cells=self._cells, where=where,
             )
         else:
             from treemachine_spark.functions.pq import ivf_pq_topk
@@ -256,6 +340,7 @@ class AnnIndex:
                 rotation=self.rotation, rerank=True,
                 rerank_factor=rerank_factor,
                 id_col=self.id_col, vec_col=self.vec_col, cells=self._cells,
+                where=where,
             )
         rows = out.orderBy("query_id", "rank").collect() if len(batch) > 1 \
             else out.orderBy("rank").collect()
@@ -269,6 +354,8 @@ class AnnIndex:
                 }
             )
         blob = {"method": method, "k": k}
+        if filter is not None:
+            blob["filter"] = filter
         if vector is not None:
             blob["neighbors"] = results[0]
         else:

@@ -616,7 +616,8 @@ class ServerCore:
             ANN_ROUTE,
             self.ann_index,
             "no ANN index configured on this server",
-            {"vector", "vectors", "k", "method", "n_probe", "rerank_factor"},
+            {"vector", "vectors", "k", "method", "n_probe", "rerank_factor",
+             "filter"},
             lambda idx: idx.topk(**body),
             body,
         )

@@ -316,6 +316,7 @@ def ivf_pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cells=None,
+    where=None,
 ) -> DataFrame:
     """IVF-PQ (IVFADC) top-k: coarse cells exactly like ``ivf_topk``
     (deterministic smallest-id centroids, broadcast argmax assignment,
@@ -336,6 +337,16 @@ def ivf_pq_topk(
 
     Returns (query_id, neighbor_id, score, rank); score is the ADC
     approximation of <q, x> unless rerank (then the exact quantized dot).
+
+    ``where`` (Column or SQL string over corpus metadata columns) is the
+    filtered-ANN predicate, applied to the CELL ASSIGNMENT before the
+    codes join — so the ADC pass, the short-list, and the exact re-rank
+    all see only matching candidates and k fills with the true filtered
+    top-k (post-filtering an unfiltered short-list silently under-fills;
+    see similarity._where_col). The re-rank recall statement composes
+    with filtering: the ADC short-list (rerank_factor·k) is drawn from
+    matching rows only, so the pool-must-cover-the-densest-cluster rule
+    applies to the FILTERED cluster occupancy.
     """
     if codes is not None and codebook is None:
         # a freshly-trained codebook cannot score someone else's codes —
@@ -391,14 +402,22 @@ def ivf_pq_topk(
     # coarse cells: a precomputed similarity.ivf_cells artifact when the
     # caller serves many requests (api/ann.AnnIndex — the per-call rebuild
     # was the serving bench's whole latency), derived on the fly otherwise
-    from treemachine_spark.functions.similarity import ivf_cells
+    from treemachine_spark.functions.similarity import _where_col, ivf_cells
 
-    cent, cell_assign = (
-        cells if cells is not None
-        else ivf_cells(embeddings, n_centroids, id_col, vec_col)
+    if cells is not None:
+        cent, cell_assign = cells
+    else:
+        meta = tuple(
+            c for c in embeddings.columns if c not in (id_col, vec_col)
+        ) if where is not None else ()
+        cent, cell_assign = ivf_cells(embeddings, n_centroids, id_col, vec_col, meta)
+    # the filter lands on the cell table BEFORE the codes join: the probe
+    # scan, ADC ranking, and re-rank short-list never see non-matching rows
+    filtered_assign = (
+        cell_assign.where(_where_col(where)) if where is not None else cell_assign
     )
     assigned = (
-        cell_assign.select("neighbor_id", "cent_id")
+        filtered_assign.select("neighbor_id", "cent_id")
         # the compressed candidate table: cell + m codes per vector — at
         # 100 TB this (not the float vectors) is the stored index
         .join(codes.withColumnRenamed(id_col, "neighbor_id"), "neighbor_id")

@@ -22,6 +22,19 @@ from pyspark.sql import functions as F
 from treemachine_spark.functions.hashing import h32
 
 
+def _where_col(where) -> Column:
+    """Normalize a ``where=`` predicate (Column or SQL string) to a Column.
+
+    The filtered-ANN contract (VERDICT r13 #4): the predicate restricts the
+    CANDIDATE (corpus) side and is applied BEFORE ranking — inside the
+    corpus scan for brute force, inside the cell scan for IVF/IVF-PQ — so
+    top-k is the true top-k among matching rows. Post-filtering an
+    unfiltered top-k silently under-fills k (a filtered-out neighbor still
+    occupied a rank slot); tests/test_similarity.py pins that distinction.
+    """
+    return F.expr(where) if isinstance(where, str) else where
+
+
 def quantize(vec: Column, scale: int = 1000) -> Column:
     return F.transform(vec, lambda x: F.round(x.cast("double") * scale))
 
@@ -48,6 +61,7 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_queries: int | None = 10_000,
+    where: Column | str | None = None,
 ) -> DataFrame:
     """Exact top-k by quantized dot product:
     (query_id, neighbor_id, score, rank). The query set rides the scoring
@@ -77,9 +91,17 @@ def brute_force_topk(
     summation order, so scores are bit-identical to the fold's (DuckDB
     oracle v1 + the AnnIndex route/sharded equality tests all pin this).
     The corpus crosses Arrow ONCE; the old broadcast-cross-join shape
-    shipped each corpus row once per query."""
+    shipped each corpus row once per query.
+
+    ``where`` (Column or SQL string) restricts the CANDIDATE side before
+    scoring — a parquet-pushdown filter on the corpus scan, so "top-k
+    among rows where lang='en'" is the true filtered top-k (see
+    :func:`_where_col`); the query side is never filtered."""
     import numpy as np
     import pandas as pd
+
+    if where is not None:
+        embeddings = embeddings.where(_where_col(where))
 
     qsel = queries.select(
         F.col(id_col).alias("query_id"), quantize(F.col(vec_col)).alias("qv")
@@ -356,22 +378,29 @@ def ivf_cells(
     n_centroids: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    meta_cols: tuple[str, ...] = (),
 ) -> tuple[DataFrame, DataFrame]:
     """The IVF INDEX-BUILD step, split out so serving can run it once:
     (centroids, assigned) where ``assigned`` is each corpus vector's
-    quantized form + max-dot cell (neighbor_id, cv, cent_id). The
+    quantized form + max-dot cell (neighbor_id, cv, cent_id[, *meta]). The
     assignment is a corpus × n_centroids broadcast join + per-vector
     argmax window — exactly the work a per-request call must NOT repeat
     (the r8 serving bench measured the per-call rebuild at 4-6 s against
     200k vectors vs sub-second with the artifact cached). At 100 TB this
     pair is the stored index table, partitioned by cent_id.
+
+    ``meta_cols`` names corpus metadata columns (lang, label, source…)
+    carried onto ``assigned`` so a filtered-ANN ``where=`` predicate is a
+    plain scan-side filter on the stored cell table (partition-pruned by
+    cent_id, predicate pushed to parquet) instead of a join back to the
+    corpus per request.
     """
     cent = (
         embeddings.orderBy(id_col)
         .limit(n_centroids)
         .select(F.col(id_col).alias("cent_id"), quantize(F.col(vec_col)).alias("cvec"))
     )
-    return cent, ivf_assign(embeddings, cent, id_col, vec_col)
+    return cent, ivf_assign(embeddings, cent, id_col, vec_col, meta_cols)
 
 
 def ivf_assign(
@@ -379,13 +408,16 @@ def ivf_assign(
     cent: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    meta_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Assign vectors to their max-dot cell against GIVEN centroids (the
     E-step of :func:`ivf_cells`, split out so incremental appends score
     new vectors against the STORED centroids — re-deriving centroids for
     an append would silently shift every existing cell boundary)."""
     emb = embeddings.select(
-        F.col(id_col).alias("neighbor_id"), quantize(F.col(vec_col)).alias("cv")
+        F.col(id_col).alias("neighbor_id"),
+        quantize(F.col(vec_col)).alias("cv"),
+        *[F.col(c) for c in meta_cols],
     )
     w_assign = Window.partitionBy("neighbor_id").orderBy(
         F.desc("cscore"), "cent_id"
@@ -393,11 +425,12 @@ def ivf_assign(
     return (
         emb.crossJoin(F.broadcast(cent))
         .select(
-            "neighbor_id", "cv", "cent_id", int_dot(F.col("cv"), F.col("cvec")).alias("cscore")
+            "neighbor_id", "cv", *meta_cols, "cent_id",
+            int_dot(F.col("cv"), F.col("cvec")).alias("cscore"),
         )
         .withColumn("arn", F.row_number().over(w_assign))
         .where(F.col("arn") == 1)
-        .select("neighbor_id", "cv", "cent_id")
+        .select("neighbor_id", "cv", *meta_cols, "cent_id")
     )
 
 
@@ -410,6 +443,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cells: tuple[DataFrame, DataFrame] | None = None,
+    where: Column | str | None = None,
 ) -> DataFrame:
     """IVF-style ANN: vectors are assigned to their max-dot centroid cell;
     each query exhaustively re-ranks only its n_probe best cells.
@@ -421,11 +455,29 @@ def ivf_topk(
     :func:`ivf_cells` artifact (the serving deployment — api/ann.AnnIndex
     builds it once and caches it); omitted, the index is derived on the
     fly (the batch/gate path).
+
+    ``where`` (Column or SQL string over corpus metadata columns) is the
+    filtered-ANN predicate: applied to the CELL SCAN (``assigned``) before
+    scoring, so ranking sees only matching candidates and k fills with the
+    true filtered top-k. Cell choice (centroids, probes) is filter-
+    independent — the recall statement under filtering is therefore: exact
+    within the probed cells' matching rows; a query under-fills k only
+    when its n_probe cells hold fewer than k matching vectors (raise
+    n_probe for very selective filters). On-the-fly index builds carry ALL
+    non-id/vec corpus columns so any metadata predicate resolves; a
+    precomputed ``cells`` artifact must have been built with the needed
+    ``meta_cols`` (missing columns fail analysis loudly, never silently
+    post-filter).
     """
-    cent, assigned = (
-        cells if cells is not None
-        else ivf_cells(embeddings, n_centroids, id_col, vec_col)
-    )
+    if cells is not None:
+        cent, assigned = cells
+    else:
+        meta = tuple(
+            c for c in embeddings.columns if c not in (id_col, vec_col)
+        ) if where is not None else ()
+        cent, assigned = ivf_cells(embeddings, n_centroids, id_col, vec_col, meta)
+    if where is not None:
+        assigned = assigned.where(_where_col(where))
     q = queries.select(
         F.col(id_col).alias("query_id"), quantize(F.col(vec_col)).alias("qv")
     )

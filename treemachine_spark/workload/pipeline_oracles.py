@@ -545,6 +545,44 @@ r AS (
 SELECT query_id, neighbor_id, score, CAST(rk AS INTEGER) AS rank FROM r WHERE rk <= 10
 """
 
+# v9 — filtered ANN: identical cells/probes to v3 (filter-independent),
+# but the candidate scan keeps only label = 7 rows BEFORE ranking — the
+# exact filtered top-k the Spark where= contract promises (a post-filtered
+# oracle would under-fill k and hash-mismatch by construction).
+PIPELINE_ORACLES["v9_filtered_ann"] = f"""
+WITH base AS (SELECT vec_id, label, {_QUANT} AS v FROM embeddings),
+cent AS (SELECT vec_id AS cent_id, v AS cvec FROM base ORDER BY vec_id LIMIT 8),
+assigned AS (
+    SELECT neighbor_id, label, cv, cent_id FROM (
+        SELECT b.vec_id AS neighbor_id, b.label, b.v AS cv, c.cent_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY b.vec_id
+                   ORDER BY list_dot_product(b.v, c.cvec) DESC, c.cent_id) AS arn
+        FROM base b CROSS JOIN cent c
+    ) WHERE arn = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM base WHERE vec_id < 5),
+probes AS (
+    SELECT query_id, qv, cent_id FROM (
+        SELECT q.query_id, q.qv, c.cent_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY list_dot_product(q.qv, c.cvec) DESC, c.cent_id) AS prn
+        FROM q CROSS JOIN cent c
+    ) WHERE prn <= 2
+),
+s AS (
+    SELECT query_id, neighbor_id, list_dot_product(qv, cv) AS score
+    FROM assigned JOIN probes USING (cent_id)
+    WHERE query_id != neighbor_id AND label = 7
+),
+r AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rk
+    FROM s
+)
+SELECT query_id, neighbor_id, score, CAST(rk AS INTEGER) AS rank FROM r WHERE rk <= 10
+"""
+
 # v6 — banded sign-bit LSH near-dup pairs: 8 bands x 8 planes; plane j's
 # component for 0-based dim i is ±1 from md5('{j}:{i}') parity, identical to
 # similarity.band_plane_signs / band_keys_udf (verified bit-for-bit by the

@@ -464,6 +464,20 @@ def q_v3_ivf_topk(spark, sf_dir):
     return similarity.ivf_topk(emb, emb.where(F.col("vec_id") < 5), k=10)
 
 
+def q_v9_filtered_ann(spark, sf_dir):
+    """Filtered ANN (VERDICT r13 #4): top-10 among corpus vectors with
+    label = 7 — the metadata predicate is applied INSIDE the IVF cell
+    scan (similarity.ivf_topk(where=)), before ranking, so k fills with
+    the true filtered top-k; post-filtering an unfiltered top-k silently
+    under-fills. Cell choice (centroids, probes) is filter-independent;
+    the oracle replicates exactly that split: unfiltered cells/probes,
+    label filter on the assigned scan."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return similarity.ivf_topk(
+        emb, emb.where(F.col("vec_id") < 5), k=10, where="label = 7"
+    )
+
+
 def q_v4_cosine_pairs(spark, sf_dir):
     """Exact embedding-cosine near-dup pairs (cos >= 0.4) — the quadratic
     all-pairs EXACTNESS BASELINE; production near-dup runs go through the
@@ -830,6 +844,7 @@ PIPELINE_QUERIES = {
     "v1_ann_brute": q_v1_ann_brute,
     "v2_ann_lsh": q_v2_ann_lsh,
     "v3_ivf_topk": q_v3_ivf_topk,
+    "v9_filtered_ann": q_v9_filtered_ann,
     "v4_cosine_pairs": q_v4_cosine_pairs,
     "v6_cosine_pairs_lsh": q_v6_cosine_pairs_lsh,
     "v7_semantic_dedup": q_v7_semantic_dedup,
