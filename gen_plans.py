@@ -47,7 +47,10 @@ SHOW = [
         "TF-IDF: ONE corpus scan — document frequency is a window count over "
         "the already-aggregated tf table (a second aggregation of the source "
         "would duplicate the whole scan subtree); corpus size N joins in as "
-        "a broadcast 1-row aggregate from a metadata-only count-star.",
+        "a broadcast 1-row aggregate from a metadata-only count-star. Since "
+        "r14 the token stream is repartitioned by TERM first, so the "
+        "(doc,term) aggregation AND the df window share that one exchange "
+        "(guide §2.4) — the tf-path shuffle count drops from 3 to 2.",
     ),
     (
         "x17_dup_spans",

@@ -373,6 +373,26 @@ def test_lsh_recall_vs_brute(spark):
             assert scores_b[key] == r["score"]
 
 
+def test_brute_topk_partial_batch_pruning_equal(spark):
+    """r14 optimization pin: brute_force_topk's Arrow pass emits only each
+    batch's top-(k+1) candidates per query, ranked by the final window's
+    exact total order (guide §2.3 — aggregate before you shuffle). With
+    k=3 and 7-row Arrow batches the pruning branch (batch > k+1 rows)
+    fires at every batch boundary — including equal-score ties resolved
+    by neighbor_id — and must produce exactly the same rows as the
+    default single-big-batch run over the same corpus."""
+    emb = load_tables(spark, SF_SMOKE)["embeddings"]
+    q = emb.where(F.col("vec_id") < 5)
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+        tiny = similarity.brute_force_topk(emb, q, k=3).collect()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+    big = similarity.brute_force_topk(emb, q, k=3).collect()
+    assert sorted(map(tuple, tiny)) == sorted(map(tuple, big))
+
+
 def test_filtered_ann_brute_is_filter_then_topk(spark):
     """VERDICT r13 #4: ``where=`` on brute_force_topk means filter-THEN-
     rank (the predicate lands on the corpus scan), identical to running

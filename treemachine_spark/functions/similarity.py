@@ -131,21 +131,49 @@ def brute_force_topk(
     ).T  # (dim, nq)
     nq = len(rows)
 
+    # Per-batch partial top-k (r14, guide §2.3 "aggregate before you
+    # shuffle"): each Arrow batch emits only its own top-(k+1) candidates
+    # per query — ranked by the SAME total order the final window uses,
+    # (score DESC, neighbor_id ASC) — instead of every (row × query) score.
+    # The global top-k is a subset of the union of per-batch top-k sets, so
+    # the window downstream returns bit-identical rows; k+1 (not k) because
+    # the query_id != neighbor_id filter runs AFTER this pass and may drop
+    # at most one self-match per (query, batch). Shuffle input drops from
+    # |corpus| × nq rows to (k+1) × nq per batch (~360x at sf0.1), and the
+    # reduction runs inside the numpy pass the batch already paid for.
+    kk = k + 1
+
     def _score(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
             x = np.vstack(pdf["cv"].to_numpy())  # (b, dim)
             s = x @ qmat_t  # exact: integer-valued float64, < 2^53
-            yield pd.DataFrame(
-                {
-                    "query_id": np.tile(qids, len(pdf)),
-                    "neighbor_id": np.repeat(
-                        pdf["neighbor_id"].to_numpy(), nq
-                    ),
-                    "score": s.ravel(),
-                }
-            )
+            b = len(pdf)
+            nid = pdf["neighbor_id"].to_numpy()
+            if b > kk:
+                # per query (column): order by score DESC then neighbor_id
+                # ASC — np.lexsort's last key is primary; take the first
+                # k+1 rows per column. argpartition would be O(b) but is
+                # unstable under score ties; lexsort pins the tie-break.
+                order = np.lexsort((np.broadcast_to(nid[:, None], s.shape), -s), axis=0)
+                sel = order[:kk]  # (k+1, nq) row indices per query column
+                cols = np.broadcast_to(np.arange(nq), sel.shape)
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.tile(qids, kk),
+                        "neighbor_id": nid[sel.ravel()],
+                        "score": s[sel.ravel(), cols.ravel()],
+                    }
+                )
+            else:
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.tile(qids, b),
+                        "neighbor_id": np.repeat(nid, nq),
+                        "score": s.ravel(),
+                    }
+                )
 
     c = embeddings.select(
         F.col(id_col).alias("neighbor_id"), quantize(F.col(vec_col)).alias("cv")

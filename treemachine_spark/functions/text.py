@@ -463,6 +463,14 @@ def tfidf_topk(
         F.explode(words(F.lower(F.col(text_col)))).alias("term"),
     ).where(F.col("term") != "")
     tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+
+    # (r14 note, guide §2.4: a doc-keyed repartition before this agg was
+    # tried to make the final top-k window exchange-free — but under AQE a
+    # localCheckpoint comes back as a bare ExistingRDD scan with unknown
+    # partitioning, so EnsureRequirements re-adds the exchange anyway and
+    # the repartition only upgrades a tf-partial shuffle to a raw-token
+    # one. Reverted; the structural win kept is the broadcast df below.)
+    tf_materialized = False
     n = docs.agg(F.count("*").alias("n_docs"))
     if skew_safe == "auto":
         # cheap short-circuit first: max_df can never exceed n_docs, so a
@@ -480,6 +488,7 @@ def tfidf_topk(
             # and the probe's one linear agg amortizes against a 10M+
             # doc corpus's own cost
             tf = tf.localCheckpoint(eager=True)
+            tf_materialized = True
             skew_safe = _pick_tfidf_plan(tf)
     elif skew_safe:
         # one Arrow-free corpus pass materialized once; deriving dfreq
@@ -487,9 +496,18 @@ def tfidf_topk(
         # not reuse subplans — the x15/x18 lesson)
         tf = tf.localCheckpoint(eager=True)
     if skew_safe:
+        # r14 (guide §2.3/§2.4): df is vocabulary-scale after its map-side
+        # partial agg — broadcast it back EXPLICITLY instead of letting the
+        # planner pick a term-keyed shuffle join, which would (a) re-shuffle
+        # every tf row by term (the hot-term partition this plan exists to
+        # avoid — AQE splits it, but not shuffling it at all is strictly
+        # better) and (b) destroy tf's partitioning for the final window.
+        # Vocab-side bound: a broadcast relation caps at 8 GB / 512M rows —
+        # even web-scale vocabularies (1e8 terms × ~30 B) fit; a corpus
+        # beyond that should drop the hint and let AQE split the join.
         dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
         scored = (
-            tf.join(dfreq, "term")
+            tf.join(F.broadcast(dfreq), "term")
             .join(F.broadcast(n))
             .withColumn("idf_micro", _idf_micro())
             .withColumn("score_micro", F.col("tf") * F.col("idf_micro"))
@@ -498,10 +516,34 @@ def tfidf_topk(
         # df as a window count over the ALREADY-AGGREGATED tf table — one
         # corpus scan total, instead of recomputing the explode+groupBy
         # subtree for a separate dfreq table (plan-audited: 3 parquet
-        # scans -> 1 + a metadata-only count-star)
+        # scans -> 1 + a metadata-only count-star).
+        #
+        # r14 (guide §2.4 "two operations keyed the same way share one
+        # exchange"): the token stream is repartitioned by TERM before the
+        # (doc, term) aggregation — hash(term) clusters every (doc, term)
+        # group AND satisfies the df window's partitioning, so the agg and
+        # the window both run exchange-free on top of that one shuffle.
+        # Plan: 3 exchanges (tf-partials ⇢ tf-by-term ⇢ scored-by-doc)
+        # drop to 2 (tokens-by-term ⇢ scored-by-doc); A/B at sf0.1: noop
+        # 0.83 -> 0.69 s median, values bit-identical. The hot-term row
+        # concentration is unchanged in magnitude (the old plan's term
+        # window exchange already gathered the same rows one stage later)
+        # — this stays the sub-SKEW_DF_FLOOR plan; past the floor auto
+        # picks the skew-safe broadcast-df plan, which never keys any
+        # shuffle by term.
+        # (when auto already materialized tf for the probe, the window
+        # runs over that checkpoint instead — re-deriving from toks would
+        # re-run the explode subtree, the exact x15/x18 lesson)
+        tf_t = (
+            tf
+            if tf_materialized
+            else toks.repartition("term")
+            .groupBy(id_col, "term")
+            .agg(F.count("*").alias("tf"))
+        )
         wterm = Window.partitionBy("term")
         scored = (
-            tf.withColumn("df", F.count("*").over(wterm))
+            tf_t.withColumn("df", F.count("*").over(wterm))
             .join(F.broadcast(n))
             .withColumn("idf_micro", _idf_micro())
             .withColumn("score_micro", F.col("tf") * F.col("idf_micro"))

@@ -292,8 +292,14 @@ def q_s3_streaming_windows(spark, sf_dir):
     _STREAM_RUN["n"] += 1
     name = f"wl_stream_windows_{_STREAM_RUN['n']}"
     stream = se.read_event_stream(spark, sf_dir)
+    # shuffle_partitions=4 (r14): the one-shot bench-scale stream pays a
+    # state-store init + commit per partition per micro-batch; the A/B at
+    # sf0.1 measured 8 -> 4 partitions as 1.17 -> 0.86 s median for the s4
+    # shape with identical results (state partitioning cannot change a
+    # deterministic windowed aggregate). A long-lived production stream
+    # wants the session default or higher — pass None to inherit.
     return se.run_to_memory(
-        se.windowed_counts(stream), name, output_mode="complete", shuffle_partitions=8
+        se.windowed_counts(stream), name, output_mode="complete", shuffle_partitions=4
     )
 
 
@@ -311,7 +317,8 @@ def q_s4_stream_enriched(spark, sf_dir):
         se.enriched_windowed_value(stream, customers),
         name,
         output_mode="complete",
-        shuffle_partitions=8,
+        # 4 state partitions: the measured one-shot sweet spot (see s3)
+        shuffle_partitions=4,
     )
 
 

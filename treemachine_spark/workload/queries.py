@@ -44,15 +44,28 @@ def get_ctx(spark: SparkSession, sf_dir: str) -> dict:
         # natural scan layout: at this SF more tasks is pure scheduling
         # overhead, and at real scale the scan parallelism comes from the
         # file count anyway.
+        # r14 (guide §2 "make partitioning scale-adaptive"): both spread
+        # factors derive from the session's core count instead of being
+        # constants tuned for local[32] — identical at 32 cores (8 resp.
+        # 32), proportionally smaller when the driver benches at a lower
+        # core count (fewer tasks of the same tiny data = less scheduling
+        # overhead). At 100 TB neither constant applies: scan parallelism
+        # comes from the file count and the closure lives as a bucketed
+        # table (ingest.write_bucketed_closure).
+        par = spark.sparkContext.defaultParallelism
         for name in ("documents", "embeddings"):
-            tables[name] = tables[name].repartition(8).cache()
+            tables[name] = tables[name].repartition(max(par // 4, 4)).cache()
         # fused ingest: nodes/edges/closure share one set of level frames and
         # one lineitem dedup (hierarchy_artifacts docstring has the cost
         # model; build_closure remains the generic path for arbitrary-depth
         # newick trees)
         nodes, edges, paths = hierarchy_artifacts(tables)
         nodes, edges = nodes.cache(), edges.cache()
-        paths = paths.repartition(32, "node_id").cache()
+        # keyed respread of the closure cache: without it the broadcast-join
+        # build leaves ~5 partitions (the lineitem scan's), serializing
+        # every downstream closure scan (A/B at sf0.1: t6 0.21 -> 0.50 s,
+        # heights-join 1.63 -> 2.16 s on the 5-partition cache)
+        paths = paths.repartition(max(par, 8), "node_id").cache()
         # paths_self stays a lazy union VIEW over the two cached inputs —
         # caching it would duplicate the whole closure in memory for no
         # speedup (both branches are already cached)
@@ -340,12 +353,65 @@ def _rf_fingerprints(tables) -> tuple[DataFrame, DataFrame]:
             ),
         )
     )
-    # the two closure builds are independent job chains (eager
-    # localCheckpoints) — submit them concurrently so they pack the
-    # cluster instead of serializing (the get_ctx ingest pattern)
+    # r14 (guide §2.4, ingest): both trees have a STATICALLY KNOWN depth
+    # (T1: c->n->r->root, T2: c->r->root), so their closures are analytic
+    # level-frame unions (the hierarchy_closure recipe) instead of the
+    # generic log-doubling build — build_closure pays an eager
+    # localCheckpoint barrier + isEmpty probe per doubling round (2-3
+    # rounds x 2 trees of serialized materialization on the ingest
+    # critical path). The frame closure is one lazy union of projections;
+    # the only join is customer ⋈ broadcast(nation frame) for T1's
+    # grandparent — fingerprint values are identical (same path sets).
+    root_arr = F.array(F.lit("root"))
+    p_reg = reg.select(F.col("child_id").alias("node_id"), root_arr.alias("anc"))
+    p_nat = nat.select(
+        F.col("child_id").alias("node_id"),
+        F.concat(F.array(F.col("parent_id")), root_arr).alias("anc"),
+    )
+    p_cust1 = (
+        cust1.join(
+            F.broadcast(
+                nat.select(
+                    F.col("child_id").alias("parent_id"),
+                    F.col("parent_id").alias("_gp"),
+                )
+            ),
+            "parent_id",
+        )
+        .select(
+            F.col("child_id").alias("node_id"),
+            F.concat(F.array(F.col("parent_id"), F.col("_gp")), root_arr).alias("anc"),
+        )
+    )
+    p_cust2 = cust2.select(
+        F.col("child_id").alias("node_id"),
+        F.concat(F.array(F.col("parent_id")), root_arr).alias("anc"),
+    )
+
+    def _explode(frames):
+        from functools import reduce
+
+        parts = [
+            f.select(
+                "node_id", F.posexplode("anc").alias("pos", "ancestor_id")
+            ).select(
+                "node_id",
+                "ancestor_id",
+                (F.col("pos") + F.lit(1)).cast("int").alias("depth"),
+            )
+            for f in frames
+        ]
+        return reduce(DataFrame.unionByName, parts)
+
+    paths1 = _explode([p_reg, p_nat, p_cust1])
+    paths2 = _explode([p_reg, p_cust2])
+    # the two fingerprint aggregations stay independent job chains —
+    # submit them concurrently so they pack the cluster (get_ctx pattern)
     with ThreadPoolExecutor(2) as pool:
-        f1 = pool.submit(C.bipartition_fingerprints, cust1.union(nat).union(reg))
-        f2 = pool.submit(C.bipartition_fingerprints, cust2.union(reg))
+        f1 = pool.submit(
+            C.bipartition_fingerprints, cust1.union(nat).union(reg), paths1
+        )
+        f2 = pool.submit(C.bipartition_fingerprints, cust2.union(reg), paths2)
         fp1, fp2 = f1.result(), f2.result()
     return fp1, fp2
 
@@ -1283,6 +1349,10 @@ def q_p10_id_codec(spark, sf_dir):
         )
     )
     df = o.select(long_id.alias("long_id"), string_id.alias("string_id"))
+    # (r14: an alternative decode via one F.split('ott') + element_at was
+    # A/B'd against these three anchored regexp_extracts — the split
+    # allocates an array per row and measured SLOWER (noop median 0.275 vs
+    # 0.228 s at sf0.1, 9 repeats, same session); the regex decode stays.)
     decoded = F.when(
         ~F.col("string_id").startswith("mrcaott"),
         F.regexp_extract("string_id", r"^ott(\d+)$", 1).cast("long"),
