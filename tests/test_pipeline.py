@@ -647,8 +647,10 @@ def test_connected_components_chain_bounded_rounds(spark):
         (F.col("id") + 1).cast("string").alias("doc_b"),
     )
     # measured convergence is ~log2(n)+1 round-pairs (11 rounds for a
-    # 1024-chain): cap at 20 — label-prop would need ~10k rounds
-    comp = connected_components(chain, max_rounds=20).collect()
+    # 1024-chain): cap at 20 — label-prop would need ~10k rounds.
+    # driver_max_pairs=0 forces the distributed star loop (r14: the driver
+    # union-find tier would otherwise absorb a 10k-edge graph)
+    comp = connected_components(chain, max_rounds=20, driver_max_pairs=0).collect()
     assert len(comp) == n
     assert {r["component"] for r in comp} == {"0"}
 
@@ -659,9 +661,39 @@ def test_connected_components_chain_bounded_rounds(spark):
             "doc_a string, doc_b string",
         )
     )
-    a = {(r["node_id"], r["component"]) for r in connected_components(pairs).collect()}
+    a = {
+        (r["node_id"], r["component"])
+        for r in connected_components(pairs, driver_max_pairs=0).collect()
+    }
     b = {(r["node_id"], r["component"]) for r in connected_components_labelprop(pairs).collect()}
     assert a == b
+
+
+def test_connected_components_driver_tier_matches(spark):
+    """r14: the size-gated driver union-find tier returns EXACTLY the star
+    loop's rows (same component = min-member-id semantics, same schema) on
+    chain + star + cycle + random graphs, for string and long ids."""
+    import random
+
+    from treemachine_spark.functions.dedup import connected_components
+
+    rng = random.Random(14)
+    rand_pairs = [(rng.randrange(200), rng.randrange(200)) for _ in range(300)]
+    cases = [
+        ([(i, i + 1) for i in range(50)], "long"),  # chain
+        ([(0, i) for i in range(1, 30)], "long"),  # star
+        ([(0, 1), (1, 2), (2, 0), (7, 7)], "long"),  # cycle + self-pair
+        (rand_pairs, "long"),
+        ([(f"d{a}", f"d{b}") for a, b in rand_pairs], "string"),
+    ]
+    for pairs_py, typ in cases:
+        df = spark.createDataFrame(pairs_py, f"doc_a {typ}, doc_b {typ}")
+        via_driver = connected_components(df)
+        via_star = connected_components(df, driver_max_pairs=0)
+        assert via_driver.dtypes == via_star.dtypes
+        assert {tuple(r) for r in via_driver.collect()} == {
+            tuple(r) for r in via_star.collect()
+        }
 
 
 def test_exactness_baseline_guards(spark):
@@ -1320,3 +1352,42 @@ def test_snapshot_reload_sees_cross_process_append(spark, tmp_path):
     # and the appended doc resolves at exact similarity through the index
     hits = fresh.duplicates(texts=[new_text])["results"][0]
     assert any(m["doc_id"] == new_id and m["jaccard"] == 1.0 for m in hits)
+
+
+def test_simhash_arrow_equals_catalyst(spark):
+    """r14: the Arrow-batched simhash_profile returns signatures IDENTICAL
+    to the pure-Catalyst simhash32 HOF form — including the engine-
+    semantics edges (ASCII-space-only trim, '' -> [''] one empty token,
+    NBSP is NOT Java \\s whitespace, NULL text NULL-propagates)."""
+    from treemachine_spark.io.tables import load_tables
+
+    edge = spark.createDataFrame(
+        [
+            (9001, ""),
+            (9002, "   "),
+            (9003, "\tthe quick fox"),
+            (9004, "word"),
+            (9005, "a  b\t\tc\nd"),
+            (9006, " padded with spaces "),
+            (9007, "nbsp\u00a0joined tokens"),
+            (9008, "rep rep rep rep unique"),
+            (9009, None),
+        ],
+        "doc_id long, text string",
+    )
+    docs = (
+        load_tables(spark, SF_SMOKE)["documents"]
+        .select("doc_id", "text")
+        .unionByName(edge)
+    )
+    arrow = {r["doc_id"]: r["simhash"] for r in dedup.simhash_profile(docs).collect()}
+    legacy = {
+        r["doc_id"]: r["simhash"]
+        for r in docs.select(
+            "doc_id", dedup.simhash32(F.col("text")).alias("simhash")
+        ).collect()
+    }
+    assert arrow == legacy and len(arrow) == docs.count()
+    assert arrow[9009] is None
+    # schema parity (the gate hashes dtypes)
+    assert dict(dedup.simhash_profile(docs).dtypes)["simhash"] == "bigint"

@@ -477,10 +477,22 @@ def ngram_jaccard_pairs(
     # materialize the shingle arrays before exploding (Arrow-batched UDF —
     # see the fast-path note above), because the inverted index feeds THREE
     # consumers (sizes, both join sides) — at cluster scale this
-    # intermediate is the index table you'd write once
-    arr = docs.select(
-        "doc_id", shingle_array_udf(k)(F.col(text_col)).alias("sh")
-    ).persist()
+    # intermediate is the index table you'd write once.
+    # r14 (guide §2/§4): respread the corpus to the session's parallelism
+    # BEFORE the Arrow pass — the gate/bench corpus arrives in ~8 cache
+    # partitions, serializing the shingle UDF (and every downstream explode
+    # pass off this persist) on a quarter of the cores; one narrow shuffle
+    # of (id, text) fixes all of them (persist_fill 1.8 -> 0.6 s at sf0.1).
+    # This exact tier is size-gated (max_candidates), so the corpus here is
+    # modest by design; the 100 TB families (d7/d8/d9/d2) shard via their
+    # artifacts instead.
+    dp = docs.sparkSession.sparkContext.defaultParallelism
+    arr = (
+        docs.select("doc_id", F.col(text_col))
+        .repartition(dp)
+        .select("doc_id", shingle_array_udf(k)(F.col(text_col)).alias("sh"))
+        .persist()
+    )
     sh = arr.select("doc_id", F.explode("sh").alias("s"))
     dfs = (
         sh.groupBy("s").agg(F.count("*").alias("df"))
@@ -511,7 +523,15 @@ def ngram_jaccard_pairs(
                 f"minhash_near_dup_pairs + connected_components (the d2/d5 "
                 f"banded path) at this corpus scale"
             )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    # r14: ``sizes`` feeds TWO join consumers and Spark plans the subtree
+    # once per consumer (the x15/x18 lesson). Uncapped, |A| is just the
+    # persisted array's length — a projection off ``arr``, no explode+agg
+    # (twice-planned cost becomes trivial). Capped, sizes must count the
+    # SURVIVING shingle space, so the aggregation stays.
+    if max_doc_freq is not None:
+        sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    else:
+        sizes = arr.select("doc_id", F.size("sh").alias("n"))
     inter = (
         sh.alias("x")
         .join(
@@ -1101,7 +1121,11 @@ def ngram_jaccard_lookup(
 
 
 def connected_components(
-    pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b", max_rounds: int = 64
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_rounds: int = 64,
+    driver_max_pairs: int = 500_000,
 ) -> DataFrame:
     """Duplicate-cluster assignment: connected components over the near-dup
     pair graph, component id = min member id. Returns (node_id, component).
@@ -1114,9 +1138,57 @@ def connected_components(
     — a 10k-node chain finishes in ~10 rounds where min-label propagation
     needs 10k. Each half-round is one groupBy shuffle keyed by node id plus
     a map-side least(); localCheckpoint keeps lineage flat.
+
+    r14 (guide §1.2 step 1): below ``driver_max_pairs`` the pair graph is
+    REQUEST-scale (the bench corpus yields 921 pairs) and every star round
+    still paid 3 jobs x 32 shuffle tasks of pure scheduling — 2.3 s to
+    cluster 921 edges. The driver tier collects the pairs via ONE
+    incremental ``limit(N+1)`` probe (no separate count job; if the probe
+    comes back full the distributed loop runs unchanged) and runs
+    union-find with min-root tracking — the same component ids by
+    construction (test_connected_components_driver_tier_matches pins both
+    tiers on chain + random graphs). Pair-scale >> driver_max_pairs is
+    exactly the regime the star loop exists for; set
+    ``driver_max_pairs=0`` to force it.
     """
+    slim = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+    if driver_max_pairs:
+        probe = slim.limit(driver_max_pairs + 1).collect()
+        if len(probe) <= driver_max_pairs:
+            parent: dict = {}
+
+            def find(x):
+                r = x
+                while parent[r] != r:
+                    r = parent[r]
+                while parent[x] != r:
+                    parent[x], x = r, parent[x]
+                return r
+
+            for row in probe:
+                u, v = row["u"], row["v"]
+                if u == v:
+                    continue
+                for n in (u, v):
+                    if n not in parent:
+                        parent[n] = n
+                ru, rv = find(u), find(v)
+                # union by MIN id: the min member is always the root, so
+                # find() IS the component id — no second pass
+                if ru != rv:
+                    if rv < ru:
+                        ru, rv = rv, ru
+                    parent[rv] = ru
+            rows = [(n, find(n)) for n in parent]
+            schema = StructType(
+                [
+                    StructField("node_id", slim.schema["u"].dataType),
+                    StructField("component", slim.schema["u"].dataType),
+                ]
+            )
+            return pairs.sparkSession.createDataFrame(rows, schema)
     edges = (
-        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        slim
         .where(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint(eager=True)
@@ -1268,7 +1340,54 @@ def simhash32(text: Column) -> Column:
 
 
 def simhash_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    return docs.select("doc_id", simhash32(F.col(text_col)).alias("simhash"))
+    """Corpus-scan SimHash (d3): one Arrow batch pass (r14, guide §4.2).
+
+    :func:`simhash32`'s single-aggregate form still evaluates the per-word
+    md5 AND a 32-wide ``zip_with`` accumulator per element in INTERPRETED
+    mode (HOF lambdas never reach codegen) — profiled 36.6 s noop at sf0.1
+    (5k docs), two orders over the x1 profile pass that does the same md5
+    work per word. This twin moves the integer-only math across Arrow
+    once: ``_py_words`` pins the engines' split/trim semantics, per-word
+    h32 = first 8 md5 hex chars (exact), and the bit-majority is a numpy
+    popcount-by-column — every value is an exact integer, so signatures
+    are bit-identical to the Catalyst form by construction
+    (test_simhash_arrow_equals_catalyst pins NULL/empty/NBSP edges).
+    Measured 36.6 -> 0.52 s noop at sf0.1; :func:`simhash32` remains the
+    pure-Catalyst column twin. NULL text: the HOF chain NULL-propagates
+    (split(NULL) -> aggregate(NULL) -> NULL) — emit None to match."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+    from pyspark.sql.types import LongType
+
+    from treemachine_spark.functions.text import _py_words
+
+    shifts = np.arange(32, dtype=np.int64)
+
+    def _f(texts: pd.Series) -> pd.Series:
+        memo: dict[str, int] = {}
+        out = []
+        for t in texts:
+            if not isinstance(t, str):
+                out.append(None)
+                continue
+            ws = _py_words(t)
+            n = len(ws)
+            hs = np.empty(n, dtype=np.int64)
+            for i, w in enumerate(ws):
+                h = memo.get(w)
+                if h is None:
+                    h = int(hashlib.md5(w.encode()).hexdigest()[:8], 16)
+                    memo[w] = h
+                hs[i] = h
+            bits = ((hs[:, None] >> shifts) & 1).sum(axis=0)
+            out.append(int(((bits * 2 > n).astype(np.int64) << shifts).sum()))
+        return pd.Series(out, dtype="object")
+
+    udf = pandas_udf(_f, LongType(), PandasUDFType.SCALAR)
+    return docs.select("doc_id", udf(F.col(text_col)).alias("simhash"))
 
 
 def decontaminate(

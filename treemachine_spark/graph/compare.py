@@ -363,23 +363,47 @@ def node_heights(
     pattern; the root simply has no row). ``paths_self`` must carry the
     depth-0 self rows so tips anchor their own groups.
 
+    r14 (guide §3.1 + §5): two fixes, measured 16.9 -> ~2.5 s noop at
+    sf0.1 (rows identical — join strategy and materialization only, same
+    algebra; see OPTIMIZATION_r14.md):
+
+    1. Without a hint the planner estimated the aggregated ``tip_pre``
+       above the broadcast threshold and chose a SortMergeJoin — shuffling
+       AND sorting the whole closure union (Exchange of 3.3M rows at
+       sf0.1) against a NODE-scale table, 17-54 s noop with a GC-degrading
+       tail. Both node-scale joins now broadcast whenever the tip count
+       fits (auto: cached-leaves count ≤ 5M — covers every gate/bench
+       decade; past it the code falls back to the shuffled plan, where the
+       production answer is the bucketed-closure layout that co-partitions
+       both sides anyway). The closure itself is never shuffled.
+    2. ``pre`` feeds BOTH broadcast builds and Spark plans the subtree
+       once per consumer (the x15/x18 duplicated-subtree lesson), so the
+       closure-wide aggregation ran 3x per invocation. One per-invocation
+       ``localCheckpoint`` materializes it once (~30 MB node-scale;
+       recomputed on every call — no cross-run reuse).
+
     Returns (node_id, height_micro) for every node.
     """
     w = node_weights.select(
         F.col("node_id").alias("w_node"), F.col("w").cast("long").alias("w")
     )
     pre = (
-        paths_self.join(w, F.col("ancestor_id") == F.col("w_node"), "left")
+        paths_self.join(F.broadcast(w), F.col("ancestor_id") == F.col("w_node"), "left")
         .groupBy("node_id")
         .agg(F.sum(F.coalesce(F.col("w"), F.lit(0))).alias("pre"))
+        .localCheckpoint()
     )
     tip_pre = pre.join(leaves.select("node_id"), "node_id", "left_semi")
+    if leaves.count() <= 5_000_000:
+        tip_pre, pre_join = F.broadcast(tip_pre), F.broadcast(pre)
+    else:
+        pre_join = pre
     maxtip = (
         paths_self.join(tip_pre, "node_id")
         .groupBy("ancestor_id")
         .agg(F.max("pre").alias("mx"))
         .select(F.col("ancestor_id").alias("node_id"), "mx")
     )
-    return maxtip.join(pre, "node_id").select(
+    return maxtip.join(pre_join, "node_id").select(
         "node_id", (F.col("mx") - F.col("pre")).cast("long").alias("height_micro")
     )
