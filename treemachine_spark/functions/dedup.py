@@ -95,6 +95,20 @@ def _h32_py(s: str) -> int:
     return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
 
 
+def _respread_for_arrow(df: DataFrame) -> DataFrame:
+    """Repartition a (id, text)-shaped frame to the session's parallelism
+    IFF it arrives with fewer partitions (r14, guide §2/§4): the sf-scale
+    parquet lands in 1-2 scan partitions (single files under
+    maxPartitionBytes), serializing every downstream Arrow shingling pass
+    on a core or two. One narrow shuffle of the projection fixes every
+    consumer. At 100 TB the corpus has file-count parallelism >= the
+    session's, so the condition is false and NO payload shuffle happens —
+    scale-adaptive, not a local[32] constant."""
+    sc = df.sparkSession.sparkContext
+    dp = sc.defaultParallelism
+    return df.repartition(dp) if df.rdd.getNumPartitions() < dp else df
+
+
 def shingle_array_udf(k: int = 3):
     """pandas UDF: text -> array<string> of distinct k-word shingles
     (== shingles(), Arrow-batched)."""
@@ -486,10 +500,8 @@ def ngram_jaccard_pairs(
     # This exact tier is size-gated (max_candidates), so the corpus here is
     # modest by design; the 100 TB families (d7/d8/d9/d2) shard via their
     # artifacts instead.
-    dp = docs.sparkSession.sparkContext.defaultParallelism
     arr = (
-        docs.select("doc_id", F.col(text_col))
-        .repartition(dp)
+        _respread_for_arrow(docs.select("doc_id", F.col(text_col)))
         .select("doc_id", shingle_array_udf(k)(F.col(text_col)).alias("sh"))
         .persist()
     )
@@ -500,19 +512,40 @@ def ngram_jaccard_pairs(
         else None
     )
     if max_doc_freq is not None:
-        # document frequency per shingle (shingles are distinct per doc);
-        # keep only rare shingles. One extra agg on the narrow (doc, shingle)
-        # projection — removes the quadratic blowup of hot shingles.
-        dfs = dfs.where(F.col("df") <= max_doc_freq)
-        sh = sh.join(dfs.select("s"), "s")
+        # r14 (guide §3.2/§2.3): the cap used to apply as an INNER join of
+        # the exploded index against the vocabulary-scale rare-shingle set
+        # — two index-scale exchanges keyed by shingle. The hot side is
+        # the small one by construction (stop shingles are the head of the
+        # df distribution; CLAUDE.md's "stoplist is hot-shingle-scale"),
+        # so ONE linear agg now returns the capped candidate volume AND
+        # the hot set together, and the cap becomes a broadcast anti-join
+        # — no index shuffle, one df pass instead of two.
+        gate = dfs.agg(
+            F.sum(
+                F.when(
+                    F.col("df") <= max_doc_freq,
+                    F.col("df") * (F.col("df") - 1) / 2,
+                )
+            ).alias("cand"),
+            F.collect_list(
+                F.when(F.col("df") > max_doc_freq, F.col("s"))
+            ).alias("hot"),
+        ).first()
+        cand, hot = gate["cand"], gate["hot"]
+        if hot:
+            hot_df = docs.sparkSession.createDataFrame(
+                [(s,) for s in hot], sh.select("s").schema
+            )
+            sh = sh.join(F.broadcast(hot_df), "s", "left_anti")
+    elif max_candidates is not None:
+        cand = dfs.agg(F.sum(F.col("df") * (F.col("df") - 1) / 2)).first()[0]
     if max_candidates is not None:
         from treemachine_spark.functions.similarity import TooManyPairsError
 
-        # sum C(df,2) straight off the df aggregate (post-cap when one is
-        # set, so the guard measures the volume the join will actually
-        # see) — re-aggregating the joined index would recompute the df
-        # subtree a second time (the x15/x18 lesson)
-        cand = dfs.agg(F.sum(F.col("df") * (F.col("df") - 1) / 2)).first()[0]
+        # cand measured post-cap when one is set, so the guard sees the
+        # volume the join will actually produce — computed in the SAME
+        # linear agg as the stop set above (re-aggregating the joined
+        # index would recompute the df subtree a second time; x15/x18)
         if cand is not None and cand > max_candidates:
             arr.unpersist(blocking=False)  # don't pin the shingle frame
             raise TooManyPairsError(
@@ -526,9 +559,18 @@ def ngram_jaccard_pairs(
     # r14: ``sizes`` feeds TWO join consumers and Spark plans the subtree
     # once per consumer (the x15/x18 lesson). Uncapped, |A| is just the
     # persisted array's length — a projection off ``arr``, no explode+agg
-    # (twice-planned cost becomes trivial). Capped, sizes must count the
-    # SURVIVING shingle space, so the aggregation stays.
-    if max_doc_freq is not None:
+    # (twice-planned cost becomes trivial). Capped, |A| over the SURVIVING
+    # space = size(sh) - |sh ∩ hot| — with the hot set already collected
+    # for the anti-join this is a codegen array_intersect against a
+    # literal, same projection shape (shingle arrays are distinct per
+    # doc); the explode+agg stays only for a degenerate giant hot set.
+    if max_doc_freq is not None and hot and len(hot) <= 10_000:
+        hot_arr = F.array(*[F.lit(s) for s in hot])
+        sizes = arr.select(
+            "doc_id",
+            (F.size("sh") - F.size(F.array_intersect("sh", hot_arr))).alias("n"),
+        )
+    elif max_doc_freq is not None and hot:
         sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     else:
         sizes = arr.select("doc_id", F.size("sh").alias("n"))
@@ -575,9 +617,15 @@ def shingle_index(docs: DataFrame, text_col: str = "text", k: int = 3) -> DataFr
     size(sh) > 0 filter below the Generate, and that filter carries its
     own copy of the UDF — the Arrow pass would run TWICE per row
     (plan-audited in d8's first cut); the outer variant infers nothing,
-    and the null rows short texts produce drop in one codegen filter."""
+    and the null rows short texts produce drop in one codegen filter.
+
+    r14: the (id, text) projection respreads to the session's parallelism
+    when it arrives under it (``_respread_for_arrow`` — the sf-scale
+    single-file corpus otherwise serializes the Arrow pass on 1-2 cores;
+    a no-op at real file counts)."""
     return (
-        docs.select("doc_id", shingle_array_udf(k)(F.col(text_col)).alias("sh"))
+        _respread_for_arrow(docs.select("doc_id", F.col(text_col)))
+        .select("doc_id", shingle_array_udf(k)(F.col(text_col)).alias("sh"))
         .select("doc_id", F.size("sh").alias("n"), F.explode_outer("sh").alias("s"))
         .where(F.col("s").isNotNull())
     )
@@ -678,9 +726,14 @@ def write_shingle_index(
     else:
         out = idx
     out = out.withColumn("bucket", F.pmod(h32(F.col("s")), F.lit(n_buckets)))
-    out.write.mode("overwrite").partitionBy("bucket").parquet(
-        os.path.join(out_dir, "shingles.parquet")
-    )
+    # r14 (guide §6): cluster rows by bucket BEFORE the partitioned write —
+    # a partitionBy write from an m-partition frame opens up to
+    # m x n_buckets files (the r14 respread raised m from 2 to 32: 1024
+    # tiny files at sf0.1); one keyed repartition makes each bucket
+    # directory a single healthy file and the write+read both faster.
+    out.repartition(F.col("bucket")).write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(os.path.join(out_dir, "shingles.parquet"))
     if max_doc_freq is not None:
         idx.unpersist()
     with open(os.path.join(out_dir, "meta.json"), "w") as fh:
