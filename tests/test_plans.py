@@ -193,21 +193,25 @@ def test_k7_grouped_quantiles_single_scan_partial_agg(spark):
 
 
 def test_c3_node_heights_broadcast_weights_and_partial_aggs(spark):
-    """c3 (graph/compare.node_heights): the node-scale weight table must
-    reach the closure as a BROADCAST join (never shuffling the closure for
-    the weight attach), and both closure-wide aggregations must combine
-    map-side (HashAggregate before the Exchange) so each data-scale
-    shuffle carries node-scale rows."""
+    """c3 (graph/compare.node_heights): the node-scale tables must reach
+    the closure as BROADCAST joins (never shuffling the closure), the
+    ``pre`` aggregation must be materialized ONCE per invocation (r14: a
+    localCheckpoint — without it the planner re-ran the closure-wide sum
+    once per consumer), and the remaining closure-wide pass (maxtip) must
+    combine map-side so its shuffle carries node-scale rows."""
     s = plan_of(spark, "c3_node_heights")
     assert "BroadcastHashJoin" in s  # weight attach + tip_pre joins
     # no nested-loop anywhere (every join is keyed)
     assert "BroadcastNestedLoopJoin" not in s and "CartesianProduct" not in s
-    # partial aggregation before the first exchange (map-side combine),
-    # and both closure-wide passes reduce to node-scale pre-shuffle
+    # map-side combine before the first exchange (the maxtip pass)
     pre_exchange = s.split("Exchange")[0]
     assert "HashAggregate" in pre_exchange
-    assert "partial_sum" in s  # pre build combines map-side
-    assert "partial_max" in s  # the maxtip pass combines map-side too
+    # pre is a checkpoint scan, not a re-planned aggregation subtree: the
+    # eager localCheckpoint leaves Scan ExistingRDD nodes and the plan
+    # carries NO partial_sum (the sum ran once at construction)
+    assert "Scan ExistingRDD" in s
+    assert "partial_sum" not in s
+    assert "partial_max" in s  # the maxtip pass combines map-side
 
 
 def test_k8_grouped_hll_partial_agg_bounded_shuffle(spark):
