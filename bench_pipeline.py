@@ -115,6 +115,10 @@ def main() -> None:
     )
     tm("exact_dedup", lambda: dedup.exact_dedup_groups(docs).count())
     tm("simhash", lambda: docs.select("doc_id", dedup.simhash32(F.col("text")).alias("s")).count())
+    # the shipped d3 operator since r14 is the Arrow twin (simhash_profile);
+    # keep the Catalyst row above for cross-round comparability and time the
+    # serving path as its own row
+    tm("simhash_arrow", lambda: dedup.simhash_profile(docs).count())
     tm("text_profile", lambda: text.text_profile(docs).count())
     tm("chunking", lambda: text.chunk_documents(docs).count())
     tm(
