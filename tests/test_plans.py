@@ -214,6 +214,27 @@ def test_c3_node_heights_broadcast_weights_and_partial_aggs(spark):
     assert "partial_max" in s  # the maxtip pass combines map-side
 
 
+def test_x19_strip_spans_windows_share_one_exchange(spark):
+    """x19 (dedup.strip_dup_spans, r14): the duplicate test and the keeper
+    rank are both per-span_hash quantities and must run as STACKED windows
+    over one span_hash exchange — the old groupBy + self-join shape planned
+    the explode+lead-window span subtree once per consumer and paid a
+    second token-scale exchange for the join."""
+    import re
+
+    s = plan_of(spark, "x19_strip_spans")
+    # countDistinct-via-windows: max(dense_rank) replaces the groupBy
+    assert "dense_rank" in s
+    # three consecutive Window operators (rn, dr, nd) with no Exchange
+    # between them — they share one sort over one shuffle
+    assert re.search(
+        r"Window \(\d+\)\n\s*\+- Window \(\d+\)\n\s*\+- Window \(\d+\)\n\s*\+- \*?\s?Sort",
+        s,
+    ), "window stack not sharing one exchange"
+    # the dup attach is gone entirely: no join keyed on span_hash remains
+    assert "SortMergeJoin" not in s
+
+
 def test_k8_grouped_hll_partial_agg_bounded_shuffle(spark):
     """k8 (hll_sketch_grouped): the register build must combine map-side
     (partial_max before the exchange) so the shuffle carries at most

@@ -1558,12 +1558,19 @@ def strip_dup_spans(
     2022). A token covered by ANY dropped occurrence is dropped, so
     overlapping duplicated regions collapse together (greedy, deterministic).
 
-    Plan on top of the shared span table: one groupBy finds duplicated
-    span ids; one window over their occurrences ranks the keeper; dropped
-    occurrences explode into covered token positions (width rows each —
-    bounded); an anti-join keeps surviving tokens, and the rebuild is a
-    per-doc sort-and-join aggregation. Every stage is keyed (span_hash or
-    doc id) — no driver state, corpus-linear.
+    Plan on top of the shared span table (r14, guide §2.4 "two operations
+    keyed the same way share one exchange"): the duplicate test and the
+    keeper rank are BOTH per-span_hash quantities, so they run as stacked
+    windows over ONE span_hash exchange — ``row_number`` ranks the keeper,
+    ``max(dense_rank(id))`` over the whole partition is exactly
+    ``countDistinct(id)`` with O(1) state (no collect_set blow-up on a
+    boilerplate span hot in thousands of docs). The previous shape
+    (groupBy -> self-join back onto spans) planned the explode+lead-window
+    span subtree once per consumer and paid a second token-scale exchange
+    for the join. Dropped occurrences then explode into covered token
+    positions (width rows each — bounded); an anti-join keeps surviving
+    tokens, and the rebuild is a per-doc sort-and-join aggregation. Every
+    stage is keyed (span_hash or doc id) — no driver state, corpus-linear.
 
     Returns (doc_id, n_kept_tokens, clean_hash) — the rebuilt text is
     exposed via md5 so the cross-engine gate compares fixed-width values;
@@ -1573,17 +1580,19 @@ def strip_dup_spans(
     from pyspark.sql import Window
 
     toks, spans = _token_span_tables(docs, width, text_col, id_col)
-    dup = (
-        spans.groupBy("span_hash")
-        .agg(F.countDistinct(id_col).alias("nd"))
-        .where(F.col("nd") >= min_docs)
-        .select("span_hash")
+    w_rank = Window.partitionBy("span_hash").orderBy(id_col, "pos")
+    w_doc = Window.partitionBy("span_hash").orderBy(id_col)
+    w_span = Window.partitionBy("span_hash")
+    occ = spans.select(
+        F.col(id_col),
+        "pos",
+        "span_hash",
+        F.row_number().over(w_rank).alias("rn"),
+        F.dense_rank().over(w_doc).alias("dr"),
     )
-    occ = spans.join(dup, "span_hash")
-    rn = F.row_number().over(
-        Window.partitionBy("span_hash").orderBy(id_col, "pos")
+    dropped = occ.withColumn("nd", F.max("dr").over(w_span)).where(
+        (F.col("nd") >= min_docs) & (F.col("rn") >= 2)
     )
-    dropped = occ.withColumn("rn", rn).where(F.col("rn") >= 2)
     covered = dropped.select(
         F.col(id_col),
         F.explode(
