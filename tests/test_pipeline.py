@@ -696,6 +696,113 @@ def test_connected_components_driver_tier_matches(spark):
         }
 
 
+def test_connected_components_null_endpoints_both_tiers(spark):
+    """r14 review: the distributed tier's ``u != v`` predicate NULL-drops
+    any row with a NULL endpoint (NULL comparison -> NULL -> filtered); the
+    driver union-find tier must mirror that — None used to enter the parent
+    dict and break the ``<`` root comparison against real ids."""
+    pairs = spark.createDataFrame(
+        [("a", "b"), (None, "c"), ("d", None), ("e", "e"), (None, None)],
+        "doc_a string, doc_b string",
+    )
+    via_driver = {
+        tuple(r) for r in dedup.connected_components(pairs).collect()
+    }
+    via_star = {
+        tuple(r)
+        for r in dedup.connected_components(pairs, driver_max_pairs=0).collect()
+    }
+    assert via_driver == via_star == {("a", "a"), ("b", "a")}
+
+
+def test_ngram_jaccard_degenerate_hot_branch_matches_literal(spark):
+    """r14 review: past HOT_LITERAL_MAX hot shingles the cap switches from
+    driver-literal forms (broadcast createDataFrame anti-join +
+    array_intersect sizes) to fully distributed ones (anti-join against the
+    df table + explode/agg sizes). Force the degenerate branch at a tiny
+    corpus and pin it row-equal to the literal path."""
+    docs = spark.createDataFrame(
+        [
+            # "a b c" is the hot shingle (df 3 > cap 2); each doc keeps
+            # one private shingle plus a shared rare one
+            (1, "a b c x y z"),
+            (2, "a b c x y w"),
+            (3, "a b c q r s"),
+        ],
+        "doc_id long, text string",
+    )
+    lit_rows = {
+        tuple(r)
+        for r in dedup.ngram_jaccard_pairs(docs, k=3, threshold=0.0,
+                                           max_doc_freq=2).collect()
+    }
+    orig = dedup.HOT_LITERAL_MAX
+    dedup.HOT_LITERAL_MAX = 0
+    try:
+        dist_rows = {
+            tuple(r)
+            for r in dedup.ngram_jaccard_pairs(docs, k=3, threshold=0.0,
+                                               max_doc_freq=2).collect()
+        }
+    finally:
+        dedup.HOT_LITERAL_MAX = orig
+    assert lit_rows == dist_rows and lit_rows  # non-vacuous
+
+
+def test_cosine_pairs_zero_norm_matches_oracle(spark):
+    """r14 review: a vector whose components all quantize to 0 gives a 0/0
+    cosine. Verified engine semantics (recorded in the v4 implementation
+    comment): DuckDB's division yields NULL and ``NULL >= t`` filters the
+    row; Spark's default-ANSI division would RAISE DIVIDE_BY_ZERO if the
+    pair reached codegen. The Arrow prefilter drops the pair (NaN fails
+    ``>= cut``) — matching the oracle AND keeping the zero denominator out
+    of the codegen divide. Pin v4 and the one-cell v7 shape against the
+    inline DuckDB twin on a corpus containing a zero vector."""
+    import duckdb
+    import pandas as pd
+
+    vecs = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0, 0.0]),  # near-dup of 1
+        (3, [0.0, 0.0, 0.0, 0.0]),  # zero vector: 0/0 cosine
+        (4, [-1.0, 0.5, 0.0, 0.0]),  # below threshold vs everything
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    got_v4 = {
+        (r["id_a"], r["id_b"], r["cos"])
+        for r in similarity.cosine_near_dup_pairs(emb, max_vectors=10).collect()
+    }
+    got_v7 = {
+        (r["id_a"], r["id_b"], r["cos"])
+        for r in similarity.semantic_dedup_pairs(emb, n_centroids=1).collect()
+    }
+    con = duckdb.connect()
+    con.register(
+        "emb",
+        pd.DataFrame(
+            {"vec_id": [v[0] for v in vecs], "embedding": [v[1] for v in vecs]}
+        ),
+    )
+    cosexpr = (
+        "ROUND(list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v))"
+        " * sqrt(list_dot_product(b.v, b.v))), 4)"
+    )
+    want = {
+        tuple(r)
+        for r in con.execute(
+            "WITH base AS (SELECT vec_id, list_transform(embedding,"
+            " x -> round(CAST(x AS DOUBLE) * 1000)) AS v FROM emb) "
+            f"SELECT a.vec_id, b.vec_id, {cosexpr} AS cos "
+            f"FROM base a JOIN base b ON a.vec_id < b.vec_id "
+            f"WHERE {cosexpr} >= 0.4"
+        ).fetchall()
+    }
+    con.close()
+    assert got_v4 == want and got_v7 == want
+    assert want  # non-vacuous: the real near-dup pair survives
+    assert not any(3 in (a, b) for a, b, _ in want)  # zero vector dropped
+
+
 def test_exactness_baseline_guards(spark):
     """VERDICT r6 #8 guard-consistency sweep: every quadratic or
     driver-bound exactness baseline carries the v4-style size gate —

@@ -95,6 +95,13 @@ def _h32_py(s: str) -> int:
     return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
 
 
+# Past this many hot (df > cap) shingles, ngram_jaccard_pairs stops routing
+# the stop set through driver literals (an F.lit() element costs ~a py4j
+# call, and an F.array literal this wide stalls codegen) and falls back to
+# fully distributed forms. Module-level so the degenerate branch is testable.
+HOT_LITERAL_MAX = 10_000
+
+
 def _respread_for_arrow(df: DataFrame) -> DataFrame:
     """Repartition a (id, text)-shaped frame to the session's parallelism
     IFF it arrives with fewer partitions (r14, guide §2/§4): the sf-scale
@@ -532,11 +539,22 @@ def ngram_jaccard_pairs(
             ).alias("hot"),
         ).first()
         cand, hot = gate["cand"], gate["hot"]
-        if hot:
+        if hot and len(hot) <= HOT_LITERAL_MAX:
             hot_df = docs.sparkSession.createDataFrame(
                 [(s,) for s in hot], sh.select("s").schema
             )
             sh = sh.join(F.broadcast(hot_df), "s", "left_anti")
+        elif hot:
+            # degenerate cap (hot set past literal scale — e.g. a tiny
+            # max_doc_freq over a large corpus): don't re-upload the
+            # collected list through py4j/broadcast; anti-join against the
+            # df table distributed (one more pass off the persisted arr —
+            # the pre-r14 cost shape, paid only in the degenerate case)
+            sh = sh.join(
+                dfs.where(F.col("df") > max_doc_freq).select("s"),
+                "s",
+                "left_anti",
+            )
     elif max_candidates is not None:
         cand = dfs.agg(F.sum(F.col("df") * (F.col("df") - 1) / 2)).first()[0]
     if max_candidates is not None:
@@ -564,7 +582,7 @@ def ngram_jaccard_pairs(
     # for the anti-join this is a codegen array_intersect against a
     # literal, same projection shape (shingle arrays are distinct per
     # doc); the explode+agg stays only for a degenerate giant hot set.
-    if max_doc_freq is not None and hot and len(hot) <= 10_000:
+    if max_doc_freq is not None and hot and len(hot) <= HOT_LITERAL_MAX:
         hot_arr = F.array(*[F.lit(s) for s in hot])
         sizes = arr.select(
             "doc_id",
@@ -1220,7 +1238,11 @@ def connected_components(
 
             for row in probe:
                 u, v = row["u"], row["v"]
-                if u == v:
+                # NULL endpoints: the distributed tier's u != v predicate
+                # evaluates to NULL and drops the row — mirror that here
+                # (None would otherwise enter the parent dict and break
+                # the < comparison against real ids)
+                if u is None or v is None or u == v:
                     continue
                 for n in (u, v):
                     if n not in parent:
@@ -1432,7 +1454,7 @@ def simhash_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
             for i, w in enumerate(ws):
                 h = memo.get(w)
                 if h is None:
-                    h = int(hashlib.md5(w.encode()).hexdigest()[:8], 16)
+                    h = _h32_py(w)  # the module's one cross-engine recipe
                     memo[w] = h
                 hs[i] = h
             bits = ((hs[:, None] >> shifts) & 1).sum(axis=0)

@@ -220,7 +220,11 @@ def cosine_near_dup_pairs(
     :class:`TooManyPairsError` naming the banded twin instead of launching
     a job that cannot finish. The count probe is LIMIT-bounded — it scans at
     most ``max_vectors + 1`` ids, never the whole corpus. ``max_vectors=None``
-    disables the guard for callers that know their input is tiny.
+    disables the guard for callers that know their input is tiny — note
+    that since r14 the exact tier collects the quantized corpus to the
+    driver and ships it in each task's Arrow-UDF closure, so disabling the
+    guard commits the DRIVER (not just the cluster) to holding the corpus
+    matrix; the gated default keeps that bounded by construction.
 
     At 100 TB use ``cosine_near_dup_pairs_lsh`` (band candidates + exact
     verify) or IVF cells to bound candidates.
@@ -248,8 +252,13 @@ def cosine_near_dup_pairs(
     # dots only for pairs whose RAW cosine clears threshold - 1e-4 — a
     # slack strictly wider than the 4-dp rounding boundary (5e-5), so no
     # pair that could round to >= threshold is dropped — and the exact
-    # rounded filter culls the boundary sliver. Zero-norm vectors: 0/0 is
-    # NaN in both engines and fails >= in both.
+    # rounded filter culls the boundary sliver. Zero-norm vectors
+    # (verified empirically, r14): numpy raw is NaN and fails >= cut, so
+    # the pair is dropped here — which MATCHES the DuckDB oracle (0/0 is
+    # NULL there, and NULL >= t filters the row) and keeps the zero
+    # denominator out of the codegen divide below, where Spark's default
+    # ANSI mode would raise DIVIDE_BY_ZERO (the pre-r14 all-pairs fold
+    # divided unconditionally and would have errored on such a corpus).
     import numpy as np
     import pandas as pd
 
@@ -694,6 +703,10 @@ def semantic_dedup_pairs(
     # Spark codegen, fed only pairs whose raw cosine clears
     # threshold - 1e-4 (strictly wider than the 4-dp rounding boundary —
     # no false negatives; the exact rounded filter culls the sliver).
+    # Zero-norm vectors: raw is NaN, fails >= cut, pair dropped — matching
+    # the DuckDB oracle (0/0 is NULL there; NULL >= t filters) and keeping
+    # the zero denominator out of the ANSI codegen divide (see the
+    # cosine_near_dup_pairs comment for the verified engine semantics).
     # Per-group memory is (n/k)² floats — bounded by the operator's own
     # near-linear design (cells exist precisely to cap pair blocks).
     import numpy as np

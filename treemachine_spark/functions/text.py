@@ -438,6 +438,20 @@ def _pick_tfidf_plan(tf: DataFrame) -> bool:
     return _skew_decision(row["mx"], row["tot"], npart)
 
 
+def _toks_tf(docs: DataFrame, text_col: str, id_col: str):
+    """The tf-idf family's shared token/tf pipeline: lower -> engine words
+    -> explode -> drop empties -> per-(doc, term) counts. ONE definition so
+    the auto-plan probe (:func:`tfidf_auto_plan`), the operator
+    (:func:`tfidf_topk`) and the keyword index build can never drift apart
+    — the probe exists to report the operator's actual plan pick, which
+    only holds while they tokenize identically (r14 review)."""
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(words(F.lower(F.col(text_col)))).alias("term"),
+    ).where(F.col("term") != "")
+    return toks, toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+
+
 def tfidf_auto_plan(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> str:
@@ -447,11 +461,7 @@ def tfidf_auto_plan(
     Same short-circuit + probe as the operator, read-only."""
     if docs.count() <= SKEW_DF_FLOOR:
         return "window"
-    toks = docs.select(
-        F.col(id_col),
-        F.explode(words(F.lower(F.col(text_col)))).alias("term"),
-    ).where(F.col("term") != "")
-    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    _, tf = _toks_tf(docs, text_col, id_col)
     return "skew_safe" if _pick_tfidf_plan(tf) else "window"
 
 
@@ -501,11 +511,7 @@ def tfidf_topk(
     """
     from pyspark.sql import Window
 
-    toks = docs.select(
-        F.col(id_col),
-        F.explode(words(F.lower(F.col(text_col)))).alias("term"),
-    ).where(F.col("term") != "")
-    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    toks, tf = _toks_tf(docs, text_col, id_col)
 
     # (r14 note, guide §2.4: a doc-keyed repartition before this agg was
     # tried to make the final top-k window exchange-free — but under AQE a
@@ -625,11 +631,7 @@ def keyword_search(
     """
     from pyspark.sql import Window
 
-    toks = docs.select(
-        F.col(id_col),
-        F.explode(words(F.lower(F.col(text_col)))).alias("term"),
-    ).where(F.col("term") != "")
-    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    _, tf = _toks_tf(docs, text_col, id_col)
     tfd = tf.withColumn("df", F.count("*").over(Window.partitionBy("term")))
     if terms is None:
         # Deriving qterms from tfd lazily would duplicate the whole
