@@ -91,9 +91,14 @@ def test_q19_stays_equi_join(spark):
 
 def test_v5_centroids_broadcast_no_shuffle_before_agg(spark):
     s = plan_of(spark, "v5_centroid_cells")
-    # the assignment is a broadcast nested-loop against 8 centroids; the
-    # only exchanges are the per-row-argmax window and the final cell agg
-    assert "BroadcastNestedLoopJoin" in s
+    # r14: the assignment is the shared Arrow E-step — one MapInPandas
+    # pass over the corpus (centroids ride the task closure); the OLD
+    # crossJoin x interpreted-fold x argmax-window shape (and its corpus x
+    # n_centroids shuffle) must be gone. The only exchange left is the
+    # final cell agg's.
+    assert "MapInPandas" in s
+    assert "BroadcastNestedLoopJoin" not in s
+    assert "Window" not in s
 
 
 def test_x6_split_is_scan_fused(spark):

@@ -473,6 +473,10 @@ def ivf_pq_topk(
     exact = cell_assign.select("neighbor_id", "cv").join(
         F.broadcast(short), "neighbor_id"
     ).select(
+        # fold kept: the re-rank pool is request-scale (rerank_factor*k
+        # per query) and the r14 pair_dot_udf A/B showed Python task
+        # roundtrips beat the fold only past ~10^4 rows/task — see
+        # similarity.ivf_topk's matching note
         "query_id", "neighbor_id", int_dot(F.col("qv"), F.col("cv")).alias("score")
     )
     return (

@@ -197,6 +197,93 @@ def quantized_cosine(a: Column, b: Column) -> Column:
     )
 
 
+def pair_dot_udf():
+    """Arrow twin of :func:`int_dot` for CANDIDATE-scale scoring (r14 batch
+    7, guide §4.2): `aggregate(zip_with(...))` evaluates INTERPRETED per
+    array element, so every candidate row paid dim interpreted lambda calls;
+    one einsum per Arrow batch does the same integer math vectorized.
+    Products and row sums of quantized components are integer-valued
+    float64 < 2^53, so the result is exact and summation-order-independent
+    — bit-identical to the fold (the brute_force_topk argument).
+
+    Used where the A/B measured it FASTER: the v6 verify (110k candidate
+    pairs at sf1: 9.3 -> 6.3 s). The ivf_topk/lsh_topk candidate dots and
+    the PQ exact re-rank were tried and REVERTED — their joins leave ~32
+    near-empty tasks locally and the per-task Python roundtrips cost more
+    than the fold below ~10^4 candidate rows per task (same-session pairs,
+    sf0.1 and sf1; the fold sites carry matching notes)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    def _f(a: pd.Series, b: pd.Series) -> pd.Series:
+        if not len(a):
+            return pd.Series([], dtype="float64")
+        A = np.vstack(a.to_numpy())
+        B = np.vstack(b.to_numpy())
+        return pd.Series(np.einsum("ij,ij->i", A, B))
+
+    return pandas_udf(_f, "double", PandasUDFType.SCALAR)
+
+
+def _argmax_assign(
+    emb: DataFrame, cent: DataFrame, out_id: str, keep: tuple[str, ...]
+) -> DataFrame:
+    """Shared Arrow E-step (r14 batch 7): assign each quantized vector in
+    ``emb`` (columns: out_id, 'cv', *keep) to its max-dot centroid from
+    ``cent`` (cent_id, cvec — REQUEST-SCALE: collected once and shipped in
+    the task closure, like brute_force_topk's query matrix).
+
+    Replaces the crossJoin(broadcast) x interpreted-int_dot x row_number
+    shape: the fold evaluated interpreted per element, and the argmax
+    window shuffled corpus x n_centroids rows. Here the corpus crosses
+    Arrow ONCE, each batch is one numpy matmul, and NO shuffle remains.
+
+    Exactness/tie-break: scores are integer-valued float64 (< 2^53), and
+    the centroid matrix rows are sorted by cent_id ascending, so
+    ``argmax``'s first-max pick IS the window's (score DESC, cent_id ASC)
+    winner, bit-for-bit. A NULL vector matches the old plan's NULLS-LAST
+    ordering (every score NULL -> lowest cent_id wins) — pinned by test.
+    """
+    import numpy as np
+
+    spark = emb.sparkSession
+    crows = cent.select("cent_id", "cvec").orderBy("cent_id").collect()
+    types = dict(emb.dtypes)
+    cent_t = dict(cent.dtypes)["cent_id"]
+    out_schema = ", ".join(
+        [f"{out_id} {types[out_id]}"]
+        + [f"{c} {types[c]}" for c in keep]
+        + [f"cent_id {cent_t}"]
+    )
+    if not crows:
+        return spark.createDataFrame([], out_schema)
+    cids = np.asarray([r["cent_id"] for r in crows])
+    cmat_t = np.asarray([r["cvec"] for r in crows], dtype=np.float64).T  # (dim, k)
+    cols = [out_id, *keep]
+
+    def _assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vals = pdf["cv"].to_numpy()
+            nulls = [i for i, v in enumerate(vals) if v is None]
+            out = pdf.loc[:, cols].copy()
+            if nulls:
+                best = np.zeros(len(pdf), dtype=np.int64)
+                ok = [i for i in range(len(pdf)) if vals[i] is not None]
+                if ok:
+                    X = np.vstack([vals[i] for i in ok])
+                    best[ok] = (X @ cmat_t).argmax(axis=1)
+            else:
+                X = np.vstack(vals)
+                best = (X @ cmat_t).argmax(axis=1)
+            out["cent_id"] = cids[best]
+            yield out
+
+    return emb.mapInPandas(_assign, schema=out_schema)
+
+
 class TooManyPairsError(ValueError):
     """The all-pairs exact cosine was asked to cross-join more vectors than
     its guard allows — the caller wants ``cosine_near_dup_pairs_lsh``."""
@@ -403,11 +490,17 @@ def cosine_near_dup_pairs_lsh(
     for true near-dups (cos >= 0.9) at the 8x8 default, tunable via
     bands/planes. Returns (id_a, id_b, cos), id_a < id_b, rounded to 4dp.
     """
-    keys = embeddings.select(
-        F.col(id_col).alias("vid"),
-        quantize(F.col(vec_col)).alias("v"),
-        band_keys_udf(n_bands, band_planes)(F.col(vec_col)).alias("keys"),
-    ).localCheckpoint(eager=True)  # band table feeds both join sides
+    keys = (
+        embeddings.select(
+            F.col(id_col).alias("vid"),
+            quantize(F.col(vec_col)).alias("v"),
+            band_keys_udf(n_bands, band_planes)(F.col(vec_col)).alias("keys"),
+        )
+        # per-VECTOR norm computed once here (vector scale) instead of
+        # twice per candidate pair in the verify (candidate scale) — r14
+        .withColumn("nrm", pair_dot_udf()(F.col("v"), F.col("v")))
+        .localCheckpoint(eager=True)
+    )  # band table feeds both join sides
     bands = keys.select("vid", F.posexplode("keys").alias("band_idx", "band_key"))
     cand = (
         bands.alias("x")
@@ -421,12 +514,37 @@ def cosine_near_dup_pairs_lsh(
         .distinct()
     )
     return (
-        cand.join(keys.select(F.col("vid").alias("id_a"), F.col("v").alias("va")), "id_a")
-        .join(keys.select(F.col("vid").alias("id_b"), F.col("v").alias("vb")), "id_b")
+        cand.join(
+            keys.select(
+                F.col("vid").alias("id_a"), F.col("v").alias("va"),
+                F.col("nrm").alias("na"),
+            ),
+            "id_a",
+        )
+        .join(
+            keys.select(
+                F.col("vid").alias("id_b"), F.col("v").alias("vb"),
+                F.col("nrm").alias("nb"),
+            ),
+            "id_b",
+        )
+        # zero-norm sides (two zero vectors share EVERY band, so they DO
+        # become candidates): the oracle's 0/0 cosine is NULL and fails
+        # >= threshold — drop them BEFORE the divide, where Spark's
+        # default ANSI mode would raise DIVIDE_BY_ZERO (the verified
+        # v4/v7 zero-norm semantics, r14)
+        .where((F.col("na") != 0) & (F.col("nb") != 0))
         .select(
             "id_a",
             "id_b",
-            F.round(quantized_cosine(F.col("va"), F.col("vb")), 4).alias("cos"),
+            # dab via the Arrow einsum (candidate scale); the divide and
+            # HALF_UP round stay in codegen — bit-identical to the old
+            # three-fold quantized_cosine on every surviving pair
+            F.round(
+                pair_dot_udf()(F.col("va"), F.col("vb"))
+                / (F.sqrt(F.col("na")) * F.sqrt(F.col("nb"))),
+                4,
+            ).alias("cos"),
         )
         .where(F.col("cos") >= threshold)
     )
@@ -446,21 +564,20 @@ def centroid_assign(
     Centroids here are the n smallest-id vectors (deterministic and
     engine-independent for the oracle); production swaps in learned
     centroids without changing the plan shape.
+
+    Since r14 the assignment is the shared Arrow E-step
+    (:func:`_argmax_assign`): the corpus crosses Arrow once and the argmax
+    happens in the same numpy pass — no interpreted fold, no corpus x
+    n_centroids window shuffle (the old crossJoin+row_number shape is kept
+    as ``_ivf_assign_plan``, the pure-plan twin tests pin against).
     """
     cent = (
         embeddings.orderBy(id_col)
         .limit(n_centroids)
         .select(F.col(id_col).alias("cent_id"), quantize(F.col(vec_col)).alias("cvec"))
     )
-    emb = embeddings.select(F.col(id_col), quantize(F.col(vec_col)).alias("_v"))
-    w = Window.partitionBy(id_col).orderBy(F.desc("_s"), "cent_id")
-    return (
-        emb.crossJoin(F.broadcast(cent))
-        .select(id_col, "cent_id", int_dot(F.col("_v"), F.col("cvec")).alias("_s"))
-        .withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .select(id_col, "cent_id")
-    )
+    emb = embeddings.select(F.col(id_col), quantize(F.col(vec_col)).alias("cv"))
+    return _argmax_assign(emb, cent, id_col, ())
 
 
 def ivf_cells(
@@ -503,7 +620,33 @@ def ivf_assign(
     """Assign vectors to their max-dot cell against GIVEN centroids (the
     E-step of :func:`ivf_cells`, split out so incremental appends score
     new vectors against the STORED centroids — re-deriving centroids for
-    an append would silently shift every existing cell boundary)."""
+    an append would silently shift every existing cell boundary).
+
+    Since r14 this is the shared Arrow E-step (:func:`_argmax_assign`):
+    ``cent`` is request-scale by contract (an IVF centroid set — collected
+    once, shipped in the task closure) and the corpus crosses Arrow once
+    with NO shuffle, replacing the interpreted int_dot fold and the
+    corpus x n_centroids argmax window. Scores are exact integer float64,
+    so cell boundaries are bit-identical to the old plan
+    (``_ivf_assign_plan``, kept below as the tests' pure-plan twin)."""
+    emb = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        quantize(F.col(vec_col)).alias("cv"),
+        *[F.col(c) for c in meta_cols],
+    )
+    return _argmax_assign(emb, cent, "neighbor_id", ("cv", *meta_cols))
+
+
+def _ivf_assign_plan(
+    embeddings: DataFrame,
+    cent: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    meta_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Pre-r14 pure-Catalyst assignment (crossJoin x interpreted fold x
+    row_number) — kept as the plan-only twin the Arrow E-step equality
+    tests pin against (the simhash32 / connected_components precedent)."""
     emb = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
         quantize(F.col(vec_col)).alias("cv"),
@@ -585,6 +728,12 @@ def ivf_topk(
         assigned.join(F.broadcast(probes), "cent_id")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
+            # candidate dot kept on the fold: a pair_dot_udf swap was
+            # same-session A/B'd at sf0.1/sf1 and REVERTED — the probed
+            # cell scan leaves ~32 near-empty tasks locally and the Python
+            # task roundtrips cost more than the fold (1.04 -> 1.66 s at
+            # sf1); the Arrow crossing only amortizes at >=10^4 candidate
+            # rows per task (r14 batch 7 notes)
             "query_id", "neighbor_id", int_dot(F.col("qv"), F.col("cv")).alias("score")
         )
     )
@@ -660,6 +809,10 @@ def lsh_topk(
         emb.join(F.broadcast(q), "bucket")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
+            # fold kept over a pair_dot_udf swap: measured SLOWER with the
+            # udf at sf0.1 AND sf1 (2.0 -> 3.0 s at sf1) — bucket joins
+            # leave near-empty tasks locally and the Python roundtrips
+            # dominate; see ivf_topk's matching note (r14 batch 7)
             "query_id", "neighbor_id", int_dot(F.col("qv"), F.col("cv")).alias("score")
         )
     )
@@ -896,34 +1049,89 @@ def hard_negatives(
     top-k most similar vectors with a DIFFERENT label — near-misses make
     the strongest negatives (in-batch random negatives are mostly easy).
 
-    Same plan as brute_force_topk (broadcast query set, per-query window)
-    with the label anti-predicate applied BEFORE ranking, so negatives
-    never displace into the k slots. At corpus scale swap the candidate
-    generator for ivf_topk/lsh_topk cells and keep the same label filter
-    in the re-rank — the plan shape is unchanged.
+    Same plan as brute_force_topk (r14: the same Arrow matmul pass — the
+    old crossJoin x interpreted int_dot fold scored corpus x nq rows
+    element-by-element in interpreted mode AND shuffled them all into the
+    ranking window) with the label anti-predicate applied INSIDE the
+    scoring pass, BEFORE ranking, so negatives never displace into the k
+    slots. Each batch emits only its top-k candidates per query among
+    DIFFERENT-label rows, ranked by the final window's exact total order
+    (score DESC, neighbor_id ASC) — exactly k (not k+1) because the label
+    mask already excludes the query itself (same label). NULL labels never
+    match the `!=` predicate in Spark; the mask reproduces that (pinned by
+    test). The query side is request-scale by the same contract as
+    brute_force_topk (the old F.broadcast also materialized it
+    driver-side). At corpus scale swap the candidate generator for
+    ivf_topk/lsh_topk cells and keep the same label filter in the re-rank.
 
     Returns (query_id, neighbor_id, neighbor_label, score, rank).
     """
-    q = queries.select(
+    import numpy as np
+    import pandas as pd
+
+    qrows = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(label_col).alias("q_label"),
         quantize(F.col(vec_col)).alias("qv"),
+    ).collect()
+    spark = embeddings.sparkSession
+    types = dict(embeddings.dtypes)
+    out_schema = (
+        f"query_id {types[id_col]}, neighbor_id {types[id_col]}, "
+        f"neighbor_label {types[label_col]}, score double"
     )
+    if not qrows:
+        return spark.createDataFrame([], out_schema + ", rank int")
+    qids = np.asarray([r["query_id"] for r in qrows])
+    qlabels = np.asarray([r["q_label"] for r in qrows], dtype=object)
+    ql_ok = np.asarray([r["q_label"] is not None for r in qrows])
+    qmat_t = np.asarray([r["qv"] for r in qrows], dtype=np.float64).T  # (dim, nq)
+    nq = len(qrows)
+
+    def _score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.vstack(pdf["cv"].to_numpy())  # (b, dim)
+            s = x @ qmat_t  # exact: integer-valued float64, < 2^53
+            nid = pdf["neighbor_id"].to_numpy()
+            nlab = pdf["neighbor_label"].to_numpy()
+            # NULL labels arrive as None OR NaN (nullable ints cross Arrow
+            # as float64+NaN) — the repo-wide pandas-UDF NULL invariant
+            nl_ok = ~pd.isna(pdf["neighbor_label"]).to_numpy()
+            # `q_label != neighbor_label` semantics: NULL on either side
+            # never matches
+            valid = (
+                (nlab[:, None] != qlabels[None, :])
+                & nl_ok[:, None]
+                & ql_ok[None, :]
+            )
+            # per-batch partial top-k (the brute_force_topk r14 shape):
+            # rank by (score DESC, neighbor_id ASC) among VALID rows only
+            order = np.lexsort((np.broadcast_to(nid[:, None], s.shape), -s), axis=0)
+            cols = np.broadcast_to(np.arange(nq), order.shape)
+            vsorted = valid[order, cols]
+            # positions of the first k valid rows per query column
+            take_rank = np.cumsum(vsorted, axis=0)
+            pick = vsorted & (take_rank <= k)
+            ri, ci = order[pick], cols[pick]
+            if not len(ri):
+                continue
+            yield pd.DataFrame(
+                {
+                    "query_id": qids[ci],
+                    "neighbor_id": nid[ri],
+                    "neighbor_label": nlab[ri],
+                    "score": s[ri, ci],
+                }
+            )
+
     c = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(label_col).alias("neighbor_label"),
         quantize(F.col(vec_col)).alias("cv"),
     )
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .where(F.col("q_label") != F.col("neighbor_label"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            "neighbor_label",
-            int_dot(F.col("qv"), F.col("cv")).alias("score"),
-        )
-    )
+    scored = c.mapInPandas(_score, schema=out_schema)
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), "neighbor_id")
     return (
         scored.withColumn("rank", F.row_number().over(w))
