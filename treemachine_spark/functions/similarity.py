@@ -1076,8 +1076,11 @@ def hard_negatives(
     ).collect()
     spark = embeddings.sparkSession
     types = dict(embeddings.dtypes)
+    # query-side types come from the QUERIES frame (brute_force_topk's
+    # convention) — the two sides need not share dtypes
+    qtypes = dict(queries.dtypes)
     out_schema = (
-        f"query_id {types[id_col]}, neighbor_id {types[id_col]}, "
+        f"query_id {qtypes[id_col]}, neighbor_id {types[id_col]}, "
         f"neighbor_label {types[label_col]}, score double"
     )
     if not qrows:
