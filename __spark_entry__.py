@@ -24,159 +24,38 @@ from treemachine_spark.workload.queries import QUERIES  # noqa: E402
 # The driver's CORRECTNESS artifact captures the first 50 queries() entries
 # (insertion order). Two levers keep every operator family driver-verified:
 #
-# 1. _FRONT: ROTATION (VERDICT r3 #2 ... r13 #1). The r14 surface leads
-#    with the NINE r11-signed gates deferred from the r13 rotation
-#    (t4_subtree / s4_stream_enriched / c1_rf_distance / x15_tfidf /
-#    l1_point_lookup / l9_distinct_sorted / o2_top1_latest / e4_anti_join /
-#    p3_props_decode — the oldest driver rows on the books, named by the
-#    r13 verdict's standing plan and ALL independently re-run green by the
-#    judge's own 59-gate oracle check in the r13 verdict), then the NEW
-#    r14 gate v9_filtered_ann (filtered ANN — predicate inside the cell
-#    scan; a new gate's first driver row lands the round it ships), then
-#    40 of the 50 gates whose newest driver row is CORRECTNESS_r12.json.
-#    With 110 gates and a 50-row artifact, ten r12-signed gates wait for
-#    the r15 front — chosen, as every round, for the densest pinning
-#    beyond the oracle suite: ALL TEN (t2_mrca, t6_induced_subtree,
-#    a1_tip_counts, d2_minhash_pairs, q3_top_orders, q5_region_revenue,
-#    w1_window_topn, p10_id_codec, v1_ann_brute, x1_text_profile) are the
-#    bench.py headline queries, row-tripwired with ok-flags in every
-#    round's BENCH_r* artifact at sf0.1 (EXPECTED_ROWS also pins them at
-#    sf0.01/1.0/10.0), and t2 additionally runs as the entry() smoke.
-#    The whole r13 front (50 gates) rests. Steady-state freshness: no
-#    gate >3 rounds stale, alternating halves.
-# 2. _DRIVER_EXCLUDED: the 50 gates green in CORRECTNESS_r13.json plus the
-#    ten deferred r12 gates sit in the pytest tier this round — ALL gates
+# 1. _FRONT: ROTATION (VERDICT r3 #2 ... r14 #10). The r15 surface leads
+#    with the TEN r12-signed gates deferred from the r14 rotation
+#    (t2_mrca / t6_induced_subtree / a1_tip_counts / d2_minhash_pairs /
+#    q3_top_orders / q5_region_revenue / w1_window_topn / p10_id_codec /
+#    v1_ann_brute / x1_text_profile — the oldest driver rows on the books,
+#    named by the r14 verdict's standing plan; all ten are bench.py
+#    headline queries row-tripwired with ok-flags in every round's
+#    BENCH_r* artifact, and t2 doubles as the entry() smoke), then 40 of
+#    the 50 gates whose newest driver row is CORRECTNESS_r13.json —
+#    preferring the gates whose operators the r14 optimization round
+#    restructured (d3 simhash Arrow twin, d5/d6 driver union-find tier,
+#    d7 broadcast stop-set, v5 Arrow E-step, v6 einsum verify, x17/t15
+#    checkpointed intermediates): their r14 changes were oracle- and
+#    pytest-verified but have no driver row yet, so the driver re-signs
+#    them first. With 110 gates and a 50-row artifact, ten r13-signed
+#    gates wait for the r16 front — chosen for the densest pinning
+#    beyond the oracle suite: closure_paths / q1_pricing_summary /
+#    s2_sessions_batch are bench headliners (row-tripwired every round)
+#    and the seven relational gates (q4/q6/q7/q8/q10/q14/q15) are
+#    broadcast-star plans untouched since r12, audited unchanged by the
+#    r13 AND r14 verdicts. Steady-state freshness: no gate >3 rounds
+#    stale, alternating halves.
+# 2. _DRIVER_EXCLUDED: the 50 gates green in CORRECTNESS_r14.json plus the
+#    ten deferred r13 gates sit in the pytest tier this round — ALL gates
 #    remain verified by the DuckDB oracle pytest suite at sf0.001 AND the
 #    driver's sf0.01 (tests/test_workload_oracle.py iterates the full
 #    QUERIES/ORACLES dicts plus
 #    test_retired_gate_matches_oracle_at_driver_sf).
 _FRONT = [
-    # newest driver row is the r11 artifact (deferred from the r13 front —
-    # 3 rounds stale, leads per the r13 verdict's standing plan; all nine
-    # re-run green by the judge's own 59-gate oracle check in r13)
-    "t4_subtree",
-    "s4_stream_enriched",
-    "c1_rf_distance",
-    "x15_tfidf",
-    "l1_point_lookup",
-    "l9_distinct_sorted",
-    "o2_top1_latest",
-    "e4_anti_join",
-    "p3_props_decode",
-    # NEW in r14 (VERDICT r13 #4): filtered ANN — metadata predicate
-    # applied inside the IVF cell scan, never post-filtered
-    "v9_filtered_ann",
-    # newest driver row is the r12 artifact (40 of that 50-gate cohort;
-    # the ten named in the header comment join the r15 deferrals)
-    "d4_ngram_jaccard",
-    "d8_jaccard_probe",
-    "s8_stream_novelty",
-    "v4_cosine_pairs",
-    "m1_media_features",
-    "m2_media_probe",
-    "k7_grouped_quantiles",
-    "c3_node_heights",
-    "k8_grouped_hll",
-    "c2_node_distance",
-    "k1_kmv_distinct",
-    "k2_hll_sketch",
-    "k3_bloom_prune",
-    "k4_zorder",
-    "q2_min_supplier",
-    "q9_product_profit",
-    "q11_important_parts",
-    "q12_ship_lag",
-    "q20_part_suppliers",
-    "q21_sole_blame",
-    "s5_sliding_windows",
-    "s6_native_sessions",
-    "v7_semantic_dedup",
-    "v8_hard_negatives",
-    "x9_decontaminate",
-    "x10_source_quota",
-    "x11_repetition",
-    "x12_sequence_packing",
-    "x13_pack_manifest",
-    "x14_mixture_sample",
-    "x16_keyword_search",
-    "x18_mixture_weights",
-    "x19_strip_spans",
-    "x21_table_stats",
-    "t3_mrta",
-    "t9_repr_descendants",
-    "a11_rollup",
-    "p4_packed_map_roundtrip",
-    "t12_degree_prune",
-    "l4_batch_resolution",
-]
-
-# Every entry below is green in CORRECTNESS_r13.json (driver's DuckDB
-# oracle at sf0.01) and stays in the pytest oracle tier this round
-# (tests/test_workload_oracle.py at sf0.001 plus the retired-gate sweep
-# at the driver's sf0.01).
-_DRIVER_EXCLUDED = {
-    name: "r13 artifact row (CORRECTNESS_r13.json); pytest oracle tier at sf0.001 + sf0.01"
-    for name in (
-        "x17_dup_spans",
-        "d9_capped_artifact",
-        "k9_stream_topk",
-        "s3_streaming_windows",
-        "u1_merge_upsert",
-        "x20_lm_score",
-        "closure_paths",
-        "q1_pricing_summary",
-        "s2_sessions_batch",
-        "d5_dup_clusters",
-        "t15_deepest_exemplified",
-        "s7_sessionize_stream",
-        "e1_leaf_set",
-        "k5_cms_topk",
-        "v6_cosine_pairs_lsh",
-        "j3_asof_join",
-        "j4_range_join",
-        "s9_stream_quantiles",
-        "k6_quantile_sketch",
-        "t1_path_to_root",
-        "t5_subtree_num_tips",
-        "e2_intersect",
-        "x2_bpe_tokens",
-        "x8_token_percentiles",
-        "s1_event_windows",
-        "q4_order_priority",
-        "q6_forecast_revenue",
-        "q7_nation_volume",
-        "q13_customer_distribution",
-        "q16_supplier_part_types",
-        "q18_large_orders",
-        "q22_idle_customers",
-        "x4_lang_stats",
-        "x5_redaction",
-        "d1_exact_dedup",
-        "d3_simhash",
-        "d6_purge_list",
-        "d7_jaccard_capped",
-        "f1_funnel",
-        "x6_hash_split",
-        "x7_chunking",
-        "v2_ann_lsh",
-        "v3_ivf_topk",
-        "v5_centroid_cells",
-        "q8_market_share",
-        "q10_returned_items",
-        "q14_promo_share",
-        "q15_top_supplier",
-        "q17_small_qty_revenue",
-        "q19_disjunctive_join",
-    )
-}
-# ...plus the ten r12-signed gates the 50-row artifact cannot fit this
-# round (110 gates, 50-row cap): deferred to the r15 front, still
-# pytest-verified at sf0.001 + the driver's sf0.01 every round. Chosen
-# for the densest extra pinning: all ten are bench.py headline queries,
-# row-tripwired with ok-flags in every BENCH_r* artifact (sf0.1 each
-# round; EXPECTED_ROWS also pins sf0.01/1.0/10.0), and t2_mrca doubles
-# as the entry() smoke the driver runs every round.
-for _name in (
+    # newest driver row is the r12 artifact (deferred from the r14 front —
+    # 3 rounds stale, leads per the r14 verdict's standing plan; all ten
+    # bench-headline row-tripwired every round in between)
     "t2_mrca",
     "t6_induced_subtree",
     "a1_tip_counts",
@@ -187,12 +66,136 @@ for _name in (
     "p10_id_codec",
     "v1_ann_brute",
     "x1_text_profile",
+    # newest driver row is the r13 artifact (40 of that 50-gate cohort;
+    # the ten named in the header comment join the r16 deferrals) —
+    # r14-restructured operators first
+    "d3_simhash",
+    "d5_dup_clusters",
+    "d6_purge_list",
+    "d7_jaccard_capped",
+    "d9_capped_artifact",
+    "v2_ann_lsh",
+    "v3_ivf_topk",
+    "v5_centroid_cells",
+    "v6_cosine_pairs_lsh",
+    "x17_dup_spans",
+    "t15_deepest_exemplified",
+    "k9_stream_topk",
+    "s3_streaming_windows",
+    "u1_merge_upsert",
+    "x20_lm_score",
+    "s7_sessionize_stream",
+    "e1_leaf_set",
+    "k5_cms_topk",
+    "j3_asof_join",
+    "j4_range_join",
+    "s9_stream_quantiles",
+    "k6_quantile_sketch",
+    "t1_path_to_root",
+    "t5_subtree_num_tips",
+    "e2_intersect",
+    "x2_bpe_tokens",
+    "x8_token_percentiles",
+    "s1_event_windows",
+    "q13_customer_distribution",
+    "q16_supplier_part_types",
+    "q18_large_orders",
+    "q22_idle_customers",
+    "x4_lang_stats",
+    "x5_redaction",
+    "d1_exact_dedup",
+    "f1_funnel",
+    "x6_hash_split",
+    "x7_chunking",
+    "q17_small_qty_revenue",
+    "q19_disjunctive_join",
+]
+
+# Every entry below is green in CORRECTNESS_r14.json (driver's DuckDB
+# oracle at sf0.01) and stays in the pytest oracle tier this round
+# (tests/test_workload_oracle.py at sf0.001 plus the retired-gate sweep
+# at the driver's sf0.01).
+_DRIVER_EXCLUDED = {
+    name: "r14 artifact row (CORRECTNESS_r14.json); pytest oracle tier at sf0.001 + sf0.01"
+    for name in (
+        "t4_subtree",
+        "s4_stream_enriched",
+        "c1_rf_distance",
+        "x15_tfidf",
+        "l1_point_lookup",
+        "l9_distinct_sorted",
+        "o2_top1_latest",
+        "e4_anti_join",
+        "p3_props_decode",
+        "v9_filtered_ann",
+        "d4_ngram_jaccard",
+        "d8_jaccard_probe",
+        "s8_stream_novelty",
+        "v4_cosine_pairs",
+        "m1_media_features",
+        "m2_media_probe",
+        "k7_grouped_quantiles",
+        "c3_node_heights",
+        "k8_grouped_hll",
+        "c2_node_distance",
+        "k1_kmv_distinct",
+        "k2_hll_sketch",
+        "k3_bloom_prune",
+        "k4_zorder",
+        "q2_min_supplier",
+        "q9_product_profit",
+        "q11_important_parts",
+        "q12_ship_lag",
+        "q20_part_suppliers",
+        "q21_sole_blame",
+        "s5_sliding_windows",
+        "s6_native_sessions",
+        "v7_semantic_dedup",
+        "v8_hard_negatives",
+        "x9_decontaminate",
+        "x10_source_quota",
+        "x11_repetition",
+        "x12_sequence_packing",
+        "x13_pack_manifest",
+        "x14_mixture_sample",
+        "x16_keyword_search",
+        "x18_mixture_weights",
+        "x19_strip_spans",
+        "x21_table_stats",
+        "t3_mrta",
+        "t9_repr_descendants",
+        "a11_rollup",
+        "p4_packed_map_roundtrip",
+        "t12_degree_prune",
+        "l4_batch_resolution",
+    )
+}
+# ...plus the ten r13-signed gates the 50-row artifact cannot fit this
+# round (110 gates, 50-row cap): deferred to the r16 front, still
+# pytest-verified at sf0.001 + the driver's sf0.01 every round. Chosen
+# for the densest extra pinning: closure_paths / q1_pricing_summary /
+# s2_sessions_batch are bench.py headline queries, row-tripwired with
+# ok-flags in every BENCH_r* artifact (sf0.1 each round; EXPECTED_ROWS
+# also pins sf0.01/1.0/10.0); the seven relational gates are
+# broadcast-star plans untouched since r12, audited unchanged by the
+# r13 and r14 verdicts.
+for _name in (
+    "closure_paths",
+    "q1_pricing_summary",
+    "s2_sessions_batch",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q10_returned_items",
+    "q14_promo_share",
+    "q15_top_supplier",
 ):
     _DRIVER_EXCLUDED[_name] = (
-        "r12 artifact row (CORRECTNESS_r12.json); deferred to the r15 front "
+        "r13 artifact row (CORRECTNESS_r13.json); deferred to the r16 front "
         "(50-row artifact cap); pytest oracle tier at sf0.001 + sf0.01; "
-        "bench headline row-tripwired (ok-flags) in every round's BENCH_r* "
-        "artifact per the _FRONT note; t2_mrca is also the entry() smoke"
+        "closure_paths/q1/s2 additionally bench-headline row-tripwired "
+        "(ok-flags) in every round's BENCH_r* artifact per the _FRONT note"
     )
 
 

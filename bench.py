@@ -187,6 +187,26 @@ def _host_fingerprint() -> dict:
         host["concurrent_jvms"] = int(out.stdout.strip() or 0)
     except (OSError, ValueError, subprocess.TimeoutExpired):
         pass
+    try:
+        # Memory-regime probe (VERDICT r14 #9): this sandbox episodically
+        # degrades HOST-SIDE (new anon-page faults ~100x slow, memcpy
+        # 0.01-0.25 GB/s) while CPU/disk stay healthy, inflating fresh-JVM
+        # benches up to 3x on identical code. Healthy reference: touch64
+        # <= 0.1 s, copy >= 2 GB/s. Recording both makes every BENCH
+        # artifact self-labeling instead of needing after-the-fact regime
+        # forensics. Purely informational; bench_ok unchanged.
+        import numpy as np
+
+        t0 = time.time()
+        a = np.ones(64 * 1024 * 1024 // 8)  # fault in 64 MB of NEW anon pages
+        t1 = time.time()
+        b = a.copy()  # steady-state memcpy over the now-mapped region
+        t2 = time.time()
+        host["mem_touch64_sec"] = round(t1 - t0, 3)
+        host["mem_copy_gbps"] = round(a.nbytes / 1e9 / max(t2 - t1, 1e-9), 2)
+        del a, b
+    except Exception:
+        pass
     return host
 
 

@@ -201,4 +201,59 @@ def test_cosine_pairs_lsh_zero_norm_dropped_like_oracle(spark):
     omap = {(int(r.ia), int(r.ib)): r.cos for r in oracle.itertuples()}
     for r in got:
         assert (r["id_a"], r["id_b"]) in omap
-        assert abs(omap[(r["id_a"], r["id_b"])] - r["cos"]) == 0.0
+        # tolerance, not bit-equality (ADVICE r14): DuckDB's
+        # multiply-then-round and Spark's exact-decimal HALF_UP can
+        # legitimately diverge by 1 ulp of the 4th decimal on knife-edge
+        # doubles (the CLAUDE.md rounding invariant) — this fixture happens
+        # to sit off the boundary today, but the test shouldn't depend on it
+        assert abs(omap[(r["id_a"], r["id_b"])] - r["cos"]) <= 5e-5
+
+
+def test_ivf_assign_null_centroid_drops_out_of_contention(spark):
+    # ADVICE r14: a NULL cvec among the collected centroids used to crash
+    # np.asarray; the pre-r14 crossJoin plan NULL-propagated its score so
+    # it could never win. The Arrow path must reproduce that, and the
+    # plan twin is the executable spec.
+    rows = [(i, _vec(i)) for i in range(8)]
+    df = _emb_df(spark, rows)
+    cent = df.orderBy("vec_id").limit(3).select(
+        F.col("vec_id").alias("cent_id"),
+        F.when(F.col("vec_id") == 1, F.lit(None)).otherwise(
+            sim.quantize(F.col("embedding"))
+        ).alias("cvec"),
+    )
+    new = sorted(
+        (r["neighbor_id"], r["cent_id"]) for r in sim.ivf_assign(df, cent).collect()
+    )
+    old = sorted(
+        (r["neighbor_id"], r["cent_id"])
+        for r in sim._ivf_assign_plan(df, cent).collect()
+    )
+    assert new == old and len(new) == 8
+    assert all(c != 1 for _, c in new)  # the NULL centroid never wins
+
+
+def test_hard_negatives_null_embeddings_prefiltered(spark):
+    # ADVICE r14: NULL embeddings on either side used to crash the Arrow
+    # matmul; the fold twin NULL-propagates them (a NULL score never ranks
+    # when k real candidates exist). The prefilter must agree with the twin
+    # on the non-NULL universe.
+    rows = [(i, _vec(i), i % 2) for i in range(12)]
+    df = _emb_df(spark, rows)
+    null_rows = spark.createDataFrame(
+        [(100, None, 0), (101, None, 1)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    df_n = df.unionByName(null_rows)
+    qs_n = df_n.where((F.col("vec_id") < 4) | (F.col("vec_id") == 100))
+    new = sorted(map(tuple, sim.hard_negatives(df_n, qs_n, k=3).collect()))
+    # fold twin over the SAME input minus the NULL rows == the prefilter's
+    # contract (NULL-score rows never outrank 3 real candidates; a NULL
+    # query has no non-NULL score at all)
+    old = sorted(
+        map(
+            tuple,
+            _hard_negatives_fold_twin(df, df.where(F.col("vec_id") < 4), k=3).collect(),
+        )
+    )
+    assert new == old and len(new) == 12

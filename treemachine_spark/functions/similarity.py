@@ -248,7 +248,7 @@ def _argmax_assign(
     import numpy as np
 
     spark = emb.sparkSession
-    crows = cent.select("cent_id", "cvec").orderBy("cent_id").collect()
+    all_crows = cent.select("cent_id", "cvec").orderBy("cent_id").collect()
     types = dict(emb.dtypes)
     cent_t = dict(cent.dtypes)["cent_id"]
     out_schema = ", ".join(
@@ -256,8 +256,19 @@ def _argmax_assign(
         + [f"{c} {types[c]}" for c in keep]
         + [f"cent_id {cent_t}"]
     )
-    if not crows:
+    if not all_crows:
         return spark.createDataFrame([], out_schema)
+    # A NULL cvec must drop out of contention, not crash the np.asarray
+    # below (ADVICE r14): the pre-r14 crossJoin plan NULL-propagated such a
+    # centroid's score, so under (score DESC NULLS LAST, cent_id ASC) it
+    # could never win. Filtering here reproduces that for every row.
+    crows = [r for r in all_crows if r["cvec"] is not None]
+    if not crows:
+        # every centroid NULL -> every score NULL -> the old window's
+        # row_number=1 is simply the lowest cent_id for every vector
+        return emb.select(
+            out_id, *keep, F.lit(all_crows[0]["cent_id"]).cast(cent_t).alias("cent_id")
+        )
     cids = np.asarray([r["cent_id"] for r in crows])
     cmat_t = np.asarray([r["cvec"] for r in crows], dtype=np.float64).T  # (dim, k)
     cols = [out_id, *keep]
@@ -1069,11 +1080,19 @@ def hard_negatives(
     import numpy as np
     import pandas as pd
 
-    qrows = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(label_col).alias("q_label"),
-        quantize(F.col(vec_col)).alias("qv"),
-    ).collect()
+    # NULL embeddings on either side would crash the np.vstack/np.asarray
+    # below (ADVICE r14); the pre-r14 crossJoin+fold shape NULL-propagated
+    # them (a NULL score never outranks k real candidates). Prefiltering
+    # reproduces that ranking behavior and keeps the Arrow path total.
+    qrows = (
+        queries.where(F.col(vec_col).isNotNull())
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(label_col).alias("q_label"),
+            quantize(F.col(vec_col)).alias("qv"),
+        )
+        .collect()
+    )
     spark = embeddings.sparkSession
     types = dict(embeddings.dtypes)
     # query-side types come from the QUERIES frame (brute_force_topk's
@@ -1129,7 +1148,7 @@ def hard_negatives(
                 }
             )
 
-    c = embeddings.select(
+    c = embeddings.where(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(label_col).alias("neighbor_label"),
         quantize(F.col(vec_col)).alias("cv"),
