@@ -41,9 +41,12 @@ def main() -> None:
     out: dict = {"metric": "q3_cobucketed_layout", "unit": "sec", "sf_dir": sf_dir,
                  "n_buckets": n_buckets, "timings": {}}
 
+    # written once under the io/tables._with_bucketed_facts naming
+    # convention (<prefix>_lineitem / <prefix>_orders) so the SAME layout
+    # also serves the real-gate phase below
     t0 = time.time()
-    write_bucketed(t["lineitem"], "b_li", "l_orderkey", n_buckets=n_buckets)
-    write_bucketed(t["orders"], "b_ord", "o_orderkey", n_buckets=n_buckets)
+    write_bucketed(t["lineitem"], "bkt_lineitem", "l_orderkey", n_buckets=n_buckets)
+    write_bucketed(t["orders"], "bkt_orders", "o_orderkey", n_buckets=n_buckets)
     out["timings"]["layout_write_sec"] = round(time.time() - t0, 2)
 
     def run(label, plan_fn):
@@ -58,7 +61,7 @@ def main() -> None:
 
     q3 = lambda li, od: q3_plan(li, od, t["customer"])
     q5 = lambda li, od: q5_plan(li, od, t["customer"], t["nation"], t["region"])
-    li_b, ord_b = spark.table("b_li"), spark.table("b_ord")
+    li_b, ord_b = spark.table("bkt_lineitem"), spark.table("bkt_orders")
     base3 = run("q3_parquet_sec", lambda: q3(t["lineitem"], t["orders"]))
     bkt3 = run("q3_bucketed_sec", lambda: q3(li_b, ord_b))
     base5 = run("q5_parquet_sec", lambda: q5(t["lineitem"], t["orders"]))
@@ -66,15 +69,52 @@ def main() -> None:
     out["rows_equal"] = base3 == bkt3 and base5 == bkt5
 
     plan = (
-        q3_plan(spark.table("b_li"), spark.table("b_ord"), t["customer"])
+        q3_plan(li_b, ord_b, t["customer"])
         ._jdf.queryExecution().executedPlan().toString()
     )
     out["bucketed_plan_shuffle_free"] = (
         "Exchange hashpartitioning" not in plan and "Bucketed: true" in plan
     )
 
-    spark.sql("DROP TABLE IF EXISTS b_li")
-    spark.sql("DROP TABLE IF EXISTS b_ord")
+    # REAL-GATE phase (VERDICT r14 #3): the exact QUERIES entries the driver
+    # runs, served from the detected layout via TREEMACHINE_BUCKETED_FACTS —
+    # proves the measured layout win reaches queries() unchanged.
+    import os
+
+    from treemachine_spark.workload.queries import QUERIES
+
+    def run_gate(label, name):
+        times, rows = [], None
+        for _ in range(3):
+            t0 = time.time()
+            rows = QUERIES[name](spark, sf_dir).collect()
+            times.append(round(time.time() - t0, 2))
+        out["timings"][label] = times
+        return sorted(tuple(r) for r in rows)
+
+    gate_rows_equal = True
+    gate_plans_free = {}
+    for name in ("q3_top_orders", "q5_region_revenue"):
+        os.environ.pop("TREEMACHINE_BUCKETED_FACTS", None)
+        base = run_gate(f"{name}_parquet_sec", name)
+        os.environ["TREEMACHINE_BUCKETED_FACTS"] = "bkt"
+        try:
+            bkt = run_gate(f"{name}_bucketed_sec", name)
+            gplan = (
+                QUERIES[name](spark, sf_dir)
+                ._jdf.queryExecution().executedPlan().toString()
+            )
+        finally:
+            os.environ.pop("TREEMACHINE_BUCKETED_FACTS", None)
+        gate_rows_equal = gate_rows_equal and base == bkt
+        gate_plans_free[name] = (
+            "Exchange hashpartitioning" not in gplan and "Bucketed: true" in gplan
+        )
+    out["gate_rows_equal"] = gate_rows_equal
+    out["gate_plans_shuffle_free"] = gate_plans_free
+
+    spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+    spark.sql("DROP TABLE IF EXISTS bkt_orders")
     print(json.dumps(out))
 
 

@@ -206,26 +206,40 @@ def _level_frames(
     ]
 
 
-def _closure_from_frames(frames: list[tuple[int, DataFrame]]) -> DataFrame:
-    exploded = [
-        lvl.select(
-            "node_id",
-            F.posexplode("anc").alias("pos", "ancestor_id"),
-        ).select(
-            "node_id",
-            "ancestor_id",
-            (F.col("pos") + F.lit(1)).cast("int").alias("depth"),
-        )
-        for _level, lvl in frames
-    ]
-    return reduce(DataFrame.unionByName, exploded)
+def _closure_from_frames(
+    frames: list[tuple[int, DataFrame]], repartition: int | None = None
+) -> DataFrame:
+    """Union the level frames and posexplode ONCE (node_id, ancestor_id,
+    depth). With ``repartition`` set, the keyed respread happens BEFORE the
+    explode (r15, guide §2.3 "shuffle fewer bytes"): the pre-explode union
+    carries each node once with its ancestor array, ~4x fewer rows and
+    ~2.5x fewer bytes than the exploded closure the old post-explode
+    repartition shuffled — and ``Generate``/``Project`` preserve the
+    child's hashpartitioning(node_id), so the cached closure keeps the
+    exact partitioning guarantee downstream consumers rely on."""
+    pre = reduce(
+        DataFrame.unionByName,
+        [lvl.select("node_id", "anc") for _level, lvl in frames],
+    )
+    if repartition:
+        pre = pre.repartition(repartition, "node_id")
+    return pre.select(
+        "node_id",
+        F.posexplode("anc").alias("pos", "ancestor_id"),
+    ).select(
+        "node_id",
+        "ancestor_id",
+        (F.col("pos") + F.lit(1)).cast("int").alias("depth"),
+    )
 
 
 def hierarchy_artifacts(
     tables: dict[str, DataFrame],
-) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """(nodes, edges, paths) built from ONE set of level frames sharing ONE
-    lineitem dedup — the fused ingest path ``get_ctx`` uses.
+    closure_partitions: int | None = None,
+    with_leaves: bool = False,
+):
+    """(nodes, edges, paths[, leaves]) built from ONE set of level frames
+    sharing ONE lineitem dedup — the fused ingest path ``get_ctx`` uses.
 
     Standalone ``hierarchy_edges`` / ``hierarchy_nodes`` (below) stay as the
     generic derivation (global distinct over unioned projections); this fused
@@ -233,6 +247,13 @@ def hierarchy_artifacts(
     every child key resolves to a parent row (checked for the driver's
     testdata at all SFs), which make the global distinct redundant. Row sets
     are identical; cost drops from 3 wide dedup shuffles to 1 narrow one.
+
+    ``closure_partitions`` applies the keyed closure respread BEFORE the
+    posexplode (see ``_closure_from_frames`` — fewer shuffled rows/bytes,
+    identical partitioning guarantee). ``with_leaves=True`` additionally
+    returns the leaf set, built from the SAME cached ``parents`` distinct
+    that ``is_leaf`` uses (r15: the racing ingest jobs used to run that
+    shuffle twice — once in nodes' left join, once in leaf_set's anti join).
     """
     spark = tables["region"].sparkSession
     li_ids = lineitem_ids(tables).cache()
@@ -289,22 +310,39 @@ def hierarchy_artifacts(
             F.lit(5).alias("level"),
         )
     )
-    nodes = _with_edge_leaf(reduce(DataFrame.unionByName, node_parts), edges)
+    bare_nodes = reduce(DataFrame.unionByName, node_parts)
+    paths = _closure_from_frames(
+        _level_frames(tables, li_ids), repartition=closure_partitions
+    )
+    if not with_leaves:
+        return _with_edge_leaf(bare_nodes, edges), edges, paths
+    # ONE cached parents distinct feeds both is_leaf and the leaf set —
+    # parents is internal-node-scale (~edges/4 rows of one string), and
+    # without the share the racing ingest jobs each ran the shuffle
+    parents = (
+        edges.select(F.col("parent_id").alias("node_id")).distinct().cache()
+    )
+    nodes = _with_edge_leaf(bare_nodes, edges, parents=parents)
+    leaves = edges.select(F.col("child_id").alias("node_id")).join(
+        parents, "node_id", "left_anti"
+    )
+    return nodes, edges, paths, leaves
 
-    paths = _closure_from_frames(_level_frames(tables, li_ids))
-    return nodes, edges, paths
 
-
-def _with_edge_leaf(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+def _with_edge_leaf(
+    nodes: DataFrame, edges: DataFrame, parents: DataFrame | None = None
+) -> DataFrame:
     """Append the EDGE-BASED ``is_leaf`` flag: a node is a leaf iff it never
     appears as a parent — the same definition leaf_set/tip_counts/E1 use, so
     the store has ONE leaf semantics (a childless order or customer IS a
     tree leaf, exactly as it would be in the reference's graph). One narrow
     distinct + anti-style left join at ingest; never recomputed per query.
+    Pass a shared ``parents`` (node_id) frame to skip rebuilding the
+    distinct (hierarchy_artifacts shares it with the leaf set).
     """
-    parents = edges.select(F.col("parent_id").alias("node_id")).distinct().withColumn(
-        "_isp", F.lit(True)
-    )
+    if parents is None:
+        parents = edges.select(F.col("parent_id").alias("node_id")).distinct()
+    parents = parents.withColumn("_isp", F.lit(True))
     return nodes.join(parents, "node_id", "left").select(
         nodes["*"], F.col("_isp").isNull().alias("is_leaf")
     )

@@ -78,4 +78,64 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 
     with ThreadPoolExecutor(max_workers=len(TABLE_NAMES)) as pool:
         dfs = list(pool.map(_load, TABLE_NAMES))
-    return dict(zip(TABLE_NAMES, dfs))
+    tables = dict(zip(TABLE_NAMES, dfs))
+    prefix = os.environ.get("TREEMACHINE_BUCKETED_FACTS")
+    if prefix:
+        tables = _with_bucketed_facts(spark, sf_dir, prefix, tables)
+    return tables
+
+
+# one validation per (session, sf_dir, prefix) — the tripwire counts are
+# metadata-cheap but load_tables runs per query construction
+_BUCKETED_VALIDATED: set[tuple[int, str, str]] = set()
+
+
+def _with_bucketed_facts(
+    spark: SparkSession, sf_dir: str, prefix: str, tables: dict[str, DataFrame]
+) -> dict[str, DataFrame]:
+    """Serve the fact tables from an order-key co-bucketed warehouse layout
+    when one is installed (VERDICT r14 #3 — the measured q3/q5 sf10 remedy).
+
+    Opt-in via ``TREEMACHINE_BUCKETED_FACTS=<prefix>``: a production ingest
+    writes ``<prefix>_lineitem`` / ``<prefix>_orders`` once with
+    ``operators/scale.write_bucketed`` (bucketed+sorted on the order key),
+    and every subsequent order-keyed fact⋈fact join, group-by and the
+    hierarchy's lineitem dedup/closure join consume the bucket layout
+    Exchange-free (bench_bucketed.py measures the real gates both ways).
+    The driver's bench never sets the env var, so its parquet methodology
+    is untouched; with the layout PRESENT the row SET is identical by
+    construction (same rows, different physical order), which only the
+    already-order-insensitive aggregates observe.
+
+    Stale-layout tripwire: schema and row count must match the parquet
+    inputs or this RAISES — a layout that drifted from the source must
+    fail loud, never silently serve different data.
+    """
+    names = {"lineitem": f"{prefix}_lineitem", "orders": f"{prefix}_orders"}
+    if not all(spark.catalog.tableExists(t) for t in names.values()):
+        return tables  # layout not installed -> the parquet default
+    key = (
+        id(spark._jsparkSession) if hasattr(spark, "_jsparkSession") else id(spark),
+        sf_dir,
+        prefix,
+    )
+    for logical, table in names.items():
+        bdf = spark.table(table)
+        if key not in _BUCKETED_VALIDATED:
+            # names+types only — nullability flags legitimately differ
+            # between a parquet scan and a saved catalog table
+            if bdf.dtypes != tables[logical].dtypes:
+                raise ValueError(
+                    f"bucketed layout {table} schema {bdf.dtypes} does not "
+                    f"match {sf_dir}/{logical}.parquet "
+                    f"{tables[logical].dtypes} — stale layout?"
+                )
+            expect, got = tables[logical].count(), bdf.count()
+            if expect != got:
+                raise ValueError(
+                    f"bucketed layout {table} has {got} rows vs {expect} in "
+                    f"{sf_dir}/{logical}.parquet — stale layout, refusing to serve"
+                )
+        tables[logical] = bdf
+    _BUCKETED_VALIDATED.add(key)
+    return tables

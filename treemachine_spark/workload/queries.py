@@ -55,22 +55,25 @@ def get_ctx(spark: SparkSession, sf_dir: str) -> dict:
         par = spark.sparkContext.defaultParallelism
         for name in ("documents", "embeddings"):
             tables[name] = tables[name].repartition(max(par // 4, 4)).cache()
-        # fused ingest: nodes/edges/closure share one set of level frames and
-        # one lineitem dedup (hierarchy_artifacts docstring has the cost
-        # model; build_closure remains the generic path for arbitrary-depth
-        # newick trees)
-        nodes, edges, paths = hierarchy_artifacts(tables)
+        # fused ingest: nodes/edges/closure share one set of level frames,
+        # one lineitem dedup AND one parents distinct (hierarchy_artifacts
+        # docstring has the cost model; build_closure remains the generic
+        # path for arbitrary-depth newick trees). The keyed closure respread
+        # (load-bearing: without it the broadcast-join build leaves ~5
+        # partitions — the lineitem scan's — serializing every downstream
+        # closure scan; A/B at sf0.1: t6 0.21 -> 0.50 s, heights-join
+        # 1.63 -> 2.16 s) is applied PRE-explode inside the build since r15
+        # (fewer shuffled rows/bytes, identical partitioning guarantee).
+        nodes, edges, paths, leaves = hierarchy_artifacts(
+            tables, closure_partitions=max(par, 8), with_leaves=True
+        )
         nodes, edges = nodes.cache(), edges.cache()
-        # keyed respread of the closure cache: without it the broadcast-join
-        # build leaves ~5 partitions (the lineitem scan's), serializing
-        # every downstream closure scan (A/B at sf0.1: t6 0.21 -> 0.50 s,
-        # heights-join 1.63 -> 2.16 s on the 5-partition cache)
-        paths = paths.repartition(max(par, 8), "node_id").cache()
+        paths = paths.cache()
         # paths_self stays a lazy union VIEW over the two cached inputs —
         # caching it would duplicate the whole closure in memory for no
         # speedup (both branches are already cached)
         paths_self = with_self_paths(paths, nodes)
-        leaves = T.leaf_set(edges).cache()
+        leaves = leaves.cache()
         # ingest artifact set, like the reference's batch ingest + Lucene
         # index build: the graph caches, the LSH signature table (the dedup
         # index every near-dup query serves from), the stored
