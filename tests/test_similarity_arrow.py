@@ -257,3 +257,62 @@ def test_hard_negatives_null_embeddings_prefiltered(spark):
         )
     )
     assert new == old and len(new) == 12
+
+
+def _exec_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_candidate_dot_tiers_bit_equal_and_auto_picks(spark, corpus, monkeypatch):
+    # r15 auto-tier (VERDICT r14 #4): fold and Arrow candidate dots must be
+    # bit-identical on v2/v3/PQ shapes, and "auto" must land on the fold
+    # below the measured ~10^4 rows/task crossover (gate scale) and on the
+    # Arrow einsum above it.
+    q = corpus.where(F.col("vec_id") < 5)
+    for fn in (
+        lambda impl: sim.lsh_topk(corpus, q, k=5, dot_impl=impl),
+        lambda impl: sim.ivf_topk(corpus, q, k=5, n_centroids=4, dot_impl=impl),
+    ):
+        fold = sorted(map(tuple, fn("fold").collect()))
+        arrow = sorted(map(tuple, fn("arrow").collect()))
+        auto = sorted(map(tuple, fn("auto").collect()))
+        assert fold == arrow == auto
+        # the bucket/assign UDFs contribute their own Arrow nodes — the
+        # tier pick shows up as the DELTA: at 40x5 candidates auto stays
+        # on the codegen fold (same Arrow-node count as "fold"), forced
+        # "arrow" adds the pair-dot node
+        n_fold = _exec_plan(fn("fold")).count("ArrowEvalPython")
+        assert _exec_plan(fn("auto")).count("ArrowEvalPython") == n_fold
+        assert _exec_plan(fn("arrow")).count("ArrowEvalPython") > n_fold
+    # above the crossover auto engages the Arrow tier
+    monkeypatch.setattr(sim, "ARROW_DOT_MIN_ROWS_PER_TASK", 0)
+    n_fold = _exec_plan(
+        sim.ivf_topk(corpus, q, k=5, n_centroids=4, dot_impl="fold")
+    ).count("ArrowEvalPython")
+    assert (
+        _exec_plan(
+            sim.ivf_topk(corpus, q, k=5, n_centroids=4, dot_impl="auto")
+        ).count("ArrowEvalPython")
+        > n_fold
+    )
+    with pytest.raises(ValueError, match="candidate_dot"):
+        sim.lsh_topk(corpus, q, k=5, dot_impl="nope").collect()
+
+
+def test_pq_rerank_dot_tiers_bit_equal(spark, corpus):
+    from treemachine_spark.functions import pq
+
+    q = corpus.where(F.col("vec_id") < 5)
+    res = {
+        impl: sorted(
+            map(
+                tuple,
+                pq.ivf_pq_topk(
+                    corpus, q, k=5, n_centroids=4, m=3, n_codes=4,
+                    rerank=True, dot_impl=impl,
+                ).collect(),
+            )
+        )
+        for impl in ("fold", "arrow", "auto")
+    }
+    assert res["fold"] == res["arrow"] == res["auto"]

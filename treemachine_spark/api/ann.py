@@ -111,7 +111,10 @@ class AnnIndex:
                     "neighbor_id",
                 )
         assigned = assigned.cache()
-        assigned.count()
+        # boot count materializes the cache AND records corpus size for
+        # the per-request dot-tier pick (similarity.pick_dot_impl — no
+        # probe job at serve time)
+        self._n_corpus = assigned.count()
         self._cells = (cent.cache(), assigned)
 
     @classmethod
@@ -326,21 +329,32 @@ class AnnIndex:
                 where=where,
             )
         elif method == "ivf":
+            # tier pick is driver-side (corpus size known from boot) so a
+            # request never pays a probe count job
+            impl = similarity.pick_dot_impl(
+                self._n_corpus * len(batch) * n_probe
+                / max(self.n_centroids, 1),
+                self.embeddings.sparkSession,
+            )
             out = similarity.ivf_topk(
                 self.embeddings, q, k=k, n_centroids=self.n_centroids,
                 n_probe=n_probe, id_col=self.id_col, vec_col=self.vec_col,
-                cells=self._cells, where=where,
+                cells=self._cells, where=where, dot_impl=impl,
             )
         else:
             from treemachine_spark.functions.pq import ivf_pq_topk
 
+            impl = similarity.pick_dot_impl(
+                len(batch) * rerank_factor * k,
+                self.embeddings.sparkSession,
+            )
             out = ivf_pq_topk(
                 self.embeddings, q, k=k, n_centroids=self.n_centroids,
                 n_probe=n_probe, codebook=self.codebook, codes=self.codes,
                 rotation=self.rotation, rerank=True,
                 rerank_factor=rerank_factor,
                 id_col=self.id_col, vec_col=self.vec_col, cells=self._cells,
-                where=where,
+                where=where, dot_impl=impl,
             )
         rows = out.orderBy("query_id", "rank").collect() if len(batch) > 1 \
             else out.orderBy("rank").collect()

@@ -317,6 +317,7 @@ def ivf_pq_topk(
     vec_col: str = "embedding",
     cells=None,
     where=None,
+    dot_impl: str = "auto",
 ) -> DataFrame:
     """IVF-PQ (IVFADC) top-k: coarse cells exactly like ``ivf_topk``
     (deterministic smallest-id centroids, broadcast argmax assignment,
@@ -470,14 +471,24 @@ def ivf_pq_topk(
     # the short-list is request-scale (rerank_factor*k per query) — hint it
     # broadcast so the exact re-rank never shuffles the corpus vectors
     # (Spark's size estimate sees the corpus-joined lineage, not the limit)
+    # re-rank pool size is KNOWN statically per query (rerank_factor*k):
+    # the auto estimate needs only |queries| — request-scale count
+    from treemachine_spark.functions.similarity import candidate_dot
+
+    if dot_impl == "auto":
+        par = max(queries.sparkSession.sparkContext.defaultParallelism, 1)
+        est = queries.count() * rerank_factor * k / par
+    else:
+        est = 0.0
     exact = cell_assign.select("neighbor_id", "cv").join(
         F.broadcast(short), "neighbor_id"
     ).select(
-        # fold kept: the re-rank pool is request-scale (rerank_factor*k
-        # per query) and the r14 pair_dot_udf A/B showed Python task
-        # roundtrips beat the fold only past ~10^4 rows/task — see
-        # similarity.ivf_topk's matching note
-        "query_id", "neighbor_id", int_dot(F.col("qv"), F.col("cv")).alias("score")
+        # candidate dot auto-tiered (r15): the pool is request-scale
+        # (rerank_factor*k per query) and the r14 pair_dot_udf A/B showed
+        # Python task roundtrips beat the fold only past ~10^4 rows/task —
+        # candidate_dot probes and picks (similarity.ivf_topk's note)
+        "query_id", "neighbor_id",
+        candidate_dot(F.col("qv"), F.col("cv"), est, dot_impl).alias("score"),
     )
     return (
         exact.withColumn("rank", F.row_number().over(w))

@@ -226,6 +226,42 @@ def pair_dot_udf():
     return pandas_udf(_f, "double", PandasUDFType.SCALAR)
 
 
+# Measured fold-vs-Arrow crossover (r14 batch 7, same-session pairs at
+# sf0.1 AND sf1): the Arrow pair-dot only amortizes its per-task Python
+# worker roundtrip past ~10^4 candidate rows per task; below it the
+# interpreted fold wins (ivf 1.04 -> 1.66 s, lsh 2.0 -> 3.0 s at sf1 when
+# forced to Arrow at a few hundred candidates/task).
+ARROW_DOT_MIN_ROWS_PER_TASK = 10_000
+
+
+def candidate_dot(
+    a: Column, b: Column, est_rows_per_task: float, impl: str = "auto"
+) -> Column:
+    """The r15 auto-tier for candidate-scale dot products (VERDICT r14 #4,
+    the tfidf ``skew_safe="auto"`` pattern): pick :func:`int_dot` (codegen
+    fold) vs :func:`pair_dot_udf` (Arrow einsum) from a cheap size
+    estimate. Both tiers are bit-identical (integer-valued float64 < 2^53,
+    summation-order-independent — the brute_force_topk argument), so the
+    pick is purely a cost decision and safe to automate."""
+    if impl not in ("auto", "fold", "arrow"):
+        raise ValueError(f"candidate_dot: unknown impl {impl!r}")
+    if impl == "arrow" or (
+        impl == "auto" and est_rows_per_task >= ARROW_DOT_MIN_ROWS_PER_TASK
+    ):
+        return pair_dot_udf()(a, b)
+    return int_dot(a, b)
+
+
+def pick_dot_impl(n_candidates: float, spark) -> str:
+    """Driver-side tier pick when candidate volume is already known — the
+    serving path (api/ann.AnnIndex knows |corpus| from its boot count and
+    |queries| from the request batch), so no per-request probe job runs."""
+    par = max(spark.sparkContext.defaultParallelism, 1)
+    return (
+        "arrow" if n_candidates / par >= ARROW_DOT_MIN_ROWS_PER_TASK else "fold"
+    )
+
+
 def _argmax_assign(
     emb: DataFrame, cent: DataFrame, out_id: str, keep: tuple[str, ...]
 ) -> DataFrame:
@@ -688,9 +724,19 @@ def ivf_topk(
     vec_col: str = "embedding",
     cells: tuple[DataFrame, DataFrame] | None = None,
     where: Column | str | None = None,
+    dot_impl: str = "auto",
 ) -> DataFrame:
     """IVF-style ANN: vectors are assigned to their max-dot centroid cell;
     each query exhaustively re-ranks only its n_probe best cells.
+
+    ``dot_impl`` ("auto"|"fold"|"arrow") tiers the candidate dot product
+    (:func:`candidate_dot`): "auto" estimates candidate rows per task as
+    |corpus| x |queries| x n_probe / n_centroids / defaultParallelism
+    from two metadata-cheap counts and crosses to the Arrow einsum only
+    past the measured ~10^4 rows/task break-even; both tiers are
+    bit-identical. The where-filter is deliberately NOT applied to the
+    estimate (an upper bound — near the crossover both tiers are within
+    noise, so overshooting is safe).
 
     Centroids are the vectors with the n_centroids smallest ids —
     deterministic and engine-independent (a production build would run
@@ -722,6 +768,18 @@ def ivf_topk(
         cent, assigned = ivf_cells(embeddings, n_centroids, id_col, vec_col, meta)
     if where is not None:
         assigned = assigned.where(_where_col(where))
+    if dot_impl == "auto":
+        # the probe counts the RAW inputs (embeddings is parquet/cached —
+        # metadata-cheap; queries is request-scale), never `assigned`
+        # (counting an on-the-fly cell build would execute the whole
+        # assignment twice)
+        par = max(embeddings.sparkSession.sparkContext.defaultParallelism, 1)
+        est = (
+            embeddings.count() * queries.count() * n_probe
+            / max(n_centroids, 1) / par
+        )
+    else:
+        est = 0.0
     q = queries.select(
         F.col(id_col).alias("query_id"), quantize(F.col(vec_col)).alias("qv")
     )
@@ -739,13 +797,16 @@ def ivf_topk(
         assigned.join(F.broadcast(probes), "cent_id")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
-            # candidate dot kept on the fold: a pair_dot_udf swap was
-            # same-session A/B'd at sf0.1/sf1 and REVERTED — the probed
-            # cell scan leaves ~32 near-empty tasks locally and the Python
-            # task roundtrips cost more than the fold (1.04 -> 1.66 s at
-            # sf1); the Arrow crossing only amortizes at >=10^4 candidate
-            # rows per task (r14 batch 7 notes)
-            "query_id", "neighbor_id", int_dot(F.col("qv"), F.col("cv")).alias("score")
+            # candidate dot auto-tiered (r15): the r14 pair_dot_udf swap
+            # was same-session A/B'd at sf0.1/sf1 and REVERTED at gate
+            # scale — the probed cell scan leaves ~32 near-empty tasks
+            # locally and the Python task roundtrips cost more than the
+            # fold (1.04 -> 1.66 s at sf1); past ~10^4 candidate rows per
+            # task the Arrow einsum wins, so candidate_dot probes and picks
+            "query_id", "neighbor_id",
+            candidate_dot(
+                F.col("qv"), F.col("cv"), est, dot_impl
+            ).alias("score"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), "neighbor_id")
@@ -794,9 +855,16 @@ def lsh_topk(
     n_planes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dot_impl: str = "auto",
 ) -> DataFrame:
     """ANN: candidates share the sign-bit bucket, then exact re-rank within
     the bucket. Trades recall for a candidate set ~n/2^planes per query.
+
+    ``dot_impl`` ("auto"|"fold"|"arrow") tiers the candidate dot
+    (:func:`candidate_dot`): "auto" estimates candidate rows per task as
+    |corpus| x |queries| / 2^n_planes / defaultParallelism (the expected
+    bucket-collision volume) and crosses to the Arrow einsum only past
+    the measured ~10^4 rows/task break-even; tiers are bit-identical.
 
     The bucket is computed with the same precomputed-plane-matrix Arrow path
     as v6 (``band_keys_udf`` with a single band covering all planes): one
@@ -816,15 +884,24 @@ def lsh_topk(
         quantize(F.col(vec_col)).alias("qv"),
         F.element_at(bucket_udf(F.col(vec_col)), 1).alias("bucket"),
     )
+    if dot_impl == "auto":
+        par = max(embeddings.sparkSession.sparkContext.defaultParallelism, 1)
+        est = embeddings.count() * queries.count() / float(2 ** n_planes) / par
+    else:
+        est = 0.0
     scored = (
         emb.join(F.broadcast(q), "bucket")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
-            # fold kept over a pair_dot_udf swap: measured SLOWER with the
-            # udf at sf0.1 AND sf1 (2.0 -> 3.0 s at sf1) — bucket joins
-            # leave near-empty tasks locally and the Python roundtrips
-            # dominate; see ivf_topk's matching note (r14 batch 7)
-            "query_id", "neighbor_id", int_dot(F.col("qv"), F.col("cv")).alias("score")
+            # candidate dot auto-tiered (r15): the forced pair_dot_udf swap
+            # measured SLOWER at gate scale at sf0.1 AND sf1 (2.0 -> 3.0 s
+            # at sf1) — bucket joins leave near-empty tasks locally and the
+            # Python roundtrips dominate below ~10^4 candidate rows/task;
+            # candidate_dot probes and picks (see ivf_topk's matching note)
+            "query_id", "neighbor_id",
+            candidate_dot(
+                F.col("qv"), F.col("cv"), est, dot_impl
+            ).alias("score"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), "neighbor_id")
