@@ -283,6 +283,16 @@ def q_d5_dup_clusters(spark, sf_dir):
 _STREAM_RUN = {"n": 0}
 
 
+def _state_partitions(spark, cap: int) -> int:
+    """State-store count for the one-shot gate streams: the measured
+    sweet spot (``cap``), never more than the session's cores — each
+    state partition costs a store init + commit per micro-batch, so at
+    low core counts extra partitions are pure serialized overhead
+    (VERDICT r14 #5). Result-neutral: the gates' windowed/sessionized
+    aggregates are deterministic under any state partitioning."""
+    return max(1, min(cap, spark.sparkContext.defaultParallelism))
+
+
 def q_s3_streaming_windows(spark, sf_dir):
     """The ACTUAL Structured Streaming windowed aggregation (watermark +
     tumbling windows, availableNow trigger) — gated against the same batch
@@ -292,14 +302,16 @@ def q_s3_streaming_windows(spark, sf_dir):
     _STREAM_RUN["n"] += 1
     name = f"wl_stream_windows_{_STREAM_RUN['n']}"
     stream = se.read_event_stream(spark, sf_dir)
-    # shuffle_partitions=4 (r14): the one-shot bench-scale stream pays a
-    # state-store init + commit per partition per micro-batch; the A/B at
-    # sf0.1 measured 8 -> 4 partitions as 1.17 -> 0.86 s median for the s4
-    # shape with identical results (state partitioning cannot change a
+    # state partitions min(4, cores) (r14 measured 8 -> 4 partitions as
+    # 1.17 -> 0.86 s median for the s4 shape — each state partition pays a
+    # store init + commit per micro-batch; r15 derives the constant from
+    # the session so a low-core run never schedules more state stores than
+    # cores; identical results — state partitioning cannot change a
     # deterministic windowed aggregate). A long-lived production stream
     # wants the session default or higher — pass None to inherit.
     return se.run_to_memory(
-        se.windowed_counts(stream), name, output_mode="complete", shuffle_partitions=4
+        se.windowed_counts(stream), name, output_mode="complete",
+        shuffle_partitions=_state_partitions(spark, 4),
     )
 
 
@@ -317,8 +329,9 @@ def q_s4_stream_enriched(spark, sf_dir):
         se.enriched_windowed_value(stream, customers),
         name,
         output_mode="complete",
-        # 4 state partitions: the measured one-shot sweet spot (see s3)
-        shuffle_partitions=4,
+        # min(4, cores) state partitions: the measured one-shot sweet
+        # spot, core-count-capped (see s3)
+        shuffle_partitions=_state_partitions(spark, 4),
     )
 
 
@@ -343,7 +356,8 @@ def q_s7_sessionize_stream(spark, sf_dir):
     name = f"wl_stream_sessions_{_STREAM_RUN['n']}"
     stream = se.read_event_stream(spark, sf_dir)
     out = se.run_to_memory(
-        se.sessionize(stream, open_tail="never"), name, shuffle_partitions=8
+        se.sessionize(stream, open_tail="never"), name,
+        shuffle_partitions=_state_partitions(spark, 8),
     )
     return out.select(
         "user_id",
