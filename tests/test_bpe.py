@@ -3,6 +3,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from collections import Counter
 
 from treemachine_spark.functions.bpe import EOW, bpe_encode, bpe_train
@@ -49,6 +51,7 @@ def _ref_bpe(texts, n_merges):
     return merges, vocab
 
 
+@pytest.mark.slow
 def test_bpe_merges_match_reference(spark):
     docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
     merges, vocab = bpe_train(docs, n_merges=8)

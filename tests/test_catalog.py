@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from conftest import SF_SMOKE
 
 from treemachine_spark.io.catalog import register_views
@@ -17,6 +19,7 @@ def test_register_and_sql_join(spark):
     assert n == spark.table("orders").count()  # every order has a customer
 
 
+@pytest.mark.slow
 def test_sql_mrca_matches_dataframe_api(spark):
     register_views(spark, SF_SMOKE)
     from treemachine_spark.workload.queries import QUERIES
@@ -62,6 +65,7 @@ def test_sql_over_graph_views(spark):
     assert n_sql == spark.table("leaves").count()
 
 
+@pytest.mark.slow
 def test_cli_sql_and_stats(spark, capsys):
     import json
 

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from treemachine_spark.graph.compare import rf_distance_newick
 
 
@@ -108,6 +110,7 @@ def _brute_rf(n1, n2):
     return len(b1 ^ b2)
 
 
+@pytest.mark.slow
 def test_random_trees_match_bruteforce(spark):
     import random
 

@@ -2,12 +2,15 @@
 
 from __future__ import annotations
 
+import pytest
+
 from treemachine_spark.graph.consensus import (
     majority_bipartitions,
     majority_consensus,
 )
 
 
+@pytest.mark.slow
 def test_majority_keeps_only_shared_bipartition(spark):
     trees = [
         "((A,B),(C,D),E);",

@@ -3,6 +3,8 @@ and on random trees."""
 
 from __future__ import annotations
 
+import pytest
+
 import random
 
 from pyspark.sql import functions as F
@@ -36,6 +38,7 @@ def test_fixture_tree(spark):
     _check_tree(spark, pairs, labels, anchor_depth=1)
 
 
+@pytest.mark.slow
 def test_random_trees(spark):
     rng = random.Random(5)
     for trial in range(2):

@@ -84,6 +84,7 @@ def _pagerank_py(vertices, edges, reset=0.15, iters=10):
     return ranks
 
 
+@pytest.mark.slow
 def test_pagerank_matches_reference_impl(g):
     got = {r["id"]: r["pagerank"] for r in g.pageRank(max_iter=10).collect()}
     want = _pagerank_py(

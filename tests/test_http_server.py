@@ -18,6 +18,11 @@ FIX = Path(__file__).parent / "fixtures"
 _SRV: dict = {}
 
 
+
+# the whole HTTP-serving e2e tier is multi-minute (serving soak, not
+# semantics): opt-in via -m slow (pyproject addopts)
+pytestmark = pytest.mark.slow
+
 @pytest.fixture(scope="module")
 def base_url(spark):
     store = ingest_synthesis_data(

@@ -89,3 +89,59 @@ def test_kmeans_empty_input_raises(spark):
     df = spark.createDataFrame([], "vec_id long, embedding array<double>")
     with pytest.raises(ValueError):
         kmeans_fit(df, k=2, iters=1)
+
+
+def test_estep_arrow_parity_bit_exact(spark, emb_df):
+    # r15 (VERDICT r14 #8): the Arrow E-step preserves IEEE op order, so
+    # BOTH tiers must produce bit-identical centroids, assignments and
+    # inertia histories — on the synthetic corpus AND the sf0.1 embeddings
+    from treemachine_spark.io.tables import load_tables
+
+    sf01 = (
+        load_tables(spark, "/root/testdata/sf0.1")["embeddings"]
+        .limit(500)
+    )
+    for df, k in ((emb_df, 4), (sf01, 6)):
+        out = {}
+        for impl in ("catalyst", "arrow"):
+            cdf, adf, hist = kmeans_fit(
+                df, k=k, iters=3, compute_inertia=True, estep_impl=impl
+            )
+            out[impl] = (
+                sorted(map(tuple, cdf.collect())),
+                sorted(map(tuple, adf.collect())),
+                hist,
+            )
+        assert out["catalyst"][0] == out["arrow"][0]  # centroids bit-equal
+        assert out["catalyst"][1] == out["arrow"][1]  # assignments equal
+        assert out["catalyst"][2] == out["arrow"][2]  # inertia bit-equal
+
+
+def test_estep_arrow_null_and_ragged_vectors(spark):
+    # NULL / wrong-length vectors must get NULL cent_id in BOTH tiers (the
+    # fold NULL-propagates through zip_with padding)
+    rows = [
+        (0, [1.0, 2.0]), (1, [1.5, 2.5]), (2, None), (3, [9.0, 9.0, 9.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    for impl in ("catalyst", "arrow"):
+        _, adf, _ = kmeans_fit(df, k=2, iters=2, estep_impl=impl)
+        got = {r["vec_id"]: r["cent_id"] for r in adf.collect()}
+        assert got[2] is None and got[3] is None, (impl, got)
+        assert got[0] is not None and got[1] is not None, (impl, got)
+
+
+def test_estep_auto_crosses_to_arrow(spark, emb_df, monkeypatch):
+    import treemachine_spark.functions.similarity as sim
+
+    def _n_arrow(df):
+        return df._jdf.queryExecution().executedPlan().toString().count(
+            "ArrowEvalPython"
+        )
+
+    # 200 rows / par is far below the crossover -> catalyst
+    _, adf, _ = kmeans_fit(emb_df, k=4, iters=1, estep_impl="auto")
+    assert _n_arrow(adf) == 0
+    monkeypatch.setattr(sim, "ARROW_DOT_MIN_ROWS_PER_TASK", 0)
+    _, adf, _ = kmeans_fit(emb_df, k=4, iters=1, estep_impl="auto")
+    assert _n_arrow(adf) > 0

@@ -113,6 +113,7 @@ def test_supporting_sources_collect_is_vocabulary_scale(big_api, spark):
         api.store.node_annotations = orig
 
 
+@pytest.mark.slow
 def test_distributed_arguson_equals_driver(big_api):
     """VERDICT r6 #4: the arguson sink gets the distributed_newick
     fragment treatment — per-anchor applyInPandas assembly, driver
@@ -132,6 +133,7 @@ def test_distributed_arguson_equals_driver(big_api):
     assert "lineage" in dist and "source_id_map" in dist
 
 
+@pytest.mark.slow
 def test_anchor_depth_auto_balanced_vs_caterpillar(spark):
     """VERDICT r7 #7: the fanout-aware anchor pick. On a balanced
     fanout-10 tree it returns the shallowest level whose largest fragment
@@ -174,6 +176,7 @@ def test_anchor_depth_auto_balanced_vs_caterpillar(spark):
     assert pick_anchor_depth(rd, member, paths, frag_target=5, top_max=20) == 10
 
 
+@pytest.mark.slow
 def test_arguson_full_tree_beyond_reference_cap(big_api):
     """The reference 400s arguson past 25k tips (tree_of_life_v3.java:592);
     the distributed fragment path serves the FULL ~111k-node fixture tree

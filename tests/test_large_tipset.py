@@ -58,6 +58,7 @@ def test_mrca_joined_disjoint_trees_empty(spark, ctx):
     assert joined.count() == 0
 
 
+@pytest.mark.slow
 def test_mrca_50k_tips_join_path(spark):
     """>=50k tips through the DEFAULT gate (join path). sf0.01 only has
     ~46k leaves, so build the closure once at sf0.1 (lighter than get_ctx:

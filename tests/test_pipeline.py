@@ -423,6 +423,7 @@ def test_filtered_ann_brute_is_filter_then_topk(spark):
     assert all(per_q.get(qid, 0) < n for qid, n in fil_q.items())
 
 
+@pytest.mark.slow
 def test_filtered_ann_ivf_and_pq_cell_scan_filter(spark):
     """Filtered IVF / IVF-PQ: cells stay filter-independent (built on the
     FULL corpus), the predicate restricts the cell scan. Every neighbor
@@ -565,6 +566,7 @@ def test_streaming_dedup(spark):
     assert n == batch_n
 
 
+@pytest.mark.slow
 def test_sessionize(spark):
     stream = stream_events.read_event_stream(spark, SF_SMOKE)
     sessions = stream_events.sessionize(stream, gap_minutes=30)
@@ -585,6 +587,7 @@ def test_sessionize(spark):
         assert r["n_events"] >= 1
 
 
+@pytest.mark.slow
 def test_stream_stream_join_matches_batch(spark):
     stream = stream_events.read_event_stream(spark, SF_SMOKE)
     joined = stream_events.stream_stream_click_purchase_join(stream)
@@ -631,6 +634,7 @@ def test_grouped_agg_udaf_matches_jvm_percentile(spark):
     assert got == want
 
 
+@pytest.mark.slow
 def test_connected_components_chain_bounded_rounds(spark):
     """Large-star/small-star must collapse a 10k-node chain in O(log^2 n)
     rounds — min-label propagation would need 10k rounds (this is the
@@ -1029,6 +1033,7 @@ def test_text_profile_arrow_matches_catalyst(spark):
     assert text_profile(docs).dtypes == text_profile(docs, use_arrow=False).dtypes
 
 
+@pytest.mark.slow
 def test_persisted_shingle_index_roundtrip_append_and_serving(spark, tmp_path):
     """r9: the dedup family's persisted index artifact
     (write_shingle_index / read_shingle_index / shingle_index_append —
@@ -1175,6 +1180,7 @@ def test_persisted_minhash_index_roundtrip_and_append(spark, tmp_path):
     assert k3 == 3 and idx3.count() == n
 
 
+@pytest.mark.slow
 def test_jaccard_probe_paths_randomized_differential(spark, tmp_path):
     """r9: all four probe/lookup execution paths (inline, cached index,
     bucket-pruned disk index, and the batch restriction) agree on
@@ -1251,6 +1257,7 @@ def test_jaccard_probe_paths_randomized_differential(spark, tmp_path):
         idx.unpersist()
 
 
+@pytest.mark.slow
 def test_capped_shingle_artifact_end_to_end(spark, tmp_path):
     """r10 (r9 verdict #2): the capped-space dedup artifact.
     write_shingle_index(max_doc_freq=) bakes the d7 shingle space into
@@ -1410,6 +1417,7 @@ def test_capped_shingle_artifact_end_to_end(spark, tmp_path):
     assert got_rest == rest_rows
 
 
+@pytest.mark.slow
 def test_snapshot_reload_sees_cross_process_append(spark, tmp_path):
     """r12 sharded-soak regression: Spark caches a path's file listing
     per-session forever (metadataCacheTTLSeconds=-1), so a DedupIndex /

@@ -142,6 +142,7 @@ def test_precomputed_codes_path_matches_inline(ctx, spark):
     assert sorted(map(tuple, a), key=None) == sorted(map(tuple, b), key=None)
 
 
+@pytest.mark.slow
 def test_recall_on_clustered_corpus(spark):
     """The random driver embeddings are PQ's theoretical WORST case; real
     embedding corpora cluster. Pin the claim with a deterministic
@@ -174,6 +175,7 @@ def test_recall_on_clustered_corpus(spark):
     assert recall(rr) >= 0.95
 
 
+@pytest.mark.slow
 def test_persisted_index_roundtrip_and_cli(ctx, spark, tmp_path, capsys):
     """write_pq_index / read_pq_index: the persisted ingest artifact
     (codebook.json + codes parquet) serves identically to the inline
@@ -280,6 +282,7 @@ def test_pq_udfs_tolerate_empty_arrow_batch(ctx):
     assert list(lut(pd.Series([], dtype=object))) == []
 
 
+@pytest.mark.slow
 def test_opq_rotation_beats_plain_pq_on_correlated_corpus(spark):
     """VERDICT r6 #7: OPQ (learned orthogonal rotation before PQ, Ge et
     al. 2013) at IDENTICAL bytes per vector. Measured on deterministic
@@ -348,6 +351,7 @@ def test_opq_persisted_index_roundtrip(spark, tmp_path):
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
 
 
+@pytest.mark.slow
 def test_persisted_cells_roundtrip(ctx, spark, tmp_path):
     """write_pq_index(n_centroids=) / read_ivf_cells: the persisted IVF
     cell assignment serves identically to the in-memory build — through
@@ -406,6 +410,7 @@ def test_persisted_cells_roundtrip(ctx, spark, tmp_path):
         assert fgot["neighbors"][0]["neighbor_id"] == 0, method
 
 
+@pytest.mark.slow
 def test_pq_append_extends_persisted_index(ctx, spark, tmp_path):
     """pq_append: new vectors encoded with the STORED codebook and
     assigned against the STORED centroids — the appended index serves
@@ -446,6 +451,7 @@ def test_pq_append_extends_persisted_index(ctx, spark, tmp_path):
     assert idx.topk(vector=vec, k=3, method="ivf")["neighbors"][0]["neighbor_id"] == 60
 
 
+@pytest.mark.slow
 def test_rerank_pool_artifact_default(spark, tmp_path):
     """r10 (r9 verdict #3): the recall-safe serving default. write_pq_index
     measures p95 cell occupancy and stores it as rerank_pool; AnnIndex

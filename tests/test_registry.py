@@ -53,6 +53,7 @@ def test_synth_id_resolution(registry):
         registry.get("nope")
 
 
+@pytest.mark.slow
 def test_service_endpoints(registry):
     svc = TreeOfLifeService(registry)
     assert svc.about()["synth_id"] == "opentree_test2"
@@ -72,6 +73,7 @@ def test_store_roundtrip(spark, registry, tmp_path):
     assert reg2.tree_ids() == ["opentree_test1"]
 
 
+@pytest.mark.slow
 def test_single_store_roundtrip(spark, registry, tmp_path):
     """Multi-tree single-store layout: one partitioned table set, per-tree
     GraphStore views with partition-pruned scans."""
@@ -103,6 +105,7 @@ def test_single_store_roundtrip(spark, registry, tmp_path):
     assert res["mrca"]["node_id"] == "ott5839486"
 
 
+@pytest.mark.slow
 def test_arguson_descendant_name_list(registry):
     svc = TreeOfLifeService(registry)
     res = svc.subtree(
@@ -115,6 +118,7 @@ def test_arguson_descendant_name_list(registry):
     assert unnamed[0]["descendant_name_list"] == ["Apteryx", "Struthio"]
 
 
+@pytest.mark.slow
 def test_delete_tree_partition_drop(spark, registry, tmp_path):
     """Admin mutations (GraphBase.deleteTreeBySource:312-370 /
     deleteAllTrees:299-306): CLI round-trip — consolidate two trees, delete
@@ -147,6 +151,7 @@ def test_delete_tree_partition_drop(spark, registry, tmp_path):
     assert load_single_store(spark, str(out)).tree_ids() == []
 
 
+@pytest.mark.slow
 def test_delete_tree_cli(spark, registry, tmp_path, capsys):
     from treemachine_spark import cli
     from treemachine_spark.ingest import write_single_store

@@ -5,6 +5,8 @@ gate runs the real availableNow stream under the DuckDB oracle)."""
 
 from __future__ import annotations
 
+import pytest
+
 from treemachine_spark.functions.dedup import minhash_bands
 from treemachine_spark.streaming.documents import NoveltyFilter
 
@@ -83,6 +85,7 @@ def test_durable_growing_index_drops_cross_batch_dups(spark, tmp_path):
     assert _novel_ids(spark, f) == [1, 5]
 
 
+@pytest.mark.slow
 def test_durable_batch_replay_is_idempotent(spark, tmp_path):
     f = _durable(spark, tmp_path, [(0, OTHER)])
     f.process_batch(_docs(spark, [(1, BASE)]), 0)
@@ -97,6 +100,7 @@ def test_durable_batch_replay_is_idempotent(spark, tmp_path):
     assert idx.count() == idx.distinct().count()
 
 
+@pytest.mark.slow
 def test_durable_partial_write_crash_heals_on_replay(spark, tmp_path):
     f = _durable(spark, tmp_path, [(0, OTHER)])
     f.fail_after_novel_write = {1}
@@ -159,6 +163,7 @@ def _run_durable(spark, src, seed, tmp_path, name, fail_batches=()):
     return sorted(r["doc_id"] for r in out.select("doc_id").collect())
 
 
+@pytest.mark.slow
 def test_durable_restart_resume_matches_clean_run(spark, tmp_path):
     """Kill the stream mid-run (crash injected between the batch's two
     writes), restart from the checkpoint: same admitted set as an unkilled
@@ -174,6 +179,7 @@ def test_durable_restart_resume_matches_clean_run(spark, tmp_path):
     assert len(crashed) == len(set(crashed))
 
 
+@pytest.mark.slow
 def test_durable_restart_resume_sf001(spark, tmp_path):
     src, seed = _stage_stream_dir(spark, "/root/testdata/sf0.01", tmp_path)
     clean = _run_durable(spark, src, seed, tmp_path, "clean")

@@ -252,6 +252,54 @@ def candidate_dot(
     return int_dot(a, b)
 
 
+def _estep_udf(cents):
+    """Arrow twin of the k-means E-step (VERDICT r14 #8) — BIT-EXACT by
+    construction: for each centroid the squared distance accumulates per
+    DIMENSION with the same three IEEE double ops as the Catalyst fold
+    (``acc = acc + (x_i - c_i) * (x_i - c_i)``, left to right), just
+    vectorized down the row axis, so distances — and therefore argmins,
+    assignments and whole training trajectories — are identical to the
+    interpreted HOF's. Argmin ties break to the first (lowest cent_id)
+    index exactly like ``array_position(dists, array_min(dists))``; NaN
+    distances rank last (Spark orders NaN greatest); NULL / wrong-length
+    vectors yield NULL cent_id and NULL distance (the fold's
+    NULL-propagation through zip_with padding)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    C = np.asarray(cents, dtype=np.float64)
+    k, dim = C.shape
+
+    def _f(vs: pd.Series) -> pd.DataFrame:
+        n = len(vs)
+        cent = np.full(n, None, dtype=object)
+        dist = np.full(n, None, dtype=object)
+        has = np.fromiter(
+            (v is not None and len(v) == dim for v in vs), bool, count=n
+        )
+        if has.any():
+            V = np.vstack(
+                [np.asarray(v, dtype=np.float64) for v, m in zip(vs, has) if m]
+            )
+            cols = []
+            for j in range(k):
+                acc = np.zeros(V.shape[0], dtype=np.float64)
+                cj = C[j]
+                for i in range(dim):
+                    d = V[:, i] - cj[i]
+                    acc = acc + d * d
+                cols.append(acc)
+            D = np.column_stack(cols)
+            idx = np.argmin(np.where(np.isnan(D), np.inf, D), axis=1)
+            dmin = D[np.arange(D.shape[0]), idx]
+            cent[has] = [int(x) for x in idx]
+            dist[has] = [float(x) for x in dmin]
+        return pd.DataFrame({"cent_id": cent, "d": dist})
+
+    return pandas_udf(_f, "cent_id int, d double", PandasUDFType.SCALAR)
+
+
 def pick_dot_impl(n_candidates: float, spark) -> str:
     """Driver-side tier pick when candidate volume is already known — the
     serving path (api/ann.AnnIndex knows |corpus| from its boot count and
@@ -1024,6 +1072,7 @@ def kmeans_fit(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     compute_inertia: bool = False,
+    estep_impl: str = "auto",
 ):
     """Distributed Lloyd's k-means — the training loop behind
     ``centroid_assign`` / ``ivf_topk`` (which take the learned centroids as
@@ -1033,12 +1082,20 @@ def kmeans_fit(
     Per-iteration shape, chosen for scale:
 
     - **E-step is a pure projection**: the k centroids are folded into the
-      plan as LITERAL arrays (k·dim doubles — kilobytes), so assignment is
-      per-row arithmetic with NO join and NO shuffle. ``array_position(
-      dists, array_min(dists))`` gives the argmin with first-match (lowest
-      cent_id) tie-breaking. The squared-distance HOFs are interpreted
-      expressions — at extreme dims swap in an Arrow-batched twin (the d2
-      pattern) without changing the loop.
+      plan as LITERAL arrays (k·dim doubles — kilobytes; the Arrow tier
+      ships them in the task closure instead), so assignment is per-row
+      arithmetic with NO join and NO shuffle. ``array_position(dists,
+      array_min(dists))`` gives the argmin with first-match (lowest
+      cent_id) tie-breaking.
+    - **E-step tiers (r15, VERDICT r14 #8)**: ``estep_impl`` picks the
+      Catalyst HOF fold vs a BIT-EXACT Arrow twin (``_estep_udf``) that
+      preserves IEEE op order — per dimension i it runs the same three
+      double ops ``acc = acc + (x_i - c_i) * (x_i - c_i)`` as one
+      vectorized column step, so every distance, every argmin and hence
+      every training trajectory is identical (parity-tested). "auto"
+      crosses to Arrow past ~``ARROW_DOT_MIN_ROWS_PER_TASK``/k rows per
+      task (the E-step does k·dim interpreted ops per row — k dot
+      products' worth, so the dot crossover divides by k).
     - **M-step is one partial-aggregating shuffle of k·dim rows**:
       posexplode the assigned vectors, groupBy (cent, pos) sum/count —
       combiners do the heavy lifting map-side; only k·dim rows cross the
@@ -1073,17 +1130,45 @@ def kmeans_fit(
             lambda acc, v: acc + v,
         )
 
-    assigned = None
-    for _ in range(iters):
-        dists = F.array(*[_sq_dist_lit(c) for c in cents])
-        assigned = emb.select(
+    if estep_impl not in ("auto", "arrow", "catalyst"):
+        raise ValueError(f"kmeans_fit: unknown estep_impl {estep_impl!r}")
+    if estep_impl == "auto":
+        # the E-step does k dot-products' worth of interpreted work per
+        # row, so the measured dot crossover divides by k; one
+        # metadata-cheap count prices the whole multi-iteration loop
+        par = max(spark.sparkContext.defaultParallelism, 1)
+        use_arrow = (
+            emb.count() / par >= ARROW_DOT_MIN_ROWS_PER_TASK / max(k, 1)
+        )
+    else:
+        use_arrow = estep_impl == "arrow"
+
+    def _estep(current, with_dist: bool):
+        """(id, _v, cent_id[, _d]) against ``current`` centroids — the
+        Catalyst fold or its bit-exact Arrow twin (``_estep_udf``)."""
+        if use_arrow:
+            e = emb.select(
+                id_col, "_v", _estep_udf(current)(F.col("_v")).alias("_e")
+            )
+            return e.select(
+                id_col,
+                "_v",
+                F.col("_e.cent_id").alias("cent_id"),
+                *([F.col("_e.d").alias("_d")] if with_dist else []),
+            )
+        dists = F.array(*[_sq_dist_lit(c) for c in current])
+        return emb.select(
             id_col,
             "_v",
             (F.array_position(dists, F.array_min(dists)) - 1)
             .cast("int")
             .alias("cent_id"),
-            *( [F.array_min(dists).alias("_d")] if compute_inertia else [] ),
+            *([F.array_min(dists).alias("_d")] if with_dist else []),
         )
+
+    assigned = None
+    for _ in range(iters):
+        assigned = _estep(cents, compute_inertia)
         stats = (
             assigned.select("cent_id", F.posexplode("_v").alias("pos", "val"))
             .groupBy("cent_id", "pos")
@@ -1104,16 +1189,12 @@ def kmeans_fit(
             history.append(assigned.agg(F.sum("_d")).first()[0])
     # Final E-step against the FINAL centroids, so assignment_df and
     # n_members are consistent with centroids_df (ADVICE r3).
-    dists = F.array(*[_sq_dist_lit(c) for c in cents])
-    assigned = emb.select(
-        id_col,
-        (F.array_position(dists, F.array_min(dists)) - 1)
-        .cast("int")
-        .alias("cent_id"),
-    )
+    assigned = _estep(cents, False).select(id_col, "cent_id")
     counts = [0] * k
     for r in assigned.groupBy("cent_id").count().collect():
-        counts[r["cent_id"]] = r["count"]
+        # NULL cent_id = NULL/ragged vectors (unassignable) — not members
+        if r["cent_id"] is not None:
+            counts[r["cent_id"]] = r["count"]
     import pandas as pd
 
     cdf = spark.createDataFrame(
