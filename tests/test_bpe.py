@@ -70,6 +70,7 @@ def test_bpe_first_merge_is_est(spark):
     assert merges[1] == ("es", "t" + EOW)
 
 
+@pytest.mark.slow
 def test_bpe_encode_applies_learned_merges(spark):
     docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
     merges, _ = bpe_train(docs, n_merges=8)

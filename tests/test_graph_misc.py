@@ -202,7 +202,11 @@ def py_deepest_exemplified(parents, matched):
     return res
 
 
-@pytest.mark.parametrize("seed", [3, 11, 99])
+@pytest.mark.parametrize(
+    "seed",
+    [3, pytest.param(11, marks=pytest.mark.slow),
+     pytest.param(99, marks=pytest.mark.slow)],
+)
 def test_deepest_exemplified_vs_python_oracle(spark, seed):
     """T15 differential: the closure-join operator (tree-comparability
     shortcut) against the literal BitSet-intersection climb, random trees

@@ -140,6 +140,7 @@ def test_topk_compact_with_larger_capacity_is_conservative(spark, tmp_path):
     assert after == before
 
 
+@pytest.mark.slow
 def test_topk_route(spark, tmp_path):
     """POST /v3/stats/topk over a running StreamingTopKSketch — the
     heavy-hitters serving consumer, sharing _handle_sketch's state-token
@@ -213,6 +214,7 @@ def test_topk_route(spark, tmp_path):
         srv.server_close()
 
 
+@pytest.mark.slow
 def test_topk_scatter_equals_union_worker(spark, tmp_path):
     """Scattered /v3/stats/topk == the union-stream worker's answer,
     integer-exact end-to-end: CMS cells merge by cell-wise sum, the
@@ -333,6 +335,7 @@ def test_state_route_family_from_config_not_column_names(spark, tmp_path):
         srv.server_close()
 
 
+@pytest.mark.slow
 def test_state_route_caches_per_family(spark, tmp_path):
     """Each family's state caches under ITS OWN token: a micro-batch
     landing on one sketch recomputes exactly that family's fold — the
